@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions._
+import graft.io.Tables
+import graft.transform.Star
+
+/** Named, oracle-checked queries exercising the reference's relational
+  * operator inventory (SURVEY.md §2) over the driver's TPC-H-ish testdata.
+  * Each `defs` entry has a DuckDB-equivalent `oracles` entry with IDENTICAL
+  * output column names and an explicit ORDER BY, so the driver's
+  * row/schema/hash compare is deterministic.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - double SUMs go through `DECIMAL(18,s)` (order-independent exact
+  *    accumulation) and come back out as DOUBLE;
+  *  - COUNT-like outputs are BIGINT on both sides (DuckDB `sum(int)` would
+  *    otherwise be HUGEINT);
+  *  - surrogate keys are BIGINT on both sides;
+  *  - ORDER BY uses NULLS FIRST explicitly (Spark's ASC default).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact decimal-accumulated sum of a double expression, surfaced as
+    * double: identical across engines regardless of partial-agg order. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  // ---------------------------------------------------------------- O28-O31
+  /** Global summary aggregates — the five email stats re-expressed over
+    * lineitem (`airflow.py:101-107` shape: count, distinct-count, sum, mean,
+    * sum-of-flag). */
+  val q01_summary: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("l_returnflag")).as("n_flags"),
+      dsum(col("l_extendedprice")).as("sum_price"),
+      (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned_rows"))
+  }
+  val q01_sql: String =
+    """SELECT count(*) AS total_rows,
+      |       count(DISTINCT l_returnflag) AS n_flags,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_rows
+      |FROM lineitem""".stripMargin
+
+  // ------------------------------------------------------------- O28-O32 ish
+  /** Grouped pricing summary (TPC-H Q1 shape) — the flagship aggregation;
+    * map-side partial aggregation then a 6-group shuffle. */
+  val q02_pricing_summary: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  val q02_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |       count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------- O9/O10/O11
+  /** Per-row derived columns: arithmetic derive (inventory-value shape),
+    * boolean→binary flag, and a column drop (source cols not projected). */
+  val q03_derived: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * col("l_quantity")).as("line_value"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("returned_flag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  val q03_sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       l_extendedprice * l_quantity AS line_value,
+      |       CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS returned_flag
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------- O12
+  /** Fixed-edge binning, pd.cut(right=False) semantics: half-open bins over
+    * l_quantity with a deliberate out-of-range→null band (qty ≥ 40). */
+  val q04_fixed_bins: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.withColumn("stock_bin",
+        binFixed(col("l_quantity"), Seq(1, 10, 25, 40), Seq("Critical", "Low", "Healthy")))
+      .groupBy(col("stock_bin"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("stock_bin").asc_nulls_first)
+  }
+  val q04_sql: String =
+    """SELECT CASE WHEN l_quantity >= 1 AND l_quantity < 10 THEN 'Critical'
+      |            WHEN l_quantity >= 10 AND l_quantity < 25 THEN 'Low'
+      |            WHEN l_quantity >= 25 AND l_quantity < 40 THEN 'Healthy'
+      |       END AS stock_bin,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1 ORDER BY stock_bin ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------- O13
+  /** Quantile binning (pd.qcut q=3): exact percentile cut points broadcast
+    * back over the data; right-closed intervals, ties to the lower bin. */
+  val q05_quantile_bins: Q = (s, d) => {
+    val pt = Tables.part(s, d)
+    qcut(pt, col("p_retailprice"), 3, Seq("Budget", "Standard", "Premium"), "price_tier")
+      .groupBy(col("price_tier"))
+      .agg(count(lit(1)).as("n"),
+           min(col("p_retailprice")).as("min_price"),
+           max(col("p_retailprice")).as("max_price"))
+      .orderBy(col("price_tier"))
+  }
+  val q05_sql: String =
+    """WITH cuts AS (
+      |  SELECT quantile_cont(p_retailprice, 1.0/3) AS q33,
+      |         quantile_cont(p_retailprice, 2.0/3) AS q66
+      |  FROM part)
+      |SELECT CASE WHEN p_retailprice <= q33 THEN 'Budget'
+      |            WHEN p_retailprice <= q66 THEN 'Standard'
+      |            ELSE 'Premium' END AS price_tier,
+      |       count(*) AS n, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
+      |FROM part, cuts GROUP BY 1 ORDER BY price_tier""".stripMargin
+
+  // ------------------------------------------------------------------- O15
+  /** Currency clean round-trip: render a £-price string, strip non-numerics,
+    * cast back to double (`transformation_pipeline.py:5-11` semantics). */
+  val q06_currency_clean: Q = (s, d) => {
+    val pt = Tables.part(s, d)
+    pt.select(col("p_partkey"),
+        cleanCurrency(format_string("£%.2f", col("p_retailprice"))).as("clean_price"))
+      .orderBy(col("p_partkey"))
+  }
+  val q06_sql: String =
+    """SELECT p_partkey,
+      |       CAST(regexp_replace(printf('£%.2f', p_retailprice), '[^0-9.]', '', 'g') AS DOUBLE) AS clean_price
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------------- O17
+  /** Literal-map word→int lookup with default 0 (rating-word shape,
+    * `extract_pipeline.py:92-94`) over order priorities. */
+  val q07_word_map: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val priorityMap = map(
+      lit("1-URGENT"), lit(1), lit("2-HIGH"), lit(2), lit("3-MEDIUM"), lit(3))
+    o.select(col("o_orderpriority"),
+        coalesce(element_at(priorityMap, col("o_orderpriority")), lit(0)).as("priority_code"))
+      .groupBy(col("o_orderpriority"), col("priority_code"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val q07_sql: String =
+    """SELECT o_orderpriority,
+      |       CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+      |            WHEN '3-MEDIUM' THEN 3 ELSE 0 END AS priority_code,
+      |       count(*) AS n
+      |FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------------- O18
+  /** Stock-string parse: build "In stock (N available)" and parse it back
+    * (`extract_pipeline.py:28-33` happy path). */
+  val q08_stock_parse: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val stockStr = concat(lit("In stock ("),
+      floor(col("l_quantity")).cast("long").cast("string"), lit(" available)"))
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        stockAvailability(stockStr).as("in_stock"),
+        stockCount(stockStr).as("n_available"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  val q08_sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       contains(trim(str_split(stock_str, '(')[1]), 'In stock') AS in_stock,
+      |       CAST(regexp_extract(stock_str, '\((\d+) available\)', 1) AS INT) AS n_available
+      |FROM (SELECT *, 'In stock (' || CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) || ' available)' AS stock_str
+      |      FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------- O19
+  /** URL rewrite: strip `../` path-escapes and prepend the site prefix
+    * (`extract_pipeline.py:13`). */
+  val q09_url_rewrite: Q = (s, d) => {
+    val pt = Tables.part(s, d)
+    val rel = concat(lit("../../img/"), col("p_partkey").cast("string"), lit(".jpg"))
+    pt.select(col("p_partkey"), rewriteImageUrl(rel).as("image_url"))
+      .orderBy(col("p_partkey"))
+  }
+  val q09_sql: String =
+    """SELECT p_partkey,
+      |       'http://books.toscrape.com/' || regexp_replace('../../img/' || CAST(p_partkey AS VARCHAR) || '.jpg', '\.\./', '', 'g') AS image_url
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------- O22-O27: full star-schema build
+  /** Star schema over lineitem: a composite-key dim and an FK-sourced brand
+    * dim, dense surrogate keys, broadcast joins, fact aggregated by ids. */
+  val q10_star_schema: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val pt = Tables.part(s, d)
+    val dimShip = Star.buildDim(li, Seq("l_returnflag", "l_linestatus"), "ship_id")
+    val dimBrand = Star.buildDim(pt, Seq("p_brand"), "brand_id")
+    val withBrand = li.join(
+      pt.select(col("p_partkey").as("l_partkey"), col("p_brand")), Seq("l_partkey"))
+    val fact = Star.joinDim(
+      Star.joinDim(withBrand, dimShip, Seq("l_returnflag", "l_linestatus")),
+      dimBrand, Seq("p_brand"))
+    fact.groupBy(col("ship_id"), col("brand_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("ship_id"), col("brand_id"))
+  }
+  val q10_sql: String =
+    """WITH dim_ship AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         row_number() OVER (ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST) AS ship_id
+      |  FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)),
+      |dim_brand AS (
+      |  SELECT p_brand, row_number() OVER (ORDER BY p_brand ASC NULLS FIRST) AS brand_id
+      |  FROM (SELECT DISTINCT p_brand FROM part))
+      |SELECT ship_id, brand_id, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN dim_ship USING (l_returnflag, l_linestatus)
+      |JOIN dim_brand USING (p_brand)
+      |GROUP BY ship_id, brand_id ORDER BY ship_id, brand_id""".stripMargin
+
+  // ------------------------------------------------------------------- O25
+  /** Null-safe dim join (`<=>` / IS NOT DISTINCT FROM): a nullable key still
+    * joins to the dim's null row — pandas NaN==NaN merge semantics. */
+  val q11_nullsafe_join: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val keyed = li.withColumn("flag_key", nullif(col("l_returnflag"), lit("N")))
+    val dim = Star.buildDim(keyed, Seq("flag_key"), "flag_id")
+    Star.joinDim(keyed, dim, Seq("flag_key"), nullSafe = true)
+      .groupBy(col("flag_id"), col("flag_key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("flag_id"))
+  }
+  val q11_sql: String =
+    """WITH keyed AS (SELECT *, nullif(l_returnflag, 'N') AS flag_key FROM lineitem),
+      |dim AS (SELECT flag_key, row_number() OVER (ORDER BY flag_key ASC NULLS FIRST) AS flag_id
+      |        FROM (SELECT DISTINCT flag_key FROM keyed))
+      |SELECT flag_id, dim.flag_key, count(*) AS n
+      |FROM keyed JOIN dim ON keyed.flag_key IS NOT DISTINCT FROM dim.flag_key
+      |GROUP BY 1, 2 ORDER BY flag_id""".stripMargin
+
+  // ------------------------------------------------------------------- O26
+  /** Multi-column distinct (dim extraction shape). */
+  val q12_distinct: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+  val q12_sql: String =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------------- O27
+  /** Dense 1..N surrogate keys over a distinct natural key. */
+  val q13_surrogate_keys: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    Star.buildDim(c, Seq("c_mktsegment"), "segment_id")
+      .orderBy(col("segment_id"))
+  }
+  val q13_sql: String =
+    """SELECT c_mktsegment, row_number() OVER (ORDER BY c_mktsegment ASC NULLS FIRST) AS segment_id
+      |FROM (SELECT DISTINCT c_mktsegment FROM customer) ORDER BY segment_id""".stripMargin
+
+  // ------------------------------------------------------------------- O32
+  /** Exact percentiles (sort-based aggregate; approx variant exists behind
+    * the qcut flag for 100 TB). */
+  val q14_exact_quantiles: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.agg(
+      percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+      percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+      percentile(col("l_extendedprice"), lit(0.75)).as("p75"))
+  }
+  val q14_sql: String =
+    """SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
+      |       quantile_cont(l_extendedprice, 0.5) AS p50,
+      |       quantile_cont(l_extendedprice, 0.75) AS p75
+      |FROM lineitem""".stripMargin
+
+  // ------------------------------------------------------------------- O33
+  /** Deterministic top-20 (order + limit). */
+  val q15_top20: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+  val q15_sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------------- O22-O24 joins
+  /** Multi-table FK join chain with broadcast dims: revenue per nation. */
+  val q16_join_multi: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_rows"),
+           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+  val q16_sql: String =
+    """SELECT r_name, n_name, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // --------------------------------------------------- O34 batch analog
+  /** Hourly tumbling-window counts over the events table — the batch analog
+    * of the streaming pipeline in `graft.streaming` (timestamps rendered as
+    * strings for cross-engine value parity). */
+  val q17_window_events: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    e.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+              col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+  val q17_sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // --------------------------------------------------- window functions
+  /** Analytic windows: per-user ordering, rank and running sum (frame-order
+    * summation is identical across engines, so exact doubles match). */
+  val q18_window_funcs: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(col("value").cast("decimal(18,4)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+  val q18_sql: String =
+    """SELECT user_id, event_id,
+      |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events ORDER BY user_id, rn""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q01_summary" -> q01_summary,
+    "q02_pricing_summary" -> q02_pricing_summary,
+    "q03_derived" -> q03_derived,
+    "q04_fixed_bins" -> q04_fixed_bins,
+    "q05_quantile_bins" -> q05_quantile_bins,
+    "q06_currency_clean" -> q06_currency_clean,
+    "q07_word_map" -> q07_word_map,
+    "q08_stock_parse" -> q08_stock_parse,
+    "q09_url_rewrite" -> q09_url_rewrite,
+    "q10_star_schema" -> q10_star_schema,
+    "q11_nullsafe_join" -> q11_nullsafe_join,
+    "q12_distinct" -> q12_distinct,
+    "q13_surrogate_keys" -> q13_surrogate_keys,
+    "q14_exact_quantiles" -> q14_exact_quantiles,
+    "q15_top20" -> q15_top20,
+    "q16_join_multi" -> q16_join_multi,
+    "q17_window_events" -> q17_window_events,
+    "q18_window_funcs" -> q18_window_funcs)
+
+  val oracles: Map[String, String] = Map(
+    "q01_summary" -> q01_sql,
+    "q02_pricing_summary" -> q02_sql,
+    "q03_derived" -> q03_sql,
+    "q04_fixed_bins" -> q04_sql,
+    "q05_quantile_bins" -> q05_sql,
+    "q06_currency_clean" -> q06_sql,
+    "q07_word_map" -> q07_sql,
+    "q08_stock_parse" -> q08_sql,
+    "q09_url_rewrite" -> q09_sql,
+    "q10_star_schema" -> q10_sql,
+    "q11_nullsafe_join" -> q11_sql,
+    "q12_distinct" -> q12_sql,
+    "q13_surrogate_keys" -> q13_sql,
+    "q14_exact_quantiles" -> q14_sql,
+    "q15_top20" -> q15_sql,
+    "q16_join_multi" -> q16_sql,
+    "q17_window_events" -> q17_sql,
+    "q18_window_funcs" -> q18_sql)
+}
