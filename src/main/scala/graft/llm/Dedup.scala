@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape of the problem:
+  *
+  *  - exact: one hash-groupBy shuffle, map-side combined;
+  *  - MinHash+LSH: k min-hash aggregates computed in a SINGLE groupBy pass
+  *    (one shuffle over (doc, shingle), partial aggregation on the map
+  *    side), then banding → bucket self-join. Candidate generation never
+  *    goes all-pairs: only docs sharing a band bucket meet in the join;
+  *  - SimHash: per-bit majority votes as one groupBy with `bits` aggregates;
+  *  - n-gram Jaccard: exact verification over candidate pairs only (shingle
+  *    equi-join, never a cross join);
+  *  - embedding near-dup: cosine over bucket-colocated pairs (see
+  *    [[Similarity]] for the ANN path).
+  *
+  * Hashes are md5-hex-prefix based so the DuckDB oracle can reproduce them
+  * bit-for-bit (lexicographic min over fixed-width lowercase hex ==
+  * numeric min over the underlying value).
+  */
+object Dedup {
+
+  /** Exact dedup: group documents by content hash, keep the smallest id.
+    * Output: one row per distinct content (keeper_id, content_hash,
+    * n_copies). */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc, shingle) distinct pairs — the input relation for MinHash and
+    * exact-Jaccard. One shuffle (the distinct). */
+  def docShingles(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.shingles3(col(textCol))).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: k independent min-hashes computed as k aggregate
+    * expressions in ONE groupBy over the (doc, shingle) relation — a single
+    * shuffle regardless of k, with map-side partial mins. Hash s of a
+    * shingle is the 16-hex-char prefix of md5("<s>|" + shingle). */
+  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map { s =>
+      min(substring(md5(concat(lit(s + "|"), col("shingle"))), 1, 16)).as(s"h$s")
+    }
+    shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k-row signature into `bands` bands of
+    * `rowsPerBand`, key each band by the concatenated hashes, self-join on
+    * (band, key). Only same-bucket docs ever meet: candidate generation is
+    * O(bucket²) not O(n²). Returns distinct (doc_a < doc_b) pairs. */
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("bkey"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val left = buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val right = buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    left.join(right, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup candidates: shingle → sign → band → bucket
+    * join. Default 16 hashes in 4 bands of 4 ≈ Jaccard-0.7 threshold. */
+  def dedupNearMinhash(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into bands evenly")
+    lshCandidatePairs(minhashSignatures(docShingles(df, textCol, idCol), k), bands, k / bands)
+  }
+
+  /** SimHash fingerprint (default 16 bits): per-bit majority vote over the
+    * 32-bit md5-prefix hashes of the document's distinct tokens. One
+    * groupBy with `bits` sum-aggregates — a single shuffle. Near-dup docs
+    * land on equal (or Hamming-close) fingerprints. */
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .distinct()
+    val h = substring(md5(col("w")), 1, 8) // 32-bit hex value
+    val voteAggs = (0 until bits).map { b =>
+      val nibble = conv(substring(h, 8 - b / 4, 1), 16, 10).cast("int")
+      val bit = shiftright(nibble, b % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val votes = words.groupBy(col("doc_id")).agg(voteAggs.head, voteAggs.tail: _*)
+    val fp = (0 until bits).map { b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs only: shingle equi-join for
+    * the intersection, per-doc set sizes for the union. Feed it LSH
+    * candidates — never the full cross product. */
+  def ngramJaccard(shingled: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val inter = pairs
+      .join(shingled.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")), Seq("doc_b"))
+      .where(col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("size_a") + col("size_b") - col("n_inter"))).as("jaccard"))
+  }
+}

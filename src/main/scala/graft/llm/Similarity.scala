@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the brute-force path is the correctness baseline and is
+  * only ever (queries × corpus) — the query side must be small and is
+  * broadcast, so the corpus is scanned exactly once with no shuffle. The
+  * scale paths prune the corpus first:
+  *
+  *  - IVF-style: restrict the search to a coarse partition (here the
+  *    `label` column stands in for a centroid assignment) — a bucket
+  *    equi-join, never a cross join;
+  *  - sign-LSH: bucket vectors by the sign pattern of leading components
+  *    (axis-aligned random-hyperplane LSH); candidates share a bucket.
+  *
+  * All arithmetic is elementwise-in-order double folds so the DuckDB oracle
+  * reproduces results bit-for-bit.
+  */
+object Similarity {
+
+  /** Elementwise dot product as an in-order fold over double-cast arrays —
+    * deterministic accumulation order (matches the oracle's list fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, written as dot/(norm*norm) with the exact same
+    * operation order on both engines. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k: broadcast the (small) query set against the corpus,
+    * score every pair, rank per query. The corpus side never shuffles;
+    * ranking shuffles only (queries × corpus) scored rows. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** IVF-style pruned top-k: search only within the query's coarse bucket
+    * (equi-join on the bucket column). At 100 TB the bucket column is a
+    * k-means centroid id; here the testdata's `label` plays that role. */
+  def bucketTopK(queries: DataFrame, corpus: DataFrame, k: Int, bucketCol: String,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col(bucketCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col(bucketCol))
+    val scored = c.join(broadcast(q), Seq(bucketCol))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Axis-aligned sign-LSH bucket id: bit b set iff component b > 0.
+    * With roughly isotropic embeddings this is random-hyperplane LSH with
+    * coordinate hyperplanes; `nBits` controls bucket granularity. */
+  def signBucket(vec: Column, nBits: Int): Column =
+    (0 until nBits).map { b =>
+      when(element_at(vec, b + 1) > 0f, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-duplicate pairs within sign-LSH buckets:
+    * vectors only meet if they share the full sign pattern of their leading
+    * `nBits` components — a bucket self-join, never all-pairs. */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double, nBits: Int = 8,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), nBits).as("bucket"))
+    val left = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val right = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    left.join(right, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

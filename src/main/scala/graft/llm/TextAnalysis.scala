@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, token counting, quality scoring, language ID,
+  * fingerprinting. Everything here is a pure Column expression (whole-stage
+  * codegen, SQL-expressible for the DuckDB oracle) — no UDFs, no collects;
+  * all of it scales as embarrassingly-parallel per-row work.
+  *
+  * Cross-engine parity notes (oracle = DuckDB): tokenization is
+  * `lower → split \W+ → drop empties` on both sides; hex digests are
+  * lowercase md5 on both sides; `element_at`/DuckDB list indexing are both
+  * 1-based.
+  */
+object TextAnalysis {
+
+  /** Lowercased `\W+` word tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\W+"), t => t =!= "")
+
+  /** Word 3-shingles over [[tokens]] — the unit for MinHash/Jaccard near-dup.
+    * Docs with fewer than 3 tokens produce no shingles. */
+  def shingles3(c: Column): Column = {
+    val a = tokens(c)
+    when(size(a) >= 3,
+      transform(sequence(lit(1), size(a) - 2), i =>
+        concat_ws(" ", element_at(a, i), element_at(a, i + 1), element_at(a, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    size(filter(split(c, "\\s+"), t => t =!= "")).cast("long")
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-alnum
+    * marks — a cheap, deterministic proxy for subword tokenizer load. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Punctuation ratio: non-alnum-non-space chars / total chars (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val total = length(c)
+    val punct = total - length(regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    when(total > 0, (total - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Word-boundary alternation regexes keep this expressible in
+    * both engines. */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|was|for|with|that)\\b",
+    "es" -> "\\b(el|la|de|que|y|en|los|del|las|por)\\b",
+    "de" -> "\\b(der|die|und|das|ist|von|mit|den|im|für)\\b",
+    "fr" -> "\\b(le|la|les|des|et|est|un|une|du|dans)\\b",
+    "zh" -> "\\b(de|shi|le|zai|wo|you|he|ta|zhe|men)\\b")
+
+  /** Stopword-hit count for one language profile. */
+  def langScore(c: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(c), lit(pattern), lit(0))).cast("long")
+
+  /** Language-ID heuristic: argmax stopword-profile score, ties resolved by
+    * profile order, all-zero → "und" (undetermined). */
+  def langId(c: Column): Column = {
+    val scores = langProfiles.map { case (lang, pat) => lang -> langScore(c, pat) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Stopword ratio against the combined profile vocabulary. */
+  def stopwordRatio(c: Column): Column = {
+    val hits = langProfiles.map { case (_, pat) => langScore(c, pat) }.reduce(_ + _)
+    val total = wsTokenCount(c)
+    when(total > 0, hits.cast("double") / total).otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length saturation + low punctuation
+    * + stopword presence — the usual cheap pre-filter before expensive
+    * dedup/training steps. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 400.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(c) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text,
+    * plus a 64-bit hex prefix for compact join keys. */
+  def normalizedText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  def fingerprint(c: Column): Column = md5(normalizedText(c))
+
+  def fingerprint64(c: Column): Column = substring(fingerprint(c), 1, 16)
+
+  /** Karp–Rabin rolling hash (base 257 mod 2^61-1) over the normalized
+    * text — the streaming-friendly fingerprint variant. Not expressible as
+    * a Catalyst built-in chain, so it is a Scala UDF verified by unit tests
+    * (omitted from the SQL oracle per the driver contract).
+    */
+  def rollingHashImpl(s: String): Long = {
+    if (s == null) return 0L
+    val Mod = (1L << 61) - 1
+    val Base = 257L
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      // (h * Base + c) mod 2^61-1 without overflow: split h into hi/lo
+      val hi = h >>> 32
+      val lo = h & 0xffffffffL
+      // h*257 = hi*257*2^32 + lo*257; reduce mod (2^61-1) via 2^61 ≡ 1
+      var acc = lo * Base + s.charAt(i).toLong
+      var hiPart = hi * Base // multiplied by 2^32 below
+      // hiPart * 2^32 mod (2^61-1): shift then fold
+      var shifted = (hiPart << 32) & Mod
+      var overflow = hiPart >>> 29 // bits above 2^61
+      acc = acc + shifted + overflow
+      h = (acc & Mod) + (acc >>> 61)
+      if (h >= Mod) h -= Mod
+      i += 1
+    }
+    h
+  }
+
+  val rollingHash = udf(rollingHashImpl _)
+}
