@@ -80,12 +80,13 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: length saturation + low punctuation
     * + stopword presence — the usual cheap pre-filter before expensive
-    * dedup/training steps. */
+    * dedup/training steps. Raw double (no rounding): the formula has one
+    * fixed evaluation order, so it is bit-identical across engines. */
   def qualityScore(c: Column): Column = {
     val lenScore = least(length(c).cast("double") / 400.0, lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(c) * 4.0, lit(1.0))
     val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
-    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
+    lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3
   }
 
   /** Document fingerprint: md5 over whitespace-normalized lowercase text,
