@@ -22,7 +22,7 @@ object Functions {
     * through Catalyst untouched.
     */
   def cleanCurrency(c: Column): Column =
-    regexp_replace(c, "[^0-9.]", "").cast("double")
+    regexp_replace(c, "[^0-9.]", "").try_cast("double")
 
   /** O17 — rating word→int lookup with default 0
     * (`extract_pipeline.py:92-94`). A literal-map `element_at` + `coalesce`
@@ -43,7 +43,7 @@ object Functions {
   /** O18 — stock-string count: the integer inside `(N available)`
     * (`extract_pipeline.py:30`, happy path). */
   def stockCount(c: Column): Column =
-    regexp_extract(c, "\\((\\d+) available\\)", 1).cast("int")
+    regexp_extract(c, "\\((\\d+) available\\)", 1).try_cast("int")
 
   /** O10 — boolean→binary with pandas `1 if x == True else 0` semantics
     * (`transformation_pipeline.py:54`): null maps to 0, not null. */

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user session accumulator — top-level (not nested/private) so the
+  * state encoder's generated code can reach its constructor. */
+case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+/** Structured-Streaming operators — the in-engine upgrade of the
+  * reference's 10-minute full-batch re-run (`airflow.py:31`, SURVEY.md §2
+  * O34). The reference has no event-time semantics at all; these give the
+  * rebuilt engine real streaming capability: watermarked tumbling-window
+  * aggregation and gap-based sessionization with typed state.
+  *
+  * Every transform takes a (possibly streaming) events frame with the
+  * testdata schema `(event_id, ts, user_id, event_type, value, …)` so the
+  * same code runs over `readStream` sources and over batch frames in tests.
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * analog of the batch query q17. State is bounded by the watermark:
+    * windows older than `watermark` behind the max seen event time are
+    * finalized and dropped, so this runs forever at 100 TB/day without
+    * unbounded state. */
+  def windowedEventCounts(events: DataFrame,
+                          window: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                     n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: per-user
+    * typed state, a session closes when `gapMs` passes with no events
+    * (enforced via event-time timeout against the watermark — state stays
+    * bounded). Emits one row per closed session.
+    *
+    * In batch mode (tests) Spark runs each group once with all its events
+    * and no timeouts fire, so sessions are closed inline by gap-splitting
+    * the sorted event times; the same code object serves both. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermarkDelay: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    val isStreaming = events.isStreaming
+    val src = if (isStreaming) events.withWatermark("ts", watermarkDelay) else events
+
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) if isStreaming =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.end + gapMs)
+              case Some(s) => // batch: no timeout will ever fire — close inline
+                closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+              case None => ()
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions._
+
+/** Scalar layer: the verified edge semantics from SURVEY.md §2
+  * (O10/O12/O13/O15-O19). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanCurrency strips currency symbols and garbage, casts to double") {
+    val out = Seq("£51.77", "Â£45.17", "$1,234.50", "abc", "")
+      .toDF("s").select(cleanCurrency($"s").as("v")).collect().map(r => Option(r.get(0)))
+    // "$1,234.50" → "1234.50"; "abc"/"" → "" → null after cast
+    assert(out.toSeq == Seq(Some(51.77), Some(45.17), Some(1234.50), None, None))
+  }
+
+  test("binStock: half-open [lo,hi) bins, null outside — incl. exactly 100000") {
+    val out = Seq(0, 9, 10, 17, 18, 99999, 100000, -1)
+      .toDF("n").select(binStock($"n").as("b")).collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("Critical"), Some("Critical"), Some("Low"), Some("Low"),
+      Some("Healthy"), Some("Healthy"), None, None))
+  }
+
+  test("ratingFromWord maps One..Five with default 0") {
+    val out = Seq("One", "Five", "Three", "garbage", null)
+      .toDF("w").select(ratingFromWord($"w").as("r")).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(1, 5, 3, 0, 0))
+  }
+
+  test("stock parse: availability flag and count from 'In stock (N available)'") {
+    val df = Seq("In stock (22 available)", "Out of stock").toDF("s")
+    val rows = df.select(stockAvailability($"s").as("a"), stockCount($"s").as("n")).collect()
+    assert(rows(0).getBoolean(0) && rows(0).getInt(1) == 22)
+    assert(!rows(1).getBoolean(0) && rows(1).isNullAt(1))
+  }
+
+  test("inStockBinary: pandas `1 if x == True else 0` — null maps to 0") {
+    val out = Seq(Some(true), Some(false), None)
+      .toDF("b").select(inStockBinary($"b").as("v")).collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(1, 0, 0))
+  }
+
+  test("rewriteImageUrl strips ../ and prepends the site prefix") {
+    val out = Seq("../../media/cache/ab/cd.jpg").toDF("u")
+      .select(rewriteImageUrl($"u")).collect().head.getString(0)
+    assert(out == "http://books.toscrape.com/media/cache/ab/cd.jpg")
+  }
+
+  test("fixMojibake: cp1252→utf8 round trip repairs Â£-style mojibake") {
+    // "£" mis-decoded as cp1252 shows as "Â£"; the round trip restores it
+    assert(fixMojibakeImpl("Â£51.77") == "£51.77")
+    assert(fixMojibakeImpl("aâ€™b") == "a’b") // â€™ → ’
+    assert(fixMojibakeImpl(null) == "")
+    assert(fixMojibakeImpl("plain text") == "plain text")
+    assert(fixMojibakeImpl("desc ...more") == "desc")
+  }
+
+  test("qcut: pandas right-closed intervals, ties at an edge to the LOWER bin") {
+    val df = Seq(1, 1, 1, 2, 2, 2, 3, 3, 3).toDF("v")
+    val out = qcut(df, $"v", 3, Seq("Budget", "Standard", "Premium"), "tier")
+      .groupBy($"tier").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // type-7 edges: q33≈1.67, q66≈2.33 → 1s/2s/3s split cleanly
+    assert(out == Map("Budget" -> 3L, "Standard" -> 3L, "Premium" -> 3L))
+  }
+
+  test("qcut: duplicate-heavy values — every tied value lands in one bin") {
+    val df = (Seq.fill(8)(5) ++ Seq(1, 9)).toDF("v")
+    val out = qcut(df, $"v", 3, Seq("lo", "mid", "hi"), "tier")
+      .where($"v" === 5).select($"tier").distinct().collect()
+    assert(out.length == 1) // all 5s in the same tier, never split (≠ ntile)
+  }
+}

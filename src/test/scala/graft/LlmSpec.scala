@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different content about spark engines")).toDF("doc_id", "text")
+
+  test("dedupExact groups identical texts, keeps the smallest id") {
+    val out = Dedup.dedupExact(docs, "text", "doc_id").collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("identical docs get identical minhash signatures") {
+    val sig = Dedup.minhashSignatures(Dedup.docShingles(docs, "text", "doc_id"), 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("LSH candidates contain the exact-dup pair and not the unrelated doc") {
+    val pairs = Dedup.dedupNearMinhash(docs, "text", "doc_id", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngramJaccard: identical docs → 1.0, near-dups in (0,1)") {
+    val shingled = Dedup.docShingles(docs, "text", "doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccard(shingled, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical docs equal, near-dups Hamming-close") {
+    val fp = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val hamming13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val hamming14 = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(hamming13 <= hamming14)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0f, 0.1f, 0f), 0),
+    (2L, Array(0f, 1f, 0f, 0f), 0),
+    (3L, Array(-1f, 0f, 0f, 0f), 1)).toDF("vec_id", "embedding", "label")
+
+  test("cosine: orthogonal → 0, identical-direction → 1, opposite → -1") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 0f), Array(2f, 0f)),
+      (Array(1f, 0f), Array(-3f, 0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(out(0) == 0.0 && out(1) == 1.0 && out(2) == -1.0)
+  }
+
+  test("bruteForceTopK ranks the closest vector first, excludes self") {
+    val out = Similarity.bruteForceTopK(vecs.where($"vec_id" === 0), vecs, 3)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Double]("cos_sim") > 0.99)
+  }
+
+  test("bucketTopK only searches the query's bucket") {
+    val out = Similarity.bucketTopK(vecs.where($"vec_id" === 0), vecs, 10, "label")
+    assert(!out.collect().map(_.getAs[Long]("neighbor_id")).contains(3L))
+  }
+
+  test("embeddingNearDupPairs finds the near-identical pair within a bucket") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, 0.9, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // 2 is orthogonal; 3 is in another sign bucket
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercased \\W+ split, empties dropped") {
+    val out = Seq("Hello, World! foo_bar 42").toDF("t")
+      .select(TextAnalysis.tokens($"t")).collect().head.getSeq[String](0)
+    assert(out == Seq("hello", "world", "foo_bar", "42"))
+  }
+
+  test("shingles3: n-2 shingles, none for docs under 3 tokens") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val out = df.select(TextAnalysis.shingles3($"t")).collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val row = Seq("Hello world, it's 2024!").toDF("t")
+      .select(TextAnalysis.wsTokenCount($"t").as("ws"), TextAnalysis.bpeTokenCount($"t").as("bpe"))
+      .collect().head
+    assert(row.getLong(0) == 4)
+    // Hello|world|,|it|'|s|2024|! = 8
+    assert(row.getLong(1) == 8)
+  }
+
+  test("langId picks the dominant stopword profile, und for gibberish") {
+    val df = Seq("the cat and the dog is in the house",
+      "el perro y la casa de los gatos", "zzz qqq xxx").toDF("t")
+    val out = df.select(TextAnalysis.langId($"t")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq("Hello   World", "hello world").toDF("t")
+    val fps = df.select(TextAnalysis.fingerprint($"t")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("rollingHash: deterministic, spread, stays in [0, 2^61)") {
+    val h1 = TextAnalysis.rollingHashImpl("hello world")
+    assert(h1 == TextAnalysis.rollingHashImpl("hello world"))
+    assert(h1 != TextAnalysis.rollingHashImpl("hello worle"))
+    assert(TextAnalysis.rollingHashImpl(null) == 0L)
+    val mod = (1L << 61) - 1
+    Seq("", "a", "ab", "long string " * 50).foreach { s =>
+      val h = TextAnalysis.rollingHashImpl(s)
+      assert(h >= 0 && h < mod)
+    }
+  }
+
+  test("rollingHash matches a BigInt reference implementation") {
+    val mod = BigInt((1L << 61) - 1)
+    def ref(s: String): Long =
+      s.foldLeft(BigInt(0))((h, c) => (h * 257 + c.toInt) % mod).toLong
+    Seq("a", "hello world", "Zebra-42!", "ü unicode ≠ ascii").foreach { s =>
+      assert(TextAnalysis.rollingHashImpl(s) == ref(s), s"mismatch for '$s'")
+    }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withPayload wraps text as binary + typed metadata struct") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text")
+    val out = Multimodal.withPayload(df, "text", "doc_id").collect().head
+    assert(out.getAs[Array[Byte]]("payload").toSeq == "abc".getBytes("UTF-8").toSeq)
+    val meta = out.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[String]("mime") == "text/plain")
+    assert(meta.getAs[Long]("n_bytes") == 3L)
+    assert(meta.getAs[Long]("source_id") == 1L)
+  }
+
+  test("extractFeatures: batched stub decode produces (id, 4-float vector)") {
+    val df = Seq((7L, "ab"), (8L, "")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.withPayload(df, "text", "doc_id"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(7L) == Seq(2f, 97f, 98f, (97f + 98f) % 997))
+    assert(out(8L) == Seq(0f, 0f, 0f, 0f)) // empty payload → zero vector
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("windowedEventCounts aggregates a streaming source into tumbling windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(12), 2, "view", 3.0),
+      Event(4, ts(59), 2, "click", 4.0))
+    val q = Streaming.windowedEventCounts(mem.toDF(), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("win_counts").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toMap
+    assert(rows(("2024-01-01 10:00:00.0", "click")) == (2L, 3.0))
+    assert(rows(("2024-01-01 10:10:00.0", "view")) == (1L, 3.0))
+    assert(rows(("2024-01-01 10:50:00.0", "click")) == (1L, 4.0))
+  }
+
+  test("sessionize (batch mode) splits per-user events on the gap") {
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0),
+      Event(2, ts(2), 1, "a", 2.0),   // same session (gap 2 min)
+      Event(3, ts(30), 1, "a", 3.0),  // new session (gap 28 min > 10)
+      Event(4, ts(1), 2, "b", 5.0)).toDS()
+    val sessions = Streaming.sessionize(events, gapMs = 10 * 60 * 1000).collect()
+    assert(sessions.length == 3)
+    val u1 = sessions.filter(_.user_id == 1).sortBy(_.start.getTime)
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(0).end == ts(2) && u1(1).start == ts(30))
+    val u2 = sessions.find(_.user_id == 2).get
+    assert(u2.n_events == 1 && u2.total_value == 5.0)
+  }
+
+  test("sessionize (streaming) closes a session when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionize(mem.toDS(), gapMs = 5 * 60 * 1000, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "a", 2.0))
+      q.processAllAvailable()
+      // advance event time far past gap+watermark → session times out
+      mem.addData(Event(3, ts(30), 2, "b", 9.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(45), 2, "b", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").collect()
+      val u1 = out.find(_.getAs[Long]("user_id") == 1L)
+      assert(u1.isDefined, "user 1's session should have timed out and closed")
+      assert(u1.get.getAs[Long]("n_events") == 2L)
+      assert(u1.get.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+}
