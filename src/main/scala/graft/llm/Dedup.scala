@@ -31,10 +31,14 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** (doc, shingle) distinct pairs — the input relation for MinHash and
-    * exact-Jaccard. One shuffle (the distinct). */
+    * exact-Jaccard. One shuffle (the distinct). Tokens are projected into a
+    * column before shingling so the regex split runs once per document, not
+    * once per element inside the shingle lambda. */
   def docShingles(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.shingles3(col(textCol))).as("shingle"))
+    graft.io.Tables.widen(df)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesFromTokens(col("toks"))).as("shingle"))
       .distinct()
 
   /** MinHash signatures: k independent min-hashes computed as k aggregate
@@ -80,7 +84,8 @@ object Dedup {
     * groupBy with `bits` sum-aggregates — a single shuffle. Near-dup docs
     * land on equal (or Hamming-close) fingerprints. */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
-    val words = df.select(col(idCol).as("doc_id"),
+    val words = graft.io.Tables.widen(df)
+      .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .distinct()
     val h = substring(md5(col("w")), 1, 8) // 32-bit hex value
@@ -98,13 +103,14 @@ object Dedup {
 
   /** Exact n-gram Jaccard over candidate pairs only: shingle equi-join for
     * the intersection, per-doc set sizes for the union. Feed it LSH
-    * candidates — never the full cross product. */
+    * candidates — never the full cross product. The intersection join keys
+    * on (doc, shingle) explicitly so the plan is a two-key hash join, not a
+    * per-pair shingle cross product filtered afterwards. */
   def ngramJaccard(shingled: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
     val inter = pairs
       .join(shingled.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(shingled.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")), Seq("doc_b"))
-      .where(col("shingle") === col("shingle_b"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter

@@ -23,30 +23,45 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Elementwise dot product as an in-order fold over double-cast arrays —
-    * deterministic accumulation order (matches the oracle's list fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    * deterministic accumulation order (matches the oracle's list fold).
+    *
+    * When the embedding width is known statically, pass `dim` to unroll the
+    * fold into a flat `e1*f1 + e2*f2 + …` expression: higher-order functions
+    * (`aggregate`/`zip_with`) are interpreted per element, while the
+    * unrolled sum stays inside whole-stage codegen. Addition is
+    * left-associated either way — `((x1+x2)+x3)…` — and the generic fold's
+    * `0.0 + x1` is bit-identical to `x1`, so both forms (and the DuckDB
+    * oracle's `list_reduce`) agree on every bit. */
+  def dot(a: Column, b: Column, dim: Int = -1): Column =
+    if (dim > 0)
+      (1 to dim).map(i =>
+        element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+        .reduce(_ + _)
+    else
+      aggregate(
+        zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column, dim: Int = -1): Column = sqrt(dot(a, a, dim))
 
   /** Cosine similarity, written as dot/(norm*norm) with the exact same
     * operation order on both engines. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column, dim: Int = -1): Column =
+    dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
   /** Brute-force top-k: broadcast the (small) query set against the corpus,
     * score every pair, rank per query. The corpus side never shuffles;
     * ranking shuffles only (queries × corpus) scored rows. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dim: Int = -1): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val c = graft.io.Tables.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("cos_sim"))
+        cosine(col("qvec"), col("cvec"), dim).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -58,13 +73,15 @@ object Similarity {
     * (equi-join on the bucket column). At 100 TB the bucket column is a
     * k-means centroid id; here the testdata's `label` plays that role. */
   def bucketTopK(queries: DataFrame, corpus: DataFrame, k: Int, bucketCol: String,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 dim: Int = -1): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col(bucketCol))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col(bucketCol))
+    val c = graft.io.Tables.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col(bucketCol))
     val scored = c.join(broadcast(q), Seq(bucketCol))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("cos_sim"))
+        cosine(col("qvec"), col("cvec"), dim).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -84,14 +101,15 @@ object Similarity {
     * vectors only meet if they share the full sign pattern of their leading
     * `nBits` components — a bucket self-join, never all-pairs. */
   def embeddingNearDupPairs(corpus: DataFrame, threshold: Double, nBits: Int = 8,
-                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            dim: Int = -1): DataFrame = {
     val bucketed = corpus.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), nBits).as("bucket"))
     val left = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val right = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     left.join(right, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos_sim"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b"), dim).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

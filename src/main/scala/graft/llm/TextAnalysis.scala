@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -20,15 +20,22 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\W+"), t => t =!= "")
 
-  /** Word 3-shingles over [[tokens]] — the unit for MinHash/Jaccard near-dup.
-    * Docs with fewer than 3 tokens produce no shingles. */
-  def shingles3(c: Column): Column = {
-    val a = tokens(c)
-    when(size(a) >= 3,
-      transform(sequence(lit(1), size(a) - 2), i =>
-        concat_ws(" ", element_at(a, i), element_at(a, i + 1), element_at(a, i + 2))))
+  /** Word 3-shingles over an ALREADY-MATERIALIZED token-array column.
+    * Take tokens from a projected column, not an inline [[tokens]] call:
+    * expressions captured inside a higher-order-function lambda re-evaluate
+    * per element, so an inline regex split would run O(tokens²) regexes per
+    * document. An attribute reference is free. */
+  def shinglesFromTokens(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word 3-shingles over [[tokens]] — the unit for MinHash/Jaccard near-dup.
+    * Docs with fewer than 3 tokens produce no shingles. Convenience form for
+    * single-expression use; hot paths should project [[tokens]] first and
+    * call [[shinglesFromTokens]] (see scaladoc there). */
+  def shingles3(c: Column): Column = shinglesFromTokens(tokens(c))
 
   /** Whitespace token count. */
   def wsTokenCount(c: Column): Column =
@@ -62,13 +69,33 @@ object TextAnalysis {
     size(regexp_extract_all(lower(c), lit(pattern), lit(0))).cast("long")
 
   /** Language-ID heuristic: argmax stopword-profile score, ties resolved by
-    * profile order, all-zero → "und" (undetermined). */
+    * profile order, all-zero → "und" (undetermined).
+    *
+    * Single-expression form: every CASE arm embeds the 5-regex `greatest`,
+    * so the regex scans multiply. Fine for one-off use; hot paths should use
+    * [[withLangId]], which stages the scores as projected columns first. */
   def langId(c: Column): Column = {
     val scores = langProfiles.map { case (lang, pat) => lang -> langScore(c, pat) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best && best > 0, lang).otherwise(acc)
     }
+  }
+
+  /** Staged language ID: project the 5 profile scores once, then argmax over
+    * cheap attribute references — each regex runs exactly once per row. */
+  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val scoreCols = langProfiles.map { case (lang, pat) =>
+      langScore(col(textCol), pat).as(s"__s_$lang")
+    }
+    val scored = df.select(df.columns.map(col) ++ scoreCols: _*)
+    val refs = langProfiles.map { case (lang, _) => lang -> col(s"__s_$lang") }
+    val best = refs.map(_._2).reduce((a, b) => greatest(a, b))
+    val detected = refs.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+    scored.withColumn(outCol, detected)
+      .drop(langProfiles.map(p => s"__s_${p._1}"): _*)
   }
 
   /** Stopword ratio against the combined profile vocabulary. */
