@@ -38,6 +38,31 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** O34 in-engine variant: the reference's 10-minute full re-run
+    * (`airflow.py:31`) as a Structured-Streaming file source +
+    * `foreachBatch` — each micro-batch runs an arbitrary batch transform
+    * over the newly-arrived files and lands the result. `Trigger
+    * .AvailableNow` drains what exists and stops (tests/backfills);
+    * `Trigger.ProcessingTime("10 minutes")` matches the DAG's cron. */
+  def microBatch(spark: org.apache.spark.sql.SparkSession,
+                 sourceDir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 transform: DataFrame => DataFrame,
+                 sink: (DataFrame, Long) => Unit,
+                 checkpoint: String,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow()) = {
+    spark.readStream
+      .schema(schema)
+      .option("header", "true")
+      .csv(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) => sink(transform(batch), id) }
+      .start()
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -20,10 +20,13 @@ object Transform {
   private def c(name: String) = col(s"`$name`")
 
   /** Clean stage (`transformation_pipeline.py:43-48`): currency-strip the
-    * three price columns (O15), mojibake-fix the description (O16). */
+    * three price columns (O15), mojibake-fix the description (O16) via the
+    * native Catalyst expression (whole-stage codegen; the UDF variant
+    * remains in [[graft.functions.Functions.fixMojibake]]). */
   def clean(df: DataFrame): DataFrame = {
     val priced = priceCols.foldLeft(df)((d, p) => d.withColumn(p, cleanCurrency(c(p))))
-    priced.withColumn("Description", fixMojibake(c("Description")))
+    priced.withColumn("Description",
+      graft.functions.FixMojibake.fixMojibakeNative(c("Description")))
   }
 
   /** Derive stage (`transformation_pipeline.py:51-55`): inventory value

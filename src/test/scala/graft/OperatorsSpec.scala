@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.FixMojibake
+import graft.model.Model
+import graft.operators.Skew
+
+class FixMojibakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expression matches the UDF implementation, null → \"\"") {
+    val df = Seq(Some("Â£51.77"), Some("aâ€™b"), Some("x ...more"), None).toDF("s")
+    val out = df.select(FixMojibake.fixMojibakeNative($"s").as("v"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("£51.77", "a’b", "x", ""))
+  }
+
+  test("fix_mojibake is SQL-visible after registration") {
+    FixMojibake.register(spark)
+    Seq("Â£9.99").toDF("s").createOrReplaceTempView("moji")
+    val out = spark.sql("SELECT fix_mojibake(s) AS v FROM moji").collect().head.getString(0)
+    assert(out == "£9.99")
+  }
+
+  test("native expression survives codegen over a larger column batch") {
+    val out = spark.range(1000).select(
+        FixMojibake.fixMojibakeNative(concat(lit("Â£"), col("id").cast("string"))).as("v"))
+      .where($"v" === "£999").count()
+    assert(out == 1)
+  }
+}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join result on a hot-key distribution") {
+    // 10k rows, 95% on one hot key
+    val big = spark.range(10000)
+      .select(when($"id" % 20 =!= 0, "hot").otherwise(concat(lit("k"), $"id")).as("k"),
+        $"id".as("v"))
+    val small = big.select($"k").distinct().withColumn("attr", length($"k"))
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum($"attr"), sum($"v")).collect().head
+    val salted = Skew.saltedJoin(big, small, Seq("k"), buckets = 8)
+      .agg(count(lit(1)), sum($"attr"), sum($"v")).collect().head
+    assert(plain == salted)
+  }
+
+  test("saltedAgg equals a direct groupBy aggregate") {
+    val df = spark.range(5000)
+      .select(when($"id" % 10 =!= 0, "hot").otherwise("cold").as("k"), $"id".as("v"))
+    val direct = df.groupBy($"k").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = Skew.saltedAgg(df, Seq("k"), 8,
+        partial = Seq(sum($"v").as("ps"), count(lit(1)).as("pn")),
+        merge = Seq(sum($"ps").as("s"), sum($"pn").as("n")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(direct == salted)
+  }
+}
+
+class MicroBatchSpec extends SparkSpec {
+
+  test("foreachBatch micro-batch runs the transform over arriving CSV files") {
+    import graft.streaming.Streaming
+    val srcDir = Files.createTempDirectory("mb_src").toString
+    val ckpt = Files.createTempDirectory("mb_ckpt").toString
+    import spark.implicits._
+    val raw = Seq(Model.Book("T1", "d", "Cat", "i", true, 7, 4,
+      "u", "books", "£2.00", "£2.00", "£0.00", "1")).toDF()
+    graft.io.BooksCsv.write(raw, srcDir + "/batch1", singleFile = true)
+
+    @volatile var seen = 0L
+    val q = Streaming.microBatch(spark, srcDir + "/*", Model.rawBooksSchema,
+      batch => graft.transform.Transform.derive(graft.transform.Transform.clean(batch)),
+      (out, _) => seen += out.count(),
+      ckpt)
+    q.awaitTermination(60000)
+    assert(seen == 1L)
+  }
+}
