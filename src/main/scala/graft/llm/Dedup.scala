@@ -101,6 +101,39 @@ object Dedup {
     votes.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** SimHash near-dup candidate pairs: band the `bits`-bit fingerprint into
+    * `bits/bandBits` bands and self-join per band — by pigeonhole, any pair
+    * within Hamming distance < nBands shares at least one band, so
+    * candidate generation is complete for `maxHamming ≤ nBands-1` while
+    * never going all-pairs. Emits (doc_a, doc_b, hamming ≤ maxHamming). */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          bits: Int = 16, bandBits: Int = 4,
+                          maxHamming: Int = 3): DataFrame = {
+    require(bits % bandBits == 0, "bandBits must divide bits")
+    val nBands = bits / bandBits
+    require(maxHamming < nBands, "banding is only candidate-complete for maxHamming < nBands")
+    val fp = simhash(df, textCol, idCol, bits)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
+    }
+    val buckets = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val left = buckets.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val right = buckets.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    left.join(right, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard over candidate pairs only: shingle equi-join for
     * the intersection, per-doc set sizes for the union. Feed it LSH
     * candidates — never the full cross product. The intersection join keys

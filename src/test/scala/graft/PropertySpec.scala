@@ -1,0 +1,91 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.BookHtml
+import graft.functions.Functions
+import graft.llm.TextAnalysis
+
+/** Property-based coverage (SURVEY.md §5-3) for the pure driver-side
+  * implementations — no Spark session needed, so thousands of cases run in
+  * milliseconds. Generators are driven with deterministic seeds (no
+  * scalatestplus bridge in the offline dependency cache). */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], cases: Int = 300)(f: A => Unit): Unit = {
+    var run = 0
+    var seed = Seed(42L)
+    var attempts = 0
+    while (run < cases && attempts < cases * 20) {
+      gen.apply(Gen.Parameters.default, seed).foreach { a => f(a); run += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(run > cases / 2, s"generator too restrictive: only $run cases")
+  }
+
+  private val arbString: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString),
+    Gen.listOf(Gen.oneOf('Â', '£', '€', '’', 'ü', ' ', 'a', '.')).map(_.mkString))
+
+  test("fixMojibakeImpl never throws and never returns null") {
+    forAll(arbString) { s =>
+      val out = Functions.fixMojibakeImpl(s)
+      assert(out != null)
+    }
+  }
+
+  test("fixMojibakeImpl is a no-op on plain ASCII without the ...more suffix") {
+    forAll(Gen.asciiPrintableStr.suchThat(!_.contains(" ...more"))) { s =>
+      assert(Functions.fixMojibakeImpl(s) == s)
+    }
+  }
+
+  test("fixMojibakeImpl is idempotent on its own output for ASCII input") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val once = Functions.fixMojibakeImpl(s)
+      assert(Functions.fixMojibakeImpl(once) == once)
+    }
+  }
+
+  test("rollingHashImpl stays in [0, 2^61-1) and matches the BigInt reference") {
+    val mod = BigInt((1L << 61) - 1)
+    def ref(s: String): Long =
+      s.foldLeft(BigInt(0))((h, c) => (h * 257 + c.toInt) % mod).toLong
+    forAll(arbString) { s =>
+      val h = TextAnalysis.rollingHashImpl(s)
+      assert(h >= 0 && h < mod.toLong)
+      assert(h == ref(s))
+    }
+  }
+
+  test("parseBook never throws on arbitrary non-page input") {
+    forAll(arbString) { s =>
+      val b = BookHtml.parseBook(s)
+      assert(b.Description == "No description available") // default applies
+      assert(b.Rating == 0 && !b.Is_in_Stock)
+    }
+  }
+
+  test("parseListing caps at 20 and never throws") {
+    forAll(arbString) { s =>
+      assert(BookHtml.parseListing(s).length <= 20)
+    }
+    forAll(Gen.choose(0, 40)) { n =>
+      assert(BookHtml.parseListing(Fixtures.listingPage(n)).length == math.min(n, 20))
+    }
+  }
+
+  test("reference currency-clean semantics: strip [^0-9.] then parse") {
+    // model of transformation_pipeline.py:5-11 (re.sub + float, happy path)
+    forAll(Gen.oneOf(Seq("£", "Â£", "$", "", "EUR "))
+        .flatMap(p => Gen.choose(0, 999999).map(n => (p, n)))) { case (prefix, cents) =>
+      val s = f"$prefix${cents / 100}%d.${cents % 100}%02d"
+      val stripped = s.replaceAll("[^0-9.]", "")
+      assert(math.abs(stripped.toDouble - cents / 100.0) < 1e-9)
+    }
+  }
+}
