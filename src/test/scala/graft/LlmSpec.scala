@@ -43,6 +43,25 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
   }
 
+  test("typed MinHashAgg matches the Column-aggregate signatures") {
+    import graft.llm.MinHashAgg
+    val shingled = Dedup.docShingles(docs, "text", "doc_id")
+    val viaColumns = Dedup.minhashSignatures(shingled, 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (1 to 4).map(i => java.lang.Long.parseUnsignedLong(r.getString(i), 16)).toSeq)
+      .toMap
+    val viaAgg = shingled.as[(Long, String)].groupByKey(_._1).mapValues(_._2)
+      .agg(new MinHashAgg(4).toColumn.name("sig"))
+      .collect().map { case (id, sig) => id -> sig.toSeq }.toMap
+    assert(viaAgg == viaColumns)
+  }
+
+  test("simhash near-dup banding finds the exact-dup pair at hamming 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", 16, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)
+  }
+
   test("simhash: identical docs equal, near-dups Hamming-close") {
     val fp = Dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
