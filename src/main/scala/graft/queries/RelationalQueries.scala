@@ -369,6 +369,90 @@ object RelationalQueries {
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       |FROM events ORDER BY user_id, rn""".stripMargin
 
+  // ------------------------------------------- sessionization (batch windows)
+  /** Gap-based sessionization as pure window functions — the batch/SQL
+    * analog of `graft.streaming.Streaming.sessionize`: a session breaks
+    * after 30 idle minutes; session ids are per-user cumulative sums of the
+    * break flag. */
+  val q32_sessions: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = 30 * 60 * 1000L
+    val flagged = e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+           dsum(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+  val q32_sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, value, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, value, ts,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       count(*) AS n_events,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // --------------------------------------------------------- top-N per group
+  /** Per-group top-3 (rank-and-filter window pattern). */
+  val q33_topn_per_group: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= 3)
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+  val q33_sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin
+
+  // ------------------------------------------------------------------ rollup
+  /** Hierarchical subtotals via ROLLUP (region → nation → grand total). */
+  val q34_rollup: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val c = Tables.customer(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+  val q34_sql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -387,7 +471,10 @@ object RelationalQueries {
     "q15_top20" -> q15_top20,
     "q16_join_multi" -> q16_join_multi,
     "q17_window_events" -> q17_window_events,
-    "q18_window_funcs" -> q18_window_funcs)
+    "q18_window_funcs" -> q18_window_funcs,
+    "q32_sessions" -> q32_sessions,
+    "q33_topn_per_group" -> q33_topn_per_group,
+    "q34_rollup" -> q34_rollup)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -407,5 +494,8 @@ object RelationalQueries {
     "q15_top20" -> q15_sql,
     "q16_join_multi" -> q16_sql,
     "q17_window_events" -> q17_sql,
-    "q18_window_funcs" -> q18_sql)
+    "q18_window_funcs" -> q18_sql,
+    "q32_sessions" -> q32_sql,
+    "q33_topn_per_group" -> q33_sql,
+    "q34_rollup" -> q34_sql)
 }
