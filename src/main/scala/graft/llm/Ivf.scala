@@ -1,0 +1,86 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) index for approximate nearest-neighbor search:
+  * k-means coarse quantizer + cell-restricted search — the standard
+  * billion-vector ANN architecture, built here from pure DataFrame ops
+  * (posexplode / groupBy-avg / broadcast argmax), no MLlib.
+  *
+  * Scale shape per Lloyd iteration: one broadcast of k centroids (k ≤ a few
+  * thousand — always driver-safe), one corpus scan for assignment (argmax of
+  * k cosines per row, no shuffle), one (cell, dim)-keyed aggregation for the
+  * new means (shuffle of corpus×dim skinny rows with map-side partial
+  * aggregation). Assignment and search never pair corpus rows with each
+  * other — candidate generation is a cell equi-join, like [[Similarity]]'s
+  * sign-LSH but with learned, data-adaptive cells.
+  */
+object Ivf {
+
+  /** Deterministic k-means: initial centroids are the k smallest-id
+    * vectors; `iters` Lloyd rounds. Returns (cell, centroid: array<double>).
+    */
+  def fit(corpus: DataFrame, k: Int, iters: Int, dim: Int,
+          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c0 = corpus.orderBy(col(idCol)).limit(k)
+      .orderBy(col(idCol))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("centroid"))
+      .withColumn("cell", row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("cell"), col("centroid"))
+
+    (1 to iters).foldLeft(c0) { (centroids, _) =>
+      val assigned = assign(corpus, centroids, dim, idCol, vecCol)
+      // new centroid = per-cell elementwise mean, via skinny (cell, pos, v)
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
+      means
+    }
+  }
+
+  /** Assign every vector to its nearest centroid (max cosine; ties to the
+    * lower cell id). Centroids broadcast; the corpus never shuffles. */
+  def assign(corpus: DataFrame, centroids: DataFrame, dim: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("score", Similarity.cosine(col(vecCol), col("centroid"), dim))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("cell"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "score", "centroid")
+  }
+
+  /** IVF top-k search: route each query to its `nProbe` closest cells, then
+    * score only vectors assigned to those cells. Recall/cost dial: nProbe=1
+    * is fastest, nProbe=#cells is exact brute force. */
+  def topK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+           k: Int, nProbe: Int, dim: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = assign(corpus, centroids, dim, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
+    val probes = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("cell"))
+      queries.crossJoin(broadcast(centroids))
+        .withColumn("score", Similarity.cosine(col(vecCol), col("centroid"), dim))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= nProbe)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("cell"))
+    }
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qvec"), col("cvec"), dim).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+}

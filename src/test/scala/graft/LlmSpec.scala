@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -104,6 +104,56 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.embeddingNearDupPairs(vecs, 0.9, nBits = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L))) // 2 is orthogonal; 3 is in another sign bucket
+  }
+}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two clean clusters around the x and y axes
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0.1f, 0f, 0f)), (1L, Array(0.9f, 0f, 0.1f, 0f)),
+    (2L, Array(1f, 0f, 0.05f, 0f)), (3L, Array(0.1f, 1f, 0f, 0f)),
+    (4L, Array(0f, 0.9f, 0.1f, 0f)), (5L, Array(0.05f, 1f, 0f, 0.1f)))
+    .toDF("vec_id", "embedding")
+
+  private lazy val centroids = Ivf.fit(vecs, 2, 2, 4)
+
+  test("k-means converges to the two planted clusters") {
+    val cells = Ivf.assign(vecs, centroids, 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(Set(cells(0L), cells(1L), cells(2L)).size == 1)
+    assert(Set(cells(3L), cells(4L), cells(5L)).size == 1)
+    assert(cells(0L) != cells(3L))
+  }
+
+  test("assignment puts every vector in its max-cosine cell") {
+    val cent = centroids.collect().map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    Ivf.assign(vecs, centroids, 4).collect().foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      val best = cent.minBy { case (_, c) => -cos(v, c) }._1
+      assert(r.getAs[Int]("cell") == best)
+    }
+  }
+
+  test("IVF top-k with nProbe = #cells equals brute force") {
+    val q = vecs.where($"vec_id" === 0)
+    val ivf = Ivf.topK(q, vecs, centroids, 3, nProbe = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = graft.llm.Similarity.bruteForceTopK(q, vecs, 3, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+  }
+
+  test("IVF top-k with nProbe=1 searches only the query's own cluster") {
+    val q = vecs.where($"vec_id" === 0)
+    val out = Ivf.topK(q, vecs, centroids, 5, nProbe = 1, dim = 4)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(out == Set(1L, 2L)) // same-cluster only, self excluded
   }
 }
 
