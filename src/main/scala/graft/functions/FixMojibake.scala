@@ -50,6 +50,17 @@ case class FixMojibake(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `SparkSessionExtensions` injector — wire the engine's SQL functions into
+  * any session via config, no code changes:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+      (children: Seq[Expression]) => FixMojibake(children.head)))
+}
+
 object FixMojibake {
   /** Column-API form of the native expression. */
   def fixMojibakeNative(c: Column): Column =

