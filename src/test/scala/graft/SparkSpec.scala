@@ -10,6 +10,8 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-tests")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
