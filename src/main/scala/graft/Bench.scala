@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,6 +12,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // harness warmup (scheduler, codegen, shuffle machinery) so the first
+    // timed query doesn't absorb JVM startup; touches no benchmark data
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(100).groupBy(expr("id % 7")).count().collect()
     // sorted: deterministic execution order, so per-query times are
     // comparable round over round (first query always absorbs JVM warmup)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

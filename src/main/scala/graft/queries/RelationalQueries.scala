@@ -453,6 +453,28 @@ object RelationalQueries {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------------------ JSON columns
+  /** Semi-structured props: extract a JSON field, aggregate by it — the
+    * engine's JSON-function surface (`get_json_object` pushes through
+    * codegen; no UDF). */
+  val q36_json_props: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+  val q36_sql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -474,7 +496,8 @@ object RelationalQueries {
     "q18_window_funcs" -> q18_window_funcs,
     "q32_sessions" -> q32_sessions,
     "q33_topn_per_group" -> q33_topn_per_group,
-    "q34_rollup" -> q34_rollup)
+    "q34_rollup" -> q34_rollup,
+    "q36_json_props" -> q36_json_props)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -497,5 +520,6 @@ object RelationalQueries {
     "q18_window_funcs" -> q18_sql,
     "q32_sessions" -> q32_sql,
     "q33_topn_per_group" -> q33_sql,
-    "q34_rollup" -> q34_sql)
+    "q34_rollup" -> q34_sql,
+    "q36_json_props" -> q36_sql)
 }
