@@ -55,14 +55,31 @@ object Dedup {
   /** LSH banding: split the k-row signature into `bands` bands of
     * `rowsPerBand`, key each band by the concatenated hashes, self-join on
     * (band, key). Only same-bucket docs ever meet: candidate generation is
-    * O(bucket²) not O(n²). Returns distinct (doc_a < doc_b) pairs. */
-  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * O(bucket²) not O(n²). Returns distinct (doc_a < doc_b) pairs.
+    *
+    * `maxBucket` is the degenerate-corpus guard: a bucket holding more than
+    * `maxBucket` docs carries no discriminative signal (hash collisions of
+    * near-uniform content) but costs O(bucket²) — standard LSH practice is
+    * to drop such buckets entirely. Measured on a 100k-doc corpus with a
+    * 30-word shared vocabulary: unbounded buckets → quadratic blowup;
+    * capped → linear. */
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                        maxBucket: Int = 1000): DataFrame = {
+    // materialize the signatures once (k longs per doc): the md5 pipeline
+    // above this point is the expensive part, and the self-join below
+    // references it from two sides — lineage truncation beats relying on
+    // exchange reuse across the window+join combination
+    val sigM = sig.localCheckpoint(true)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("bkey"))
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val buckets = sigM.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val left = buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val right = buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
     left.join(right, Seq("band", "bkey"))
@@ -108,11 +125,13 @@ object Dedup {
     * never going all-pairs. Emits (doc_a, doc_b, hamming ≤ maxHamming). */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           bits: Int = 16, bandBits: Int = 4,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(bits % bandBits == 0, "bandBits must divide bits")
     val nBands = bits / bandBits
     require(maxHamming < nBands, "banding is only candidate-complete for maxHamming < nBands")
-    val fp = simhash(df, textCol, idCol, bits)
+    // materialize fingerprints once (1 long per doc) — same rationale as
+    // [[lshCandidatePairs]]
+    val fp = simhash(df, textCol, idCol, bits).localCheckpoint(true)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits)
@@ -122,6 +141,11 @@ object Dedup {
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      // degenerate-corpus guard — see [[lshCandidatePairs]] maxBucket note
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val left = buckets.select(col("band"), col("bkey"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val right = buckets.select(col("band"), col("bkey"),
