@@ -475,6 +475,96 @@ object RelationalQueries {
       |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------- filter + aggregate
+  /** Pure predicate pushdown path (TPC-H Q6 shape): range filters reach the
+    * parquet scan (`PushedFilters`), then one global aggregate. */
+  val q37_filtered_agg: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.where(col("l_quantity") < 24 && col("l_discount") >= 0.05 &&
+             col("l_discount") <= 0.07)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+           count(lit(1)).as("n"))
+  }
+  val q37_sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem
+      |WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07""".stripMargin
+
+  // ------------------------------------------------------------- semi / anti
+  /** Left-semi join: customers with at least one urgent order — EXISTS
+    * without materializing the right side's columns. */
+  val q38_semi_join: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o.where(col("o_orderpriority") === "1-URGENT"),
+        c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+  val q38_sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-anti join: customers with no orders at all (NOT EXISTS). */
+  val q39_anti_join: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+  val q39_sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------- outer join
+  /** Left-outer join with null-aware aggregation: every nation, including
+    * those with zero suppliers. */
+  val q40_outer_join: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    val su = Tables.supplier(s, d)
+    n.join(su, n("n_nationkey") === su("s_nationkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(count(col("s_suppkey")).as("n_suppliers"),
+           dsum(coalesce(col("s_acctbal"), lit(0.0))).as("sum_acctbal"))
+      .orderBy(col("n_name"))
+  }
+  val q40_sql: String =
+    """SELECT n_name, count(s_suppkey) AS n_suppliers,
+      |       CAST(sum(CAST(coalesce(s_acctbal, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+      |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- set ops
+  /** Set operations: nations that appear as customer homes, supplier homes,
+    * both (INTERSECT), or customers-only (EXCEPT), unioned with tags. */
+  val q41_set_ops: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+    val su = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+    val both = c.intersect(su).select(lit("both").as("src"), col("nk"))
+    val custOnly = c.distinct().except(su.distinct())
+      .select(lit("customer_only").as("src"), col("nk"))
+    both.union(custOnly)
+      .orderBy(col("src"), col("nk"))
+  }
+  val q41_sql: String =
+    """SELECT 'both' AS src, nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'customer_only' AS src, nk FROM (
+      |  SELECT DISTINCT c_nationkey AS nk FROM customer
+      |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+      |ORDER BY src, nk""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -497,7 +587,12 @@ object RelationalQueries {
     "q32_sessions" -> q32_sessions,
     "q33_topn_per_group" -> q33_topn_per_group,
     "q34_rollup" -> q34_rollup,
-    "q36_json_props" -> q36_json_props)
+    "q36_json_props" -> q36_json_props,
+    "q37_filtered_agg" -> q37_filtered_agg,
+    "q38_semi_join" -> q38_semi_join,
+    "q39_anti_join" -> q39_anti_join,
+    "q40_outer_join" -> q40_outer_join,
+    "q41_set_ops" -> q41_set_ops)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -521,5 +616,10 @@ object RelationalQueries {
     "q32_sessions" -> q32_sql,
     "q33_topn_per_group" -> q33_sql,
     "q34_rollup" -> q34_sql,
-    "q36_json_props" -> q36_sql)
+    "q36_json_props" -> q36_sql,
+    "q37_filtered_agg" -> q37_sql,
+    "q38_semi_join" -> q38_sql,
+    "q39_anti_join" -> q39_sql,
+    "q40_outer_join" -> q40_sql,
+    "q41_set_ops" -> q41_sql)
 }
