@@ -66,6 +66,16 @@ class FunctionsSpec extends SparkSpec {
     assert(out == Map("Budget" -> 3L, "Standard" -> 3L, "Premium" -> 3L))
   }
 
+  test("qcut exact=false (approx_percentile scale path) bins a clean spread identically") {
+    val df = (1 to 90).toDF("v")
+    val exact = qcut(df, $"v", 3, Seq("lo", "mid", "hi"), "tier")
+      .groupBy($"tier").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = qcut(df, $"v", 3, Seq("lo", "mid", "hi"), "tier", exact = false)
+      .groupBy($"tier").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == approx)
+    assert(exact.values.sum == 90)
+  }
+
   test("qcut: duplicate-heavy values — every tied value lands in one bin") {
     val df = (Seq.fill(8)(5) ++ Seq(1, 9)).toDF("v")
     val out = qcut(df, $"v", 3, Seq("lo", "mid", "hi"), "tier")
