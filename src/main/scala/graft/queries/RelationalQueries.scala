@@ -565,6 +565,80 @@ object RelationalQueries {
       |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
       |ORDER BY src, nk""".stripMargin
 
+  // -------------------------------------------------------- scalar subquery
+  /** Orders above the global average price, counted per priority — the
+    * scalar-subquery shape. The 1-row aggregate broadcasts back over the
+    * scan (same pattern as qcut's cut points: no collect, no second pass
+    * dependency). */
+  val q42_scalar_subquery: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val avgPrice = o.agg(avg(col("o_totalprice")).as("__avg"))
+    o.crossJoin(broadcast(avgPrice))
+      .where(col("o_totalprice") > col("__avg"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above_avg"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val q42_sql: String =
+    """SELECT o_orderpriority, count(*) AS n_above_avg
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------- cube
+  /** CUBE over (status, priority): all four grouping combinations. */
+  val q43_cube: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+  val q43_sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------- pivot
+  /** Pivot order status into columns per priority (fixed value list keeps
+    * the schema static — at scale an unlisted pivot needs a distinct pass). */
+  val q44_pivot: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"),
+        col("F").cast("long").as("n_f"),
+        col("O").cast("long").as("n_o"),
+        col("P").cast("long").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val q44_sql: String =
+    """SELECT o_orderpriority,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------- ordered aggregation
+  /** Deterministic collection aggregate: sorted region names per nation
+    * group joined to a string (sorted → order-independent across engines). */
+  val q45_collect_sorted: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+           count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+  val q45_sql: String =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |       count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -592,7 +666,11 @@ object RelationalQueries {
     "q38_semi_join" -> q38_semi_join,
     "q39_anti_join" -> q39_anti_join,
     "q40_outer_join" -> q40_outer_join,
-    "q41_set_ops" -> q41_set_ops)
+    "q41_set_ops" -> q41_set_ops,
+    "q42_scalar_subquery" -> q42_scalar_subquery,
+    "q43_cube" -> q43_cube,
+    "q44_pivot" -> q44_pivot,
+    "q45_collect_sorted" -> q45_collect_sorted)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -621,5 +699,9 @@ object RelationalQueries {
     "q38_semi_join" -> q38_sql,
     "q39_anti_join" -> q39_sql,
     "q40_outer_join" -> q40_sql,
-    "q41_set_ops" -> q41_sql)
+    "q41_set_ops" -> q41_sql,
+    "q42_scalar_subquery" -> q42_sql,
+    "q43_cube" -> q43_sql,
+    "q44_pivot" -> q44_sql,
+    "q45_collect_sorted" -> q45_sql)
 }

@@ -63,6 +63,23 @@ object Streaming {
       .start()
   }
 
+  /** Stream-stream inner join within a time bound: both sides carry
+    * watermarks, the join condition is `key equality AND |l.ts - r.ts| ≤
+    * bound`, so Spark can expire buffered state on both sides — bounded
+    * memory on unbounded streams. The canonical ad-tech shape
+    * (impressions ⋈ clicks). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       boundSeconds: Long,
+                       leftWatermark: String = "1 hour",
+                       rightWatermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", leftWatermark).alias("l")
+    val r = right.withWatermark("ts", rightWatermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $boundSeconds SECONDS"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same key while the
     * watermark bounds the dedup state (keys older than the watermark are
     * evicted — without it, state grows forever). The streaming counterpart

@@ -49,6 +49,26 @@ class StreamingSpec extends SparkSpec {
     assert(u2.n_events == 1 && u2.total_value == 5.0)
   }
 
+  test("stream-stream join pairs events on key within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    views.addData(Event(1, ts(0), 100, "view", 1.0), Event(2, ts(10), 200, "view", 1.0))
+    clicks.addData(
+      Event(3, ts(2), 100, "click", 1.0),   // within 5 min of view 1 → joins
+      Event(4, ts(30), 200, "click", 1.0))  // 20 min after view 2 → outside bound
+    val q = Streaming.streamStreamJoin(
+        views.toDF().select($"user_id", $"ts", $"event_id".as("view_id")),
+        clicks.toDF().select($"user_id", $"ts", $"event_id".as("click_id")),
+        "user_id", boundSeconds = 300)
+      .select($"view_id", $"click_id")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("ss_join").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 3L)))
+  }
+
   test("sessionize (streaming) closes a session when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
