@@ -639,6 +639,55 @@ object RelationalQueries {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  // ----------------------------------------------------------- grouping sets
+  /** Explicit GROUPING SETS — independent subtotals by status and by
+    * priority plus the grand total, in one pass. */
+  val q46_grouping_sets: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+  val q46_sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------- date funcs
+  /** Calendar aggregation: monthly order revenue (date_trunc + format). */
+  val q47_monthly_revenue: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("month"))
+  }
+  val q47_sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  // -------------------------------------------------------------- word count
+  /** The classic distributed word count (explode → groupBy), over part
+    * names; deterministic top-20. */
+  val q48_word_count: Q = (s, d) => {
+    val pt = Tables.part(s, d)
+    pt.select(explode(split(col("p_name"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+  val q48_sql: String =
+    """SELECT word, count(*) AS n FROM (
+      |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |WHERE word <> '' GROUP BY word
+      |ORDER BY n DESC, word LIMIT 20""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -670,7 +719,10 @@ object RelationalQueries {
     "q42_scalar_subquery" -> q42_scalar_subquery,
     "q43_cube" -> q43_cube,
     "q44_pivot" -> q44_pivot,
-    "q45_collect_sorted" -> q45_collect_sorted)
+    "q45_collect_sorted" -> q45_collect_sorted,
+    "q46_grouping_sets" -> q46_grouping_sets,
+    "q47_monthly_revenue" -> q47_monthly_revenue,
+    "q48_word_count" -> q48_word_count)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -703,5 +755,8 @@ object RelationalQueries {
     "q42_scalar_subquery" -> q42_sql,
     "q43_cube" -> q43_sql,
     "q44_pivot" -> q44_sql,
-    "q45_collect_sorted" -> q45_sql)
+    "q45_collect_sorted" -> q45_sql,
+    "q46_grouping_sets" -> q46_sql,
+    "q47_monthly_revenue" -> q47_sql,
+    "q48_word_count" -> q48_sql)
 }
