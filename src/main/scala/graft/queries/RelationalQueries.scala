@@ -688,6 +688,56 @@ object RelationalQueries {
       |WHERE word <> '' GROUP BY word
       |ORDER BY n DESC, word LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------- as-of join
+  /** Attribution as-of join: every click annotated with the user's most
+    * recent prior (or simultaneous) view — `operators.AsOfJoin`'s
+    * union+window sweep (one shuffle, no range explosion). DuckDB oracle
+    * uses its native ASOF JOIN. */
+  val q49_asof_attribution: Q = (s, d) => {
+    import graft.operators.AsOfJoin
+    val e = Tables.events(s, d)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "view_ts", Seq("view_id"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+  val q49_sql: String =
+    """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY c.user_id, click_id""".stripMargin
+
+  // ------------------------------------------------------------- range join
+  /** Bounded time-range self-join: per error event, how many clicks the
+    * same user made in the preceding 5 minutes. Key equality makes this a
+    * hash join with a range residual — never a cross product. */
+  val q50_range_join: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val errors = e.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    errors.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("err_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("click_ts") < col("err_ts"),
+        "inner")
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_recent_clicks"))
+      .orderBy(col("err_id"))
+  }
+  val q50_sql: String =
+    """SELECT e.event_id AS err_id, count(*) AS n_recent_clicks
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id
+      | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+      |GROUP BY err_id ORDER BY err_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -722,7 +772,9 @@ object RelationalQueries {
     "q45_collect_sorted" -> q45_collect_sorted,
     "q46_grouping_sets" -> q46_grouping_sets,
     "q47_monthly_revenue" -> q47_monthly_revenue,
-    "q48_word_count" -> q48_word_count)
+    "q48_word_count" -> q48_word_count,
+    "q49_asof_attribution" -> q49_asof_attribution,
+    "q50_range_join" -> q50_range_join)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -758,5 +810,7 @@ object RelationalQueries {
     "q45_collect_sorted" -> q45_sql,
     "q46_grouping_sets" -> q46_sql,
     "q47_monthly_revenue" -> q47_sql,
-    "q48_word_count" -> q48_sql)
+    "q48_word_count" -> q48_sql,
+    "q49_asof_attribution" -> q49_sql,
+    "q50_range_join" -> q50_sql)
 }

@@ -61,6 +61,38 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+  import graft.operators.AsOfJoin
+  import java.sql.Timestamp
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  private lazy val quotes = Seq(
+    (1L, ts(0), 100.0), (1L, ts(10), 101.0), (1L, ts(20), 102.0),
+    (2L, ts(5), 50.0)).toDF("sym", "qts", "price")
+  private lazy val trades = Seq(
+    (1L, ts(5), "t1"), (1L, ts(10), "t2"), (1L, ts(25), "t3"),
+    (2L, ts(1), "t4"), (3L, ts(9), "t5")).toDF("sym", "tts", "trade_id")
+
+  test("asOf picks the latest right row at-or-before each left ts") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "tts", "qts", Seq("price"))
+      .collect().map(r => r.getAs[String]("trade_id") -> r.getAs[Double]("price")).toMap
+    assert(out == Map("t1" -> 100.0, "t2" -> 101.0, "t3" -> 102.0))
+    // t4 precedes every quote for sym 2; t5 has no quotes at all → dropped
+  }
+
+  test("asOf inner=false keeps unmatched left rows with nulls") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "tts", "qts", Seq("price"),
+        inner = false)
+      .collect().map(r => r.getAs[String]("trade_id") -> Option(r.get(r.fieldIndex("price"))))
+      .toMap
+    assert(out.size == 5)
+    assert(out("t4").isEmpty && out("t5").isEmpty)
+    assert(out("t2").contains(101.0)) // equal-ts tie is inclusive
+  }
+}
+
 class ExtensionsSpec extends SparkSpec {
   test("GraftExtensions injects fix_mojibake into a session's registry") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
