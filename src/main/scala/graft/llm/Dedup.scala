@@ -47,7 +47,7 @@ object Dedup {
     * shingle is the 16-hex-char prefix of md5("<s>|" + shingle). */
   def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map { s =>
-      min(substring(md5(concat(lit(s + "|"), col("shingle"))), 1, 16)).as(s"h$s")
+      min(substring(md5(concat(lit(s"$s|"), col("shingle"))), 1, 16)).as(s"h$s")
     }
     shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }

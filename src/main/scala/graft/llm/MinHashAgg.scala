@@ -31,7 +31,7 @@ class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 
   private def hash(seed: Int, shingle: String): Long = {
     val md = MessageDigest.getInstance("MD5")
-    val d = md.digest((seed + "|" + shingle).getBytes(StandardCharsets.UTF_8))
+    val d = md.digest(s"$seed|$shingle".getBytes(StandardCharsets.UTF_8))
     // first 8 bytes big-endian == first 16 hex chars
     var h = 0L
     var i = 0

@@ -86,11 +86,11 @@ object TextAnalysis {
     * then argmax over cheap attribute references — one lower() and one
     * regex pass per profile per row, nothing re-evaluated. */
   def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
-    val lowered = df.select(df.columns.map(col) :+ lower(col(textCol)).as("__lower"): _*)
+    val lowered = df.select(df.columns.toIndexedSeq.map(col) :+ lower(col(textCol)).as("__lower"): _*)
     val scoreCols = langProfiles.map { case (lang, pat) =>
       size(regexp_extract_all(col("__lower"), lit(pat), lit(0))).cast("long").as(s"__s_$lang")
     }
-    val scored = lowered.select(df.columns.map(col) ++ scoreCols: _*)
+    val scored = lowered.select(df.columns.toIndexedSeq.map(col) ++ scoreCols: _*)
     val refs = langProfiles.map { case (lang, _) => lang -> col(s"__s_$lang") }
     val best = refs.map(_._2).reduce((a, b) => greatest(a, b))
     val detected = refs.foldRight(lit("und")) { case ((lang, s), acc) =>

@@ -61,6 +61,29 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+class QualitySpec extends SparkSpec {
+  import graft.operators.Quality
+  import spark.implicits._
+
+  test("runWithMetrics observes row and null counts during the action") {
+    val df = Seq(Some(1), None, Some(3), None, Some(5)).toDF("k")
+    val (n, metrics) = Quality.runWithMetrics(df, "k")(_.count())
+    assert(n == 5L)
+    assert(metrics("n_rows") == 5L && metrics("n_null_keys") == 2L)
+  }
+
+  test("requireQuality passes within budget and fails beyond it") {
+    val df = Seq(Some(1), None, Some(3), Some(4)).toDF("k")
+    Quality.requireQuality(df, "k", maxNullFraction = 0.5) // 25% nulls: ok
+    intercept[IllegalArgumentException] {
+      Quality.requireQuality(df, "k", maxNullFraction = 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.requireQuality(df.limit(0), "k") // empty dataset
+    }
+  }
+}
+
 class AsOfJoinSpec extends SparkSpec {
   import graft.operators.AsOfJoin
   import java.sql.Timestamp
