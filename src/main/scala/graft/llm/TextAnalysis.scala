@@ -118,6 +118,42 @@ object TextAnalysis {
     lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3
   }
 
+  /** PII-style redaction: emails, URLs, then digit runs → typed
+    * placeholders, in that order (a URL's digits must not be <NUM>-ed
+    * before the URL match). Pure regexp_replace chain — codegen'd,
+    * SQL-expressible. */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "[0-9]+", "<NUM>")
+
+  /** Training-data chunking: split each document into token chunks of
+    * `chunkSize` with `overlap` tokens of context between neighbors
+    * (stride = chunkSize - overlap). Output one row per chunk:
+    * (doc_id, chunk_id 1-based, n_chunk_tokens, chunk_fp = md5 of the
+    * chunk's space-joined tokens). Embarrassingly parallel — tokens are
+    * projected once, chunk starts are a `sequence`, `posexplode` fans out.
+    * Documents with no tokens produce no chunks; the final chunk is the one
+    * whose start ≤ n_tokens - overlap, so every token is covered. */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+            chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toked = graft.io.Tables.widen(df)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+    val starts = sequence(lit(1), greatest(size(col("toks")) - overlap, lit(1)), lit(stride))
+    toked
+      .select(col("doc_id"), col("toks"), posexplode(starts).as(Seq("pos", "start")))
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("start"), lit(chunkSize))).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start"), lit(chunkSize)))).as("chunk_fp"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text,
     * plus a 64-bit hex prefix for compact join keys. */
   def normalizedText(c: Column): Column =

@@ -217,6 +217,47 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class TrainingDataOpsSpec extends SparkSpec {
+  import graft.llm.{Quantize, TextAnalysis}
+  import spark.implicits._
+
+  test("redact replaces emails, URLs, and digit runs with placeholders") {
+    val out = Seq("mail me at a.b+c@test.org or see https://x.io/p?q=1 room 42")
+      .toDF("t").select(TextAnalysis.redact($"t")).collect().head.getString(0)
+    assert(out == "mail me at <EMAIL> or see <URL> room <NUM>")
+  }
+
+  test("chunk covers every token with the configured overlap") {
+    // 250 tokens, chunkSize 100, overlap 20 → starts 1, 81, 161 (stride 80)
+    val doc = Seq((1L, (1 to 250).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(doc, "text", "doc_id", 100, 20)
+      .orderBy($"chunk_id").collect()
+    assert(chunks.map(_.getAs[Long]("chunk_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(chunks.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(100L, 100L, 90L))
+    // short docs yield one chunk; empty docs none
+    val short = Seq((2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(short, "text", "doc_id", 100, 20).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_chunk_tokens") == 3L)
+  }
+
+  test("int8 quantization bounds codes to [-127,127] and dequantizes within one step") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0f)), (2L, Array(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = Quantize.withQuantized(df).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getSeq[Int](r.fieldIndex("qvec")), r.getAs[Double]("qscale"))).toMap
+    val (codes, scale) = q(1L)
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    assert(codes(1) == -127) // the max-magnitude component hits the rail
+    // dequantization error is bounded by one quantization step
+    val orig = Seq(0.5, -1.0, 0.25, 0.0)
+    codes.zip(orig).foreach { case (c, o) =>
+      assert(math.abs(c * scale - o) <= scale + 1e-12)
+    }
+    assert(q(2L)._1.forall(_ == 0)) // zero vector → zero codes, no div-by-zero
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
