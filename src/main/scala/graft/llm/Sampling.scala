@@ -1,0 +1,32 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reproducible hash-based sampling — the scale-correct way to sample,
+  * mix, and split training corpora. Seeded RNG sampling differs between
+  * engines, runs, and partitionings; a content/id hash bucket is
+  * deterministic everywhere, stable under re-runs and repartitioning, and
+  * lets train/val/test membership be recomputed from the row alone (no
+  * membership table to join at 100 TB).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the md5 of the key — the first 8
+    * hex chars as an unsigned int (cross-engine exact: DuckDB
+    * `('0x' || substr(md5(k),1,8))::BIGINT`). */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Keep a deterministic `percent`% of rows by key hash. */
+  def sampleHash(key: Column, percent: Int, buckets: Int = 100): Column =
+    hashBucket(key, buckets) < percent
+
+  /** Assign train/val/test by hash range: [0,trainPct) → train,
+    * [trainPct, trainPct+valPct) → val, rest → test. Membership is a pure
+    * function of the key — no shuffle, no state, re-derivable anywhere. */
+  def assignSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(key, 100)
+    when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+  }
+}
