@@ -101,6 +101,9 @@ object Dedup {
     * groupBy with `bits` sum-aggregates — a single shuffle. Near-dup docs
     * land on equal (or Hamming-close) fingerprints. */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+    // the vote hash is a 32-bit (8-hex-char) md5 prefix: nibble positions
+    // underflow past bit 31, silently producing garbage votes
+    require(bits >= 1 && bits <= 32, s"simhash supports 1..32 bits, got $bits")
     val words = graft.io.Tables.widen(df)
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("w"))

@@ -48,16 +48,36 @@ object Ivf {
   }
 
   /** Assign every vector to its nearest centroid (max cosine; ties to the
-    * lower cell id). Centroids broadcast; the corpus never shuffles. */
+    * lower cell id). The bounded centroid set (k ≤ a few thousand — the same
+    * broadcast license as `qcut`'s cut points) is packed into ONE
+    * `array<struct>` row with precomputed norms, broadcast, and attached to
+    * every corpus row; the argmax is a per-row `aggregate` fold over that
+    * array. Zero row multiplication and zero shuffle — the corpus never
+    * leaves its partitions (the previous corpus×k crossJoin + window argmax
+    * shuffled k× the corpus per Lloyd round). */
   def assign(corpus: DataFrame, centroids: DataFrame, dim: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("score", Similarity.cosine(col(vecCol), col("centroid"), dim))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("cell"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn", "score", "centroid")
+    // sorted by cell: the fold visits cells in ascending order, so a strict
+    // `>` keeps the lowest cell on score ties (same as the window's
+    // `score desc, cell asc` ordering). Centroid norms are packed once here
+    // instead of being re-derived per corpus row.
+    val packed = centroids.agg(array_sort(collect_list(struct(
+      col("cell"), col("centroid"),
+      Similarity.norm(col("centroid"), dim).as("cnorm")))).as("__cents"))
+    val withCents = corpus.crossJoin(broadcast(packed))
+      .withColumn("__vnorm", Similarity.norm(col(vecCol), dim))
+    // score = dot/(|v|*|c|) — identical operation order to Similarity.cosine,
+    // so assignments are bit-for-bit what the crossJoin formulation produced
+    val folded = aggregate(col("__cents"),
+      struct(lit(-1).as("cell"), lit(Double.NegativeInfinity).as("best")),
+      (acc, c) => {
+        val score = Similarity.dot(col(vecCol), c.getField("centroid"), dim) /
+          (col("__vnorm") * c.getField("cnorm"))
+        when(score > acc.getField("best"),
+          struct(c.getField("cell").as("cell"), score.as("best"))).otherwise(acc)
+      })
+    withCents.withColumn("cell", folded.getField("cell"))
+      .drop("__cents", "__vnorm")
   }
 
   /** IVF top-k search: route each query to its `nProbe` closest cells, then

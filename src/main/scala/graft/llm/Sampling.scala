@@ -18,9 +18,11 @@ object Sampling {
   def hashBucket(key: Column, buckets: Int = 100): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
 
-  /** Keep a deterministic `percent`% of rows by key hash. */
-  def sampleHash(key: Column, percent: Int, buckets: Int = 100): Column =
-    hashBucket(key, buckets) < percent
+  /** Keep a deterministic `percent`% of rows by key hash. Buckets are pinned
+    * at 100 so `percent` always means a percentage — a configurable bucket
+    * count would silently change the threshold semantics. */
+  def sampleHash(key: Column, percent: Int): Column =
+    hashBucket(key, 100) < percent
 
   /** Assign train/val/test by hash range: [0,trainPct) → train,
     * [trainPct, trainPct+valPct) → val, rest → test. Membership is a pure

@@ -49,7 +49,6 @@ object TextAnalysis {
   /** Punctuation ratio: non-alnum-non-space chars / total chars (0 for empty). */
   def punctRatio(c: Column): Column = {
     val total = length(c)
-    val punct = total - length(regexp_replace(c, "[A-Za-z0-9\\s]", ""))
     when(total > 0, (total - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))).cast("double") / total)
       .otherwise(lit(0.0))
   }

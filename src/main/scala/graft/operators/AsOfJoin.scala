@@ -37,7 +37,12 @@ object AsOfJoin {
            leftTs: String, rightTs: String, rightVals: Seq[String],
            inner: Boolean = true): DataFrame = {
     val keyCols = keys.map(k => col(s"`$k`"))
-    val leftCols = left.columns.filterNot(keys.contains)
+    // leftTs is re-emitted from __ts in the final select — keeping it in the
+    // payload list would duplicate the column (AMBIGUOUS_REFERENCE downstream)
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
+    val outNames = keys ++ Seq(leftTs) ++ leftCols
+    require(rightVals.forall(!outNames.contains(_)),
+      s"rightVals ${rightVals.mkString(",")} collide with left output columns; alias the right side first")
     // union schema: keys ++ ts ++ side ++ left payload ++ right payload
     val rStruct = struct(rightVals.map(c => col(s"`$c`")): _*)
     val l = left.select(

@@ -394,7 +394,7 @@ object RelationalQueries {
   }
   val q32_sql: String =
     """WITH flagged AS (
-      |  SELECT user_id, value, ts,
+      |  SELECT user_id, event_id, value, ts,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
       |              THEN 1 ELSE 0 END AS is_new
@@ -402,7 +402,7 @@ object RelationalQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, value, ts,
-      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM flagged)
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -738,6 +738,113 @@ object RelationalQueries {
       | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
       |GROUP BY err_id ORDER BY err_id""".stripMargin
 
+  // --------------------------------------- correlated scalar subquery (Q17)
+  /** TPC-H Q17 shape: revenue from small-quantity lines of one brand, where
+    * "small" is per-part (quantity < 20% of that part's average) — the
+    * correlated scalar subquery. Spark-first decorrelation: the per-part
+    * caps are ONE map-side-combined groupBy over lineitem, then an equi-join
+    * back — no per-row re-aggregation, no nested-loop. The brand filter
+    * broadcasts (bounded dim side). */
+  val q57_small_qty_revenue: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val pt = Tables.part(s, d)
+    val caps = li.groupBy(col("l_partkey"))
+      .agg(((dsum(col("l_quantity")) / count(lit(1))) * 0.2).as("qty_cap"))
+    li.join(broadcast(pt.where(col("p_brand") === "Brand#19")
+          .select(col("p_partkey").as("l_partkey"))), Seq("l_partkey"))
+      .join(caps, Seq("l_partkey"))
+      .where(col("l_quantity") < col("qty_cap"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+           count(lit(1)).as("n_lines"))
+  }
+  val q57_sql: String =
+    """WITH caps AS (
+      |  SELECT l_partkey,
+      |         (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 0.2 AS qty_cap
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#19'
+      |JOIN caps USING (l_partkey)
+      |WHERE l_quantity < qty_cap""".stripMargin
+
+  // ------------------------------------------------- IN/HAVING subquery (Q18)
+  /** TPC-H Q18 shape: orders whose total line quantity exceeds a threshold
+    * (`o_orderkey IN (… GROUP BY … HAVING …)`). Spark-first: the HAVING
+    * aggregate joins back to orders on its own key — at scale both sides
+    * shuffle once on orderkey and AQE picks broadcast when the filtered
+    * aggregate is small. */
+  val q58_big_orders: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 250.0)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+  val q58_sql: String =
+    """SELECT o_orderkey, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0) big
+      |  ON o_orderkey = big.l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------- self-join EXISTS top-k (Q21)
+  /** TPC-H Q21 shape: suppliers whose returned ('R') lines sit in
+    * multi-supplier orders — a self-join EXISTS reduced to a left-semi join
+    * (orderkey equality + suppkey inequality residual), then a top-10.
+    * The semi join shuffles on orderkey only; no pair materialization. */
+  val q59_supplier_returns: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val returned = li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = li.select(col("l_orderkey").as("o_key"), col("l_suppkey").as("other_supp"))
+    returned.join(others,
+        col("l_orderkey") === col("o_key") && col("l_suppkey") =!= col("other_supp"),
+        "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("n_lines").desc, col("l_suppkey"))
+      .limit(10)
+  }
+  val q59_sql: String =
+    """SELECT l_suppkey, count(*) AS n_lines
+      |FROM lineitem l1
+      |WHERE l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |GROUP BY l_suppkey ORDER BY n_lines DESC, l_suppkey LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------- salted join
+  /** [[graft.operators.Skew.saltedJoin]] exercised end-to-end against the
+    * same oracle a plain join would use: lineitem joins a 3-row dim on
+    * l_returnflag — a deliberately hot key (3 distinct values over the whole
+    * fact table). The salt spreads each hot key over 16 reducers; the
+    * aggregate result is bit-identical to the unsalted plan. */
+  val q60_salted_join: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val dim = Star.buildDim(li, Seq("l_returnflag"), "flag_id")
+    graft.operators.Skew.saltedJoin(li, dim, Seq("l_returnflag"))
+      .groupBy(col("flag_id"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("flag_id"))
+  }
+  val q60_sql: String =
+    """WITH dim AS (
+      |  SELECT l_returnflag, row_number() OVER (ORDER BY l_returnflag ASC NULLS FIRST) AS flag_id
+      |  FROM (SELECT DISTINCT l_returnflag FROM lineitem))
+      |SELECT flag_id, l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN dim USING (l_returnflag)
+      |GROUP BY flag_id, l_returnflag ORDER BY flag_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -774,7 +881,11 @@ object RelationalQueries {
     "q47_monthly_revenue" -> q47_monthly_revenue,
     "q48_word_count" -> q48_word_count,
     "q49_asof_attribution" -> q49_asof_attribution,
-    "q50_range_join" -> q50_range_join)
+    "q50_range_join" -> q50_range_join,
+    "q57_small_qty_revenue" -> q57_small_qty_revenue,
+    "q58_big_orders" -> q58_big_orders,
+    "q59_supplier_returns" -> q59_supplier_returns,
+    "q60_salted_join" -> q60_salted_join)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -812,5 +923,9 @@ object RelationalQueries {
     "q47_monthly_revenue" -> q47_sql,
     "q48_word_count" -> q48_sql,
     "q49_asof_attribution" -> q49_sql,
-    "q50_range_join" -> q50_sql)
+    "q50_range_join" -> q50_sql,
+    "q57_small_qty_revenue" -> q57_sql,
+    "q58_big_orders" -> q58_sql,
+    "q59_supplier_returns" -> q59_sql,
+    "q60_salted_join" -> q60_sql)
 }
