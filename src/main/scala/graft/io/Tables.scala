@@ -43,3 +43,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
+
+/** Cheap dataset statistics, cached per dataset directory. The kind of
+  * bounded metadata probe (one row, one column) that is fine to run once
+  * but should never be re-fired per query invocation. */
+object Stats {
+  private val embDims = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Width of the fixed-width `embeddings.embedding` column — used to unroll
+    * cosine folds into codegen-friendly flat sums. One-row probe, memoized. */
+  def embeddingDim(s: SparkSession, dir: String): Int =
+    embDims.computeIfAbsent(dir, { _ =>
+      import org.apache.spark.sql.functions.{col, size}
+      Integer.valueOf(Tables.embeddings(s, dir).select(size(col("embedding"))).head().getInt(0))
+    }).intValue()
+}

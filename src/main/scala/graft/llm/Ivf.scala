@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,35 +49,33 @@ object Ivf {
 
   /** Assign every vector to its nearest centroid (max cosine; ties to the
     * lower cell id). The bounded centroid set (k ≤ a few thousand — the same
-    * broadcast license as `qcut`'s cut points) is packed into ONE
-    * `array<struct>` row with precomputed norms, broadcast, and attached to
-    * every corpus row; the argmax is a per-row `aggregate` fold over that
-    * array. Zero row multiplication and zero shuffle — the corpus never
-    * leaves its partitions (the previous corpus×k crossJoin + window argmax
-    * shuffled k× the corpus per Lloyd round). */
+    * broadcast license as `qcut`'s cut points) is packed into ONE broadcast
+    * row of flat arrays (cell ids, concatenated centroids, precomputed
+    * norms); per-row assignment is the native codegen [[NearestCell]]
+    * expression — one O(k·dim) generated loop. Zero row multiplication and
+    * zero shuffle: the corpus never leaves its partitions (the previous
+    * corpus×k crossJoin + window argmax shuffled k× the corpus per Lloyd
+    * round). See [[NearestCell]]'s scaladoc for why the composable
+    * formulations (window argmax / HOF fold / unrolled CASE) all lose. */
   def assign(corpus: DataFrame, centroids: DataFrame, dim: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // sorted by cell: the fold visits cells in ascending order, so a strict
-    // `>` keeps the lowest cell on score ties (same as the window's
-    // `score desc, cell asc` ordering). Centroid norms are packed once here
-    // instead of being re-derived per corpus row.
+    // packed in ascending cell order (array_sort on the struct sorts by the
+    // first field), so NearestCell's strict-improvement loop keeps the
+    // LOWEST cell on score ties — same as the old window's
+    // `score desc, cell asc`. The transform/flatten below run once on the
+    // single packed row, not per corpus row.
     val packed = centroids.agg(array_sort(collect_list(struct(
-      col("cell"), col("centroid"),
-      Similarity.norm(col("centroid"), dim).as("cnorm")))).as("__cents"))
-    val withCents = corpus.crossJoin(broadcast(packed))
-      .withColumn("__vnorm", Similarity.norm(col(vecCol), dim))
-    // score = dot/(|v|*|c|) — identical operation order to Similarity.cosine,
-    // so assignments are bit-for-bit what the crossJoin formulation produced
-    val folded = aggregate(col("__cents"),
-      struct(lit(-1).as("cell"), lit(Double.NegativeInfinity).as("best")),
-      (acc, c) => {
-        val score = Similarity.dot(col(vecCol), c.getField("centroid"), dim) /
-          (col("__vnorm") * c.getField("cnorm"))
-        when(score > acc.getField("best"),
-          struct(c.getField("cell").as("cell"), score.as("best"))).otherwise(acc)
-      })
-    withCents.withColumn("cell", folded.getField("cell"))
-      .drop("__cents", "__vnorm")
+        col("cell"), col("centroid"),
+        Similarity.norm(col("centroid"), dim).as("cnorm")))).as("__cents"))
+      .select(
+        expr("transform(__cents, c -> c.cell)").as("__cells"),
+        flatten(expr("transform(__cents, c -> c.centroid)")).as("__flat"),
+        expr("transform(__cents, c -> c.cnorm)").as("__norms"))
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("cell", element_at(col("__cells"),
+        NearestCell.nearestCell(col(vecCol).cast("array<double>"),
+          col("__flat"), col("__norms")) + 1))
+      .drop("__cells", "__flat", "__norms")
   }
 
   /** IVF top-k search: route each query to its `nProbe` closest cells, then

@@ -215,6 +215,22 @@ class TextAnalysisSpec extends SparkSpec {
       assert(TextAnalysis.rollingHashImpl(s) == ref(s), s"mismatch for '$s'")
     }
   }
+
+  test("q30 golden: rolling-hash fingerprints of the sf0.001 corpus are pinned") {
+    // q30 has no SQL oracle (UDF), so the driver's check is rows-only;
+    // this golden pins the full query path (normalize → Karp-Rabin) against
+    // values independently recomputed outside the JVM. If the corpus or the
+    // hash ever drifts, this is the test that says so.
+    val out = graft.queries.LlmQueries.q30_rolling_fingerprint(spark, "/root/testdata/sf0.001")
+      .limit(5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val golden = Map(
+      0L -> 1077692939377088207L,
+      1L -> 398827300041533204L,
+      2L -> 1945751135419747022L,
+      3L -> 2120039884786677517L,
+      4L -> 546835982237914036L)
+    assert(out == golden)
+  }
 }
 
 class TrainingDataOpsSpec extends SparkSpec {
