@@ -30,21 +30,27 @@ object Ivf {
       .withColumn("cell", row_number().over(Window.orderBy(col(idCol))) - 1)
       .select(col("cell"), col("centroid"))
 
-    (1 to iters).foldLeft(c0) { (centroids, _) =>
+    val fitted = (1 to iters).foldLeft(c0) { (centroids, _) =>
       val assigned = assign(corpus, centroids, dim, idCol, vecCol)
-      // new centroid = per-cell elementwise mean, via skinny (cell, pos, v)
-      val means = assigned
-        .select(col("cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), expr("transform(pm, x -> x.m)").as("centroid"))
-      // k-means is inherently iterative: truncate the lineage each round
-      // (an eager k-row materialization), or every downstream reference
-      // re-runs all previous rounds — measured 2× on a 2-round fit.
-      means.localCheckpoint(true)
+      // new centroid = per-cell elementwise mean as `dim` avg aggregates in
+      // ONE groupBy: a single shuffle carrying k×dim map-side partials.
+      // (The previous posexplode formulation pushed corpus×dim rows through
+      // the aggregation machinery and needed a second groupBy + array_sort
+      // to reassemble the vector.)
+      val aggs = (0 until dim).map(j =>
+        avg(element_at(col(vecCol), j + 1).cast("double")).as(s"__m$j"))
+      assigned.groupBy(col("cell"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("cell"),
+          array((0 until dim).map(j => col(s"__m$j")): _*).as("centroid"))
     }
+    // k-means is inherently iterative and its result is referenced from
+    // multiple places downstream (topK packs it once for assignment and
+    // once for probe routing): truncate the lineage ONCE at the end (an
+    // eager k-row materialization) so no consumer re-runs the Lloyd chain.
+    // Intermediate rounds chain linearly (each round referenced exactly
+    // once by the next), so per-round checkpoints would only add jobs.
+    if (iters > 0) fitted.localCheckpoint(true) else fitted
   }
 
   /** Assign every vector to its nearest centroid (max cosine; ties to the
@@ -84,20 +90,28 @@ object Ivf {
   def topK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
            k: Int, nProbe: Int, dim: Int,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // per-vector norms staged once per ROW so the pair scoring below is a
+    // single dot product — dot/(qn*cn) is the exact cosine expression with
+    // the same operation order (see Similarity.cosineWithNorms)
     val assigned = assign(corpus, centroids, dim, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cell"),
+        Similarity.norm(col(vecCol), dim).as("__cn"))
     val probes = {
+      // the query side is small by contract (it broadcasts below), so the
+      // crossJoin+window probe routing stays modest: queries×k rows
       val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("cell"))
       queries.crossJoin(broadcast(centroids))
         .withColumn("score", Similarity.cosine(col(vecCol), col("centroid"), dim))
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") <= nProbe)
-        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("cell"))
+        .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("cell"),
+          Similarity.norm(col(vecCol), dim).as("__qn"))
     }
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Similarity.cosine(col("qvec"), col("cvec"), dim).as("cos_sim"))
+        (Similarity.dot(col("qvec"), col("cvec"), dim) /
+          (col("__qn") * col("__cn"))).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -22,25 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product as an in-order fold over double-cast arrays —
-    * deterministic accumulation order (matches the oracle's list fold).
+  /** Elementwise dot product — the native [[DotProduct]] expression (one
+    * tight loop, O(1) plan size; see its scaladoc for why both the unrolled
+    * flat sum and the `aggregate(zip_with(…))` fold lose in pair-scoring
+    * contexts). Accumulation is a left-to-right fold from 0.0 over
+    * double-cast elements, bit-identical to the unrolled sum
+    * `((x1+x2)+x3)…` and to the DuckDB oracle's `list_reduce`.
     *
-    * When the embedding width is known statically, pass `dim` to unroll the
-    * fold into a flat `e1*f1 + e2*f2 + …` expression: higher-order functions
-    * (`aggregate`/`zip_with`) are interpreted per element, while the
-    * unrolled sum stays inside whole-stage codegen. Addition is
-    * left-associated either way — `((x1+x2)+x3)…` — and the generic fold's
-    * `0.0 + x1` is bit-identical to `x1`, so both forms (and the DuckDB
-    * oracle's `list_reduce`) agree on every bit. */
+    * `dim` is retained at call sites as documentation of the fixed width;
+    * the native loop handles any width, so it no longer changes the plan. */
   def dot(a: Column, b: Column, dim: Int = -1): Column =
-    if (dim > 0)
-      (1 to dim).map(i =>
-        element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-        .reduce(_ + _)
-    else
-      aggregate(
-        zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+    DotProduct.dotNative(a, b)
 
   def norm(a: Column, dim: Int = -1): Column = sqrt(dot(a, a, dim))
 
@@ -49,19 +41,30 @@ object Similarity {
   def cosine(a: Column, b: Column, dim: Int = -1): Column =
     dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
+  /** Cosine from per-SIDE precomputed norms: `dot/(na*nb)` is the exact
+    * expression [[cosine]] builds — same values, same operation order, same
+    * oracle — but each vector's norm is computed once per ROW instead of
+    * once per PAIR, cutting the per-pair work from 3 dot products to 1.
+    * Every pairing operator below stages norms this way. */
+  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column,
+                              dim: Int): Column =
+    dot(a, b, dim) / (na * nb)
+
   /** Brute-force top-k: broadcast the (small) query set against the corpus,
     * score every pair, rank per query. The corpus side never shuffles;
     * ranking shuffles only (queries × corpus) scored rows. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      dim: Int = -1): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol), dim).as("__qn"))
     val c = graft.io.Tables.widen(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol), dim).as("__cn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec"), dim).as("cos_sim"))
+        cosineWithNorms(col("qvec"), col("cvec"), col("__qn"), col("__cn"), dim).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -75,13 +78,15 @@ object Similarity {
   def bucketTopK(queries: DataFrame, corpus: DataFrame, k: Int, bucketCol: String,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  dim: Int = -1): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col(bucketCol))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col(bucketCol),
+      norm(col(vecCol), dim).as("__qn"))
     val c = graft.io.Tables.widen(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col(bucketCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col(bucketCol),
+        norm(col(vecCol), dim).as("__cn"))
     val scored = c.join(broadcast(q), Seq(bucketCol))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec"), dim).as("cos_sim"))
+        cosineWithNorms(col("qvec"), col("cvec"), col("__qn"), col("__cn"), dim).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -104,12 +109,16 @@ object Similarity {
                             idCol: String = "vec_id", vecCol: String = "embedding",
                             dim: Int = -1): DataFrame = {
     val bucketed = corpus.select(col(idCol), col(vecCol),
-      signBucket(col(vecCol), nBits).as("bucket"))
-    val left = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val right = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+      signBucket(col(vecCol), nBits).as("bucket"),
+      norm(col(vecCol), dim).as("__n"))
+    val left = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("__n").as("__na"))
+    val right = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("__n").as("__nb"))
     left.join(right, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b"), dim).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(col("vec_a"), col("vec_b"), col("__na"), col("__nb"), dim).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

@@ -281,10 +281,15 @@ object RelationalQueries {
     * the qcut flag for 100 TB). */
   val q14_exact_quantiles: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    li.agg(
-      percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
-      percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-      percentile(col("l_extendedprice"), lit(0.75)).as("p75"))
+    // ONE percentile aggregate with an array of percentages: a single
+    // sort/buffer pass instead of three independent full buffers (measured
+    // ~3× on the exact path; the approx escape stays qcut(exact=false))
+    li.agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("__ps"))
+      .select(
+        element_at(col("__ps"), 1).as("p25"),
+        element_at(col("__ps"), 2).as("p50"),
+        element_at(col("__ps"), 3).as("p75"))
   }
   val q14_sql: String =
     """SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
