@@ -43,9 +43,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 object DotProduct {
 
-  /** Called directly from generated code — one JIT-friendly loop. */
+  /** Called directly from generated code — one JIT-friendly loop.
+    * Length-mismatched inputs FAIL FAST: silently truncating to the shorter
+    * vector would produce a plausible-but-wrong dot product on malformed
+    * rows (the zip_with form surfaced such rows as NULL; an expression that
+    * hides them would be a silent-corruption regression). */
   def impl(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"DotProduct: vector length mismatch ($n vs ${b.numElements()}); " +
+          "embedding columns must be fixed-width")
     var s = 0.0d
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }

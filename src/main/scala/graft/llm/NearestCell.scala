@@ -61,8 +61,18 @@ object NearestCell {
     * this package. */
   def impl(vec: ArrayData, flat: ArrayData, norms: ArrayData): Int = {
     val k = norms.numElements()
-    if (k == 0) return -1
+    // fail fast with errors that name the contract violation: a -1 here
+    // would surface later as a baffling "SQL array indices start at 1"
+    // from element_at, and a short vec would read out of bounds inside
+    // generated code
+    if (k == 0)
+      throw new IllegalArgumentException(
+        "NearestCell: empty centroid set (k == 0); Ivf.fit must produce at least one cell")
     val dim = flat.numElements() / k
+    if (vec.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"NearestCell: vector has ${vec.numElements()} elements but centroids have dim $dim; " +
+          "embedding columns must be fixed-width")
     var vs = 0.0d
     var j = 0
     while (j < dim) { val x = vec.getDouble(j); vs += x * x; j += 1 }
