@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{LlmQueries, RelationalQueries}
+import graft.queries.{LlmQueries, RelationalQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in `graft.queries.*`; each has a DuckDB oracle with
@@ -14,10 +14,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ LlmQueries.defs
+    RelationalQueries.defs ++ LlmQueries.defs ++ StreamingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ LlmQueries.oracles
+    RelationalQueries.oracles ++ LlmQueries.oracles ++ StreamingQueries.oracles
 }

@@ -850,6 +850,93 @@ object RelationalQueries {
       |FROM lineitem JOIN dim USING (l_returnflag)
       |GROUP BY flag_id, l_returnflag ORDER BY flag_id""".stripMargin
 
+  // ------------------------------------------------ EXISTS date window (Q4)
+  /** TPC-H Q4 shape: order-priority counts for a quarter's orders having at
+    * least one line shipped after the order date — `EXISTS` reduced to a
+    * left-semi join (orderkey equality + date residual). The date filter
+    * prunes orders BEFORE the join (pushed to the scan); the semi join
+    * shuffles on orderkey only and never materializes matched pairs. */
+  val q62_order_priority: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val q62_sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------- left-outer count distribution (Q13)
+  /** TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    * zero-order customers — the left outer join whose unmatched side must
+    * count as 0, then a second (tiny) aggregation over the counts. Both
+    * aggregations are map-side combined; the join shuffles on custkey. */
+  val q63_custdist: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+  val q63_sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) cc
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ------------------------------------------- correlated min (Q2 shape)
+  /** TPC-H Q2 shape: for each small part, the supplier(s) offering its
+    * MINIMUM price — the correlated `= (SELECT min(…) …)` subquery,
+    * decorrelated Spark-first into one groupBy over the fact table plus an
+    * equi-join back on the same key (one shuffle, reused by AQE). The part
+    * filter and the supplier→nation lookups broadcast (bounded dims).
+    * `min` is order-independent, so double equality is cross-engine exact. */
+  val q64_min_cost_supplier: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val mn = li.groupBy(col("l_partkey")).agg(min(col("l_extendedprice")).as("min_price"))
+    li.join(mn, Seq("l_partkey"))
+      .where(col("l_extendedprice") === col("min_price"))
+      .join(broadcast(Tables.part(s, d).where(col("p_size") < 15)
+        .select(col("p_partkey"), col("p_name"))), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"), col("min_price"))
+      .distinct()
+      .orderBy(col("p_partkey"), col("s_name"), col("n_name"))
+  }
+  val q64_sql: String =
+    """WITH mn AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+      |            FROM lineitem GROUP BY l_partkey)
+      |SELECT DISTINCT p_partkey, p_name, s_name, n_name, min_price
+      |FROM lineitem
+      |JOIN mn USING (l_partkey)
+      |JOIN part ON p_partkey = l_partkey AND p_size < 15
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE l_extendedprice = min_price
+      |ORDER BY p_partkey, s_name, n_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -890,7 +977,10 @@ object RelationalQueries {
     "q57_small_qty_revenue" -> q57_small_qty_revenue,
     "q58_big_orders" -> q58_big_orders,
     "q59_supplier_returns" -> q59_supplier_returns,
-    "q60_salted_join" -> q60_salted_join)
+    "q60_salted_join" -> q60_salted_join,
+    "q62_order_priority" -> q62_order_priority,
+    "q63_custdist" -> q63_custdist,
+    "q64_min_cost_supplier" -> q64_min_cost_supplier)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -932,5 +1022,8 @@ object RelationalQueries {
     "q57_small_qty_revenue" -> q57_sql,
     "q58_big_orders" -> q58_sql,
     "q59_supplier_returns" -> q59_sql,
-    "q60_salted_join" -> q60_sql)
+    "q60_salted_join" -> q60_sql,
+    "q62_order_priority" -> q62_sql,
+    "q63_custdist" -> q63_sql,
+    "q64_min_cost_supplier" -> q64_sql)
 }

@@ -137,7 +137,11 @@ object Streaming {
             cur match {
               case Some(s) if isStreaming =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.end + gapMs)
+                // a timeout at or below the current watermark is rejected by
+                // Spark; clamp so an already-expired session closes at the
+                // next micro-batch instead of crashing the query
+                state.setTimeoutTimestamp(
+                  math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
               case Some(s) => // batch: no timeout will ever fire — close inline
                 closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
               case None => ()
