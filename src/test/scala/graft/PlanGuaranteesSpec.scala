@@ -23,4 +23,31 @@ class PlanGuaranteesSpec extends SparkSpec {
   test("flagship entry returns rows at sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).limit(1).count() == 1)
   }
+
+  // Locks in the round-3 headline fix: IVF assignment must stay a narrow
+  // map over the corpus (broadcast packed centroids + native NearestCell
+  // argmax). Reintroducing the corpus×k crossJoin + window formulation —
+  // which shuffles k× the corpus per Lloyd round — fails here, the same way
+  // no-CartesianProduct is locked in above. The bounded centroid side is
+  // materialized first (localCheckpoint) so any shuffle Exchange left in
+  // the plan could only come from the corpus path.
+  test("Ivf.assign: no shuffle Exchange between corpus scan and NearestCell") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val dim = graft.io.Stats.embeddingDim(spark, sfDir)
+    val centroids = graft.llm.Ivf.fit(emb, 8, 0, dim).localCheckpoint(true)
+    val plan = graft.llm.Ivf.assign(emb, centroids, dim)
+      .queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("nearestcell"),
+      s"assignment no longer uses the native NearestCell expression:\n$plan")
+    // The corpus is the STREAMED side of the broadcast join, printed before
+    // the `BroadcastExchange` subtree (the build side packs the k centroid
+    // rows into one row and legitimately holds a k-row SinglePartition
+    // Exchange). ShuffleExchangeExec prints as bare "Exchange"; the word
+    // boundary excludes "BroadcastExchange" itself.
+    val streamedSide = plan.substring(0, plan.indexOf("BroadcastExchange").max(0))
+    assert(streamedSide.nonEmpty, s"no BroadcastExchange in plan:\n$plan")
+    val shuffle = "(?<!\\w)Exchange(?!\\w)".r
+    assert(shuffle.findFirstIn(streamedSide).isEmpty,
+      s"Ivf.assign corpus path contains a shuffle Exchange:\n$plan")
+  }
 }
