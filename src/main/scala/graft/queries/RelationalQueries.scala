@@ -937,6 +937,270 @@ object RelationalQueries {
       |WHERE l_extendedprice = min_price
       |ORDER BY p_partkey, s_name, n_name""".stripMargin
 
+  // ------------------------------------------- shipping priority (Q3)
+  /** TPC-H Q3 shape: top-10 unshipped-revenue orders for one market
+    * segment. The two fact tables join on orderkey (single co-keyed
+    * shuffle, AQE may broadcast the date-pruned orders side); the segment
+    * filter prunes customers before their join. Revenue accumulates in
+    * DECIMAL(18,6) for cross-engine exactness; ties break on orderkey. */
+  val q66_shipping_priority: Q = (s, d) => {
+    val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+  val q66_sql: String =
+    """SELECT l_orderkey,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |       o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // --------------------------------------- local supplier volume (Q5)
+  /** TPC-H Q5 shape: revenue by nation where customer and supplier share
+    * the nation, restricted to one region. Every dimension (nation, region,
+    * supplier, customer) broadcasts; lineitem⋈orders is the only big join.
+    * The c_nationkey = s_nationkey restriction rides the join condition —
+    * no extra shuffle. */
+  val q67_local_supplier_volume: Q = (s, d) => {
+    val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+               col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+  val q67_sql: String =
+    """SELECT n_name,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ------------------------------------------- returned items (Q10)
+  /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    * quarter. Orders date-pruned at the scan; the returnflag filter prunes
+    * lineitem before its join; nation broadcasts. Group-by keys include the
+    * (unaggregated, exact) c_acctbal passthrough. */
+  val q68_returned_items: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+  val q68_sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --------------------------------------- conditional counts (Q12)
+  /** TPC-H Q12 shape (shipmode → linestatus; the testdata carries no
+    * shipmode column): per line status, how many late-shipped lines belong
+    * to high- vs low-priority orders — the two-armed conditional aggregate.
+    * One orderkey join, one 2-group aggregation, both map-side partial. */
+  val q69_late_lines_priority: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+  val q69_sql: String =
+    """SELECT l_linestatus,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ------------------------------------------- promo revenue (Q14)
+  /** TPC-H Q14 shape: promo revenue share — a global ratio of two
+    * conditional sums over one month of lineitem joined to part. Part
+    * broadcasts (join key only + type flag); numerator and denominator
+    * accumulate in DECIMAL and divide once, same operation order both
+    * engines. */
+  val q70_promo_revenue: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val pt = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .agg(((dsum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)), 6) * 100.0) /
+            dsum(disc, 6)).as("promo_revenue_pct"),
+           count(lit(1)).as("n_lines"))
+  }
+  val q70_sql: String =
+    """SELECT (CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+      |                          THEN l_extendedprice * (1.0 - l_discount)
+      |                          ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) * 100.0)
+      |       / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin
+
+  // --------------------------------- disjunctive predicates (Q19)
+  /** TPC-H Q19 shape: revenue under an OR of three brand/size/quantity
+    * envelopes. The part-key equality stays the single join condition —
+    * the disjunction is a post-join filter, so the join remains a plain
+    * (broadcastable) equi-join rather than a theta join; the common
+    * `p_size >= 1` conjunct is pushed to the part scan. */
+  val q71_brand_envelopes: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val pt = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val env =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#25" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .where(env)
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+  val q71_sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ------------------------------- supplier-count distribution (Q16)
+  /** TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
+    * non-excluded parts, using lineitem as the part↔supplier fact (the
+    * testdata has no partsupp). Negative-balance suppliers are excluded by
+    * an anti join BEFORE the distinct count; the (partkey, suppkey) pairs
+    * are deduped map-side by the countDistinct partial aggregation. */
+  val q72_supplier_dist: Q = (s, d) => {
+    val ps = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+    val bad = Tables.supplier(s, d).where(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val pt = Tables.part(s, d)
+      .where(col("p_brand") =!= "Brand#19" && col("p_size").isin(1, 9, 19, 29, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+  val q72_sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#19'
+      |  AND p_size IN (1, 9, 19, 29, 49)
+      |  AND NOT EXISTS (SELECT 1 FROM supplier
+      |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ----------------------------------- dormant rich customers (Q22)
+  /** TPC-H Q22 shape: customers with above-average positive balances and
+    * NO orders, per nation — a scalar aggregate subquery feeding a filter,
+    * then an anti join. The scalar average computes once (decimal-exact,
+    * identical op order both engines) and broadcasts into the comparison;
+    * the anti join ships only custkeys. */
+  val q73_dormant_customers: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+    val avgBal = c.where(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("a"))
+    val rich = c.join(broadcast(avgBal)).where(col("c_acctbal") > col("a"))
+    rich.join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+  val q73_sql: String =
+    """WITH a AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS a
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT n_name, count(*) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |CROSS JOIN a
+      |WHERE c_acctbal > a.a
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -980,7 +1244,15 @@ object RelationalQueries {
     "q60_salted_join" -> q60_salted_join,
     "q62_order_priority" -> q62_order_priority,
     "q63_custdist" -> q63_custdist,
-    "q64_min_cost_supplier" -> q64_min_cost_supplier)
+    "q64_min_cost_supplier" -> q64_min_cost_supplier,
+    "q66_shipping_priority" -> q66_shipping_priority,
+    "q67_local_supplier_volume" -> q67_local_supplier_volume,
+    "q68_returned_items" -> q68_returned_items,
+    "q69_late_lines_priority" -> q69_late_lines_priority,
+    "q70_promo_revenue" -> q70_promo_revenue,
+    "q71_brand_envelopes" -> q71_brand_envelopes,
+    "q72_supplier_dist" -> q72_supplier_dist,
+    "q73_dormant_customers" -> q73_dormant_customers)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1025,5 +1297,13 @@ object RelationalQueries {
     "q60_salted_join" -> q60_sql,
     "q62_order_priority" -> q62_sql,
     "q63_custdist" -> q63_sql,
-    "q64_min_cost_supplier" -> q64_sql)
+    "q64_min_cost_supplier" -> q64_sql,
+    "q66_shipping_priority" -> q66_sql,
+    "q67_local_supplier_volume" -> q67_sql,
+    "q68_returned_items" -> q68_sql,
+    "q69_late_lines_priority" -> q69_sql,
+    "q70_promo_revenue" -> q70_sql,
+    "q71_brand_envelopes" -> q71_sql,
+    "q72_supplier_dist" -> q72_sql,
+    "q73_dormant_customers" -> q73_sql)
 }

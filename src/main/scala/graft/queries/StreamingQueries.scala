@@ -31,6 +31,38 @@ object StreamingQueries {
   /** Session gap — must match q32's 30 minutes for oracle parity. */
   val GapMs: Long = 30 * 60 * 1000L
 
+  /** Stage a batch frame into `parts` TIME-RANGE parquet files under a fresh
+    * temp dir, so a file-source replay (`maxFilesPerTrigger=1`, oldest file
+    * first) delivers micro-batches in event-time order — no rows ever arrive
+    * behind the watermark and get dropped. Returns (srcDir, loMs, hiMs,
+    * ckptDir). `dupEachFile` writes every range file TWICE (as two separate
+    * files → two separate micro-batches), giving a dedup stream genuine
+    * cross-batch re-deliveries of every row. */
+  private def stageTimeOrdered(ev: DataFrame, parts: Int,
+                               dupEachFile: Boolean): (String, Long, Long, String) = {
+    val tmp = Files.createTempDirectory("graft_stream_").toString
+    val srcDir = s"$tmp/src"
+    // bounded 1-row probe (same license as Stats.embeddingDim)
+    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val lo = bounds.getTimestamp(0).getTime
+    val hi = bounds.getTimestamp(1).getTime
+    val span = math.max(hi - lo, 1L)
+    // sequential writes → strictly increasing file mtimes → replay order
+    (0 until parts).foreach { i =>
+      val from = lo + span * i / parts
+      val to = lo + span * (i + 1) / parts
+      // hi/lo are millisecond-truncated (getTime); the last file must be
+      // unbounded above or the max event's sub-millisecond tail is lost
+      val upper =
+        if (i == parts - 1) lit(true)
+        else col("ts") < timestamp_millis(lit(to))
+      val slice = ev.where(col("ts") >= timestamp_millis(lit(from)) && upper)
+      slice.coalesce(1).write.mode("append").parquet(srcDir)
+      if (dupEachFile) slice.coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    (srcDir, lo, hi, s"$tmp/ckpt")
+  }
+
   /** Streaming sessionization, oracle-checked.
     *
     * Mechanics: the events table is staged into four TIME-RANGE parquet
@@ -55,26 +87,7 @@ object StreamingQueries {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
 
-    val tmp = Files.createTempDirectory("graft_q65_").toString
-    val srcDir = s"$tmp/src"
-    // bounded 1-row probe (same license as Stats.embeddingDim)
-    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    val lo = bounds.getTimestamp(0).getTime
-    val hi = bounds.getTimestamp(1).getTime
-    val span = math.max(hi - lo, 1L)
-    // four sequential writes → strictly increasing file mtimes → the file
-    // source (oldest-first) replays them in event-time order
-    (0 until 4).foreach { i =>
-      val from = lo + span * i / 4
-      val to = lo + span * (i + 1) / 4
-      // hi/lo are millisecond-truncated (getTime); the last file must be
-      // unbounded above or the max event's sub-millisecond tail is lost
-      val upper =
-        if (i == 3) lit(true)
-        else col("ts") < timestamp_millis(lit(to))
-      ev.where(col("ts") >= timestamp_millis(lit(from)) && upper)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-    }
+    val (srcDir, _, hi, ckpt) = stageTimeOrdered(ev, 4, dupEachFile = false)
     def sentinel(tsMs: Long): Unit =
       Seq((-1L, new java.sql.Timestamp(tsMs), -1L, "sentinel", 0.0))
         .toDF("event_id", "ts", "user_id", "event_type", "value")
@@ -91,7 +104,7 @@ object StreamingQueries {
       .writeStream
       .queryName(name)
       .format("memory")
-      .option("checkpointLocation", s"$tmp/ckpt")
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
@@ -125,9 +138,106 @@ object StreamingQueries {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Streaming watermarked tumbling-window aggregation, oracle-checked
+    * against q17's batch SQL: replay the events table through
+    * [[Streaming.windowedEventCounts]] in four time-ordered micro-batches.
+    * Append mode only emits a window once the watermark passes its end, so
+    * a sentinel event 4 h past the real data finalizes every real window
+    * ("end of input"); the sentinel's own window never finalizes and is
+    * never emitted. The decimal(18,4)-accumulated `sum_value` is
+    * order-independent, so unlike q65 the full aggregate hash-matches. */
+  val q74_stream_windows: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+    val (srcDir, _, hi, ckpt) = stageTimeOrdered(ev, 4, dupEachFile = false)
+    // two sentinels: the watermark a batch uses comes from the PREVIOUS
+    // batch's data, so the first sentinel advances it past every real
+    // window and the second provides the batch in which they flush
+    Seq(hi + 4 * 60 * 60 * 1000L, hi + 6 * 60 * 60 * 1000L).foreach { tsMs =>
+      Seq((-1L, new java.sql.Timestamp(tsMs), -1L, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+
+    val name = "q74_windows_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val query = Streaming.windowedEventCounts(stream, "1 hour", "2 hours")
+      .writeStream
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    s.table(name)
+      .where(col("event_type") =!= "sentinel")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** q17's oracle verbatim — the streaming replay must reproduce the batch
+    * hourly aggregation exactly (1-hour tumbling windows align with
+    * date_trunc('hour')). */
+  val q74_sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Streaming exact dedup under re-delivery, oracle-checked: every staged
+    * range file is written TWICE (two separate micro-batches), so the
+    * stream delivers each event two times across batch boundaries —
+    * [[Streaming.dedupStream]]'s watermark-bounded state must emit each
+    * `event_id` exactly once, reproducing the events table itself. The
+    * watermark delay is sized to the staged slice span plus slack so the
+    * re-deliveries land inside the dedup state's lifetime (the point being
+    * certified); production uses a delay sized to the real re-delivery
+    * window, keeping state bounded. */
+  val q75_stream_dedup: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+    val (srcDir, lo, hi, ckpt) = stageTimeOrdered(ev, 4, dupEachFile = true)
+    val sliceHours = ((hi - lo) / 4) / (60 * 60 * 1000L) + 2
+
+    val name = "q75_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val query = Streaming.dedupStream(stream, Seq("event_id"), s"$sliceHours hours")
+      .writeStream
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    s.table(name)
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The doubled stream deduped on event_id must equal the events table. */
+  val q75_sql: String =
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |       user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
-    "q65_stream_sessions" -> q65_stream_sessions)
+    "q65_stream_sessions" -> q65_stream_sessions,
+    "q74_stream_windows" -> q74_stream_windows,
+    "q75_stream_dedup" -> q75_stream_dedup)
 
   val oracles: Map[String, String] = Map(
-    "q65_stream_sessions" -> q65_sql)
+    "q65_stream_sessions" -> q65_sql,
+    "q74_stream_windows" -> q74_sql,
+    "q75_stream_dedup" -> q75_sql)
 }
