@@ -1201,6 +1201,58 @@ object RelationalQueries {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ------------------------------------------------- salted aggregation
+  /** [[graft.operators.Skew.saltedAgg]] end-to-end against the oracle a
+    * PLAIN groupBy would use: the two-phase (key, salt) partial → key merge
+    * decomposition must be algebraically invisible. Counts merge as sums;
+    * the double sum stays in DECIMAL through BOTH phases (re-association is
+    * exact), surfacing as DOUBLE only at the end. l_returnflag has 3
+    * distinct values over the whole fact table — exactly the hot-key shape
+    * where one reducer would otherwise take the entire skew. */
+  val q76_salted_agg: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    graft.operators.Skew.saltedAgg(li, Seq("l_returnflag"), 16,
+        partial = Seq(count(lit(1)).as("__n"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("__q")),
+        merge = Seq(sum(col("__n")).as("n"),
+          sum(col("__q")).cast("double").as("sum_qty")))
+      .orderBy(col("l_returnflag"))
+  }
+  val q76_sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --------------------------------------------- analytic window battery
+  /** The full analytic-window surface in one query: lag/lead offsets,
+    * ntile bucketing, percent_rank and cume_dist — all over one
+    * (user, time) window, so Spark evaluates them in a single Window node
+    * after one hash-partition shuffle. The unique (ts, event_id) ordering
+    * makes every function deterministic; percent_rank's
+    * (rank-1)/(n-1) double division is the same expression both engines. */
+  val q77_window_analytics: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+  val q77_sql: String =
+    """SELECT user_id, event_id,
+      |       lag(event_id, 1) OVER w AS prev_id,
+      |       lead(event_id, 1) OVER w AS next_id,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1252,7 +1304,9 @@ object RelationalQueries {
     "q70_promo_revenue" -> q70_promo_revenue,
     "q71_brand_envelopes" -> q71_brand_envelopes,
     "q72_supplier_dist" -> q72_supplier_dist,
-    "q73_dormant_customers" -> q73_dormant_customers)
+    "q73_dormant_customers" -> q73_dormant_customers,
+    "q76_salted_agg" -> q76_salted_agg,
+    "q77_window_analytics" -> q77_window_analytics)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1305,5 +1359,7 @@ object RelationalQueries {
     "q70_promo_revenue" -> q70_sql,
     "q71_brand_envelopes" -> q71_sql,
     "q72_supplier_dist" -> q72_sql,
-    "q73_dormant_customers" -> q73_sql)
+    "q73_dormant_customers" -> q73_sql,
+    "q76_salted_agg" -> q76_sql,
+    "q77_window_analytics" -> q77_sql)
 }
