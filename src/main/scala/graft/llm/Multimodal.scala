@@ -53,6 +53,49 @@ object Multimodal {
     }
   }
 
+  /** The video-shaped stage: per payload, (stub-)resize → sample `k`
+    * frames → decode each frame, all inside ONE batched `mapPartitions`
+    * (a real pipeline decodes and embeds frames in a single stage so the
+    * codec's per-partition setup is paid once, and the k× row fan-out
+    * happens executor-side — never through the driver or a shuffle).
+    *
+    * Stubs, each honestly fake but byte-deterministic so the whole stage is
+    * oracle-checkable end to end:
+    *  - resize: truncate to `resizeTo` bytes or zero-pad up to it (a real
+    *    image resize is a codec call with the same bytes-in/bytes-out
+    *    shape); skipped when `resizeTo` ≤ 0;
+    *  - frame j of k: the contiguous byte slice [n·j/k, n·(j+1)/k) (a real
+    *    video codec seeks keyframes);
+    *  - per-frame features: [[StubDecoder]].
+    * Output: (id, frame_idx, feature array<float>).
+    */
+  def frameFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                    k: Int, resizeTo: Int = 0,
+                    decoder: Decoder = StubDecoder): DataFrame = {
+    require(k > 0, s"frameFeatures: k must be positive, got $k")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
+    projected.mapPartitions { rows =>
+      // per-partition codec setup happens here in a real deployment
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val raw = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val bytes =
+          if (resizeTo <= 0) raw
+          else if (raw.length >= resizeTo) raw.take(resizeTo)
+          else raw ++ Array.fill[Byte](resizeTo - raw.length)(0)
+        val n = bytes.length
+        (0 until k).iterator.map { j =>
+          val frame = bytes.slice((n.toLong * j / k).toInt, (n.toLong * (j + 1) / k).toInt)
+          Row(id, j.toLong, decoder(frame).toSeq)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema)).toDF("id", "frame_idx", "feature")
+  }
+
   /** Batched feature extraction over a binary column via `mapPartitions`:
     * the decoder is constructed once per partition (where a real codec
     * would load its native state), then streamed over the partition's rows.

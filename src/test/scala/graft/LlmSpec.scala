@@ -295,4 +295,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(7L) == Seq(2f, 97f, 98f, (97f + 98f) % 997))
     assert(out(8L) == Seq(0f, 0f, 0f, 0f)) // empty payload → zero vector
   }
+
+  test("frameFeatures: resize + frame slicing + per-frame decode, executor-side fan-out") {
+    // 6-byte payload, resize to 6 (no-op), k=3 → frames of exactly 2 bytes
+    val df = Seq((1L, "abcdef"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.frameFeatures(
+        Multimodal.withPayload(df, "text", "doc_id"), "doc_id", "payload",
+        k = 3, resizeTo = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
+    assert(out.size == 6) // one row per (doc, frame)
+    assert(out((1L, 0L)) == Seq(2f, 'a'.toFloat, 'b'.toFloat, ('a' + 'b').toFloat % 997))
+    assert(out((1L, 2L)) == Seq(2f, 'e'.toFloat, 'f'.toFloat, ('e' + 'f').toFloat % 997))
+    // empty text → 6 zero-pad bytes → frames exist, all-zero features except length
+    assert(out((2L, 0L)) == Seq(2f, 0f, 0f, 0f))
+    // truncation + padding: 4-byte payload resized to 6 → last frame is 'd' + 0-pad
+    val pad = Multimodal.frameFeatures(
+        Multimodal.withPayload(Seq((3L, "abcd")).toDF("doc_id", "text"), "text", "doc_id"),
+        "doc_id", "payload", k = 3, resizeTo = 6)
+      .collect().map(r => r.getLong(1) -> r.getSeq[Float](2)).toMap
+    assert(pad(2L) == Seq(2f, 0f, 0f, 0f)) // frame [4,6) is pure padding
+    assert(pad(1L) == Seq(2f, 'c'.toFloat, 'd'.toFloat, ('c' + 'd').toFloat % 997))
+  }
 }
