@@ -207,6 +207,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("native RollingHash expression equals the UDF and impl on a DataFrame") {
+    import spark.implicits._
+    val df = Seq("hello world", "", "ü unicode ≠ ascii").toDF("t")
+    val both = df.select(
+        graft.llm.RollingHash.rollingHashNative(org.apache.spark.sql.functions.col("t")).as("native"),
+        TextAnalysis.rollingHash(org.apache.spark.sql.functions.col("t")).as("viaUdf"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // null input → 0, and SQL registration works
+    graft.llm.RollingHash.register(spark)
+    val viaSql = spark.sql("SELECT rolling_hash(CAST(NULL AS STRING))").collect().head.getLong(0)
+    assert(viaSql == 0L)
+  }
+
   test("rollingHash matches a BigInt reference implementation") {
     val mod = BigInt((1L << 61) - 1)
     def ref(s: String): Long =
