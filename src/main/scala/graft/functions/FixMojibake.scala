@@ -50,15 +50,31 @@ case class FixMojibake(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `SparkSessionExtensions` injector — wire the engine's SQL functions into
-  * any session via config, no code changes:
-  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+/** `SparkSessionExtensions` injector — wire the engine's native SQL
+  * functions into any session via config, no code changes:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  * Registers every native codegen expression the engine defines, so a
+  * SQL-only user gets the same surface the Column API exposes. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("fix_mojibake"),
       new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
       (children: Seq[Expression]) => FixMojibake(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[graft.llm.RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => graft.llm.RollingHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.llm.DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => graft.llm.DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[graft.llm.NearestCell].getName, "nearest_cell"),
+      (children: Seq[Expression]) =>
+        graft.llm.NearestCell(children(0), children(1), children(2))))
+  }
 }
 
 object FixMojibake {

@@ -231,13 +231,73 @@ object StreamingQueries {
       |       user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Stream-stream inner join, oracle-checked: views and clicks replay as
+    * TWO file-source streams (each in four time-ordered micro-batches; the
+    * file sources advance in lockstep, one file per trigger each), joined
+    * on user within a 60-minute bound — the canonical impressions⋈clicks
+    * shape. Both sides carry watermarks and the condition bounds both
+    * event times, so Spark evicts join state as the watermark advances;
+    * an inner join emits on match, so no sentinel flush is needed. The
+    * output must hash-match the batch self-join over the events table.
+    *
+    * Completeness under eviction: a view can only be evicted once the
+    * watermark (which lags the max seen event time by the 1 h delay)
+    * passes view_ts + 60 min — by then any matching click (≤ 60 min after
+    * the view, files time-ordered) has already arrived and matched. */
+  val q80_stream_stream_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val views = ev.where(col("event_type") === "view")
+    val clicks = ev.where(col("event_type") === "click")
+    val (vDir, _, _, ckpt) = stageTimeOrdered(views, 4, dupEachFile = false)
+    val (cDir, _, _, _) = stageTimeOrdered(clicks, 4, dupEachFile = false)
+
+    def src(dir: String): DataFrame =
+      s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(dir)
+    val joined = Streaming.streamStreamJoin(
+        src(vDir).select(col("event_id").as("view_id"), col("ts"), col("user_id")),
+        src(cDir).select(col("event_id").as("click_id"), col("ts"), col("user_id")),
+        "user_id", boundSeconds = 3600)
+      .select(col("l.user_id").as("user_id"),
+        col("view_id"), col("click_id"),
+        col("l.ts").as("vts"), col("r.ts").as("cts"))
+
+    val name = "q80_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = joined.writeStream
+      .queryName(name)
+      .format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    s.table(name)
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        date_format(col("vts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+      .orderBy(col("view_id"), col("click_id"))
+  }
+
+  /** The equivalent batch self-join over the events table. */
+  val q80_sql: String =
+    """SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id,
+      |       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |       strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+      |WHERE a.event_type = 'view' AND b.event_type = 'click'
+      |ORDER BY view_id, click_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
-    "q75_stream_dedup" -> q75_stream_dedup)
+    "q75_stream_dedup" -> q75_stream_dedup,
+    "q80_stream_stream_join" -> q80_stream_stream_join)
 
   val oracles: Map[String, String] = Map(
     "q65_stream_sessions" -> q65_sql,
     "q74_stream_windows" -> q74_sql,
-    "q75_stream_dedup" -> q75_sql)
+    "q75_stream_dedup" -> q75_sql,
+    "q80_stream_stream_join" -> q80_sql)
 }

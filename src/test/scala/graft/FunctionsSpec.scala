@@ -82,4 +82,26 @@ class FunctionsSpec extends SparkSpec {
       .where($"v" === 5).select($"tier").distinct().collect()
     assert(out.length == 1) // all 5s in the same tier, never split (≠ ntile)
   }
+
+  test("native vector expressions resolve through the SQL function registry") {
+    // same builder lambdas GraftExtensions injects — a SQL-only user's path
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.llm.DotProduct].getName, "dot_product"),
+      (c: Seq[Expression]) => graft.llm.DotProduct(c(0), c(1)))
+    reg.registerFunction(
+      FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[graft.llm.NearestCell].getName, "nearest_cell"),
+      (c: Seq[Expression]) => graft.llm.NearestCell(c(0), c(1), c(2)))
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       nearest_cell(array(0.0d, 1.0d),
+        |                    array(1.0d, 0.0d, 0.0d, 1.0d),
+        |                    array(1.0d, 1.0d)) AS nc""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 1) // second packed centroid (0,1) is nearest
+  }
 }
