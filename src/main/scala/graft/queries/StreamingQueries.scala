@@ -63,6 +63,21 @@ object StreamingQueries {
     (srcDir, lo, hi, s"$tmp/ckpt")
   }
 
+  /** Run a streaming certification with a small state-partition count: the
+    * stateful operators' partitioning is fixed at CHECKPOINT CREATION from
+    * `spark.sql.shuffle.partitions`, and every micro-batch writes one
+    * state-store delta file per partition per stateful op — at 32
+    * partitions the bounded replay spends more time on state-store I/O
+    * than on data. 8 suits the certification corpus; production sizes its
+    * own. The session conf is restored afterwards (queries run
+    * sequentially under both Verify and Bench). */
+  private def withCertStatePartitions[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, "8")
+    try f finally s.conf.set(key, old)
+  }
+
   /** Streaming sessionization, oracle-checked.
     *
     * Mechanics: the events table is staged into four TIME-RANGE parquet
@@ -100,14 +115,16 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
       .as[Streaming.Event]
-    val query = Streaming.sessionize(stream, GapMs)
-      .writeStream
-      .queryName(name)
-      .format("memory")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withCertStatePartitions(s) {
+      val query = Streaming.sessionize(stream, GapMs)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
 
     val w = Window.partitionBy(col("user_id")).orderBy(col("start"))
     s.table(name)
@@ -165,14 +182,16 @@ object StreamingQueries {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    val query = Streaming.windowedEventCounts(stream, "1 hour", "2 hours")
-      .writeStream
-      .queryName(name)
-      .format("memory")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withCertStatePartitions(s) {
+      val query = Streaming.windowedEventCounts(stream, "1 hour", "2 hours")
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
 
     s.table(name)
       .where(col("event_type") =!= "sentinel")
@@ -210,14 +229,16 @@ object StreamingQueries {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    val query = Streaming.dedupStream(stream, Seq("event_id"), s"$sliceHours hours")
-      .writeStream
-      .queryName(name)
-      .format("memory")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withCertStatePartitions(s) {
+      val query = Streaming.dedupStream(stream, Seq("event_id"), s"$sliceHours hours")
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
 
     s.table(name)
       .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
@@ -263,13 +284,15 @@ object StreamingQueries {
         col("l.ts").as("vts"), col("r.ts").as("cts"))
 
     val name = "q80_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = joined.writeStream
-      .queryName(name)
-      .format("memory")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withCertStatePartitions(s) {
+      val query = joined.writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
 
     s.table(name)
       .select(col("user_id"), col("view_id"), col("click_id"),
