@@ -27,6 +27,31 @@ object ScaleStress {
     time("exact dedup")(Dedup.dedupExact(doc, "text", "doc_id").count())
     time("lsh candidates")(Dedup.dedupNearMinhash(doc, "text", "doc_id", 8, 4).count())
     time("simhash neardup")(Dedup.simhashNearDupPairs(doc, "text", "doc_id", 32, 8, 3).count())
+
+    // ---- vector path at 50× (100k vectors, dim 64): validates that IVF
+    // assignment (broadcast packed centroids + native NearestCell) stays a
+    // narrow map — wall-clock must scale ~linearly in corpus size. The
+    // corpus is the testdata embeddings replicated with remapped ids
+    // (timing is value-independent), materialized first so the stress
+    // times the operators, not the replication.
+    import org.apache.spark.sql.functions._
+    val embBase = if (args.length > 1) args(1) else "/root/testdata/sf0.1/embeddings.parquet"
+    val base = spark.read.parquet(embBase)
+    val dim = base.selectExpr("size(embedding)").head().getInt(0)
+    val baseN = base.count()
+    // id = rep*baseN + vec_id keeps the first baseN ids DISTINCT vectors, so
+    // k-means' smallest-id seeding picks k different centroids (the
+    // vec_id*50+rep remap would seed k copies of vector 0 → 1 cell)
+    val big = base.crossJoin(broadcast(spark.range(50).toDF("rep")))
+      .select((col("rep") * baseN + col("vec_id")).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    time("vectors")(big.count())
+    val cents = graft.llm.Ivf.fit(big, 32, 0, dim).localCheckpoint(true)
+    time("ivf assign 100k")(graft.llm.Ivf.assign(big, cents, dim)
+      .queryExecution.toRdd.count())
+    time("ivf fit (k=32, 2 Lloyd)")(graft.llm.Ivf.fit(big, 32, 2, dim).count())
+    time("ivf topk (5 queries)")(graft.llm.Ivf.topK(
+      big.where(col("vec_id") < 5), big, cents, 10, 2, dim).count())
     spark.stop()
   }
 }
