@@ -32,10 +32,15 @@ object AsOfJoin {
     * @param rightVals  right columns to carry onto matching left rows
     * @param inner      drop left rows with no prior right row (ASOF JOIN
     *                   semantics); false keeps them with nulls (left outer)
+    * @param forward    false (default): most recent right row with
+    *                   `rightTs <= leftTs`; true: NEAREST FOLLOWING right
+    *                   row (`rightTs >= leftTs`, ties inclusive) — the same
+    *                   single ordered sweep run in reverse time order,
+    *                   matching DuckDB `ASOF JOIN ... ON r.ts >= l.ts`
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, rightVals: Seq[String],
-           inner: Boolean = true): DataFrame = {
+           inner: Boolean = true, forward: Boolean = false): DataFrame = {
     val keyCols = keys.map(k => col(s"`$k`"))
     // leftTs is re-emitted from __ts in the final select — keeping it in the
     // payload list would duplicate the column (AMBIGUOUS_REFERENCE downstream)
@@ -55,11 +60,14 @@ object AsOfJoin {
         Seq(col(s"`$rightTs`").as("__ts"), lit(0).as("__side")) ++
         leftCols.map(c => lit(null).as(c)) :+
         rStruct.as("__r"): _*)
-    // right rows (side 0) sort before left rows at equal ts → `<=` ties;
-    // the right payload rides as ONE struct so all carried columns come
-    // from the SAME right row
+    // right rows (side 0) sort before left rows at equal ts → inclusive
+    // ties in BOTH directions; the right payload rides as ONE struct so
+    // all carried columns come from the SAME right row. Forward is the
+    // identical sweep with time reversed (desc), so "last right seen"
+    // becomes "nearest following right".
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r0, allowMissingColumns = false)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

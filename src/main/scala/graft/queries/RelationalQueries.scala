@@ -716,6 +716,29 @@ object RelationalQueries {
       |  ON c.user_id = v.user_id AND v.ts <= c.ts
       |ORDER BY c.user_id, click_id""".stripMargin
 
+  /** Forward as-of: every view annotated with the user's NEAREST FOLLOWING
+    * purchase — [[graft.operators.AsOfJoin]]'s same one-shuffle sweep run
+    * in reverse time order (`forward = true`). DuckDB oracle is its native
+    * ASOF JOIN with the `>=` condition. */
+  val q81_asof_forward: Q = (s, d) => {
+    import graft.operators.AsOfJoin
+    val e = Tables.events(s, d)
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    AsOfJoin.asOf(views, purchases, Seq("user_id"), "ts", "p_ts",
+        Seq("purchase_id"), forward = true)
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+      .orderBy(col("user_id"), col("view_id"))
+  }
+  val q81_sql: String =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id AND p.ts >= v.ts
+      |ORDER BY v.user_id, view_id""".stripMargin
+
   // ------------------------------------------------------------- range join
   /** Bounded time-range self-join: per error event, how many clicks the
     * same user made in the preceding 5 minutes. Key equality makes this a
@@ -1306,7 +1329,8 @@ object RelationalQueries {
     "q72_supplier_dist" -> q72_supplier_dist,
     "q73_dormant_customers" -> q73_dormant_customers,
     "q76_salted_agg" -> q76_salted_agg,
-    "q77_window_analytics" -> q77_window_analytics)
+    "q77_window_analytics" -> q77_window_analytics,
+    "q81_asof_forward" -> q81_asof_forward)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1361,5 +1385,6 @@ object RelationalQueries {
     "q72_supplier_dist" -> q72_sql,
     "q73_dormant_customers" -> q73_sql,
     "q76_salted_agg" -> q76_sql,
-    "q77_window_analytics" -> q77_sql)
+    "q77_window_analytics" -> q77_sql,
+    "q81_asof_forward" -> q81_sql)
 }

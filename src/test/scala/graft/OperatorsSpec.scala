@@ -114,6 +114,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("t4").isEmpty && out("t5").isEmpty)
     assert(out("t2").contains(101.0)) // equal-ts tie is inclusive
   }
+
+  test("asOf forward picks the nearest following right row, ties inclusive") {
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "tts", "qts", Seq("price"),
+        forward = true)
+      .collect().map(r => r.getAs[String]("trade_id") -> r.getAs[Double]("price")).toMap
+    // t1(05:00)→quote 10:00=101; t2(10:00)→equal-ts quote 101 (inclusive);
+    // t3(25:00) has no later quote → dropped; t4(01:00)→sym-2 quote 50;
+    // t5: sym 3 has no quotes → dropped
+    assert(out == Map("t1" -> 101.0, "t2" -> 101.0, "t4" -> 50.0))
+  }
 }
 
 class ExtensionsSpec extends SparkSpec {
