@@ -32,17 +32,24 @@ object Ivf {
 
     val fitted = (1 to iters).foldLeft(c0) { (centroids, _) =>
       val assigned = assign(corpus, centroids, dim, idCol, vecCol)
-      // new centroid = per-cell elementwise mean as `dim` avg aggregates in
-      // ONE groupBy: a single shuffle carrying k×dim map-side partials.
-      // (The previous posexplode formulation pushed corpus×dim rows through
-      // the aggregation machinery and needed a second groupBy + array_sort
-      // to reassemble the vector.)
-      val aggs = (0 until dim).map(j =>
-        avg(element_at(col(vecCol), j + 1).cast("double")).as(s"__m$j"))
+      // new centroid = per-cell elementwise mean as `dim` aggregates in ONE
+      // groupBy: a single shuffle carrying k×dim map-side partials. (The
+      // previous posexplode formulation pushed corpus×dim rows through the
+      // aggregation machinery and needed a second groupBy + array_sort to
+      // reassemble the vector.) Each component accumulates in
+      // DECIMAL(27,12) and divides the count as a double: the mean is then
+      // independent of partial-aggregation order — the fitted centroids
+      // (and every downstream assignment) are bit-identical across
+      // partitionings, and the whole Lloyd chain is oracle-expressible
+      // (q35's DuckDB oracle mirrors this exact operation order).
+      val sums = (0 until dim).map(j =>
+        sum(element_at(col(vecCol), j + 1).cast("double")
+          .cast("decimal(27,12)")).as(s"__s$j"))
       assigned.groupBy(col("cell"))
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(sums.head, sums.tail :+ count(lit(1)).as("__n"): _*)
         .select(col("cell"),
-          array((0 until dim).map(j => col(s"__m$j")): _*).as("centroid"))
+          array((0 until dim).map(j =>
+            col(s"__s$j").cast("double") / col("__n")): _*).as("centroid"))
     }
     // k-means is inherently iterative and its result is referenced from
     // multiple places downstream (topK packs it once for assignment and
