@@ -1276,6 +1276,108 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // --------------------------------------------- market share ratio (Q8)
+  /** TPC-H Q8 shape: one region-restricted nation's share of yearly
+    * revenue — a ratio of a CONDITIONAL sum to the total, per group. Both
+    * sums ride the same aggregation (one pass); numerator and denominator
+    * accumulate in DECIMAL and divide once per row. Supplier/nation/region
+    * broadcast; the orders join is the only co-keyed shuffle. */
+  val q82_market_share: Q = (s, d) => {
+    val n = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((dsum(when(col("n_name") === "NATION_2", disc).otherwise(lit(0.0)), 6) /
+            dsum(disc, 6)).as("mkt_share"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("o_year"))
+  }
+  val q82_sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |       CAST(sum(CAST(CASE WHEN n_name = 'NATION_2'
+      |                          THEN l_extendedprice * (1.0 - l_discount)
+      |                          ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+      |       / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |LEFT JOIN (SELECT n_nationkey, n_name FROM nation
+      |           JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA') nn
+      |  ON s_nationkey = nn.n_nationkey
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  // ------------------------------------------- important stock (Q11)
+  /** TPC-H Q11 shape: per-part inventory value exceeding a FRACTION OF THE
+    * GLOBAL total — a grouped aggregate filtered against a scalar
+    * aggregate of the same fact. The scalar computes once and broadcasts
+    * into the HAVING comparison (no re-scan: AQE reuses the exchange). */
+  val q83_important_parts: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+    val value = col("l_extendedprice") * col("l_quantity")
+    val perPart = li.groupBy(col("l_partkey")).agg(dsum(value, 2).as("part_value"))
+    val total = li.agg((dsum(value, 2) * 0.001).as("threshold"))
+    perPart.join(broadcast(total))
+      .where(col("part_value") > col("threshold"))
+      .select(col("l_partkey"), col("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+  val q83_sql: String =
+    """WITH t AS (
+      |  SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.001 AS threshold
+      |  FROM lineitem)
+      |SELECT l_partkey,
+      |       CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+      |FROM lineitem CROSS JOIN t
+      |GROUP BY l_partkey, threshold
+      |HAVING CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) > threshold
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  // --------------------------------------------- top supplier (Q15)
+  /** TPC-H Q15 shape: the supplier(s) achieving MAXIMUM quarterly revenue —
+    * argmax via a scalar subquery over the same grouped aggregate (the
+    * classic view + max pattern). The revenue aggregate computes once; the
+    * 1-row max broadcasts back for the equality filter. `max` is
+    * order-independent, so the double equality is cross-engine exact. */
+  val q84_top_supplier: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val revenue = li.groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("total_revenue"))
+    val best = revenue.agg(max(col("total_revenue")).as("best"))
+    revenue.join(broadcast(best))
+      .where(col("total_revenue") === col("best"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+  val q84_sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM revenue
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1330,7 +1432,10 @@ object RelationalQueries {
     "q73_dormant_customers" -> q73_dormant_customers,
     "q76_salted_agg" -> q76_salted_agg,
     "q77_window_analytics" -> q77_window_analytics,
-    "q81_asof_forward" -> q81_asof_forward)
+    "q81_asof_forward" -> q81_asof_forward,
+    "q82_market_share" -> q82_market_share,
+    "q83_important_parts" -> q83_important_parts,
+    "q84_top_supplier" -> q84_top_supplier)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1386,5 +1491,8 @@ object RelationalQueries {
     "q73_dormant_customers" -> q73_sql,
     "q76_salted_agg" -> q76_sql,
     "q77_window_analytics" -> q77_sql,
-    "q81_asof_forward" -> q81_sql)
+    "q81_asof_forward" -> q81_sql,
+    "q82_market_share" -> q82_sql,
+    "q83_important_parts" -> q83_sql,
+    "q84_top_supplier" -> q84_sql)
 }
