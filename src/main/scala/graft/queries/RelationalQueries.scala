@@ -1378,6 +1378,155 @@ object RelationalQueries {
       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  // --------------------------------------------- forecast revenue (Q6)
+  /** TPC-H Q6 shape: a pure scan-side aggregate — every predicate (date
+    * window, discount band, quantity cap) pushes to the parquet reader, no
+    * join anywhere; the canonical "is pushdown working" probe. */
+  val q86_forecast_revenue: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+             col("l_discount").between(0.05, 0.07) &&
+             col("l_quantity") < 24.0)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+  val q86_sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  // --------------------------------------------- volume shipping (Q7)
+  /** TPC-H Q7 shape: trade volume between two specific nations in BOTH
+    * directions — the two-sided dimension condition `(supp=A AND cust=B)
+    * OR (supp=B AND cust=A)` evaluated after broadcast nation lookups on
+    * each side, grouped by the (supp_nation, cust_nation, year) pair. */
+  val q87_volume_shipping: Q = (s, d) => {
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+  val q87_sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS INT) AS l_year,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ------------------------------------------------ product profit (Q9)
+  /** TPC-H Q9 shape: profit per nation per year over a part-name
+    * substring filter. The testdata has no partsupp cost, so cost is
+    * proxied by `0.6 × p_retailprice × l_quantity` — the SHAPE (computed
+    * measure joining three dims, LIKE-filtered part, two-level grouping)
+    * is what the query certifies. */
+  val q88_product_profit: Q = (s, d) => {
+    val pt = Tables.part(s, d).where(col("p_name").contains("a"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(amount, 6).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+  val q88_sql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |                     - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // ------------------------------------------- excess suppliers (Q20)
+  /** TPC-H Q20 shape: the nested-IN chain — suppliers of small parts whose
+    * shipped volume for that part exceeds a threshold. Decorrelated
+    * Spark-first: per (part, supplier) shipped quantity in the window,
+    * threshold = half the part's total, semi-join the qualifying pairs
+    * down to suppliers. Everything ships only keys after the first
+    * aggregate. */
+  val q89_excess_suppliers: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val perPair = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("pair_qty"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg((dsum(col("l_quantity")) * 0.5).as("half_qty"))
+    val smallParts = Tables.part(s, d).where(col("p_size") < 10)
+      .select(col("p_partkey"))
+    val qualifying = perPair
+      .join(perPart, Seq("l_partkey"))
+      .where(col("pair_qty") > col("half_qty"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+  val q89_sql: String =
+    """WITH win AS (
+      |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01'),
+      |pair AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS pair_qty
+      |  FROM win GROUP BY 1, 2),
+      |half AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 0.5 AS half_qty
+      |  FROM win GROUP BY 1)
+      |SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM pair
+      |  JOIN half USING (l_partkey)
+      |  JOIN part ON p_partkey = l_partkey AND p_size < 10
+      |  WHERE pair_qty > half_qty)
+      |ORDER BY s_suppkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1435,7 +1584,11 @@ object RelationalQueries {
     "q81_asof_forward" -> q81_asof_forward,
     "q82_market_share" -> q82_market_share,
     "q83_important_parts" -> q83_important_parts,
-    "q84_top_supplier" -> q84_top_supplier)
+    "q84_top_supplier" -> q84_top_supplier,
+    "q86_forecast_revenue" -> q86_forecast_revenue,
+    "q87_volume_shipping" -> q87_volume_shipping,
+    "q88_product_profit" -> q88_product_profit,
+    "q89_excess_suppliers" -> q89_excess_suppliers)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1494,5 +1647,9 @@ object RelationalQueries {
     "q81_asof_forward" -> q81_sql,
     "q82_market_share" -> q82_sql,
     "q83_important_parts" -> q83_sql,
-    "q84_top_supplier" -> q84_sql)
+    "q84_top_supplier" -> q84_sql,
+    "q86_forecast_revenue" -> q86_sql,
+    "q87_volume_shipping" -> q87_sql,
+    "q88_product_profit" -> q88_sql,
+    "q89_excess_suppliers" -> q89_sql)
 }
