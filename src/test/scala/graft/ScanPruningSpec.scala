@@ -54,6 +54,18 @@ class ScanPruningSpec extends SparkSpec {
     }
   }
 
+  test("q86 (TPC-H Q6): all four predicates push to the lineitem scan") {
+    val scan = scanOf(queries.RelationalQueries.q86_forecast_revenue(spark, sfDir), "lineitem")
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity").foreach { f =>
+      assert(pushed.contains(f),
+        s"q86 scan is missing pushed filter $f (PushedFilters: $pushed) — " +
+          "the no-join Q6 aggregate would read the whole fact table at scale")
+    }
+  }
+
   test("q79 (curation): the widened documents scan reads only doc_id and text") {
     val scan = scanOf(queries.LlmQueries.q79_curation_pipeline(spark, sfDir), "documents")
     val read = scan.requiredSchema.fieldNames.toSet
