@@ -96,21 +96,30 @@ object Dedup {
     lshCandidatePairs(minhashSignatures(docShingles(df, textCol, idCol), k), bands, k / bands)
   }
 
-  /** SimHash fingerprint (default 16 bits): per-bit majority vote over the
-    * 32-bit md5-prefix hashes of the document's distinct tokens. One
-    * groupBy with `bits` sum-aggregates — a single shuffle. Near-dup docs
-    * land on equal (or Hamming-close) fingerprints. */
+  /** SimHash fingerprint (default 16 bits, up to the classic Charikar 64):
+    * per-bit majority vote over md5-prefix hashes of the document's
+    * distinct tokens. One groupBy with `bits` sum-aggregates — a single
+    * shuffle. Near-dup docs land on equal (or Hamming-close) fingerprints.
+    *
+    * The vote hash is an 8-hex-char (32-bit) md5 prefix for bits ≤ 32 —
+    * kept narrow so the 32-bit fingerprints of earlier corpora stay
+    * byte-stable — and a 16-hex-char (64-bit) prefix above that; nibble
+    * positions past the prefix would silently produce garbage votes, hence
+    * the hard bound. Bit 63's weight is `1L << 63` = Long.MinValue: the
+    * fold adds it LAST (ascending bit order), so partial sums of distinct
+    * non-negative powers stay ≤ 2^63-1 and the final add cannot overflow
+    * under ANSI arithmetic — the fingerprint is the standard two's-
+    * complement reading of the 64-bit pattern. */
   def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
-    // the vote hash is a 32-bit (8-hex-char) md5 prefix: nibble positions
-    // underflow past bit 31, silently producing garbage votes
-    require(bits >= 1 && bits <= 32, s"simhash supports 1..32 bits, got $bits")
+    require(bits >= 1 && bits <= 64, s"simhash supports 1..64 bits, got $bits")
+    val hexLen = if (bits <= 32) 8 else 16
     val words = graft.io.Tables.widen(df)
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .distinct()
-    val h = substring(md5(col("w")), 1, 8) // 32-bit hex value
+    val h = substring(md5(col("w")), 1, hexLen)
     val voteAggs = (0 until bits).map { b =>
-      val nibble = conv(substring(h, 8 - b / 4, 1), 16, 10).cast("int")
+      val nibble = conv(substring(h, hexLen - b / 4, 1), 16, 10).cast("int")
       val bit = shiftright(nibble, b % 4).bitwiseAND(lit(1))
       sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
     }

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,37 +29,116 @@ object StreamingQueries {
   /** Session gap — must match q32's 30 minutes for oracle parity. */
   val GapMs: Long = 30 * 60 * 1000L
 
-  /** Stage a batch frame into `parts` TIME-RANGE parquet files under a fresh
-    * temp dir, so a file-source replay (`maxFilesPerTrigger=1`, oldest file
-    * first) delivers micro-batches in event-time order — no rows ever arrive
-    * behind the watermark and get dropped. Returns (srcDir, loMs, hiMs,
-    * ckptDir). `dupEachFile` writes every range file TWICE (as two separate
-    * files → two separate micro-batches), giving a dedup stream genuine
-    * cross-batch re-deliveries of every row. */
-  private def stageTimeOrdered(ev: DataFrame, parts: Int,
-                               dupEachFile: Boolean): (String, Long, Long, String) = {
-    val tmp = Files.createTempDirectory("graft_stream_").toString
-    val srcDir = s"$tmp/src"
-    // bounded 1-row probe (same license as Stats.embeddingDim)
-    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
-    val lo = bounds.getTimestamp(0).getTime
-    val hi = bounds.getTimestamp(1).getTime
-    val span = math.max(hi - lo, 1L)
-    // sequential writes → strictly increasing file mtimes → replay order
-    (0 until parts).foreach { i =>
-      val from = lo + span * i / parts
-      val to = lo + span * (i + 1) / parts
-      // hi/lo are millisecond-truncated (getTime); the last file must be
-      // unbounded above or the max event's sub-millisecond tail is lost
-      val upper =
-        if (i == parts - 1) lit(true)
-        else col("ts") < timestamp_millis(lit(to))
-      val slice = ev.where(col("ts") >= timestamp_millis(lit(from)) && upper)
-      slice.coalesce(1).write.mode("append").parquet(srcDir)
-      if (dupEachFile) slice.coalesce(1).write.mode("append").parquet(srcDir)
-    }
-    (srcDir, lo, hi, s"$tmp/ckpt")
+  /** Certification scratch management. Two properties matter for cost:
+    *
+    *  1. Everything here — staged replay files AND streaming checkpoints —
+    *     is ephemeral by construction (the run is hash-compared against a
+    *     batch oracle, then discarded), so durability is irrelevant and the
+    *     scratch lives on a RAM-backed filesystem when one exists
+    *     ([[graft.io.Scratch]]). State-store delta files are written +
+    *     fsynced per state partition per stateful op per micro-batch; on
+    *     tmpfs that I/O never touches disk.
+    *  2. Staged dirs are IMMUTABLE once built (sentinels included — see
+    *     [[stageTimeOrdered]]), so they are memoized per (sfDir, key) and
+    *     shared across queries and reps within a session: q65 and q74
+    *     replay the identical staged dir, and a Bench/Verify run stages
+    *     each distinct replay corpus exactly once.
+    */
+  private object Stage {
+    private val staged =
+      scala.collection.concurrent.TrieMap.empty[(String, String), (String, Long, Long)]
+
+    def memo(d: String, key: String)(build: String => (Long, Long)): (String, Long, Long) =
+      staged.getOrElseUpdate((d, key), {
+        val dir = graft.io.Scratch.dir(s"base_${key}_") + "/src"
+        val (lo, hi) = build(dir)
+        (dir, lo, hi)
+      })
+
+    /** Fresh checkpoint dir per streaming run (checkpoints are never
+      * shareable — they encode one query's offsets + state). */
+    def ckpt(): String = graft.io.Scratch.dir("ckpt_")
   }
+
+  /** Stage a batch frame into `parts` TIME-RANGE parquet files, so a
+    * file-source replay (`maxFilesPerTrigger=1`, oldest file first)
+    * delivers micro-batches in event-time order — no rows ever arrive
+    * behind the watermark and get dropped. Returns (srcDir, loMs, hiMs).
+    *
+    * Mechanics: ONE `repartitionByRange(parts, ts)` write job produces the
+    * slice files — range partition i is the i-th time slice and is written
+    * as `part-0000i-…`, so the part-file INDEX is the time order. The file
+    * source replays oldest-mtime-first, so staging then stamps explicit
+    * strictly-increasing mtimes in index order (2 s apart, set in the past
+    * so any later append sorts after). One shuffle job replaces the former
+    * parts(+dup)+1 sequential filter-scan-write jobs.
+    *
+    * `dupEachFile` interleaves a filesystem COPY of every slice file
+    * (mtime +1 s, so it replays as the NEXT micro-batch), giving a dedup
+    * stream genuine cross-batch re-deliveries of every row at zero extra
+    * Spark-job cost.
+    *
+    * `sentinelOffsetsMs` appends, AFTER the real data, one single-row file
+    * per offset at `hi + offset` (user_id -1, event_type "sentinel") —
+    * the streaming equivalent of "end of input": the first sentinel batch
+    * advances the watermark past every real window/session close, the next
+    * provides the batch in which the flushed results are emitted (a batch
+    * computes with the watermark derived from the PREVIOUS batch's data).
+    * Folding sentinels into staging keeps the staged dir immutable, which
+    * is what lets [[Stage]] share it across queries.
+    *
+    * The result is memoized per (sfDir, key): callers pass a key that
+    * uniquely names the (frame, parts, dup, sentinels) combination. */
+  private def stageTimeOrdered(ev: DataFrame, d: String, key: String, parts: Int,
+                               dupEachFile: Boolean,
+                               sentinelOffsetsMs: Seq[Long] = Nil): (String, Long, Long) =
+    Stage.memo(d, key) { srcDir =>
+      import java.nio.file.{Files => F, Paths}
+      import java.nio.file.attribute.FileTime
+      val s = ev.sparkSession
+      import s.implicits._
+      // bounded 1-row probe (same license as Stats.embeddingDim)
+      val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      val lo = bounds.getTimestamp(0).getTime
+      val hi = bounds.getTimestamp(1).getTime
+      ev.repartitionByRange(parts, col("ts")).write.mode("append").parquet(srcDir)
+      def partFiles(dirStr: String): Seq[java.nio.file.Path] = {
+        val it = F.list(Paths.get(dirStr)).iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+            buf += p
+        }
+        // one job, one job-UUID → lexicographic name order IS partition order
+        buf.sortBy(_.getFileName.toString).toSeq
+      }
+      val sliceFiles = partFiles(srcDir)
+      // each sentinel is written to a side dir, then its single part file is
+      // moved into srcDir under a distinct name (same tmpfs → a rename)
+      val dir = Paths.get(srcDir)
+      val senFiles = sentinelOffsetsMs.zipWithIndex.map { case (off, j) =>
+        val senDir = dir.getParent.resolve(s"sen$j").toString
+        Seq((-1L, new java.sql.Timestamp(hi + off), -1L, "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.parquet(senDir)
+        F.move(partFiles(senDir).head, dir.resolve(s"zz-sentinel-$j.parquet"))
+      }
+      // stamp replay order (slices, then sentinels) as strictly-increasing
+      // mtimes, 2 s apart, set in the past so nothing later can predate them
+      val ordered = sliceFiles ++ senFiles
+      val t0 = System.currentTimeMillis() - 24 * 60 * 60 * 1000L
+      ordered.zipWithIndex.foreach { case (p, i) =>
+        F.setLastModifiedTime(p, FileTime.fromMillis(t0 + i * 2000L))
+        if (dupEachFile && i < sliceFiles.size) {
+          val copy = p.getParent.resolve("dup-" + p.getFileName.toString)
+          F.copy(p, copy)
+          F.setLastModifiedTime(copy, FileTime.fromMillis(t0 + i * 2000L + 1000L))
+        }
+      }
+      (lo, hi)
+    }
 
   /** Run a streaming certification with a small state-partition count: the
     * stateful operators' partitioning is fixed at CHECKPOINT CREATION from
@@ -102,13 +179,13 @@ object StreamingQueries {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
 
-    val (srcDir, _, hi, ckpt) = stageTimeOrdered(ev, 4, dupEachFile = false)
-    def sentinel(tsMs: Long): Unit =
-      Seq((-1L, new java.sql.Timestamp(tsMs), -1L, "sentinel", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
-        .coalesce(1).write.mode("append").parquet(srcDir)
-    sentinel(hi + 2 * 60 * 60 * 1000L) // watermark → hi+1h > every end+gap
-    sentinel(hi + 4 * 60 * 60 * 1000L) // one more batch so the timeouts fire
+    // sentinels at hi+4h / hi+6h: the first puts the watermark (1 h delay)
+    // at hi+3h — past every session close (end + 30 min gap) — the second
+    // fires the timeouts. Identical staging key to q74, so the two certs
+    // replay the SAME memoized dir.
+    val (srcDir, _, _) = stageTimeOrdered(ev, d, "events4s", 4, dupEachFile = false,
+      sentinelOffsetsMs = Seq(4 * 60 * 60 * 1000L, 6 * 60 * 60 * 1000L))
+    val ckpt = Stage.ckpt()
 
     val name = "q65_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val stream = s.readStream.schema(ev.schema)
@@ -164,19 +241,16 @@ object StreamingQueries {
     * never emitted. The decimal(18,4)-accumulated `sum_value` is
     * order-independent, so unlike q65 the full aggregate hash-matches. */
   val q74_stream_windows: Q = (s, d) => {
-    import s.implicits._
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
 
-    val (srcDir, _, hi, ckpt) = stageTimeOrdered(ev, 4, dupEachFile = false)
     // two sentinels: the watermark a batch uses comes from the PREVIOUS
-    // batch's data, so the first sentinel advances it past every real
-    // window and the second provides the batch in which they flush
-    Seq(hi + 4 * 60 * 60 * 1000L, hi + 6 * 60 * 60 * 1000L).foreach { tsMs =>
-      Seq((-1L, new java.sql.Timestamp(tsMs), -1L, "sentinel", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
-        .coalesce(1).write.mode("append").parquet(srcDir)
-    }
+    // batch's data, so the first (hi+4h, watermark → hi+2h under the 2 h
+    // delay) advances it past every real window and the second provides
+    // the batch in which they flush. Same staging key as q65 → shared dir.
+    val (srcDir, _, _) = stageTimeOrdered(ev, d, "events4s", 4, dupEachFile = false,
+      sentinelOffsetsMs = Seq(4 * 60 * 60 * 1000L, 6 * 60 * 60 * 1000L))
+    val ckpt = Stage.ckpt()
 
     val name = "q74_windows_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val stream = s.readStream.schema(ev.schema)
@@ -222,7 +296,8 @@ object StreamingQueries {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
 
-    val (srcDir, lo, hi, ckpt) = stageTimeOrdered(ev, 4, dupEachFile = true)
+    val (srcDir, lo, hi) = stageTimeOrdered(ev, d, "eventsDup", 4, dupEachFile = true)
+    val ckpt = Stage.ckpt()
     val sliceHours = ((hi - lo) / 4) / (60 * 60 * 1000L) + 2
 
     val name = "q75_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -270,8 +345,9 @@ object StreamingQueries {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val views = ev.where(col("event_type") === "view")
     val clicks = ev.where(col("event_type") === "click")
-    val (vDir, _, _, ckpt) = stageTimeOrdered(views, 4, dupEachFile = false)
-    val (cDir, _, _, _) = stageTimeOrdered(clicks, 4, dupEachFile = false)
+    val (vDir, _, _) = stageTimeOrdered(views, d, "views", 4, dupEachFile = false)
+    val (cDir, _, _) = stageTimeOrdered(clicks, d, "clicks", 4, dupEachFile = false)
+    val ckpt = Stage.ckpt()
 
     def src(dir: String): DataFrame =
       s.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(dir)
