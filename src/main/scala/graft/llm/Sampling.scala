@@ -31,4 +31,17 @@ object Sampling {
     val b = hashBucket(key, 100)
     when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
   }
+
+  /** Stratified keep-predicate: the sample rate (percent) is chosen by the
+    * stratum value — the standard corpus-mixing move (downsample the
+    * dominant language/source, keep the rare ones whole). Still a pure
+    * per-row function of (key, stratum): no per-stratum count pass, no
+    * shuffle, exact in expectation at any scale. */
+  def stratifiedKeep(key: Column, stratum: Column,
+                     rates: Map[String, Int], defaultPct: Int = 100): Column = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(stratum === k, v).otherwise(acc)
+    }
+    hashBucket(key, 100) < rate
+  }
 }

@@ -1527,6 +1527,67 @@ object RelationalQueries {
       |  WHERE pair_qty > half_qty)
       |ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------- format round-trips
+  /** JSON-lines sink → scan round-trip: write the documents table as JSON
+    * to session scratch, read it back under the explicit schema, and
+    * aggregate per language — counts, exact char sums, id range, and a
+    * 32-bit-md5-prefix content checksum. The oracle computes the same
+    * aggregates from the ORIGINAL parquet, so a green row certifies the
+    * JSON writer/reader pair is byte-faithful (escaping included) — the
+    * interchange format every ingest pipeline meets. Distributed shape:
+    * the write is one parallel sink job, the read a parallel scan; the
+    * only shuffle is the final tiny groupBy. */
+  val q93_json_roundtrip: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val out = graft.io.Scratch.dir("json_rt_")
+    docs.write.mode("overwrite").json(out)
+    s.read.schema(docs.schema).json(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("text_checksum"))
+      .orderBy(col("lang"))
+  }
+  val q93_sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_checksum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** ORC sink → scan round-trip, same contract as [[q93_json_roundtrip]]
+    * but for the columnar interchange format — and deliberately including
+    * a TIMESTAMP column (l_shipdate) in the grouping key derivation, the
+    * type most prone to cross-format drift. Green row = ORC writer/reader
+    * preserve doubles and timestamps exactly. */
+  val q94_orc_roundtrip: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_returnflag"), col("l_shipdate"))
+    val out = graft.io.Scratch.dir("orc_rt_")
+    li.write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("l_returnflag"), year(col("l_shipdate")).cast("int").as("ship_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_revenue"),
+        min(col("l_orderkey")).as("min_order"),
+        max(col("l_orderkey")).as("max_order"))
+      .orderBy(col("l_returnflag"), col("ship_year"))
+  }
+  val q94_sql: String =
+    """SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+      |       count(*) AS n_lines,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_revenue,
+      |       min(l_orderkey) AS min_order, max(l_orderkey) AS max_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, ship_year""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1588,7 +1649,9 @@ object RelationalQueries {
     "q86_forecast_revenue" -> q86_forecast_revenue,
     "q87_volume_shipping" -> q87_volume_shipping,
     "q88_product_profit" -> q88_product_profit,
-    "q89_excess_suppliers" -> q89_excess_suppliers)
+    "q89_excess_suppliers" -> q89_excess_suppliers,
+    "q93_json_roundtrip" -> q93_json_roundtrip,
+    "q94_orc_roundtrip" -> q94_orc_roundtrip)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1651,5 +1714,7 @@ object RelationalQueries {
     "q86_forecast_revenue" -> q86_sql,
     "q87_volume_shipping" -> q87_sql,
     "q88_product_profit" -> q88_sql,
-    "q89_excess_suppliers" -> q89_sql)
+    "q89_excess_suppliers" -> q89_sql,
+    "q93_json_roundtrip" -> q93_sql,
+    "q94_orc_roundtrip" -> q94_sql)
 }

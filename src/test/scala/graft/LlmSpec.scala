@@ -70,6 +70,37 @@ class DedupSpec extends SparkSpec {
     val hamming14 = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
     assert(hamming13 <= hamming14)
   }
+
+  test("simhash-64: identical docs equal, full width exercised, bounds enforced") {
+    val fp = Dedup.simhash(docs, "text", "doc_id", 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    // the 4 docs' votes should exercise the upper half of the word: at
+    // least one fingerprint sets a bit ≥ 32 (p(all-zero-high-halves) ≈ 0
+    // for md5-driven votes; deterministic for this fixture)
+    assert(fp.values.exists(v => (v >>> 32) != 0L))
+    // 32-bit and 64-bit fingerprints use different vote prefixes by design
+    val fp32 = Dedup.simhash(docs, "text", "doc_id", 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp32(1L) == fp32(2L))
+    intercept[IllegalArgumentException] {
+      Dedup.simhash(docs, "text", "doc_id", 65)
+    }
+  }
+
+  test("stratifiedKeep: rate-100 stratum kept whole, rate-0 dropped, default applies") {
+    import graft.llm.Sampling
+    val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "lang")
+    val kept = rows.select(col("lang"),
+        Sampling.stratifiedKeep(col("id"), col("lang"), Map("a" -> 100, "b" -> 0)).as("k"))
+      .groupBy("lang").agg(sum(when(col("k"), 1).otherwise(0)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == 100L && kept("b") == 0L)
+    // unlisted stratum falls back to defaultPct=100
+    val all = rows.select(Sampling.stratifiedKeep(col("id"), lit("zz"), Map("a" -> 0)).as("k"))
+      .where(col("k")).count()
+    assert(all == 200L)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
