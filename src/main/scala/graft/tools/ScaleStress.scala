@@ -27,6 +27,18 @@ object ScaleStress {
     time("exact dedup")(Dedup.dedupExact(doc, "text", "doc_id").count())
     time("lsh candidates")(Dedup.dedupNearMinhash(doc, "text", "doc_id", 8, 4).count())
     time("simhash neardup")(Dedup.simhashNearDupPairs(doc, "text", "doc_id", 32, 8, 3).count())
+    time("simhash-64 fp")(Dedup.simhash(doc, "text", "doc_id", 64).count())
+    time("editdist verify") {
+      // q91's shape: levenshtein ONLY over bucket-colocated candidates on
+      // bounded prefixes — must stay linear-ish as the corpus grows
+      import org.apache.spark.sql.functions.{col, substring, levenshtein}
+      val pairs = Dedup.dedupNearMinhash(doc, "text", "doc_id", 8, 4)
+      val pref = doc.select(col("doc_id"), substring(col("text"), 1, 200).as("p"))
+      pairs
+        .join(pref.select(col("doc_id").as("doc_a"), col("p").as("pa")), Seq("doc_a"))
+        .join(pref.select(col("doc_id").as("doc_b"), col("p").as("pb")), Seq("doc_b"))
+        .where(levenshtein(col("pa"), col("pb")) <= 100).count()
+    }
 
     // ---- vector path at 50× (100k vectors, dim 64): validates that IVF
     // assignment (broadcast packed centroids + native NearestCell) stays a
