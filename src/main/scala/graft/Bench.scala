@@ -21,11 +21,27 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => Array(-1.0, -1.0, -1.0) }
 
+  /** Cumulative (steal, total) jiffies from /proc/stat's aggregate cpu
+    * line. On a virtualized host, neighbor contention shows up as STEAL
+    * time, not in-VM load: a run can be uniformly 2-3× inflated while
+    * loadavg reads idle (observed round 5). The delta over the run is the
+    * only in-band evidence that distinguishes "engine got slower" from
+    * "hypervisor throttled the vCPUs". */
+  private def cpuStealTotal(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val loadBefore = loadAvg()
+    val (steal0, jiffies0) = cpuStealTotal()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,14 +79,21 @@ object Bench {
     val results = names.map { case (name, _) =>
       name -> runs.flatMap(_.get(name)).min }
     val loadAfter = loadAvg()
+    val (steal1, jiffies1) = cpuStealTotal()
+    val stealPct =
+      if (steal0 >= 0 && jiffies1 > jiffies0)
+        100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
+      else -1.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val warn =
       if (loadBefore(0) > 1.5)
         s""","warning":"host 1-min load ${loadBefore(0)} > 1.5 at start; numbers may be inflated by external load""""
+      else if (stealPct > 2.0)
+        s""","warning":"hypervisor steal time ${f"$stealPct%.1f"}%% over the run; numbers may be inflated by neighbor load""""
       else ""
-    val loads = s""""load_before":[${loadBefore.mkString(",")}],"load_after":[${loadAfter.mkString(",")}]"""
+    val loads = s""""load_before":[${loadBefore.mkString(",")}],"load_after":[${loadAfter.mkString(",")}],"steal_pct":${f"$stealPct%.2f"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stream_reps":1,$loads$warn}""")
     spark.stop()
   }
