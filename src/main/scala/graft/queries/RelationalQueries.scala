@@ -1588,6 +1588,118 @@ object RelationalQueries {
       |       min(l_orderkey) AS min_order, max(l_orderkey) AS max_order
       |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, ship_year""".stripMargin
 
+  /** SCD type-2 merge ([[graft.operators.Scd2]]): a versioned customer
+    * dimension (some keys carrying closed history rows) absorbs a change
+    * batch of updates (keys ≡ 0 mod 7: re-rated balance) and inserts
+    * (fresh keys). One key-join + union — no window, no driver state; the
+    * oracle replays the identical merge relationally. Green row = closed
+    * history untouched, affected open rows closed at the effective date,
+    * new versions open. */
+  val q96_scd2_merge: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val closedHist = c.where(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") - 50.0).as("c_acctbal"),
+        lit("1992-01-01").cast("date").as("valid_from"),
+        lit("1994-01-01").cast("date").as("valid_to"))
+    val open = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      when(col("c_custkey") % 5 === 0, lit("1994-01-01").cast("date"))
+        .otherwise(lit("1992-01-01").cast("date")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val dim = closedHist.unionByName(open)
+    val changes = c.where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit("1995-06-17").cast("date").as("effective"))
+      .unionByName(c.where(col("c_custkey") % 97 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+          col("c_acctbal"),
+          lit("1995-06-17").cast("date").as("effective")))
+    graft.operators.Scd2.merge(dim, changes, "c_custkey")
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+  val q96_sql: String =
+    """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |dim AS (
+      |  SELECT c_custkey, c_name, c_acctbal - 50.0 AS c_acctbal,
+      |         DATE '1992-01-01' AS valid_from, DATE '1994-01-01' AS valid_to
+      |  FROM c WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal,
+      |         CASE WHEN c_custkey % 5 = 0 THEN DATE '1994-01-01' ELSE DATE '1992-01-01' END,
+      |         NULL
+      |  FROM c),
+      |chg AS (
+      |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, DATE '1995-06-17' AS eff
+      |  FROM c WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_acctbal, DATE '1995-06-17'
+      |  FROM c WHERE c_custkey % 97 = 3),
+      |merged AS (
+      |  SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+      |         CASE WHEN d.valid_to IS NULL AND ch.c_custkey IS NOT NULL
+      |              THEN ch.eff ELSE d.valid_to END AS valid_to
+      |  FROM dim d LEFT JOIN chg ch ON d.c_custkey = ch.c_custkey
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, eff, NULL FROM chg)
+      |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin
+
+  /** Z-order layout as data skipping ([[graft.functions.ZOrder]]): tile
+    * lineitem points (x = partkey mod 1024, y = suppkey mod 1024) into 64
+    * files two ways — by Morton-key prefix vs by a linear x-only sort —
+    * and count the files whose min/max footer box intersects a 100×100
+    * query box. The z-order layout's per-file boxes are tight in BOTH
+    * dimensions, so it prunes what the linear layout cannot; file
+    * assignment is a pure key prefix (no window, no global sort — at
+    * write time the same key feeds `repartitionByRange`). The oracle
+    * recomputes the identical interleave from the same constants. */
+  private val ZBits = 10
+  private val ZFileShift = 14
+  val q97_zorder_skipping: Q = (s, d) => {
+    import graft.functions.ZOrder
+    val pts = Tables.lineitem(s, d).select(
+      (col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+    def layoutStats(fileId: Column, layout: String): DataFrame = {
+      val hit = col("min_x") <= 200 && col("max_x") >= 100 &&
+        col("min_y") <= 200 && col("max_y") >= 100
+      pts.withColumn("file_id", fileId)
+        .groupBy(col("file_id"))
+        .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(hit, 1L).otherwise(0L)).as("files_hit"),
+          sum(when(hit, col("cnt")).otherwise(0L)).as("rows_in_hit_files"))
+        .select(lit(layout).as("layout"), col("files_total"),
+          col("files_hit"), col("rows_in_hit_files"))
+    }
+    layoutStats(shiftrightunsigned(ZOrder.zValue(col("x"), col("y"), ZBits), ZFileShift), "zorder")
+      .unionByName(layoutStats(shiftrightunsigned(col("x").cast("long"), 4), "linear"))
+      .orderBy(col("layout"))
+  }
+  val q97_sql: String = {
+    val z = (0 until ZBits).map(i =>
+      s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))")
+      .mkString("(", " | ", ")")
+    def layoutSql(fileExpr: String, layout: String) =
+      s"""SELECT '$layout' AS layout,
+         |       CAST(count(*) AS BIGINT) AS files_total,
+         |       CAST(sum(CASE WHEN min_x <= 200 AND max_x >= 100 AND min_y <= 200 AND max_y >= 100
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+         |       CAST(sum(CASE WHEN min_x <= 200 AND max_x >= 100 AND min_y <= 200 AND max_y >= 100
+         |                THEN cnt ELSE 0 END) AS BIGINT) AS rows_in_hit_files
+         |FROM (SELECT $fileExpr AS file_id,
+         |             min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+         |             count(*) AS cnt
+         |      FROM pts GROUP BY 1)""".stripMargin
+    s"""WITH pts AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem)
+       |${layoutSql(s"$z >> $ZFileShift", "zorder")}
+       |UNION ALL
+       |${layoutSql("x >> 4", "linear")}
+       |ORDER BY layout""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1651,7 +1763,9 @@ object RelationalQueries {
     "q88_product_profit" -> q88_product_profit,
     "q89_excess_suppliers" -> q89_excess_suppliers,
     "q93_json_roundtrip" -> q93_json_roundtrip,
-    "q94_orc_roundtrip" -> q94_orc_roundtrip)
+    "q94_orc_roundtrip" -> q94_orc_roundtrip,
+    "q96_scd2_merge" -> q96_scd2_merge,
+    "q97_zorder_skipping" -> q97_zorder_skipping)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1716,5 +1830,7 @@ object RelationalQueries {
     "q88_product_profit" -> q88_sql,
     "q89_excess_suppliers" -> q89_sql,
     "q93_json_roundtrip" -> q93_sql,
-    "q94_orc_roundtrip" -> q94_sql)
+    "q94_orc_roundtrip" -> q94_sql,
+    "q96_scd2_merge" -> q96_sql,
+    "q97_zorder_skipping" -> q97_sql)
 }
