@@ -50,4 +50,23 @@ class PlanGuaranteesSpec extends SparkSpec {
     assert(shuffle.findFirstIn(streamedSide).isEmpty,
       s"Ivf.assign corpus path contains a shuffle Exchange:\n$plan")
   }
+
+  // Same lock for PQ encoding: the corpus side must stay a narrow map
+  // (broadcast packed codebooks + m native NearestCodeL2 argmins) —
+  // an encode that explodes corpus×(m·ksub) rows would recreate the
+  // round-2 IVF scale-killer under a new name.
+  test("Pq.encode: no shuffle Exchange between corpus scan and NearestCodeL2") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val dim = graft.io.Stats.embeddingDim(spark, sfDir)
+    val cb = graft.llm.Pq.codebooks(emb, 4, 16, dim).localCheckpoint(true)
+    val plan = graft.llm.Pq.encode(emb, cb, 4, dim)
+      .queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("nearestcodel2"),
+      s"encode no longer uses the native NearestCodeL2 expression:\n$plan")
+    val streamedSide = plan.substring(0, plan.indexOf("BroadcastExchange").max(0))
+    assert(streamedSide.nonEmpty, s"no BroadcastExchange in plan:\n$plan")
+    val shuffle = "(?<!\\w)Exchange(?!\\w)".r
+    assert(shuffle.findFirstIn(streamedSide).isEmpty,
+      s"Pq.encode corpus path contains a shuffle Exchange:\n$plan")
+  }
 }
