@@ -64,6 +64,15 @@ object ScaleStress {
     time("ivf fit (k=32, 2 Lloyd)")(graft.llm.Ivf.fit(big, 32, 2, dim).count())
     time("ivf topk (5 queries)")(graft.llm.Ivf.topK(
       big.where(col("vec_id") < 5), big, cents, 10, 2, dim).count())
+    // PQ encode over the same replicated corpus: like Ivf.assign this must
+    // stay a narrow map (broadcast packed codebooks + m native argmin
+    // loops per row) — wall-clock ~linear in corpus size, no shuffle.
+    val cb = graft.llm.Pq.codebooks(big, 4, 16, dim).localCheckpoint(true)
+    time("pq encode 100k")(graft.llm.Pq.encode(big, cb, 4, dim)
+      .queryExecution.toRdd.count())
+    time("pq decode 100k")(graft.llm.Pq.decode(
+      graft.llm.Pq.encode(big, cb, 4, dim), cb, 4, dim)
+      .queryExecution.toRdd.count())
     spark.stop()
   }
 }
