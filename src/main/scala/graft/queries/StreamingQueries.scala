@@ -388,15 +388,118 @@ object StreamingQueries {
       |WHERE a.event_type = 'view' AND b.event_type = 'click'
       |ORDER BY view_id, click_id""".stripMargin
 
+  /** CDC → SCD2 "gold dimension" maintenance, certified end to end: a
+    * change stream (two deterministic batches derived from customer — the
+    * second RE-CHANGES a subset of the first batch's keys, so batch order
+    * is load-bearing) replays through `foreachBatch`, each micro-batch
+    * MERGEd into the versioned dimension by [[graft.operators.Scd2]]; the
+    * final dimension must hash-match the oracle's relational replay of the
+    * same two merges. This is the standard incremental-upsert sink shape
+    * (stream → foreachBatch → MERGE INTO gold) — stateless in the stream
+    * (state lives in the merged table), so no state store is involved;
+    * per-batch `localCheckpoint` keeps the lineage from re-running prior
+    * merges. */
+  val q98_stream_scd2: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val batch1 = c.where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit("1995-06-17").cast("date").as("effective"))
+      .unionByName(c.where(col("c_custkey") % 97 === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+          col("c_acctbal"), lit("1995-06-17").cast("date").as("effective")))
+    val batch2 = c.where(col("c_custkey") % 14 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 200.0).as("c_acctbal"),
+        lit("1996-06-17").cast("date").as("effective"))
+
+    val (srcDir, _, _) = Stage.memo(d, "scd2chg") { dir =>
+      import java.nio.file.{Files => F, Paths}
+      import java.nio.file.attribute.FileTime
+      val dirPath = Paths.get(dir)
+      F.createDirectories(dirPath.getParent)
+      val t0 = System.currentTimeMillis() - 24 * 60 * 60 * 1000L
+      Seq(batch1, batch2).zipWithIndex.foreach { case (b, i) =>
+        val side = dirPath.getParent.resolve(s"b$i").toString
+        b.coalesce(1).write.parquet(side)
+        val it = F.list(Paths.get(side)).iterator()
+        var part: java.nio.file.Path = null
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) part = p
+        }
+        F.createDirectories(dirPath)
+        val dest = dirPath.resolve(s"batch-$i.parquet")
+        F.move(part, dest)
+        F.setLastModifiedTime(dest, FileTime.fromMillis(t0 + i * 2000L))
+      }
+      (0L, 0L)
+    }
+
+    var state = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("1992-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      .localCheckpoint(true)
+    val ckpt = Stage.ckpt()
+    val query = s.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        state = graft.operators.Scd2.merge(state, b.toDF(), "c_custkey")
+          .localCheckpoint(true)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    state.orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  /** The same two merges replayed relationally, batch 1 then batch 2. */
+  val q98_sql: String = {
+    def mergeSql(dim: String, chg: String): String =
+      s"""SELECT d.c_custkey, d.c_name, d.c_acctbal, d.valid_from,
+         |       CASE WHEN d.valid_to IS NULL AND ch.c_custkey IS NOT NULL
+         |            THEN ch.eff ELSE d.valid_to END AS valid_to
+         |  FROM $dim d LEFT JOIN $chg ch ON d.c_custkey = ch.c_custkey
+         |  UNION ALL
+         |  SELECT c_custkey, c_name, c_acctbal, eff, NULL FROM $chg""".stripMargin
+    s"""WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+       |dim0 AS (
+       |  SELECT c_custkey, c_name, c_acctbal,
+       |         DATE '1992-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+       |  FROM c),
+       |chg1 AS (
+       |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal, DATE '1995-06-17' AS eff
+       |  FROM c WHERE c_custkey % 7 = 0
+       |  UNION ALL
+       |  SELECT c_custkey + 1000000, c_name, c_acctbal, DATE '1995-06-17'
+       |  FROM c WHERE c_custkey % 97 = 3),
+       |dim1 AS (
+       |${mergeSql("dim0", "chg1")}),
+       |chg2 AS (
+       |  SELECT c_custkey, c_name, c_acctbal + 200.0 AS c_acctbal, DATE '1996-06-17' AS eff
+       |  FROM c WHERE c_custkey % 14 = 0),
+       |dim2 AS (
+       |${mergeSql("dim1", "chg2")})
+       |SELECT * FROM dim2 ORDER BY c_custkey, valid_from""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
     "q75_stream_dedup" -> q75_stream_dedup,
-    "q80_stream_stream_join" -> q80_stream_stream_join)
+    "q80_stream_stream_join" -> q80_stream_stream_join,
+    "q98_stream_scd2" -> q98_stream_scd2)
 
   val oracles: Map[String, String] = Map(
     "q65_stream_sessions" -> q65_sql,
     "q74_stream_windows" -> q74_sql,
     "q75_stream_dedup" -> q75_sql,
-    "q80_stream_stream_join" -> q80_sql)
+    "q80_stream_stream_join" -> q80_sql,
+    "q98_stream_scd2" -> q98_sql)
 }
