@@ -1700,6 +1700,85 @@ object RelationalQueries {
        |ORDER BY layout""".stripMargin
   }
 
+  /** Table reconciliation ([[graft.operators.Diff]]): snapshot v2 of
+    * customer (deterministic deletes / balance updates / inserts) diffed
+    * against v1 — one full-outer key join + one count, classifying every
+    * key as added/removed/changed/unchanged. The backfill-validation
+    * primitive: "did the rewrite change anything it shouldn't have?" */
+  val q100_table_diff: Q = (s, d) => {
+    val v1 = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val v2 = v1.where(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 11 === 0, col("c_acctbal") + 50.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        col("c_nationkey"))
+      .unionByName(v1.where(col("c_custkey") % 89 === 7)
+        .select((col("c_custkey") + 2000000L).as("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_nationkey")))
+    graft.operators.Diff.summary(v1, v2, "c_custkey")
+      .orderBy(col("change_type"))
+  }
+  val q100_sql: String =
+    """WITH v1 AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer),
+      |v2 AS (
+      |  SELECT c_custkey, c_name,
+      |         CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal,
+      |         c_nationkey
+      |  FROM v1 WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000, c_name, c_acctbal, c_nationkey
+      |  FROM v1 WHERE c_custkey % 89 = 7),
+      |classified AS (
+      |  SELECT CASE WHEN l.c_custkey IS NULL THEN 'added'
+      |              WHEN r.c_custkey IS NULL THEN 'removed'
+      |              WHEN l.c_name IS NOT DISTINCT FROM r.c_name
+      |               AND l.c_acctbal IS NOT DISTINCT FROM r.c_acctbal
+      |               AND l.c_nationkey IS NOT DISTINCT FROM r.c_nationkey THEN 'unchanged'
+      |              ELSE 'changed' END AS change_type
+      |  FROM v1 l FULL OUTER JOIN v2 r ON l.c_custkey = r.c_custkey)
+      |SELECT change_type, count(*) AS n_keys
+      |FROM classified GROUP BY change_type ORDER BY change_type""".stripMargin
+
+  /** Column profiling: null count / distinct count / min / max per
+    * profiled column, as one multi-aggregate pass unpivoted to a row per
+    * column — the "analyze table" primitive for schema drift and data
+    * quality dashboards. Distinct counts are EXACT (the oracle demands
+    * it); at 100 TB each count(distinct) expands the scan, so production
+    * would flip to approx_count_distinct — the documented scale escape. */
+  val q101_profile: Q = (s, d) => {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val c = Tables.customer(s, d)
+    val agg = c.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(cn => Seq(
+        sum(when(col(cn).isNull, 1L).otherwise(0L)).as(s"nulls_$cn"),
+        countDistinct(col(cn)).as(s"distinct_$cn"),
+        min(col(cn)).cast("string").as(s"min_$cn"),
+        max(col(cn)).cast("string").as(s"max_$cn"))): _*)
+    agg.select(col("n_rows"),
+        explode(array(cols.map(cn => struct(
+          lit(cn).as("column_name"),
+          col(s"nulls_$cn").as("n_nulls"),
+          col(s"distinct_$cn").as("n_distinct"),
+          col(s"min_$cn").as("min_value"),
+          col(s"max_$cn").as("max_value"))): _*)).as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+      .orderBy(col("column_name"))
+  }
+  val q101_sql: String = {
+    val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    cols.map(cn =>
+      s"""SELECT '$cn' AS column_name, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       count(DISTINCT $cn) AS n_distinct,
+         |       CAST(min($cn) AS VARCHAR) AS min_value,
+         |       CAST(max($cn) AS VARCHAR) AS max_value
+         |FROM customer""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1765,7 +1844,9 @@ object RelationalQueries {
     "q93_json_roundtrip" -> q93_json_roundtrip,
     "q94_orc_roundtrip" -> q94_orc_roundtrip,
     "q96_scd2_merge" -> q96_scd2_merge,
-    "q97_zorder_skipping" -> q97_zorder_skipping)
+    "q97_zorder_skipping" -> q97_zorder_skipping,
+    "q100_table_diff" -> q100_table_diff,
+    "q101_profile" -> q101_profile)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1832,5 +1913,7 @@ object RelationalQueries {
     "q93_json_roundtrip" -> q93_sql,
     "q94_orc_roundtrip" -> q94_sql,
     "q96_scd2_merge" -> q96_sql,
-    "q97_zorder_skipping" -> q97_sql)
+    "q97_zorder_skipping" -> q97_sql,
+    "q100_table_diff" -> q100_sql,
+    "q101_profile" -> q101_sql)
 }
