@@ -79,6 +79,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NearestCodeL2.impl returns a code in [0, ksub) and is stable on reconstructions") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sub = 4
+    val genVec = Gen.listOfN(sub * 2, Gen.choose(-100.0, 100.0)).map(_.toArray)
+    val genFlat = Gen.listOfN(sub * 4, Gen.choose(-100.0, 100.0)).map(_.toArray)
+    forAll(genVec.flatMap(v => genFlat.map(f => (v, f))), cases = 200) { case (v, f) =>
+      // distinct-centroid corpus (duplicates would legally retarget ties
+      // to the lower code); Gen.choose over doubles collides with
+      // probability ~0 but guard anyway
+      val cents = f.grouped(sub).toSeq
+      if (cents.distinct.size == cents.size) {
+        (0 to 1).foreach { s =>
+          val code = graft.llm.NearestCodeL2.impl(
+            new GenericArrayData(v), new GenericArrayData(f), s * sub, sub)
+          assert(code >= 0 && code < 4)
+          // re-encoding the selected centroid itself must return the same
+          // code (its self-distance is exactly 0)
+          val rec = cents(code)
+          val again = graft.llm.NearestCodeL2.impl(
+            new GenericArrayData(rec), new GenericArrayData(f), 0, sub)
+          assert(again == code)
+        }
+      }
+    }
+  }
+
   test("reference currency-clean semantics: strip [^0-9.] then parse") {
     // model of transformation_pipeline.py:5-11 (re.sub + float, happy path)
     forAll(Gen.oneOf(Seq("£", "Â£", "$", "", "EUR "))

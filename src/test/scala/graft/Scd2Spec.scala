@@ -47,6 +47,28 @@ class Scd2Spec extends SparkSpec {
     assert(got == Seq(0L, 1L, 2L, 39L, (1L << 20) - 1))
   }
 
+  test("zValue round-trips: deinterleaving recovers (x, y) for 200 pseudorandom points") {
+    def deinterleave(z: Long, bits: Int): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until bits).foreach { i =>
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    val pts = (0 until 200).map { i =>
+      // deterministic pseudorandom 10-bit coords
+      (((i * 2654435761L) >>> 7) & 1023L, ((i * 40503L) >>> 3) & 1023L)
+    }
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", ZOrder.zValue($"x", $"y", 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(deinterleave(z, 10) == ((x, y)), s"z=$z for ($x,$y)")
+      assert(z >= 0 && z < (1L << 20))
+    }
+  }
+
   test("zValue rejects widths that would overflow a positive long") {
     val e = intercept[IllegalArgumentException] { ZOrder.zValue(lit(1), lit(1), 32) }
     assert(e.getMessage.contains("bits"))
