@@ -192,4 +192,31 @@ object TextAnalysis {
   }
 
   val rollingHash = udf(rollingHashImpl _)
+
+  /** TF-IDF top-k terms per document. The IDF factor is FIXED-POINT
+    * integer arithmetic — `(N·10⁶) div df`, monotone in N/df like
+    * log(N/df) — because libm transcendentals are not correctly-rounded
+    * and cannot be hash-checked across engines. Scale shape: one token
+    * shuffle for TF (map-side combined), one term-keyed agg for DF
+    * (vocabulary-bounded), broadcast 1-row corpus count, one top-k window
+    * per doc. */
+  def tfIdfTopK(docs: DataFrame, k: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .where(col("term") =!= "")
+    val tf = tokens.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_fp", expr("tf * ((__n * 1000000L) div df)"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf_fp").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf_fp"))
+  }
 }

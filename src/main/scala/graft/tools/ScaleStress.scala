@@ -28,6 +28,8 @@ object ScaleStress {
     time("lsh candidates")(Dedup.dedupNearMinhash(doc, "text", "doc_id", 8, 4).count())
     time("simhash neardup")(Dedup.simhashNearDupPairs(doc, "text", "doc_id", 32, 8, 3).count())
     time("simhash-64 fp")(Dedup.simhash(doc, "text", "doc_id", 64).count())
+    time("tfidf top3")(graft.llm.TextAnalysis.tfIdfTopK(doc, 3)
+      .queryExecution.toRdd.count())
     time("editdist verify") {
       // q91's shape: levenshtein ONLY over bucket-colocated candidates on
       // bounded prefixes — must stay linear-ish as the corpus grows
