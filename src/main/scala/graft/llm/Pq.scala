@@ -68,6 +68,24 @@ object Pq {
       .drop("__cbflat")
   }
 
+  /** The m codes bit-packed into ONE integer (storage form: 4 codes ×
+    * ksub ≤ 16 → 16 bits): `(((c0 << b) | c1) << b) | c2 …` with
+    * b = ⌈log2 ksub⌉. Pure bitwise Column fold — stays in codegen; the
+    * inverse is [[unpackCodes]]. `m·b ≤ 31` keeps the key a positive int. */
+  def packCodes(codes: Column, m: Int, ksub: Int): Column = {
+    val b = 32 - Integer.numberOfLeadingZeros(ksub - 1).min(31)
+    require(m * b <= 31, s"packed width ${m * b} exceeds a positive int")
+    (0 until m).foldLeft(lit(0)) { (acc, s) =>
+      shiftleft(acc, b).bitwiseOR(element_at(codes, s + 1)) }
+  }
+
+  /** Inverse of [[packCodes]]: one packed int back to `array<int>`. */
+  def unpackCodes(packed: Column, m: Int, ksub: Int): Column = {
+    val b = 32 - Integer.numberOfLeadingZeros(ksub - 1).min(31)
+    array((0 until m).map(s =>
+      shiftrightunsigned(packed, (m - 1 - s) * b).bitwiseAND(lit(ksub - 1))): _*)
+  }
+
   /** Adds `outCol: array<double>` — the reconstructed (approximate) vector:
     * the concatenation of each subspace's centroid for the row's code. */
   def decode(encoded: DataFrame, cb: DataFrame, m: Int, dim: Int,

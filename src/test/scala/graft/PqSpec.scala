@@ -61,6 +61,20 @@ class PqSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("packCodes/unpackCodes round-trip the code vector (16-bit storage form)") {
+    val cb = Pq.codebooks(corpus, m, ksub, dim)
+    val enc = Pq.encode(corpus, cb, m, dim)
+    val rt = enc.select($"vec_id", $"codes",
+        Pq.unpackCodes(Pq.packCodes($"codes", m, ksub), m, ksub).as("rt"))
+      .as[(Long, Array[Int], Array[Int])].collect()
+    rt.foreach { case (id, codes, back) =>
+      assert(back.toSeq == codes.toSeq, s"vec $id") }
+    // packed form is compact: fits in m * ceil(log2 ksub) bits
+    val maxPacked = enc.select(Pq.packCodes($"codes", m, ksub).as("p"))
+      .agg(max($"p")).as[Int].head()
+    assert(maxPacked < (1 << 2))  // m=2, ksub=2 -> 2 bits total
+  }
+
   test("NearestCodeL2 ties keep the lowest code; guards name the contract") {
     val vec = new GenericArrayData(Array[Double](1, 1))
     val flatTie = new GenericArrayData(Array[Double](2, 2, 2, 2)) // identical entries
