@@ -74,6 +74,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[graft.llm.NearestCell].getName, "nearest_cell"),
       (children: Seq[Expression]) =>
         graft.llm.NearestCell(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_code"),
+      new ExpressionInfo(classOf[graft.llm.NearestCodeL2].getName, "nearest_code"),
+      // offset/subDim are plan-time constants baked into codegen, so the
+      // SQL form requires foldable int literals for arguments 3 and 4
+      (children: Seq[Expression]) =>
+        graft.llm.NearestCodeL2(children(0), children(1),
+          children(2).eval().asInstanceOf[Number].intValue,
+          children(3).eval().asInstanceOf[Number].intValue)))
   }
 }
 

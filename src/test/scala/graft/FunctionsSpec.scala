@@ -96,12 +96,21 @@ class FunctionsSpec extends SparkSpec {
       FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[graft.llm.NearestCell].getName, "nearest_cell"),
       (c: Seq[Expression]) => graft.llm.NearestCell(c(0), c(1), c(2)))
+    reg.registerFunction(
+      FunctionIdentifier("nearest_code"),
+      new ExpressionInfo(classOf[graft.llm.NearestCodeL2].getName, "nearest_code"),
+      (c: Seq[Expression]) => graft.llm.NearestCodeL2(c(0), c(1),
+        c(2).eval().asInstanceOf[Number].intValue,
+        c(3).eval().asInstanceOf[Number].intValue))
     val r = spark.sql(
       """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       nearest_cell(array(0.0d, 1.0d),
         |                    array(1.0d, 0.0d, 0.0d, 1.0d),
-        |                    array(1.0d, 1.0d)) AS nc""".stripMargin).head()
+        |                    array(1.0d, 1.0d)) AS nc,
+        |       nearest_code(array(5.0d, 5.0d),
+        |                    array(0.0d, 0.0d, 6.0d, 6.0d), 0, 2) AS pc""".stripMargin).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 1) // second packed centroid (0,1) is nearest
+    assert(r.getInt(2) == 1) // (6,6) is the nearer codebook entry by L2
   }
 }
