@@ -1779,6 +1779,37 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** Hive-style partitioned write → partition-pruned scan round-trip:
+    * lineitem lands partitioned by `l_returnflag`, and the read-back
+    * filters one partition — at 100 TB the directory layout means the
+    * other partitions' files are never even LISTED (coarser and cheaper
+    * than footer-stats skipping; `ScanPruningSpec` asserts the scan node
+    * carries the PartitionFilter and reads no non-matching file). Values
+    * are oracle-checked against the unpartitioned table. */
+  val q104_partitioned_scan: Q = (s, d) => {
+    val out = graft.io.Scratch.dir("part_rt_")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_linestatus"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    s.read.parquet(out)
+      .where(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice"), 6).as("sum_price"),
+        min(col("l_orderkey")).as("min_order"),
+        max(col("l_orderkey")).as("max_order"))
+      .orderBy(col("l_linestatus"))
+  }
+  val q104_sql: String =
+    """SELECT l_linestatus, count(*) AS n_lines,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |       min(l_orderkey) AS min_order, max(l_orderkey) AS max_order
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1846,7 +1877,8 @@ object RelationalQueries {
     "q96_scd2_merge" -> q96_scd2_merge,
     "q97_zorder_skipping" -> q97_zorder_skipping,
     "q100_table_diff" -> q100_table_diff,
-    "q101_profile" -> q101_profile)
+    "q101_profile" -> q101_profile,
+    "q104_partitioned_scan" -> q104_partitioned_scan)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1915,5 +1947,6 @@ object RelationalQueries {
     "q96_scd2_merge" -> q96_sql,
     "q97_zorder_skipping" -> q97_sql,
     "q100_table_diff" -> q100_sql,
-    "q101_profile" -> q101_sql)
+    "q101_profile" -> q101_sql,
+    "q104_partitioned_scan" -> q104_sql)
 }

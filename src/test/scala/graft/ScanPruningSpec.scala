@@ -72,4 +72,19 @@ class ScanPruningSpec extends SparkSpec {
     assert(read == Set("doc_id", "text"),
       s"documents scan reads $read — lang/source/len columns should be pruned")
   }
+
+  test("q104 (partitioned write): the read-back scan partition-prunes to flag R") {
+    val scan = scanOf(
+      queries.RelationalQueries.q104_partitioned_scan(spark, sfDir), "part_rt_")
+    val pf = scan.partitionFilters.map(_.toString).mkString(";")
+    assert(pf.contains("l_returnflag") && pf.contains("R"),
+      s"no partition filter on the partitioned read-back (got: $pf)")
+    // the pruning is REAL, not cosmetic: every file selected for the scan
+    // lives under the matching partition directory
+    val files = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).map(_.getPath.toString)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("l_returnflag=R")),
+      s"scan selected non-matching partition files: ${files.filterNot(_.contains("l_returnflag=R")).take(3)}")
+  }
 }
