@@ -60,6 +60,7 @@ object Pq {
     * per row, m native argmin loops over the vector in place. */
   def encode(corpus: DataFrame, cb: DataFrame, m: Int, dim: Int,
              vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must be divisible by m $m")
     val sub = dim / m
     corpus.crossJoin(broadcast(packed(cb)))
       .withColumn("codes", array((0 until m).map(s =>
@@ -82,14 +83,17 @@ object Pq {
   /** Inverse of [[packCodes]]: one packed int back to `array<int>`. */
   def unpackCodes(packed: Column, m: Int, ksub: Int): Column = {
     val b = 32 - Integer.numberOfLeadingZeros(ksub - 1).min(31)
+    // mask is the full b-bit window (1<<b)-1, NOT ksub-1: for non-power-
+    // of-two ksub the latter has holes and would corrupt valid codes
     array((0 until m).map(s =>
-      shiftrightunsigned(packed, (m - 1 - s) * b).bitwiseAND(lit(ksub - 1))): _*)
+      shiftrightunsigned(packed, (m - 1 - s) * b).bitwiseAND(lit((1 << b) - 1))): _*)
   }
 
   /** Adds `outCol: array<double>` — the reconstructed (approximate) vector:
     * the concatenation of each subspace's centroid for the row's code. */
   def decode(encoded: DataFrame, cb: DataFrame, m: Int, dim: Int,
              outCol: String = "approx"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must be divisible by m $m")
     val sub = dim / m
     encoded.crossJoin(broadcast(packed(cb)))
       .withColumn(outCol, flatten(array((0 until m).map(s =>

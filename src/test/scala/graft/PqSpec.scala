@@ -75,6 +75,15 @@ class PqSpec extends SparkSpec {
     assert(maxPacked < (1 << 2))  // m=2, ksub=2 -> 2 bits total
   }
 
+  test("packCodes/unpackCodes round-trip for non-power-of-two ksub (b-bit mask, not ksub-1)") {
+    // ksub=10 -> b=4; code 6 (0b0110) would be corrupted by a ksub-1 mask (0b1001)
+    val codes = Seq((1L, Array(6, 9, 0))).toDF("id", "codes")
+    val back = codes.select(
+        Pq.unpackCodes(Pq.packCodes($"codes", 3, 10), 3, 10).as("rt"))
+      .as[Array[Int]].head()
+    assert(back.toSeq == Seq(6, 9, 0))
+  }
+
   test("NearestCodeL2 ties keep the lowest code; guards name the contract") {
     val vec = new GenericArrayData(Array[Double](1, 1))
     val flatTie = new GenericArrayData(Array[Double](2, 2, 2, 2)) // identical entries
