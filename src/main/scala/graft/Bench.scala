@@ -91,7 +91,7 @@ object Bench {
       if (loadBefore(0) > 1.5)
         s""","warning":"host 1-min load ${loadBefore(0)} > 1.5 at start; numbers may be inflated by external load""""
       else if (stealPct > 2.0)
-        s""","warning":"hypervisor steal time ${f"$stealPct%.1f"}%% over the run; numbers may be inflated by neighbor load""""
+        s""","warning":"hypervisor steal time ${f"$stealPct%.1f"}% over the run; numbers may be inflated by neighbor load""""
       else ""
     val loads = s""""load_before":[${loadBefore.mkString(",")}],"load_after":[${loadAfter.mkString(",")}],"steal_pct":${f"$stealPct%.2f"}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stream_reps":1,$loads$warn}""")
