@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Functions._
 import graft.io.Tables
+import graft.operators.BloomPrefilter
 import graft.transform.Star
 
 /** Named, oracle-checked queries exercising the reference's relational
@@ -1810,6 +1811,39 @@ object RelationalQueries {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ----------------------------------------------------- bloom prefilter
+  /** Revenue by return flag for lines from one nation's suppliers, with the
+    * fact side pruned by an explicit broadcast Bloom filter BEFORE the
+    * exact semi join ([[BloomPrefilter.semiJoinWithBloom]]). The bloom has
+    * no false negatives and the trailing exact join removes false
+    * positives, so the result is value-identical to the plain semi join —
+    * which is exactly what the oracle runs. At scale this is the pattern
+    * for pruning a 100 TB fact scan against a key set computed in another
+    * job, where Spark's own runtime bloom injection can't reach. */
+  val q109_bloom_prefilter: Q = (s, d) => {
+    val supp = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3") // present at every test SF
+      .select(col("s_suppkey"))
+    BloomPrefilter.semiJoinWithBloom(
+        Tables.lineitem(s, d), "l_suppkey", supp, "s_suppkey",
+        expectedItems = 1000L, fpp = 0.03)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+  val q109_sql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+      |                    JOIN nation ON s_nationkey = n_nationkey
+      |                    WHERE n_name = 'NATION_3')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1878,7 +1912,8 @@ object RelationalQueries {
     "q97_zorder_skipping" -> q97_zorder_skipping,
     "q100_table_diff" -> q100_table_diff,
     "q101_profile" -> q101_profile,
-    "q104_partitioned_scan" -> q104_partitioned_scan)
+    "q104_partitioned_scan" -> q104_partitioned_scan,
+    "q109_bloom_prefilter" -> q109_bloom_prefilter)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1948,5 +1983,6 @@ object RelationalQueries {
     "q97_zorder_skipping" -> q97_sql,
     "q100_table_diff" -> q100_sql,
     "q101_profile" -> q101_sql,
-    "q104_partitioned_scan" -> q104_sql)
+    "q104_partitioned_scan" -> q104_sql,
+    "q109_bloom_prefilter" -> q109_sql)
 }
