@@ -219,4 +219,62 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tfidf_fp"))
   }
+
+  /** BM25 ranked retrieval: top-k documents for a bag of query terms
+    * (Robertson/Spärck Jones; k1 = 1.2, b = 0.75). Cross-engine-exact
+    * variant of the scoring function:
+    *
+    *  - the IDF factor is the same fixed-point integer family as
+    *    [[tfIdfTopK]] — `(N·10⁶) div df` — because `ln` is not
+    *    correctly-rounded across libms;
+    *  - the tf saturation term is kept RATIONAL: with k1 = 6/5, b = 3/4,
+    *    `tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl))` scaled by `10·T`
+    *    (T = corpus token count, avgdl = T/N) becomes
+    *    `22·T·tf / (10·T·tf + 3·T + 9·dl·N)` — integer numerator and
+    *    denominator, one IEEE double multiply+divide at the end (identical
+    *    bits on any engine);
+    *  - the per-term scores are summed in the FIXED order of `queryTerms`
+    *    (a max-pivot per term, then one left-to-right addition chain), not
+    *    a float SUM whose order the engine picks.
+    *
+    * Scale shape: the token explode is filtered to the query terms BEFORE
+    * the tf groupBy (the only corpus-sized shuffle is the dl count), df and
+    * corpus totals are one broadcast row each, and the final top-k is a
+    * single ordered limit. Integer ranges: needs `idf_fp·22·T·tf` < 2^63
+    * and `T·tf` < 2^53 — holds to ~10^9-token corpora × tf ≤ 10^3; beyond
+    * that drop to plain double scoring (ranking-stable, no longer
+    * hash-checkable). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "queryTerms must be non-empty and distinct")
+    val tokens = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .where(col("term") =!= "")
+    val dl = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val tf = tokens.where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("__n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("__t")))
+    val perTerm = tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_fp", expr("(__n * 1000000L) div df"))
+      .withColumn("score",
+        (col("idf_fp") * (lit(22L) * col("__t") * col("tf"))).cast("double") /
+        (lit(10L) * col("__t") * col("tf") + lit(3L) * col("__t") +
+          lit(9L) * col("dl") * col("__n")).cast("double"))
+    // fixed-order per-doc sum: one pivot column per query term, added
+    // left-to-right so the float result is engine-independent
+    val aggCols = queryTerms.map(t =>
+      max(when(col("term") === t, col("score"))).as(s"__s_$t"))
+    val pivoted = perTerm.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    val total = queryTerms.map(t => coalesce(col(s"__s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    pivoted.withColumn("bm25", total)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bm25"))
+  }
 }

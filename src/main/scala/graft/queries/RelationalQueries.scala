@@ -1844,6 +1844,33 @@ object RelationalQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------------------- funnel
+  /** Per-user ordered funnel (view → click → purchase) over `events` —
+    * [[graft.operators.Funnel.depth]]'s single-shuffle greedy fold. The
+    * oracle computes the same funnel the relational way (stage-by-stage
+    * `min(ts) > prev` chaining with left joins); greedy earliest-first
+    * matching is provably the same function, so the two must hash-match. */
+  val q111_funnel: Q = (s, d) =>
+    graft.operators.Funnel.depth(
+        Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+  val q111_sql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+      |     c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+      |           WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |     p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+      |           WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+      |     base AS (SELECT DISTINCT user_id FROM events
+      |              WHERE event_type IN ('view', 'click', 'purchase'))
+      |SELECT b.user_id,
+      |       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |                 WHEN c.user_id IS NOT NULL THEN 2
+      |                 WHEN v.user_id IS NOT NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS funnel_depth
+      |FROM base b LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1913,7 +1940,8 @@ object RelationalQueries {
     "q100_table_diff" -> q100_table_diff,
     "q101_profile" -> q101_profile,
     "q104_partitioned_scan" -> q104_partitioned_scan,
-    "q109_bloom_prefilter" -> q109_bloom_prefilter)
+    "q109_bloom_prefilter" -> q109_bloom_prefilter,
+    "q111_funnel" -> q111_funnel)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -1984,5 +2012,6 @@ object RelationalQueries {
     "q100_table_diff" -> q100_sql,
     "q101_profile" -> q101_sql,
     "q104_partitioned_scan" -> q104_sql,
-    "q109_bloom_prefilter" -> q109_sql)
+    "q109_bloom_prefilter" -> q109_sql,
+    "q111_funnel" -> q111_sql)
 }
