@@ -1,0 +1,202 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RunningTotal
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * benchmark-contamination detection, repetition-based quality filters
+  * (Gopher-style), cross-document span deduplication with reassembly, and
+  * deterministic sequence packing.
+  *
+  * All four are shaped for the 100 TB case:
+  *  - contamination: the benchmark side is bounded (eval sets are small) →
+  *    ONE broadcast row of its n-grams, row-local `array_intersect` on the
+  *    corpus side — the corpus never shuffles (same license as
+  *    [[Ivf.assign]]'s packed centroids);
+  *  - repetition stats: entirely row-local (sort + one fold per document),
+  *    zero shuffles — the cheapest possible quality gate;
+  *  - span dedup: two hash-partitioned shuffles (winner election on the
+  *    span hash, reassembly on the doc id), never all-pairs;
+  *  - packing: grouped prefix sums via [[RunningTotal]] — no
+  *    one-task-per-group window.
+  */
+object Curation {
+
+  /** Word n-grams over an ALREADY-MATERIALIZED token-array column (see
+    * [[TextAnalysis.shinglesFromTokens]] for why a projected column, not an
+    * inline tokens() call). Docs with fewer than `n` tokens → empty array. */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  // ----------------------------------------------------- contamination
+  /** Benchmark-contamination report: for every corpus document NOT in the
+    * benchmark set, how many of its distinct word `n`-grams appear anywhere
+    * in the benchmark documents' n-grams (GPT-3/PaLM-style decontamination,
+    * re-expressed relationally).
+    *
+    * The benchmark n-gram set is packed into one broadcast row; the overlap
+    * is a row-local `array_intersect` — zero shuffle of the corpus and zero
+    * row multiplication at any scale, because eval benchmarks are KB-to-MB
+    * sized by construction. Returns (doc_id, n_grams, n_overlap,
+    * contaminated), ordered by doc_id.
+    *
+    * @param isBench predicate over the id column selecting benchmark docs
+    */
+  def contamination(docs: DataFrame, textCol: String, idCol: String,
+                    isBench: Column, n: Int = 8): DataFrame = {
+    val toked = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(ngramsFromTokens(col("toks"), n)).as("grams"),
+        isBench.as("__bench"))
+    // one row: the sorted distinct benchmark gram set (bounded by design)
+    val benchGrams = toked.where(col("__bench"))
+      .select(explode(col("grams")).as("g")).distinct()
+      .agg(sort_array(collect_list(col("g"))).as("__bench_grams"))
+    toked.where(!col("__bench"))
+      .crossJoin(broadcast(benchGrams))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_intersect(col("grams"), col("__bench_grams"))).cast("long").as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------- repetition quality
+  /** Per-document repetition statistics (Gopher-style quality signals),
+    * computed entirely row-locally: n-grams are sorted so equal grams are
+    * adjacent, then one `aggregate` fold counts the longest run (= the top
+    * gram's frequency) and the mass in runs of length ≥ 2 (= instances of
+    * any repeated gram). Integer outputs only — the keep decision is pure
+    * integer arithmetic, so it hashes identically cross-engine.
+    *
+    * keep = top 2-gram ≤ 20% of 2-gram instances AND repeated 5-gram mass
+    * ≤ 30% of 5-gram instances (vacuously true for docs too short to have
+    * grams).
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toked = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val withGrams = toked.select(col("doc_id"),
+      ngramsFromTokens(col("toks"), 2).as("g2"),
+      ngramsFromTokens(col("toks"), 5).as("g5"))
+    def runStats(grams: Column): Column = {
+      val folded = aggregate(
+        array_sort(grams),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("top"), lit(0L).as("dup")),
+        (st, x) => {
+          val same = st.getField("prev") <=> x
+          val run = when(same, st.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(st.getField("top"), run).as("top"),
+            (st.getField("dup") + when(!same && st.getField("run") >= 2L,
+              st.getField("run")).otherwise(lit(0L))).as("dup"))
+        },
+        st => struct(st.getField("top").as("top"),
+          (st.getField("dup") + when(st.getField("run") >= 2L,
+            st.getField("run")).otherwise(lit(0L))).as("dup")))
+      folded
+    }
+    withGrams
+      .withColumn("__s2", runStats(col("g2")))
+      .withColumn("__s5", runStats(col("g5")))
+      .select(col("doc_id"),
+        size(col("g2")).cast("long").as("total_2grams"),
+        col("__s2.top").as("top2_count"),
+        size(col("g5")).cast("long").as("total_5grams"),
+        col("__s5.dup").as("dup5_count"))
+      .withColumn("keep",
+        col("top2_count") * 5 <= col("total_2grams") &&
+          col("dup5_count") * 10 <= col("total_5grams") * 3)
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------- span dedup
+  /** Cross-document exact span deduplication with reassembly (the C4
+    * line-dedup shape, over fixed-width word spans since this corpus has no
+    * newlines): split each doc into non-overlapping `spanWords`-word spans,
+    * keep each distinct span's FIRST occurrence (lexicographic min of
+    * (doc_id, span_idx)), drop every other copy, and reassemble documents
+    * from their surviving spans in order.
+    *
+    * Distributed shape: winner election is one map-side-combined min-agg on
+    * the span hash; membership is an equi-join back on the same hash (AQE
+    * reuses the exchange); reassembly is one agg on doc_id. Never all-pairs,
+    * no windows over unbounded partitions.
+    *
+    * Returns (doc_id, n_spans_total, n_spans_kept, kept_text) for every doc
+    * with ≥1 token — kept_text is '' when every span was a duplicate.
+    */
+  def dedupSpans(docs: DataFrame, textCol: String, idCol: String,
+                 spanWords: Int = 10): DataFrame = {
+    require(spanWords > 0)
+    val toked = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+    val spans = toked
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")), lit(spanWords)),
+          st => concat_ws(" ", slice(col("toks"), st, lit(spanWords))))).as(Seq("idx", "span")))
+      // election key is the 128-bit md5, not the span text: compact shuffle
+      // payload, and wide enough that collisions are not a practical concern
+      // at any corpus size (a 64-bit hash has ~3% birthday risk at 10^12
+      // spans; 128 bits has ~0 at 10^18)
+      .withColumn("h", md5(col("span")))
+    val winners = spans.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+    val kept = spans.join(winners, Seq("h"))
+      .where(col("doc_id") === col("w.doc_id") && col("idx") === col("w.idx"))
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("idx"), col("span")))),
+          s => s.getField("span"))).as("kept_text"))
+    toked.select(col("doc_id"),
+        expr(s"cast((size(toks) - 1) div $spanWords + 1 as bigint)").as("n_spans_total"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans_total"),
+        coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------- sequence packing
+  /** Deterministic GPT-style sequence packing audit: documents are laid out
+    * in (source, doc_id) order, concatenated, and chopped into fixed
+    * `budget`-token training sequences; a document's sequence is the one its
+    * first token lands in. Emits per (source, seq_id): how many documents
+    * start there, their total token mass, and how many straddle a sequence
+    * boundary (lose context at training time) — the planning numbers a
+    * packing run needs before writing any shards.
+    *
+    * The prefix sum uses [[RunningTotal.grouped]] — range-partitioned
+    * two-phase cumsum, NOT a per-source window, so a billion-document source
+    * never lands on one task.
+    */
+  def packStats(docs: DataFrame, textCol: String, idCol: String,
+                sourceCol: String, budget: Int): DataFrame = {
+    require(budget > 0)
+    val toked = graft.io.Tables.widen(docs)
+      .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        TextAnalysis.wsTokenCount(col(textCol)).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    val cum = RunningTotal.grouped(toked, "source", "doc_id", "n_tokens", "cum_tokens")
+    cum
+      // integer `div`, not double division: exact at any cumulative size
+      // (a source's token total can pass 2^52 at 100 TB, where doubles
+      // start dropping integers)
+      .select(col("source"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $budget").as("seq_id"),
+        expr(s"(cum_tokens - 1) div $budget").as("end_seq"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_started_tokens"),
+        sum(when(col("end_seq") > col("seq_id"), 1L).otherwise(0L)).as("n_crossing"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+}

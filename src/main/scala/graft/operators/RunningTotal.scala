@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Scale-safe grouped prefix sums (cumulative totals).
+  *
+  * The naive form — `sum(v).over(Window.partitionBy(g).orderBy(o))` —
+  * shuffles EVERY row of a group into a single task: the classic 100 TB
+  * scale-killer when one group (one corpus shard, one tenant, one day) is
+  * billions of rows. This operator computes the identical result with a
+  * bounded driver step instead:
+  *
+  *  1. range-partition + sort by (group, order) — one shuffle, the same
+  *     shuffle the window would have needed, but spread over ALL partitions
+  *     of the range partitioner rather than one task per group;
+  *  2. per partition, sum the values of each group slice it holds — a tiny
+  *     side output (≤ #partitions + #groups-straddling-boundaries rows,
+  *     NOT data-sized) collected to the driver;
+  *  3. prefix-sum those slice totals per group on the driver, broadcast the
+  *     (partition, group) → starting-offset map, and stream each partition
+  *     once more adding a running counter.
+  *
+  * Two jobs over the sorted data (Spark reuses the exchange for the second
+  * pass), O(#partitions) driver state, no group ever concentrated on one
+  * task. Requires (group, order) to be unique per row for a deterministic
+  * result — true for the (source, doc_id) pipelines this backs.
+  */
+object RunningTotal {
+
+  /** Append `outCol` = running total of `valueCol` within `groupCol`
+    * ordered by `orderCol` (inclusive of the current row). `valueCol` must
+    * be integral; the running total is a LONG.
+    */
+  def grouped(df: DataFrame, groupCol: String, orderCol: String,
+              valueCol: String, outCol: String): DataFrame = {
+    val keys = Seq(col(groupCol).asc_nulls_first, col(orderCol).asc_nulls_first)
+    val sorted = df
+      .withColumn(valueCol, col(valueCol).cast(LongType))
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .localCheckpoint(true) // both passes read the SAME sorted layout
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+
+    // pass 1: per-partition, per-group slice sums, in slice order
+    val sliceSums: Array[(Int, Array[(Any, Long)])] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val out = collection.mutable.ArrayBuffer.empty[(Any, Long)]
+        var cur: Any = null
+        var sum = 0L
+        var open = false
+        it.foreach { r =>
+          val g = r.get(gIdx)
+          if (!open || !java.util.Objects.equals(g, cur)) {
+            if (open) out += ((cur, sum))
+            cur = g; sum = 0L; open = true
+          }
+          sum += r.getLong(vIdx)
+        }
+        if (open) out += ((cur, sum))
+        Iterator.single((pid, out.toArray))
+      }.collect() // bounded: one entry per (partition, group-slice)
+
+    // driver prefix-sum: offset for (pid, g) = totals of g in partitions < pid
+    val running = collection.mutable.Map.empty[Any, Long]
+    val offsets = collection.mutable.Map.empty[(Int, Any), Long]
+    sliceSums.sortBy(_._1).foreach { case (pid, slices) =>
+      slices.foreach { case (g, s) =>
+        val before = running.getOrElse(g, 0L)
+        offsets((pid, g)) = before
+        running(g) = before + s
+      }
+    }
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets.toMap)
+
+    // pass 2: stream each partition adding the running counter
+    val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Any = null
+      var run = 0L
+      var open = false
+      it.map { r =>
+        val g = r.get(gIdx)
+        if (!open || !java.util.Objects.equals(g, cur)) {
+          cur = g; run = bc.value.getOrElse((pid, g), 0L); open = true
+        }
+        run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    sorted.sparkSession.createDataFrame(rows, outSchema)
+  }
+}

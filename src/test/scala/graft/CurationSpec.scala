@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Curation
+import graft.operators.RunningTotal
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a", "one two three four five six seven eight nine ten eleven twelve"),
+    (2L, "a", "one two three four five six seven eight nine ten different tail"),
+    (3L, "b", "spam spam spam spam spam spam unique words here now"),
+    (4L, "b", "x"),
+    (5L, "b", "")).toDF("doc_id", "source", "text")
+
+  test("ngramsFromTokens: n-grams count and short-doc empties") {
+    val g = docs.select(col("doc_id"),
+      Curation.ngramsFromTokens(graft.llm.TextAnalysis.tokens(col("text")), 4).as("g"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(g(1L).length == 9) // 12 tokens -> 9 4-grams
+    assert(g(1L).head == "one two three four")
+    assert(g(4L).isEmpty && g(5L).isEmpty)
+  }
+
+  test("repetitionStats: spam doc flagged, normal doc kept, empty doc vacuous") {
+    val out = Curation.repetitionStats(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 3: 'spam spam' 2-gram appears 5x of 9 2-grams -> top2=5 > 9/5
+    assert(out(3L).getAs[Long]("top2_count") == 5)
+    assert(!out(3L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(5L).getAs[Long]("total_2grams") == 0 && out(5L).getAs[Boolean]("keep"))
+    // doc 3 has 'spam spam spam spam spam' x2 among its 5-grams
+    assert(out(3L).getAs[Long]("dup5_count") == 2)
+  }
+
+  test("dedupSpans: first occurrence kept, duplicate span dropped, reassembly ordered") {
+    val out = Curation.dedupSpans(docs, "text", "doc_id", spanWords = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 1 and 2 share their first 10-word span; doc 1 wins
+    assert(out(1L).getAs[Long]("n_spans_kept") == 2)
+    assert(out(2L).getAs[Long]("n_spans_kept") == 1)
+    assert(out(2L).getAs[String]("kept_text") == "different tail")
+    assert(out(1L).getAs[String]("kept_text") ==
+      "one two three four five six seven eight nine ten eleven twelve")
+    assert(out(4L).getAs[Long]("n_spans_total") == 1)
+    assert(!out.contains(5L)) // zero tokens -> excluded
+  }
+
+  test("contamination: overlap against the benchmark subset, bench docs excluded") {
+    // bench = doc 1; doc 2 shares 4-grams with it, doc 3 shares none
+    val out = Curation.contamination(docs, "text", "doc_id",
+        col("doc_id") === 1L, n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(1L))
+    assert(out(2L).getAs[Boolean]("contaminated"))
+    assert(out(2L).getAs[Long]("n_overlap") == 7) // 4-grams within the shared 10-word prefix
+    assert(!out(3L).getAs[Boolean]("contaminated"))
+    assert(out(4L).getAs[Long]("n_grams") == 0 && !out(4L).getAs[Boolean]("contaminated"))
+  }
+
+  test("RunningTotal.grouped matches a window cumsum on multi-partition input") {
+    val df = (1 to 100).map(i => (s"g${i % 7}", i.toLong, (i % 13).toLong))
+      .toDF("g", "ord", "v").repartition(5)
+    val got = RunningTotal.grouped(df, "g", "ord", "v", "cum")
+      .select("g", "ord", "cum").as[(String, Long, Long)].collect().toSet
+    val want = df.select(col("g"), col("ord"),
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("ord")).as("cum"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("packStats: budget boundaries, crossing docs, per-source reset") {
+    // source a: docs of 12 tokens each, budget 10 -> doc1 starts seq 0 and
+    // crosses into seq 1; doc2 starts seq 1 (offset 12) and crosses into seq 2
+    val out = Curation.packStats(docs, "text", "doc_id", "source", budget = 10)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id")) -> r).toMap
+    assert(out(("a", 0L)).getAs[Long]("n_docs") == 1)
+    assert(out(("a", 0L)).getAs[Long]("n_crossing") == 1)
+    assert(out(("a", 1L)).getAs[Long]("n_docs") == 1)
+    assert(out(("a", 1L)).getAs[Long]("n_crossing") == 1)
+    // source b restarts at offset 0: spam doc (10 tokens) fills seq 0 exactly
+    assert(out(("b", 0L)).getAs[Long]("n_docs") == 1)
+    assert(out(("b", 0L)).getAs[Long]("n_crossing") == 0)
+    // doc 4 (1 token) starts seq 1 at offset 10
+    assert(out(("b", 1L)).getAs[Long]("n_docs") == 1)
+  }
+}
