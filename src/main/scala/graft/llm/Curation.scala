@@ -67,6 +67,25 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Stateless contamination annotator for a KNOWN benchmark gram set —
+    * the streaming-gate form of [[contamination]]: the gram set is a plain
+    * literal array (bounded by construction — eval benchmarks are KB-MB),
+    * so this works identically on a batch frame and a `readStream` frame
+    * (no join, no state, no watermark; production computes the set once in
+    * batch, then gates the incoming corpus stream with it). */
+  def contaminationFilter(docs: DataFrame, textCol: String, idCol: String,
+                          benchGrams: Seq[String], n: Int): DataFrame =
+    docs
+      // project tokens BEFORE the gram lambda (see shinglesFromTokens: an
+      // inline split would re-run the regex per array element)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), array_distinct(ngramsFromTokens(col("toks"), n)).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_intersect(col("grams"),
+          typedLit(benchGrams))).cast("long").as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+
   // ------------------------------------------------- repetition quality
   /** Per-document repetition statistics (Gopher-style quality signals),
     * computed entirely row-locally: n-grams are sorted so equal grams are

@@ -44,4 +44,25 @@ object Sampling {
     }
     hashBucket(key, 100) < rate
   }
+
+  /** Mixture-resampling keep-predicate (DoReMi-style domain reweighting):
+    * resample so stratum s contributes ~weight_s/Σweights of a
+    * `targetTotal`-row corpus, i.e. per-stratum keep rate
+    * r_s = (w_s · T) / (n_s · Σw). All-integer comparison over a
+    * million-bucket key hash:
+    *
+    *   keep  ⟺  bucket(key) · n_s · Σw  <  w_s · T · 10⁶
+    *
+    * so P(keep) = r_s exactly (up to bucket granularity) with zero float
+    * arithmetic — deterministic, re-derivable per row once (n_s, Σw, T) are
+    * joined in (stratum counts are a bounded broadcast by definition).
+    * Caller guarantees r_s ≤ 1 (T ≤ min_s n_s·Σw/w_s) — rates cap at 1
+    * implicitly since a bucket can't exceed 10⁶. LHS magnitude:
+    * 10⁶ · n_s · Σw must stay under 2⁶³ — holds to ~10¹² rows per stratum
+    * at Σw ≤ a few thousand.
+    */
+  def mixtureKeep(key: Column, nStratum: Column, weight: Column,
+                  sumWeights: Column, targetTotal: Column): Column =
+    hashBucket(key, 1000000) * nStratum * sumWeights <
+      weight * targetTotal * lit(1000000L)
 }

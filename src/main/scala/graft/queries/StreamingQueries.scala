@@ -489,17 +489,72 @@ object StreamingQueries {
        |SELECT * FROM dim2 ORDER BY c_custkey, valid_from""".stripMargin
   }
 
+  /** Streaming contamination gate, oracle-checked against q114's batch
+    * SQL: the benchmark's distinct 4-gram set is computed ONCE batch-side
+    * (bounded by construction — it collects only the benchmark docs'
+    * grams), then the whole documents table replays through
+    * [[graft.llm.Curation.contaminationFilter]] as four doc_id-range
+    * micro-batches. The gate is STATELESS (a literal-array
+    * `array_intersect` per row — no join, no state store, no watermark),
+    * which is exactly the production shape: curate the benchmark set in
+    * batch, gate the incoming corpus stream with it. Final memory-sink
+    * contents must hash-match the batch oracle row-for-row. */
+  val q117_stream_contamination: Q = (s, d) => {
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    // batch side: the benchmark gram set (sorted for determinism)
+    val toked = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), graft.llm.TextAnalysis.tokens(col("text")).as("toks"))
+    val benchGrams = toked
+      .select(explode(array_distinct(
+        graft.llm.Curation.ngramsFromTokens(col("toks"), 4))).as("g"))
+      .distinct().orderBy(col("g"))
+      .collect().map(_.getString(0)).toSeq
+    // stage the corpus (minus bench docs) as 4 doc_id-range files
+    val (srcDir, _, _) = Stage.memo(d, "docs4s") { dir =>
+      docs.where(col("doc_id") % 97 =!= 0)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(dir)
+      (0L, 0L)
+    }
+    val ckpt = Stage.ckpt()
+    val name = "q117_contam_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = graft.llm.Curation
+        .contaminationFilter(stream, "text", "doc_id", benchGrams, n = 4)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q114's oracle verbatim — the streaming gate must reproduce the batch
+    * contamination audit exactly. */
+  val q117_sql: String = graft.queries.LlmQueries.oracles("q114_contamination")
+
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
     "q75_stream_dedup" -> q75_stream_dedup,
     "q80_stream_stream_join" -> q80_stream_stream_join,
-    "q98_stream_scd2" -> q98_stream_scd2)
+    "q98_stream_scd2" -> q98_stream_scd2,
+    "q117_stream_contamination" -> q117_stream_contamination)
 
   val oracles: Map[String, String] = Map(
     "q65_stream_sessions" -> q65_sql,
     "q74_stream_windows" -> q74_sql,
     "q75_stream_dedup" -> q75_sql,
     "q80_stream_stream_join" -> q80_sql,
-    "q98_stream_scd2" -> q98_sql)
+    "q98_stream_scd2" -> q98_sql,
+    "q117_stream_contamination" -> q117_sql)
 }

@@ -42,6 +42,30 @@ object ScaleStress {
         .where(levenshtein(col("pa"), col("pb")) <= 100).count()
     }
 
+    // ---- curation operators at 20× (100k docs): repetition stats must
+    // stay a narrow map (zero shuffles), span dedup bucket-bounded,
+    // contamination a broadcast filter, packing's prefix sum two passes
+    // with bounded driver state (grouped by source — 20 groups here; the
+    // 1M-row synthetic below stresses 1000 groups straddling partitions)
+    import graft.llm.Curation
+    import graft.operators.RunningTotal
+    time("repetition stats")(Curation.repetitionStats(doc, "text", "doc_id")
+      .queryExecution.toRdd.count())
+    time("span dedup")(Curation.dedupSpans(doc, "text", "doc_id", 10)
+      .queryExecution.toRdd.count())
+    time("contamination")(Curation.contamination(doc, "text", "doc_id",
+      org.apache.spark.sql.functions.col("doc_id") % 997 === 0, 4)
+      .queryExecution.toRdd.count())
+    time("sequence packing")(Curation.packStats(doc, "text", "doc_id", "source", 512)
+      .queryExecution.toRdd.count())
+    time("runningTotal 1M/1k-groups") {
+      import org.apache.spark.sql.functions._
+      val df = spark.range(1000000L)
+        .select((col("id") % 1000).as("g"), col("id").as("ord"), lit(1L).as("v"))
+      RunningTotal.grouped(df, "g", "ord", "v", "cum")
+        .queryExecution.toRdd.count()
+    }
+
     // ---- vector path at 50× (100k vectors, dim 64): validates that IVF
     // assignment (broadcast packed centroids + native NearestCell) stays a
     // narrow map — wall-clock must scale ~linearly in corpus size. The

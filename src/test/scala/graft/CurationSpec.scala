@@ -73,6 +73,36 @@ class CurationSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("contaminationFilter (literal gram set) matches contamination (broadcast join form)") {
+    val benchGrams = docs.where(col("doc_id") === 1L)
+      .select(explode(array_distinct(
+        Curation.ngramsFromTokens(graft.llm.TextAnalysis.tokens(col("text")), 4))).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val viaFilter = Curation.contaminationFilter(
+        docs.where(col("doc_id") =!= 1L), "text", "doc_id", benchGrams, n = 4)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaJoin = Curation.contamination(docs, "text", "doc_id",
+        col("doc_id") === 1L, n = 4)
+      .collect().map(_.toSeq)
+    assert(viaFilter.toSeq == viaJoin.toSeq)
+  }
+
+  test("mixtureKeep: rate-1 keeps everything, rate-0 keeps nothing, deterministic") {
+    import graft.llm.Sampling
+    val ids = (1L to 200L).toDF("id")
+    // one stratum, w=1, sumW=1, n=200: T=200 -> rate 1; T=0 -> rate 0
+    val all = ids.where(Sampling.mixtureKeep(col("id"), lit(200L), lit(1L), lit(1L), lit(200L))).count()
+    val none = ids.where(Sampling.mixtureKeep(col("id"), lit(200L), lit(1L), lit(1L), lit(0L))).count()
+    assert(all == 200 && none == 0)
+    // half-rate: deterministic (same set twice) and near 100
+    val half = ids.where(Sampling.mixtureKeep(col("id"), lit(200L), lit(1L), lit(1L), lit(100L)))
+      .as[Long].collect().toSet
+    val half2 = ids.where(Sampling.mixtureKeep(col("id"), lit(200L), lit(1L), lit(1L), lit(100L)))
+      .as[Long].collect().toSet
+    assert(half == half2)
+    assert(math.abs(half.size - 100) < 30)
+  }
+
   test("packStats: budget boundaries, crossing docs, per-source reset") {
     // source a: docs of 12 tokens each, budget 10 -> doc1 starts seq 0 and
     // crosses into seq 1; doc2 starts seq 1 (offset 12) and crosses into seq 2
