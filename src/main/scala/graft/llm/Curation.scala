@@ -136,6 +136,60 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------------- LM fluency score
+  /** Corpus-derived bigram language-model fluency score (the CCNet-style
+    * quality signal, re-expressed hash-exactly): build a bigram LM from the
+    * corpus itself — p(w₂|w₁) = c(w₁w₂)/c(w₁·) — then score each document
+    * by the sum/mean of its bigrams' probabilities. Fluent text built from
+    * common transitions scores high; gibberish scores low.
+    *
+    * Exactness: probabilities are FIXED-POINT — `(c₂ · 10¹²) div c₁` as a
+    * BIGINT — so per-doc sums are order-independent integer adds and the
+    * result hash-matches SQL exactly (a float p would make the sum depend
+    * on partial-aggregation order, and a log-prob would pull in libm).
+    * The 10¹² scale bounds bigram counts to ~9·10⁶ before `c₂·10¹²`
+    * overflows a long — drop to 10⁶ (still 6 significant digits) for
+    * corpora past that.
+    *
+    * Scale shape: LM construction is one map-side-combined groupBy on the
+    * bigram plus a bounded re-agg on the first word; scoring is a
+    * hash-partitioned equi-join of doc bigrams against the LM table (both
+    * sides partitioned on the gram — the standard big⋈big shape) and one
+    * final doc-keyed sum.
+    *
+    * Known limit of an UNSMOOTHED self-derived LM: a first-word that
+    * appears once gives its only transition p = 1, so all-hapax gibberish
+    * scores high. Production scoring uses a pretrained LM (or add-k
+    * smoothing) — this operator supplies the exact-arithmetic scoring
+    * plumbing; swap the `lm` relation for an external model table to get
+    * the CCNet setup.
+    */
+  def lmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toked = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val docBi = toked
+      .select(col("doc_id"), explode(ngramsFromTokens(col("toks"), 2)).as("g"))
+    val biCounts = docBi.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val w1Counts = biCounts
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val lm = biCounts
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(w1Counts, Seq("w1"))
+      .select(col("g"), expr("(c2 * 1000000000000) div c1").as("p_fp"))
+    val scored = docBi.join(lm, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("score_fp"))
+    toked.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"))
+      .withColumn("avg_fp",
+        when(col("n_bigrams") > 0, expr("score_fp div n_bigrams")).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------- span dedup
   /** Cross-document exact span deduplication with reassembly (the C4
     * line-dedup shape, over fixed-width word spans since this corpus has no

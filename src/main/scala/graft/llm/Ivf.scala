@@ -125,4 +125,30 @@ object Ivf {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
+
+  /** Diversity-preserving coreset: one representative per cell — the
+    * member with the highest cosine to its OWN centroid (ties → lower id),
+    * plus the cell population. The standard cheap move for
+    * diversity-aware corpus subsampling: cells partition the embedding
+    * space, so taking each cell's best-centered member keeps one exemplar
+    * per region instead of k near-duplicates from the densest region.
+    *
+    * Scale shape: assignment is the shuffle-free [[assign]]; the score is
+    * one dot product per row against the broadcast centroid; the argmax is
+    * a map-side-combined `max(struct(score, -id))` groupBy on the BOUNDED
+    * cell key — deliberately NOT a `row_number` window per cell, whose
+    * partitions grow with the corpus (corpus/k rows in one task at 100 TB).
+    */
+  def cellRepresentatives(corpus: DataFrame, centroids: DataFrame, dim: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = assign(corpus, centroids, dim, idCol, vecCol)
+      .join(broadcast(centroids.select(col("cell"), col("centroid"))), Seq("cell"))
+      .select(col("cell"), col(idCol),
+        Similarity.cosine(col(vecCol), col("centroid"), dim).as("s"))
+    scored.groupBy(col("cell"))
+      .agg(max(struct(col("s"), (-col(idCol)).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cell"), (-col("best.nid")).as("rep_id"),
+        col("best.s").as("rep_score"), col("n_members"))
+  }
 }

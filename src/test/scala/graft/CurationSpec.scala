@@ -73,6 +73,24 @@ class CurationSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("lmScore: predictable transitions outscore scrambled ones; fixed-point exact") {
+    import spark.implicits._
+    // corpus bigram LM: c(a b)=6, c(b a)=4, c(a a)=1, c(b b)=1
+    // -> p(a b)=6/7, p(b a)=4/5, p(a a)=1/7, p(b b)=1/5
+    val corpus = Seq(
+      (1L, "a b a b a b a b"), // only high-probability transitions
+      (2L, "a a b b a b"),     // same vocab, scrambled transitions
+      (3L, "x")).toDF("doc_id", "text")
+    val out = Curation.lmScore(corpus, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(3L).getAs[Long]("n_bigrams") == 0 && out(3L).getAs[Long]("avg_fp") == 0)
+    assert(out(1L).getAs[Long]("avg_fp") > out(2L).getAs[Long]("avg_fp"))
+    // hand-computed: doc1 = (4·(6e12 div 7) + 3·(4e12 div 5)) div 7
+    val p_ab = 6000000000000L / 7; val p_ba = 4000000000000L / 5
+    assert(out(1L).getAs[Long]("score_fp") == 4 * p_ab + 3 * p_ba)
+    assert(out(1L).getAs[Long]("avg_fp") == (4 * p_ab + 3 * p_ba) / 7)
+  }
+
   test("contaminationFilter (literal gram set) matches contamination (broadcast join form)") {
     val benchGrams = docs.where(col("doc_id") === 1L)
       .select(explode(array_distinct(

@@ -186,6 +186,30 @@ class IvfSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
     assert(out == Set(1L, 2L)) // same-cluster only, self excluded
   }
+
+  test("cellRepresentatives: one best-centered exemplar per cell, full populations") {
+    val reps = Ivf.cellRepresentatives(vecs, centroids, 4).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        (r.getAs[Long]("rep_id"), r.getAs[Double]("rep_score"), r.getAs[Long]("n_members"))).toMap
+    assert(reps.size == 2)
+    assert(reps.values.map(_._3).sum == 6) // every vector counted once
+    // the rep really is its cell's max-cosine member
+    val cent = centroids.collect().map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byCell = Ivf.assign(vecs, centroids, 4).collect()
+      .groupBy(_.getAs[Int]("cell"))
+    byCell.foreach { case (cell, rows) =>
+      val best = rows.map { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+        (r.getAs[Long]("vec_id"), cos(v, cent(cell)))
+      }.minBy { case (id, s) => (-s, id) }
+      assert(reps(cell)._1 == best._1)
+      assert(reps(cell)._3 == rows.length)
+    }
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
