@@ -31,10 +31,13 @@ object RunningTotal {
 
   /** Append `outCol` = running total of `valueCol` within `groupCol`
     * ordered by `orderCol` (inclusive of the current row). `valueCol` must
-    * be integral; the running total is a LONG.
+    * be integral and NON-NULL (a null value row fails fast rather than
+    * silently contributing 0); the running total is a LONG.
     */
   def grouped(df: DataFrame, groupCol: String, orderCol: String,
               valueCol: String, outCol: String): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"RunningTotal: output column '$outCol' already exists in the input")
     val keys = Seq(col(groupCol).asc_nulls_first, col(orderCol).asc_nulls_first)
     val sorted = df
       .withColumn(valueCol, col(valueCol).cast(LongType))
@@ -57,6 +60,9 @@ object RunningTotal {
             if (open) out += ((cur, sum))
             cur = g; sum = 0L; open = true
           }
+          if (r.isNullAt(vIdx))
+            throw new IllegalArgumentException(
+              "RunningTotal: null value encountered; filter or default nulls first")
           sum += r.getLong(vIdx)
         }
         if (open) out += ((cur, sum))
