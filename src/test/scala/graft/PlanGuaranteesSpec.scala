@@ -69,4 +69,56 @@ class PlanGuaranteesSpec extends SparkSpec {
     assert(shuffle.findFirstIn(streamedSide).isEmpty,
       s"Pq.encode corpus path contains a shuffle Exchange:\n$plan")
   }
+
+  // Locks in the round-5 curation scale claims the same way.
+
+  // repetitionStats is advertised as the cheapest possible quality gate:
+  // entirely row-local. The only exchanges its plan may contain are the
+  // widen round-robin and the output range sort — a hash-partitioned
+  // Exchange means someone reintroduced the per-gram groupBy formulation,
+  // which shuffles every gram instance of every document.
+  test("Curation.repetitionStats: zero data shuffles (no hashpartitioning Exchange)") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val plan = graft.llm.Curation.repetitionStats(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("hashpartitioning"),
+      s"repetitionStats plan gained a hash shuffle:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"repetitionStats plan gained an aggregate (should be row-local folds):\n$plan")
+  }
+
+  // contamination's corpus path must stay a broadcast filter: the corpus
+  // is the streamed side of ONE BroadcastNestedLoopJoin against the packed
+  // benchmark gram row. A hash Exchange before the first BroadcastExchange
+  // means the corpus started shuffling (e.g. someone rewrote the overlap
+  // as an explode + gram join on the corpus side).
+  test("Curation.contamination: corpus path shuffle-free up to the broadcast") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val plan = graft.llm.Curation.contamination(docs, "text", "doc_id",
+        col("doc_id") % 97 === 0, 4)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"contamination no longer broadcasts the packed gram set:\n$plan")
+    val streamedSide = plan.substring(0, plan.indexOf("BroadcastExchange").max(0))
+    assert(streamedSide.nonEmpty, s"no BroadcastExchange in plan:\n$plan")
+    assert(!streamedSide.contains("hashpartitioning"),
+      s"contamination corpus path contains a hash shuffle:\n$plan")
+  }
+
+  // cellRepresentatives must aggregate per cell with a map-side partial on
+  // the bounded cell key — NOT a row_number window per cell, whose
+  // partitions grow with the corpus. A Window operator in this plan is the
+  // regression.
+  test("Ivf.cellRepresentatives: bounded-key aggregate, not a per-cell window") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val dim = graft.io.Stats.embeddingDim(spark, sfDir)
+    val cents = graft.llm.Ivf.fit(emb, 8, 0, dim).localCheckpoint(true)
+    val plan = graft.llm.Ivf.cellRepresentatives(emb, cents, dim)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"cellRepresentatives uses a per-cell window (corpus/k rows in one task at scale):\n$plan")
+    assert(plan.toLowerCase.contains("nearestcell"),
+      s"cellRepresentatives lost the shuffle-free assignment:\n$plan")
+  }
 }
