@@ -6,17 +6,21 @@ import org.apache.spark.sql.functions._
 import graft.operators.RunningTotal
 
 /** Corpus-curation operators for large-scale training-data pipelines:
-  * benchmark-contamination detection, repetition-based quality filters
-  * (Gopher-style), cross-document span deduplication with reassembly, and
-  * deterministic sequence packing.
+  * benchmark-contamination detection (join + stateless streaming forms),
+  * repetition-based quality filters (Gopher-style), a corpus-derived
+  * bigram-LM fluency score, cross-document span deduplication with
+  * reassembly, and deterministic sequence packing.
   *
-  * All four are shaped for the 100 TB case:
+  * Each is shaped for the 100 TB case:
   *  - contamination: the benchmark side is bounded (eval sets are small) →
   *    ONE broadcast row of its n-grams, row-local `array_intersect` on the
   *    corpus side — the corpus never shuffles (same license as
-  *    [[Ivf.assign]]'s packed centroids);
+  *    [[Ivf.assign]]'s packed centroids); the [[contaminationFilter]] form
+  *    is fully stateless for streams;
   *  - repetition stats: entirely row-local (sort + one fold per document),
   *    zero shuffles — the cheapest possible quality gate;
+  *  - LM fluency: fixed-point integer probabilities, so sums are
+  *    order-independent and the big⋈big gram join stays hash-partitioned;
   *  - span dedup: two hash-partitioned shuffles (winner election on the
   *    span hash, reassembly on the doc id), never all-pairs;
   *  - packing: grouped prefix sums via [[RunningTotal]] — no
@@ -27,11 +31,13 @@ object Curation {
   /** Word n-grams over an ALREADY-MATERIALIZED token-array column (see
     * [[TextAnalysis.shinglesFromTokens]] for why a projected column, not an
     * inline tokens() call). Docs with fewer than `n` tokens → empty array. */
-  def ngramsFromTokens(toks: Column, n: Int): Column =
+  def ngramsFromTokens(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
+  }
 
   // ----------------------------------------------------- contamination
   /** Benchmark-contamination report: for every corpus document NOT in the
