@@ -49,7 +49,7 @@ object Curation {
     * is a row-local `array_intersect` — zero shuffle of the corpus and zero
     * row multiplication at any scale, because eval benchmarks are KB-to-MB
     * sized by construction. Returns (doc_id, n_grams, n_overlap,
-    * contaminated), ordered by doc_id.
+    * contaminated); unordered — callers sort if they need to dump.
     *
     * @param isBench predicate over the id column selecting benchmark docs
     */
@@ -70,7 +70,6 @@ object Curation {
         size(col("grams")).cast("long").as("n_grams"),
         size(array_intersect(col("grams"), col("__bench_grams"))).cast("long").as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
-      .orderBy(col("doc_id"))
   }
 
   /** Stateless contamination annotator for a KNOWN benchmark gram set —
@@ -139,7 +138,6 @@ object Curation {
       .withColumn("keep",
         col("top2_count") * 5 <= col("total_2grams") &&
           col("dup5_count") * 10 <= col("total_5grams") * 3)
-      .orderBy(col("doc_id"))
   }
 
   // ----------------------------------------------------- LM fluency score
@@ -193,7 +191,6 @@ object Curation {
         coalesce(col("score_fp"), lit(0L)).as("score_fp"))
       .withColumn("avg_fp",
         when(col("n_bigrams") > 0, expr("score_fp div n_bigrams")).otherwise(lit(0L)))
-      .orderBy(col("doc_id"))
   }
 
   // ----------------------------------------------------- span dedup
@@ -241,7 +238,6 @@ object Curation {
       .select(col("doc_id"), col("n_spans_total"),
         coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
-      .orderBy(col("doc_id"))
   }
 
   // ----------------------------------------------------- sequence packing
@@ -276,6 +272,5 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_started_tokens"),
         sum(when(col("end_seq") > col("seq_id"), 1L).otherwise(0L)).as("n_crossing"))
-      .orderBy(col("source"), col("seq_id"))
   }
 }
