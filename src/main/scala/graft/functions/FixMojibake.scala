@@ -75,6 +75,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) =>
         graft.llm.NearestCell(children(0), children(1), children(2))))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("nearest_code"),
       new ExpressionInfo(classOf[graft.llm.NearestCodeL2].getName, "nearest_code"),
       // offset/subDim are plan-time constants baked into codegen, so the

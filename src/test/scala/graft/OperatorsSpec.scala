@@ -33,6 +33,39 @@ class FixMojibakeSpec extends SparkSpec {
   }
 }
 
+class NfcNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.NfcNormalize
+
+  test("composes combining marks, idempotent, null-in null-out, ASCII no-op") {
+    val decomposed = "cafe\u0301"   // e + COMBINING ACUTE ACCENT
+    val composed = "caf\u00e9"      // precomposed \u00e9
+    val df = Seq(Some(decomposed), Some(composed), Some("plain ascii"), None).toDF("s")
+    val out = df.select(NfcNormalize.nfcNative($"s").as("v"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out(0).get == composed)   // composed by NFC
+    assert(out(1).get == composed)   // already NFC: unchanged
+    assert(out(2).get == "plain ascii")
+    assert(out(3).isEmpty)           // null propagates
+    // idempotent
+    val twice = df.where($"s".isNotNull)
+      .select(NfcNormalize.nfcNative(NfcNormalize.nfcNative($"s")).as("v"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == out.flatten.toSeq)
+  }
+
+  test("agrees with java.text.Normalizer over codegen on a larger batch") {
+    val out = spark.range(500)
+      .select(NfcNormalize.nfcNative(
+        concat(lit("x\u0301"), col("id").cast("string"))).as("v"))
+      .collect().map(_.getString(0))
+    out.zipWithIndex.foreach { case (v, i) =>
+      assert(v == java.text.Normalizer.normalize("x\u0301" + i,
+        java.text.Normalizer.Form.NFC))
+    }
+  }
+}
+
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
