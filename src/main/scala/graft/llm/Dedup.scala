@@ -88,6 +88,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Stateless per-ROW band-bucket projection — the streaming-compatible
+    * form of [[minhashSignatures]] + banding: each doc's k-hash signature
+    * is an `array_min` over its own shingle array (value-identical to the
+    * batch groupBy-min: min over rows ≡ min over the array), then exploded
+    * to one (band, bkey, doc_id) row per band. No shuffle, no state —
+    * works identically on a batch frame and a `readStream` frame, so batch
+    * and streaming candidate generation CANNOT drift. Docs with no
+    * shingles (< 3 tokens) are dropped, as in the batch path. Callers
+    * widen batch frames themselves (widen probes the plan, which a
+    * streaming frame forbids). */
+  def bandBuckets(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands evenly")
+    val rowsPerBand = k / bands
+    val shingled = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), TextAnalysis.shinglesFromTokens(col("toks")).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigCols = (0 until k).map { s =>
+      array_min(transform(col("sh"), x =>
+        substring(md5(concat(lit(s"$s|"), x)), 1, 16))).as(s"h$s")
+    }
+    val sig = shingled.select(col("doc_id") +: sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("doc_id"))
+  }
+
   /** Full MinHash-LSH near-dup candidates: shingle → sign → band → bucket
     * join. Default 16 hashes in 4 bands of 4 ≈ Jaccard-0.7 threshold. */
   def dedupNearMinhash(df: DataFrame, textCol: String, idCol: String,

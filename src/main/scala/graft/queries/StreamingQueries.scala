@@ -542,13 +542,68 @@ object StreamingQueries {
     * contamination audit exactly. */
   val q117_sql: String = graft.queries.LlmQueries.oracles("q114_contamination")
 
+  /** Streaming MinHash-LSH near-dup candidate generation, oracle-checked
+    * against q23's batch SQL: the corpus replays as four doc_id-range
+    * micro-batches; each doc's band buckets are computed STATELESSLY
+    * ([[graft.llm.Dedup.bandBuckets]] — value-identical to the batch
+    * signature path, shared code so they can't drift), then
+    * [[Streaming.lshCandidateStream]] pairs every arrival against its
+    * bucket's accumulated state across batch boundaries. The degenerate-
+    * bucket cap is a batch post-filter on the final pair set (a stream
+    * can't know a bucket's final size; dropping mid-stream would diverge
+    * from the batch cap semantics). The emitted pair set must hash-match
+    * the batch LSH self-join exactly. */
+  val q123_stream_lsh: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val (srcDir, _, _) = Stage.memo(d, "docsAll4") { dir =>
+      docs.repartitionByRange(4, col("doc_id")).write.mode("append").parquet(dir)
+      (0L, 0L)
+    }
+    val ckpt = Stage.ckpt()
+    val name = "q123_lsh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = graft.llm.Dedup
+      .bandBuckets(stream, "text", "doc_id", LlmQueries.LshK, LlmQueries.LshBands)
+      .as[Streaming.BucketArrival]
+    withCertStatePartitions(s) {
+      val query = Streaming.lshCandidateStream(arrivals)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    // batch post-filter mirroring lshCandidatePairs' maxBucket=1000 cap:
+    // buckets past the cap are dropped ENTIRELY, pairs included
+    val oversized = graft.llm.Dedup
+      .bandBuckets(docs, "text", "doc_id", LlmQueries.LshK, LlmQueries.LshBands)
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1000)
+      .select(col("band"), col("bkey"))
+    s.table(name)
+      .join(oversized, Seq("band", "bkey"), "left_anti")
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q23's oracle verbatim — the streaming pair set must reproduce the
+    * batch LSH candidate self-join exactly. */
+  val q123_sql: String = graft.queries.LlmQueries.oracles("q23_lsh_candidates")
+
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
     "q75_stream_dedup" -> q75_stream_dedup,
     "q80_stream_stream_join" -> q80_stream_stream_join,
     "q98_stream_scd2" -> q98_stream_scd2,
-    "q117_stream_contamination" -> q117_stream_contamination)
+    "q117_stream_contamination" -> q117_stream_contamination,
+    "q123_stream_lsh" -> q123_stream_lsh)
 
   val oracles: Map[String, String] = Map(
     "q65_stream_sessions" -> q65_sql,
@@ -556,5 +611,6 @@ object StreamingQueries {
     "q75_stream_dedup" -> q75_sql,
     "q80_stream_stream_join" -> q80_sql,
     "q98_stream_scd2" -> q98_sql,
-    "q117_stream_contamination" -> q117_sql)
+    "q117_stream_contamination" -> q117_sql,
+    "q123_stream_lsh" -> q123_sql)
 }

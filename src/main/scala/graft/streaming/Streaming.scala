@@ -150,4 +150,50 @@ object Streaming {
           }
       }
   }
+
+  case class BucketArrival(band: Int, bkey: String, doc_id: Long)
+  case class CandidatePair(band: Int, bkey: String, doc_a: Long, doc_b: Long)
+
+  /** Stateful streaming LSH near-dup candidate generation: arrivals are
+    * (band, bkey, doc_id) rows from [[graft.llm.Dedup.bandBuckets]]; per
+    * bucket, every new doc is paired against the docs already seen there,
+    * so the UNION of emitted pairs over the whole stream equals the batch
+    * bucket self-join — independent of arrival order or micro-batch
+    * boundaries (pair sets are symmetric in arrival order; the
+    * certification query compares against the batch oracle's exact pair
+    * set).
+    *
+    * State is the bucket's member list, keyed by (band, bkey) — compact
+    * (ids only; signatures live in the key) but UNBOUNDED, like any
+    * dedup-against-all-history: a production deployment bounds it with a
+    * processing-time TTL (evicting a bucket forgets old near-dup partners,
+    * the standard freshness/recall trade) or periodic state compaction.
+    * The degenerate-bucket cap is applied DOWNSTREAM (batch post-filter on
+    * bucket size): a stream can't know a bucket's final size, and dropping
+    * mid-stream would silently diverge from the batch cap semantics.
+    */
+  def lshCandidateStream(arrivals: Dataset[BucketArrival]): Dataset[CandidatePair] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(a => (a.band, a.bkey))
+      .flatMapGroupsWithState[Seq[Long], CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, String), it: Iterator[BucketArrival], state: GroupState[Seq[Long]]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+          var seen = state.getOption.getOrElse(Seq.empty)
+          // sorted for deterministic per-batch emission order; the emitted
+          // SET is order-independent regardless
+          it.map(_.doc_id).toSeq.distinct.sorted.foreach { id =>
+            if (!seen.contains(id)) {
+              seen.foreach { prev =>
+                out += CandidatePair(key._1, key._2,
+                  math.min(prev, id), math.max(prev, id))
+              }
+              seen = seen :+ id
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
 }

@@ -191,6 +191,48 @@ class DedupStreamSpec extends SparkSpec {
   }
 }
 
+class LshStreamSpec extends SparkSpec {
+  import graft.llm.Dedup
+  import graft.streaming.Streaming
+
+  test("bandBuckets (stateless) produces the same candidate pairs as the batch self-join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog"),
+      (4L, "completely different content about spark engines again")).toDF("doc_id", "text")
+    val batch = Dedup.dedupNearMinhash(docs, "text", "doc_id", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bb = Dedup.bandBuckets(docs, "text", "doc_id", 8, 4)
+    val viaBuckets = bb.as("l").join(bb.as("r"), Seq("band", "bkey"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBuckets == batch)
+    assert(batch.contains((1L, 2L))) // the exact dups definitely meet
+  }
+
+  test("lshCandidateStream pairs arrivals across micro-batch boundaries exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.BucketArrival]
+    // batch 1: docs 1,2 share bucket X; batch 2: doc 3 joins X (and 1 is
+    // re-delivered - must not re-pair), doc 4 lands alone in Y
+    mem.addData(Streaming.BucketArrival(0, "X", 1L), Streaming.BucketArrival(0, "X", 2L))
+    mem.addData(Streaming.BucketArrival(0, "X", 3L), Streaming.BucketArrival(0, "X", 1L),
+      Streaming.BucketArrival(1, "Y", 4L))
+    val q = Streaming.lshCandidateStream(mem.toDS())
+      .writeStream.format("memory").queryName("lsh_pairs_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val pairs = spark.table("lsh_pairs_out").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).sorted
+    assert(pairs.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
+
 class BooksPruningSpec extends SparkSpec {
   test("DSv2 source prunes unprojected columns down to the reader") {
     val dir = java.nio.file.Files.createTempDirectory("books_prune")
