@@ -3,6 +3,11 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** One (band, bucket-key, doc) arrival — top-level so the encoder's
+  * generated code can reach the constructor (same reason as
+  * [[graft.streaming.SessionState]]). */
+case class BandBucket(band: Int, bkey: String, doc_id: Long)
+
 /** Deduplication operators for training-data pipelines, each designed for
   * the 100 TB shape of the problem:
   *
@@ -22,6 +27,10 @@ import org.apache.spark.sql.functions._
   * numeric min over the underlying value).
   */
 object Dedup {
+
+  /** "\uffff" — sorts after every lowercase-hex string. */
+  private val MaxSentinel = "\uffff"
+
 
   /** Exact dedup: group documents by content hash, keep the smallest id.
     * Output: one row per distinct content (keeper_id, content_hash,
@@ -90,33 +99,71 @@ object Dedup {
 
   /** Stateless per-ROW band-bucket projection — the streaming-compatible
     * form of [[minhashSignatures]] + banding: each doc's k-hash signature
-    * is an `array_min` over its own shingle array (value-identical to the
-    * batch groupBy-min: min over rows ≡ min over the array), then exploded
-    * to one (band, bkey, doc_id) row per band. No shuffle, no state —
-    * works identically on a batch frame and a `readStream` frame, so batch
-    * and streaming candidate generation CANNOT drift. Docs with no
-    * shingles (< 3 tokens) are dropped, as in the batch path. Callers
-    * widen batch frames themselves (widen probes the plan, which a
-    * streaming frame forbids). */
+    * is computed from its own shingles (min over the doc's shingle hashes ≡
+    * the batch groupBy-min), then emitted as one (band, bkey, doc_id) row
+    * per band. No shuffle, no state — works identically on a batch frame
+    * and a `readStream` frame. Docs with no shingles (< 3 tokens) are
+    * dropped, as in the batch path.
+    *
+    * Implemented as a typed `mapPartitions` with a direct MessageDigest —
+    * deliberately NOT the composable `array_min(transform(md5(…)))` form:
+    * higher-order functions evaluate INTERPRETED per element, and k·|sh|
+    * interpreted md5 calls per doc measured ~10× slower than this loop
+    * (12 s vs ~1.5 s for 5 k docs × 8 hashes at sf0.1). Hash values are
+    * byte-identical to the batch path (lowercase-hex md5 of
+    * "s|shingle" UTF-8, first 16 chars) — `LshStreamSpec` asserts the two
+    * implementations produce the same candidate pairs. Callers widen batch
+    * frames themselves (widen probes the plan, which a streaming frame
+    * forbids). */
   def bandBuckets(docs: DataFrame, textCol: String, idCol: String,
                   k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands evenly")
     val rowsPerBand = k / bands
-    val shingled = docs
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), TextAnalysis.shinglesFromTokens(col("toks")).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sigCols = (0 until k).map { s =>
-      array_min(transform(col("sh"), x =>
-        substring(md5(concat(lit(s"$s|"), x)), 1, 16))).as(s"h$s")
-    }
-    val sig = shingled.select(col("doc_id") +: sigCols: _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("bkey"))
-    }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"), col("doc_id"))
+    val s = docs.sparkSession
+    import s.implicits._
+    val rows = docs
+      .select(col(idCol).cast("long").as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+    rows.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
+      def h16(s: String): String = {
+        md.reset()
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val out = new Array[Char](16) // first 8 bytes = 16 hex chars
+        var i = 0
+        while (i < 8) {
+          out(2 * i) = hex((d(i) >> 4) & 0xf); out(2 * i + 1) = hex(d(i) & 0xf)
+          i += 1
+        }
+        new String(out)
+      }
+      it.flatMap { case (id, text) =>
+        // tokens/shingles exactly as TextAnalysis.tokens/shinglesFromTokens:
+        // lower → split \W+ → drop empties → word 3-grams (ASCII-equivalent
+        // lowercasing; the corpus contract is BMP/ASCII, as q30 documents)
+        val toks = Option(text).getOrElse("").toLowerCase.split("\\W+").filter(_.nonEmpty)
+        if (toks.length < 3) Iterator.empty
+        else {
+          val mins = Array.fill(k)(MaxSentinel)
+          var i = 0
+          while (i <= toks.length - 3) {
+            val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+            var sIdx = 0
+            while (sIdx < k) {
+              val hv = h16(sIdx.toString + "|" + sh)
+              if (hv < mins(sIdx)) mins(sIdx) = hv
+              sIdx += 1
+            }
+            i += 1
+          }
+          (0 until bands).iterator.map { b =>
+            val bkey = (0 until rowsPerBand).map(r => mins(b * rowsPerBand + r)).mkString
+            BandBucket(b, bkey, id)
+          }
+        }
+      }
+    }.toDF()
   }
 
   /** Full MinHash-LSH near-dup candidates: shingle → sign → band → bucket

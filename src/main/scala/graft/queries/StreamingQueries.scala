@@ -568,7 +568,7 @@ object StreamingQueries {
       .parquet(srcDir)
     val arrivals = graft.llm.Dedup
       .bandBuckets(stream, "text", "doc_id", LlmQueries.LshK, LlmQueries.LshBands)
-      .as[Streaming.BucketArrival]
+      .as[graft.llm.BandBucket]
     withCertStatePartitions(s) {
       val query = Streaming.lshCandidateStream(arrivals)
         .writeStream

@@ -151,7 +151,6 @@ object Streaming {
       }
   }
 
-  case class BucketArrival(band: Int, bkey: String, doc_id: Long)
   case class CandidatePair(band: Int, bkey: String, doc_a: Long, doc_b: Long)
 
   /** Stateful streaming LSH near-dup candidate generation: arrivals are
@@ -172,13 +171,13 @@ object Streaming {
     * bucket size): a stream can't know a bucket's final size, and dropping
     * mid-stream would silently diverge from the batch cap semantics.
     */
-  def lshCandidateStream(arrivals: Dataset[BucketArrival]): Dataset[CandidatePair] = {
+  def lshCandidateStream(arrivals: Dataset[graft.llm.BandBucket]): Dataset[CandidatePair] = {
     import arrivals.sparkSession.implicits._
     arrivals
       .groupByKey(a => (a.band, a.bkey))
       .flatMapGroupsWithState[Seq[Long], CandidatePair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: (Int, String), it: Iterator[BucketArrival], state: GroupState[Seq[Long]]) =>
+        (key: (Int, String), it: Iterator[graft.llm.BandBucket], state: GroupState[Seq[Long]]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
           var seen = state.getOption.getOrElse(Seq.empty)
           // sorted for deterministic per-batch emission order; the emitted

@@ -216,12 +216,12 @@ class LshStreamSpec extends SparkSpec {
   test("lshCandidateStream pairs arrivals across micro-batch boundaries exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.BucketArrival]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.llm.BandBucket]
     // batch 1: docs 1,2 share bucket X; batch 2: doc 3 joins X (and 1 is
     // re-delivered - must not re-pair), doc 4 lands alone in Y
-    mem.addData(Streaming.BucketArrival(0, "X", 1L), Streaming.BucketArrival(0, "X", 2L))
-    mem.addData(Streaming.BucketArrival(0, "X", 3L), Streaming.BucketArrival(0, "X", 1L),
-      Streaming.BucketArrival(1, "Y", 4L))
+    mem.addData(graft.llm.BandBucket(0, "X", 1L), graft.llm.BandBucket(0, "X", 2L))
+    mem.addData(graft.llm.BandBucket(0, "X", 3L), graft.llm.BandBucket(0, "X", 1L),
+      graft.llm.BandBucket(1, "Y", 4L))
     val q = Streaming.lshCandidateStream(mem.toDS())
       .writeStream.format("memory").queryName("lsh_pairs_out")
       .outputMode("append")
