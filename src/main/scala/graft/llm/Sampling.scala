@@ -65,4 +65,19 @@ object Sampling {
                   sumWeights: Column, targetTotal: Column): Column =
     hashBucket(key, 1000000) * nStratum * sumWeights <
       weight * targetTotal * lit(1000000L)
+
+  /** Priority-sampling priority (Duffield/Lund/Thorup, JACM '07):
+    * q = w / u with u uniform in (0, 1] — the k highest-priority rows per
+    * group are a weighted-without-replacement sample whose subset-sum
+    * estimator is unbiased. Deterministic-exact form: u comes from the
+    * million-bucket key hash (so membership is re-derivable from the row,
+    * like every sampler here) and the priority stays INTEGER,
+    *
+    *   priority_fp = (w_fp · 10⁶) div (bucket(key) + 1)
+    *
+    * — no float division, so Spark and the oracle agree bit-for-bit.
+    * `weightFp` must be a positive integer (pre-scale decimals: cents,
+    * ppm); magnitude bound w_fp < 2⁴³ keeps the product under 2⁶³. */
+  def priorityFp(key: Column, weightFp: Column): Column =
+    call_function("div", weightFp * lit(1000000L), hashBucket(key, 1000000) + lit(1L))
 }

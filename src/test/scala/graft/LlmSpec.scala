@@ -341,6 +341,27 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
     assert(q(2L)._1.forall(_ == 0)) // zero vector → zero codes, no div-by-zero
   }
+
+  test("priorityFp matches the manual w*1e6 div (bucket+1) recompute, stays integral") {
+    import graft.llm.Sampling
+    val rows = Seq((1L, 500L), (2L, 500L), (3L, 123456L)).toDF("k", "w")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(k: Long): Long = {
+      val hx = md.digest(k.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hx, 16) % 1000000L
+    }
+    Seq((1L, 500L), (2L, 500L), (3L, 123456L)).foreach { case (k, w) =>
+      val r = rows.where($"k" === k).select(Sampling.priorityFp($"k", $"w"))
+        .collect().head
+      assert(r.getLong(0) == w * 1000000L / (bucket(k) + 1L))
+    }
+    // equal weights: ordering is decided by the key hash alone (u smaller →
+    // priority larger), so the sampler is deterministic under re-runs
+    val p1 = 500L * 1000000L / (bucket(1L) + 1L)
+    val p2 = 500L * 1000000L / (bucket(2L) + 1L)
+    assert(p1 != p2)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -64,4 +64,31 @@ class RetrievalSpec extends SparkSpec {
     assert(Funnel.depth(events, "user_id", "event_type", "ts",
       Seq("view", "click")).count() == 0)
   }
+
+  test("allPairs cosine: hand corpus — pruning, dot, fixed-point cos², threshold") {
+    import graft.llm.AllPairs
+    // vocabulary after pruning (df in [2,3] with maxDf=3):
+    //   "alpha" df=2 (d1,d2), "beta" df=2 (d1,d2), "gamma" df=2 (d2,d3);
+    //   "the" df=4 > maxDf → pruned; "zeta" df=1 → pruned
+    val docs = Seq(
+      (1L, "the alpha beta beta zeta"),
+      (2L, "the alpha beta gamma"),
+      (3L, "the gamma gamma"),
+      (4L, "the")
+    ).toDF("doc_id", "text")
+    val out = AllPairs.cosinePairs(docs, "doc_id", "text", maxDf = 3, minCos2Fp = 0L)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // kept vectors: d1 = {alpha:1, beta:2} n2=5; d2 = {alpha:1, beta:1, gamma:1} n2=3;
+    //               d3 = {gamma:2} n2=4; d4 = {} (all pruned — no row, no pair)
+    // d1·d2 = 1+2 = 3 → cos² = 9/15 = 0.6 → 600000
+    // d2·d3 = 2 → cos² = 4/12 → 333333 (floor)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, 600000L),
+      (2L, 3L, 2L, 333333L)))
+    // threshold keeps only the d1-d2 pair
+    val thr = AllPairs.cosinePairs(docs, "doc_id", "text", maxDf = 3, minCos2Fp = 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(thr.toSeq == Seq((1L, 2L)))
+  }
 }
