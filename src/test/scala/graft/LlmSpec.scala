@@ -364,6 +364,96 @@ class TrainingDataOpsSpec extends SparkSpec {
   }
 }
 
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two planted clusters seeded by vecs 0 (x-ish) and 1 (y-ish);
+  // 2 duplicates 0, 4 near-duplicates 1, 3 and 5 share cells but sit
+  // below any sane threshold
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+    (2L, Array(1f, 0f, 0f, 0f)), (3L, Array(0.6f, 0f, 0.8f, 0f)),
+    (4L, Array(0f, 0.98f, 0f, 0.05f)),
+    (5L, Array(0f, 0.04f, 0f, 1f))).toDF("vec_id", "embedding")
+
+  test("semdedup drops exactly the higher-id member of each near-dup pair") {
+    import graft.llm.{Ivf, SemDedup}
+    val out = SemDedup.verdicts(vecs, Ivf.fit(vecs, 2, 2, 4), 4, 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_dups_prior"), r.getAs[Boolean]("kept")))).toMap
+    assert(out(0L) == ((0L, true)))
+    assert(out(2L) == ((1L, false))) // exact dup of 0
+    assert(out(3L) == ((0L, true))) // same cell as 0/2, cos 0.6 < 0.95
+    assert(out(1L) == ((0L, true)))
+    assert(out(4L) == ((1L, false))) // near dup of 1 (cos ~0.9987)
+    assert(out(5L) == ((0L, true))) // y-cell but near-orthogonal to 1
+  }
+
+  test("threshold 1.0-ish keeps everything except exact duplicates") {
+    import graft.llm.{Ivf, SemDedup}
+    val kept = SemDedup.verdicts(vecs, Ivf.fit(vecs, 2, 2, 4), 4, 0.999999)
+      .where($"kept").collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept == Set(0L, 1L, 3L, 4L, 5L))
+  }
+}
+
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "en", "spark shuffle spark shuffle"),
+    (2L, "en", "spark shuffle join"),
+    (3L, "de", "der schnelle zug"),
+    (4L, "de", "spark shuffle der zug"),
+    (5L, "en", "one")).toDF("doc_id", "lang", "text")
+
+  test("hashedNgramScores matches a plain-Scala recompute of the ratio table") {
+    import graft.llm.Importance
+    val buckets = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(gram: String): Long = {
+      val d = md.digest(gram.getBytes("UTF-8"))
+      (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % buckets
+    }
+    val corpus = Seq(
+      (1L, true, "spark shuffle spark shuffle"),
+      (2L, true, "spark shuffle join"),
+      (3L, false, "der schnelle zug"),
+      (4L, false, "spark shuffle der zug"),
+      (5L, true, "one"))
+    def grams(t: String): Seq[String] =
+      t.split("\\W+").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+    val raw = corpus.flatMap(c => grams(c._3)).groupBy(bucket).view.mapValues(_.size)
+    val tgt = corpus.filter(_._2).flatMap(c => grams(c._3))
+      .groupBy(bucket).view.mapValues(_.size)
+    def score(t: String): (Long, Long) = {
+      val gs = grams(t)
+      (gs.size.toLong, gs.map { g =>
+        val b = bucket(g)
+        (tgt.getOrElse(b, 0) + 1L) * 1000000L / (raw(b) + 1L)
+      }.sum)
+    }
+    val out = Importance.hashedNgramScores(docs, "text", "doc_id",
+        $"lang" === "en", buckets)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    corpus.foreach { case (id, _, t) => assert(out(id) == score(t), s"doc $id") }
+    assert(out(5L) == ((0L, 0L))) // single-token doc: no bigrams
+  }
+
+  test("a target-only phrase outscores a non-target-only phrase per gram") {
+    import graft.llm.Importance
+    val out = Importance.hashedNgramScores(docs, "text", "doc_id",
+        $"lang" === "en", 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 1 is pure target-corpus bigrams; doc 3 pure non-target
+    assert(out(1L) / 3 > out(3L) / 2)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
