@@ -106,6 +106,59 @@ class PlanGuaranteesSpec extends SparkSpec {
       s"contamination corpus path contains a hash shuffle:\n$plan")
   }
 
+  // AllPairs is the one operator whose naive formulation IS the quadratic
+  // blow-up. Its license to exist at scale is the df-pruned posting-list
+  // equi-join: pairs may only be produced per TERM (join on term), never by
+  // enumerating documents, and no global window may rank the pairs.
+  test("AllPairs.cosinePairs: per-term equi-join, no window, no global sort before agg") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val plan = graft.llm.AllPairs.cosinePairs(docs, "doc_id", "text", 50, 40000L)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"AllPairs plan gained a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"AllPairs degenerated to all-pairs enumeration:\n$plan")
+  }
+
+  // q125's exact-size-per-group guarantee relies on Spark pushing the
+  // rank <= k filter below the sort (WindowGroupLimit → per-partition k-row
+  // heaps). Losing the pushdown silently turns the sampler into a full
+  // per-group sort — fine at sf0.01, a straggler factory on a billion-row
+  // group.
+  test("priority sampling plans with WindowGroupLimit (rank filter pushed down)") {
+    val plan = graft.queries.LlmQueries.defs("q125_priority_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"),
+      s"q125 lost the group-limit pushdown (full per-group sort at scale):\n$plan")
+  }
+
+  // SemDedup's corpus path must keep the narrow NearestCell assignment; the
+  // quadratic search must stay confined to within-cell equi-joins.
+  test("SemDedup.verdicts: narrow assignment + cell-keyed equi-join only") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val dim = graft.io.Stats.embeddingDim(spark, sfDir)
+    val cents = graft.llm.Ivf.fit(emb, 8, 0, dim).localCheckpoint(true)
+    val plan = graft.llm.SemDedup.verdicts(emb, cents, dim, 0.4)
+      .queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("nearestcell"),
+      s"SemDedup lost the shuffle-free assignment:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"SemDedup pair search degenerated to a cross join:\n$plan")
+  }
+
+  // Importance's ratio table is bounded by `buckets` and must come back to
+  // the per-doc counts as a BROADCAST join — a shuffle join here drags the
+  // corpus-sized counts frame through an extra exchange for a <=256-row
+  // table.
+  test("Importance.hashedNgramScores: bucket table joins back via broadcast") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val plan = graft.llm.Importance.hashedNgramScores(docs, "text", "doc_id",
+        col("lang") === "en", 256)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"Importance ratio-table join is no longer broadcast:\n$plan")
+  }
+
   // cellRepresentatives must aggregate per cell with a map-side partial on
   // the bounded cell key — NOT a row_number window per cell, whose
   // partitions grow with the corpus. A Window operator in this plan is the
