@@ -44,15 +44,21 @@ import org.apache.spark.sql.functions._
 object AllPairs {
 
   /** All document pairs with fixed-point cos² ≥ `minCos2Fp` (parts per
-    * million) over df-pruned bag-of-words vectors. Returns
+    * million) over df-pruned bag-of-`n`-gram vectors. The terms are word
+    * n-grams (default 3 — the near-dup family's shingle width), NOT
+    * unigrams: unigram df concentrates on the head of the vocabulary (on a
+    * bounded vocabulary EVERY term exceeds any useful maxDf and the
+    * operator degenerates to the empty set), while shingles are selective
+    * by construction — exactly why MinHash shingles the same way. Returns
     * (doc_a, doc_b, dot, cos2_fp) with doc_a < doc_b, unordered. */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
-                  maxDf: Int, minCos2Fp: Long): DataFrame = {
+                  maxDf: Int, minCos2Fp: Long, n: Int = 3): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf)")
-    val tf = docs
+    val tf = graft.io.Tables.widen(docs)
       .select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), "\\W+")).as("term"))
-      .where(col("term") =!= "")
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(Curation.ngramsFromTokens(col("toks"), n)).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val kept = tf.join(df.where(col("df").between(2, maxDf)), Seq("term"))

@@ -121,10 +121,12 @@ object ConnectedComponents {
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val lmins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // NOT deduped here: duplicate (hi, lo) rows cannot change the min
+      // aggregate below or the final round distinct, and dropping the
+      // intermediate dedup saves a full shuffle per round
       val afterLarge = nbrs.where(col("v") > col("u"))
         .join(lmins, Seq("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
       // small-star on the oriented edges: per node u (as `hi`), point every
       // smaller neighbor AND u itself at min(Γ⁻(u)); each input row (u, v)
       // emits (u, m) when v == m, else (v, m) — exactly N ∪ {u} \ {m}

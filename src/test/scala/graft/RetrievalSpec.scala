@@ -65,30 +65,36 @@ class RetrievalSpec extends SparkSpec {
       Seq("view", "click")).count() == 0)
   }
 
-  test("allPairs cosine: hand corpus — pruning, dot, fixed-point cos², threshold") {
+  test("allPairs cosine: hand corpus — shingle terms, pruning, dot, fixed-point cos², threshold") {
     import graft.llm.AllPairs
-    // vocabulary after pruning (df in [2,3] with maxDf=3):
-    //   "alpha" df=2 (d1,d2), "beta" df=2 (d1,d2), "gamma" df=2 (d2,d3);
-    //   "the" df=4 > maxDf → pruned; "zeta" df=1 → pruned
+    // 3-gram vocabulary: "a b c" df=4 (d1,d2,d3,d5), "b c d" df=2 (d1,d2),
+    //   "b c x" df=1, "b c a" df=1, "c a b" df=1 → pruned at df<2;
+    // with maxDf=4 both "a b c" and "b c d" survive
     val docs = Seq(
-      (1L, "the alpha beta beta zeta"),
-      (2L, "the alpha beta gamma"),
-      (3L, "the gamma gamma"),
-      (4L, "the")
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "a b c x"),
+      (5L, "a b c a b c a b"), // "a b c" tf=2 (plus df-1 grams)
+      (6L, "z z")              // <3 tokens: no shingles, no row
     ).toDF("doc_id", "text")
-    val out = AllPairs.cosinePairs(docs, "doc_id", "text", maxDf = 3, minCos2Fp = 0L)
+    val out = AllPairs.cosinePairs(docs, "doc_id", "text", maxDf = 4, minCos2Fp = 0L)
       .orderBy("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    // kept vectors: d1 = {alpha:1, beta:2} n2=5; d2 = {alpha:1, beta:1, gamma:1} n2=3;
-    //               d3 = {gamma:2} n2=4; d4 = {} (all pruned — no row, no pair)
-    // d1·d2 = 1+2 = 3 → cos² = 9/15 = 0.6 → 600000
-    // d2·d3 = 2 → cos² = 4/12 → 333333 (floor)
+    // kept vectors: d1 = d2 = {abc:1, bcd:1} n2=2; d3 = {abc:1} n2=1;
+    //               d5 = {abc:2} n2=4
+    // (1,2): dot=2 → cos² = 4/4 = 1.0 → 1000000;  (3,5): dot=2 → 4/4 → 1000000
+    // (1,3)/(2,3): dot=1 → 1/2 → 500000;  (1,5)/(2,5): dot=2 → 4/8 → 500000
     assert(out.toSeq == Seq(
-      (1L, 2L, 3L, 600000L),
-      (2L, 3L, 2L, 333333L)))
-    // threshold keeps only the d1-d2 pair
-    val thr = AllPairs.cosinePairs(docs, "doc_id", "text", maxDf = 3, minCos2Fp = 400000L)
+      (1L, 2L, 2L, 1000000L),
+      (1L, 3L, 1L, 500000L),
+      (1L, 5L, 2L, 500000L),
+      (2L, 3L, 1L, 500000L),
+      (2L, 5L, 2L, 500000L),
+      (3L, 5L, 2L, 1000000L)))
+    // threshold keeps only the two exact-over-kept-terms pairs
+    val thr = AllPairs.cosinePairs(docs, "doc_id", "text", maxDf = 4, minCos2Fp = 750000L)
+      .orderBy("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(thr.toSeq == Seq((1L, 2L)))
+    assert(thr.toSeq == Seq((1L, 2L), (3L, 5L)))
   }
 }
