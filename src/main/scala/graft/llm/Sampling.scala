@@ -80,4 +80,33 @@ object Sampling {
     * ppm); magnitude bound w_fp < 2⁴³ keeps the product under 2⁶³. */
   def priorityFp(key: Column, weightFp: Column): Column =
     call_function("div", weightFp * lit(1000000L), hashBucket(key, 1000000) + lit(1L))
+
+  /** Deterministic global training-order shuffle with balanced shard
+    * assignment — the "shuffle the corpus before writing training shards"
+    * step, made reproducible: order rows by the md5 of their id (a fixed
+    * pseudo-random permutation, re-derivable from the data alone — no RNG
+    * state, no seed file), then deal them round-robin into `nShards`
+    * shards. Appends `shard` (0..nShards-1) and `shard_pos` (0-based
+    * position within the shard); shard sizes differ by at most 1.
+    *
+    * The global rank comes from [[graft.operators.RunningTotal.grouped]]
+    * over a constant group — a range-partitioned two-phase prefix sum, NOT
+    * a single-task global window, so the permutation scales to any corpus
+    * (the same escape [[graft.transform.Star.denseIdsScalable]] uses).
+    * Rank determinism rides on md5-order uniqueness of the ids — 128 bits,
+    * the same no-collision license as [[Curation.dedupSpans]]'s span
+    * election.
+    */
+  def shardAssign(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val withH = df
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__g", lit(0))
+      .withColumn("__one", lit(1L))
+    graft.operators.RunningTotal.grouped(withH, "__g", "__h", "__one", "__rank")
+      .withColumn("shard", (col("__rank") - 1L) % nShards)
+      .withColumn("shard_pos", expr(s"(__rank - 1) div $nShards"))
+      .drop("__h", "__g", "__one", "__rank")
+  }
 }

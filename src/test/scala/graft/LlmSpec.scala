@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Ivf, Multimodal, Sampling, Similarity, TextAnalysis}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -361,6 +361,26 @@ class TrainingDataOpsSpec extends SparkSpec {
     val p1 = 500L * 1000000L / (bucket(1L) + 1L)
     val p2 = 500L * 1000000L / (bucket(2L) + 1L)
     assert(p1 != p2)
+  }
+
+  test("shardAssign: md5-order round-robin dealing, balanced, independent recompute") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (1L to 10L)
+    val out = Sampling.shardAssign(ids.toDF("doc_id"), "doc_id", nShards = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent plain-Scala recompute of the permutation
+    val expected = ids.sortBy(i => md5hex(i.toString)).zipWithIndex
+      .map { case (id, rk) => id -> (rk.toLong % 3, rk.toLong / 3) }.toMap
+    assert(out == expected)
+    // balanced: 10 rows over 3 shards → sizes {4, 3, 3}
+    val sizes = out.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes.values.toSeq.sorted == Seq(3, 3, 4))
+    intercept[IllegalArgumentException] {
+      Sampling.shardAssign(ids.toDF("doc_id"), "doc_id", nShards = 0)
+    }
   }
 }
 
