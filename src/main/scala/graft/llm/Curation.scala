@@ -161,14 +161,17 @@ object Curation {
     * sides partitioned on the gram — the standard big⋈big shape) and one
     * final doc-keyed sum.
     *
-    * Known limit of an UNSMOOTHED self-derived LM: a first-word that
-    * appears once gives its only transition p = 1, so all-hapax gibberish
-    * scores high. Production scoring uses a pretrained LM (or add-k
-    * smoothing) — this operator supplies the exact-arithmetic scoring
-    * plumbing; swap the `lm` relation for an external model table to get
-    * the CCNet setup.
+    * Known limit of an UNSMOOTHED self-derived LM (`addOne = false`): a
+    * first-word that appears once gives its only transition p = 1, so
+    * all-hapax gibberish scores high. `addOne = true` applies Laplace
+    * smoothing — p = (c₂+1)/(c₁+V) with V the unigram vocabulary size —
+    * still pure integer arithmetic (V is a 1-row broadcast aggregate), and
+    * hapax transitions now score ~10¹²/V instead of 10¹². Production
+    * scoring uses a pretrained LM; swap the `lm` relation for an external
+    * model table to get the CCNet setup.
     */
-  def lmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def lmScore(docs: DataFrame, textCol: String, idCol: String,
+              addOne: Boolean = false): DataFrame = {
     val toked = graft.io.Tables.widen(docs)
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
     val docBi = toked
@@ -177,10 +180,18 @@ object Curation {
     val w1Counts = biCounts
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val lm = biCounts
+    val joined = biCounts
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .join(w1Counts, Seq("w1"))
-      .select(col("g"), expr("(c2 * 1000000000000) div c1").as("p_fp"))
+    val lm =
+      if (!addOne) joined.select(col("g"), expr("(c2 * 1000000000000) div c1").as("p_fp"))
+      else {
+        val vocab = toked.select(explode(col("toks")).as("t")).distinct()
+          .agg(count(lit(1)).as("v"))
+        joined.crossJoin(broadcast(vocab))
+          .select(col("g"),
+            expr("((c2 + 1) * 1000000000000) div (c1 + v)").as("p_fp"))
+      }
     val scored = docBi.join(lm, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("score_fp"))

@@ -91,6 +91,23 @@ class CurationSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("avg_fp") == (4 * p_ab + 3 * p_ba) / 7)
   }
 
+  test("lmScore addOne: Laplace smoothing penalizes hapax transitions, exact arithmetic") {
+    import spark.implicits._
+    // bigrams: c(a b)=2 (docs 1,2), c(c d)=1 (doc 3); c1: a=2, c=1; V=4
+    val corpus = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "c d")).toDF("doc_id", "text")
+    val out = Curation.lmScore(corpus, "text", "doc_id", addOne = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_fp")).toMap
+    // p(a b) = (2+1)e12 div (2+4) = 5e11;  p(c d) = (1+1)e12 div (1+4) = 4e11
+    assert(out(1L) == 500000000000L && out(2L) == 500000000000L)
+    assert(out(3L) == 400000000000L)
+    // unsmoothed scores both transitions at p = 1 — smoothing is what
+    // separates the repeated transition from the hapax one
+    val raw = Curation.lmScore(corpus, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_fp")).toMap
+    assert(raw(1L) == raw(3L))
+  }
+
   test("contaminationFilter (literal gram set) matches contamination (broadcast join form)") {
     val benchGrams = docs.where(col("doc_id") === 1L)
       .select(explode(array_distinct(
