@@ -159,6 +159,32 @@ class PlanGuaranteesSpec extends SparkSpec {
       s"Importance ratio-table join is no longer broadcast:\n$plan")
   }
 
+  // Cooccurrence pair generation must stay ROW-LOCAL (zip-with-shifted-self
+  // inside a Generate): a posexplode + positional self-join would put an
+  // O(n²)-per-document join in the plan. The global totals may only arrive
+  // via the broadcast of a 1-row aggregate, and no window may rank pairs.
+  test("Cooccurrence.pairs: row-local generation, broadcast totals, no window") {
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val plan = graft.llm.Cooccurrence.pairs(docs, "text", "doc_id", 3, 5L)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("Generate"),
+      s"Cooccurrence lost the row-local pair explode:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"Cooccurrence totals are no longer a 1-row broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"Cooccurrence plan gained a window:\n$plan")
+  }
+
+  // shardAssign's license is the scalable global rank: a Window operator
+  // here means the permutation collapsed to a single-task global
+  // row_number — the exact thing RunningTotal exists to avoid.
+  test("Sampling.shardAssign: range-partitioned prefix sum, not a global window") {
+    val docs = graft.io.Tables.documents(spark, sfDir).select("doc_id")
+    val plan = graft.llm.Sampling.shardAssign(docs, "doc_id", 8)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"shardAssign uses a global window (single-task rank at scale):\n$plan")
+  }
+
   // cellRepresentatives must aggregate per cell with a map-side partial on
   // the bounded cell key — NOT a row_number window per cell, whose
   // partitions grow with the corpus. A Window operator in this plan is the
