@@ -99,6 +99,37 @@ object ScaleStress {
     time("pq decode 100k")(graft.llm.Pq.decode(
       graft.llm.Pq.encode(big, cb, 4, dim), cb, 4, dim)
       .queryExecution.toRdd.count())
+
+    // ---- round-5 additions: graph + distributional + permutation ops.
+    // PageRank on a 1M-edge synthetic graph (100k nodes, pseudo-random
+    // wiring): per-round cost must stay two bounded shuffles — wall-clock
+    // ~linear in edges × rounds.
+    time("pagerank 1M edges, 3 rounds") {
+      val edges = spark.range(1000000L)
+        .select((col("id") % 100000L).as("src"),
+          ((col("id") * 31L + 7L) % 100000L).as("dst"))
+      graft.operators.PageRank.ranksFp(edges, "src", "dst", iters = 3)
+        .queryExecution.toRdd.count()
+    }
+    // Co-occurrence over the 100k-doc corpus: pair generation is row-local
+    // (n·window fan-out), so this is ONE pair-keyed aggregate over ~3n
+    // rows — linear in corpus tokens.
+    time("cooccurrence 100k docs")(graft.llm.Cooccurrence.pairs(
+      doc, "text", "doc_id", window = 3, minCount = 5L)
+      .queryExecution.toRdd.count())
+    // Exact all-pairs cosine: the df cap is the scale dial — every copy
+    // group here has df ≥ 20, so maxDf=25 bounds per-term fan-out at 625
+    // pairs while still emitting the replicated-duplicate pairs.
+    time("allpairs cosine 100k")(graft.llm.AllPairs.cosinePairs(
+      doc, "doc_id", "text", maxDf = 25, minCos2Fp = 640000L)
+      .queryExecution.toRdd.count())
+    // Training-order shuffle of 1M rows into 1024 shards: two passes over
+    // the range-partitioned layout, bounded driver offsets.
+    time("shardAssign 1M rows") {
+      val ids = spark.range(1000000L).select(col("id"))
+      graft.llm.Sampling.shardAssign(ids, "id", 1024)
+        .queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 }
