@@ -109,4 +109,35 @@ object Sampling {
       .withColumn("shard_pos", expr(s"(__rank - 1) div $nShards"))
       .drop("__h", "__g", "__one", "__rank")
   }
+
+  /** Source-interleaved curriculum layout: rows are shuffled WITHIN their
+    * source (md5-of-id order, as in [[shardAssign]]) and the sources are
+    * then dealt out round-robin — position p of every source precedes
+    * position p+1 of any source, so consecutive training rows cycle
+    * through the mixture instead of streaming one domain at a time (the
+    * standard heterogeneous-batch layout; a plain global shuffle gives
+    * this only in expectation, this gives it by construction). Appends
+    * `src_pos` (0-based rank within the source) and `interleave_pos`
+    * (0-based global rank by (src_pos, source)).
+    *
+    * Both ranks come from [[graft.operators.RunningTotal.grouped]] — the
+    * within-source rank grouped BY source, the global rank over the
+    * composite (src_pos, source) order — so no single-task window appears
+    * anywhere, at any corpus or source size.
+    */
+  def interleaveBySource(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         sourceCol: String): org.apache.spark.sql.DataFrame = {
+    val withH = df
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__one", lit(1L))
+    val inSrc = graft.operators.RunningTotal
+      .grouped(withH, sourceCol, "__h", "__one", "__src_rank")
+      .withColumn("src_pos", col("__src_rank") - 1L)
+      .drop("__src_rank", "__h")
+      .withColumn("__g", lit(0))
+    graft.operators.RunningTotal
+      .grouped(inSrc, "__g", Seq("src_pos", sourceCol), "__one", "__rank")
+      .withColumn("interleave_pos", col("__rank") - 1L)
+      .drop("__g", "__one", "__rank")
+  }
 }

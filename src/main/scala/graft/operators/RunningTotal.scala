@@ -35,10 +35,19 @@ object RunningTotal {
     * silently contributing 0); the running total is a LONG.
     */
   def grouped(df: DataFrame, groupCol: String, orderCol: String,
+              valueCol: String, outCol: String): DataFrame =
+    grouped(df, groupCol, Seq(orderCol), valueCol, outCol)
+
+  /** As above with a COMPOSITE ordering — (group, orderCols...) must be
+    * unique per row. Used by interleaving layouts whose within-group order
+    * is itself a (rank, tiebreak) pair. */
+  def grouped(df: DataFrame, groupCol: String, orderCols: Seq[String],
               valueCol: String, outCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "RunningTotal: at least one order column")
     require(!df.columns.contains(outCol),
       s"RunningTotal: output column '$outCol' already exists in the input")
-    val keys = Seq(col(groupCol).asc_nulls_first, col(orderCol).asc_nulls_first)
+    val keys = col(groupCol).asc_nulls_first +:
+      orderCols.map(col(_).asc_nulls_first)
     val sorted = df
       .withColumn(valueCol, col(valueCol).cast(LongType))
       .repartitionByRange(keys: _*)

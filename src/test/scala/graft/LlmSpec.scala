@@ -382,6 +382,31 @@ class TrainingDataOpsSpec extends SparkSpec {
       Sampling.shardAssign(ids.toDF("doc_id"), "doc_id", nShards = 0)
     }
   }
+
+  test("interleaveBySource: round-robin across sources, per-source md5 shuffle") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // source A: ids 1..3, source B: ids 4..5
+    val rows = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+    val out = Sampling.interleaveBySource(rows.toDF("doc_id", "source"),
+        "doc_id", "source")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("src_pos"), r.getAs[Long]("interleave_pos"))).toMap
+    // independent recompute: rank within source by md5, then (src_pos, source)
+    val srcPos = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.map(_._1).sortBy(i => md5hex(i.toString)).zipWithIndex
+    }.toMap
+    val expected = rows.map { case (id, src) => (id, srcPos(id).toLong, src) }
+      .sortBy { case (_, p, src) => (p, src) }.zipWithIndex
+      .map { case ((id, p, _), gp) => id -> (p, gp.toLong) }.toMap
+    assert(out == expected)
+    // structural: position p of EVERY source precedes position p+1 of ANY
+    val byGlobal = out.values.toSeq.sortBy(_._2).map(_._1)
+    assert(byGlobal == byGlobal.sorted)
+  }
 }
 
 class SemDedupSpec extends SparkSpec {
