@@ -251,6 +251,69 @@ object Curation {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  // ------------------------------------------- duplicated-substring audit
+  /** Exact duplicated-substring audit at CHARACTER level — the relational
+    * re-expression of suffix-array exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * every char `k`-gram that occurs ≥ 2 times anywhere in the corpus
+    * (including same-document repeats, as in the paper), then merge each
+    * document's duplicated positions into maximal intervals and report
+    * per-doc duplication coverage — the numbers that decide what an exact
+    * substring-cut pass would remove.
+    *
+    * Shape: gram emission is row-local (one `transform` over the position
+    * sequence — O(n·k) bytes per doc, the inherent cost of char shingling);
+    * duplicate election is ONE map-side-combined count on the md5 of the
+    * gram (128-bit election key, same no-collision license as
+    * [[dedupSpans]]); membership joins back on the same hash so AQE reuses
+    * the exchange; interval merging is a row-local fold over each doc's
+    * sorted duplicated positions (bounded by document length — never a
+    * window over an unbounded partition). A corpus-sized shuffle of char
+    * grams is the honest cost of EXACT substring dedup — the probabilistic
+    * escapes (MinHash q23, SimHash q25) are the cheap tier of the same
+    * family.
+    *
+    * Returns (doc_id, n_chars, n_dup_grams, n_islands, dup_chars,
+    * coverage_fp) — coverage_fp = dup_chars·10⁶ div n_chars; unordered.
+    */
+  def dupSubstrings(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val base = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        length(col(textCol)).cast("long").as("n_chars"))
+    val grams = base.where(col("n_chars") >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1L), col("n_chars") - (k - 1)),
+          i => struct(i.as("i"),
+            md5(col("text").substr(i, lit(k))).as("h")))).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2L).select(col("h"))
+    val perDoc = grams.join(dup, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sort_array(collect_list(col("i"))).as("ps"))
+      .select(col("doc_id"), col("n_dup_grams"),
+        aggregate(col("ps"),
+          struct(lit(-1L).as("end"), lit(0L).as("isl"), lit(0L).as("cov")),
+          (st, p) => {
+            val fresh = p >= st.getField("end")
+            struct((p + k).as("end"),
+              (st.getField("isl") + when(fresh, 1L).otherwise(0L)).as("isl"),
+              (st.getField("cov") + when(fresh, lit(k.toLong))
+                .otherwise(p + k - st.getField("end"))).as("cov"))
+          }).as("m"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("m.isl"), lit(0L)).as("n_islands"),
+        coalesce(col("m.cov"), lit(0L)).as("dup_chars"))
+      .withColumn("coverage_fp",
+        when(col("n_chars") > 0, expr("(dup_chars * 1000000) div n_chars"))
+          .otherwise(lit(0L)))
+  }
+
   // ----------------------------------------------------- sequence packing
   /** Deterministic GPT-style sequence packing audit: documents are laid out
     * in (source, doc_id) order, concatenated, and chopped into fixed

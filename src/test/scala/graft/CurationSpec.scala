@@ -108,6 +108,52 @@ class CurationSpec extends SparkSpec {
     assert(raw(1L) == raw(3L))
   }
 
+  test("dupSubstrings: island merging, coverage, same-doc repeats count") {
+    import spark.implicits._
+    // k=4. d1 and d2 are exact copies: every gram (pos 1..5) is duplicated
+    // → one island covering all 8 chars. d3 shares only "abcd" (pos 3).
+    // d4 repeats "qqqq" within itself (pos 1,2,3 all hash-equal → global
+    // count 3) — same-doc repeats are duplicates, as in exact-substring
+    // dedup. d5 has no duplicated gram; d6 is shorter than k.
+    val docs = Seq(
+      (1L, "abcdefgh"),
+      (2L, "abcdefgh"),
+      (3L, "xxabcdyy"),
+      (4L, "qqqqqq"),
+      (5L, "mnopwrst"),
+      (6L, "zz")
+    ).toDF("doc_id", "text")
+    val out = Curation.dupSubstrings(docs, "text", "doc_id", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      // d1/d2: 5 dup positions, fold: cov = 4+1+1+1+1 = 8, one island
+      (1L, 8L, 5L, 1L, 8L, 1000000L),
+      (2L, 8L, 5L, 1L, 8L, 1000000L),
+      // d3: single dup position → one island of k chars over 8 → 50%
+      (3L, 8L, 1L, 1L, 4L, 500000L),
+      // d4: positions 1,2,3 merge into one island: 4+1+1 = 6 of 6 chars
+      (4L, 6L, 3L, 1L, 6L, 1000000L),
+      (5L, 8L, 0L, 0L, 0L, 0L),
+      (6L, 2L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("dupSubstrings: disjoint islands stay separate") {
+    import spark.implicits._
+    // k=3; "abc" at pos 1 and "xyz" at pos 7 duplicated via d2/d3; the
+    // gap (7 - 1 >= 3) keeps them separate islands: cov = 3 + 3
+    val docs = Seq(
+      (1L, "abc___xyz"),
+      (2L, "abc......"),
+      (3L, "......xyz")
+    ).toDF("doc_id", "text")
+    val out = Curation.dupSubstrings(docs, "text", "doc_id", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.head == ((1L, 2L, 6L)))
+  }
+
   test("contaminationFilter (literal gram set) matches contamination (broadcast join form)") {
     val benchGrams = docs.where(col("doc_id") === 1L)
       .select(explode(array_distinct(
