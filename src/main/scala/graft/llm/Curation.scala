@@ -251,6 +251,42 @@ object Curation {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  // --------------------------------------- linear quality classifier
+  /** Hashed bag-of-words linear classifier INFERENCE — the plumbing of a
+    * fasttext/logistic quality scorer (the GPT-3/LLaMA "looks like
+    * reference text" filter): each token hashes into one of `buckets`
+    * feature slots, the document score is the sum of the matching integer
+    * weights, keep = score > 0. The weight table is an input — production
+    * loads trained weights; tests and the registered query inject a
+    * deterministic stub (same honest-stub license as
+    * [[Multimodal.StubDecoder]]: the MODEL is fake, the inference plumbing
+    * is real and oracle-checked).
+    *
+    * Scale shape: one explode + hash per token (row-local), the weight
+    * table broadcast (bounded by `buckets` by contract), one
+    * map-side-combined per-doc sum. Integer weights keep the score an
+    * order-independent BIGINT sum — hash-exact cross-engine.
+    *
+    * @param weights (bucket, w_fp) rows, one per occupied feature slot
+    */
+  def linearScore(docs: DataFrame, textCol: String, idCol: String,
+                  weights: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
+    val toked = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val tb = toked.select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), Sampling.hashBucket(col("t"), buckets).as("bucket"))
+    val sc = tb.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_fp")).as("score_fp"))
+    toked.select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"))
+      .withColumn("keep", col("score_fp") > 0L)
+  }
+
   // ------------------------------------------- duplicated-substring audit
   /** Exact duplicated-substring audit at CHARACTER level — the relational
     * re-expression of suffix-array exact-substring dedup (Lee et al. 2022,

@@ -97,6 +97,50 @@ object Dedup {
       .distinct()
   }
 
+  /** FUZZY cross-corpus contamination candidates: MinHash-LSH between a
+    * training corpus and a benchmark set — the probabilistic tier of
+    * decontamination ([[Curation.contamination]] is the exact-n-gram
+    * tier; fuzzy overlap catches paraphrased/partially-copied eval items
+    * that exact grams miss). Both sides shingle and sign with the SAME
+    * hash family ([[docShingles]] + [[minhashSignatures]] — a doc's
+    * signature depends only on its own shingles, so subset vs whole-corpus
+    * computation cannot differ), then candidates are the band-bucket
+    * equi-join of corpus buckets against benchmark buckets — the corpus
+    * NEVER self-joins, so the pair fan-out is bounded by the (small by
+    * construction) benchmark side. `maxBucket` caps degenerate corpus
+    * buckets exactly as in [[lshCandidatePairs]].
+    *
+    * Returns distinct (doc_id, bench_id) candidates, unordered; verify
+    * with [[ngramJaccard]] over the candidate set downstream.
+    */
+  def crossCorpusCandidates(corpus: DataFrame, bench: DataFrame,
+                            textCol: String, idCol: String,
+                            k: Int, bands: Int,
+                            maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rpb = k / bands
+    def bucketize(df: DataFrame): DataFrame = {
+      val sig = minhashSignatures(docShingles(df, textCol, idCol), k)
+        .localCheckpoint(true)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat((0 until rpb).map(r => col(s"h${b * rpb + r}")): _*).as("bkey"))
+      }
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+    val corpusBuckets = bucketize(corpus)
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val benchBuckets = bucketize(bench)
+      .select(col("band"), col("bkey"), col("doc_id").as("bench_id"))
+    corpusBuckets.join(benchBuckets, Seq("band", "bkey"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+  }
+
   /** Stateless per-ROW band-bucket projection — the streaming-compatible
     * form of [[minhashSignatures]] + banding: each doc's k-hash signature
     * is computed from its own shingles (min over the doc's shingle hashes ≡

@@ -108,6 +108,26 @@ class CurationSpec extends SparkSpec {
     assert(raw(1L) == raw(3L))
   }
 
+  test("linearScore: hashed-slot lookup, per-doc integer sum, keep sign") {
+    import spark.implicits._
+    def bucket(tok: String, b: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16) % b
+    }
+    val weights = Seq((0L, 10L), (1L, -5L), (2L, 7L), (3L, -1L))
+      .toDF("bucket", "w_fp")
+    val wMap = Map(0L -> 10L, 1L -> -5L, 2L -> 7L, 3L -> -1L)
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, "a a a")).toDF("doc_id", "text")
+    val out = Curation.linearScore(docs, "text", "doc_id", weights, buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val sA = wMap(bucket("a", 4)); val sB = wMap(bucket("b", 4))
+    assert(out(1L) == ((2L, sA + sB, sA + sB > 0)))
+    assert(out(2L) == ((0L, 0L, false)))
+    assert(out(3L) == ((3L, 3 * sA, 3 * sA > 0)))
+  }
+
   test("dupSubstrings: island merging, coverage, same-doc repeats count") {
     import spark.implicits._
     // k=4. d1 and d2 are exact copies: every gram (pos 1..5) is duplicated

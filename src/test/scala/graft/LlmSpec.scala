@@ -88,6 +88,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossCorpusCandidates: corpus↔bench only — corpus near-dups never pair with each other") {
+    // bench doc 100 ≡ corpus doc 1 (identical text → identical signature →
+    // every band matches). Corpus docs 2 and 3 are identical to each OTHER
+    // but unrelated to the bench — a self-join leak would emit (2,3).
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "one two three four five six"),
+      (4L, "zz")).toDF("doc_id", "text") // <3 tokens: no shingles, dropped
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = Dedup.crossCorpusCandidates(corpus, bench, "text", "doc_id",
+        k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 100L)))
+    intercept[IllegalArgumentException] {
+      Dedup.crossCorpusCandidates(corpus, bench, "text", "doc_id", k = 8, bands = 3)
+    }
+  }
+
   test("stratifiedKeep: rate-100 stratum kept whole, rate-0 dropped, default applies") {
     import graft.llm.Sampling
     val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "lang")
