@@ -251,6 +251,42 @@ object Curation {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  // --------------------------------------- per-source score calibration
+  /** Per-source percentile calibration of a quality score — the CCNet
+    * move: scores from different domains aren't comparable (each domain
+    * has its own scale), so rank WITHIN the source and emit the percentile
+    * plus a low/mid/high tercile bucket; a global threshold then applies
+    * uniformly across domains.
+    *
+    *   pct_fp = (rank − 1) · 10⁶ div (n_s − 1)   (0 for singleton sources)
+    *
+    * with rank the row's position within its source ordered by
+    * (score, id) — the id tiebreak makes ties deterministic, so the
+    * result hashes identically cross-engine. The rank comes from
+    * [[graft.operators.RunningTotal.grouped]]'s composite-order form, NOT
+    * a per-source window — a billion-row source never lands on one task;
+    * per-source counts are a bounded broadcast (domains are bounded by
+    * definition). Returns (doc_id, source, score, pct_fp, tercile),
+    * unordered.
+    */
+  def calibrateBySource(df: DataFrame, scoreCol: String, idCol: String,
+                        sourceCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        col(scoreCol).as("score"))
+      .withColumn("__one", lit(1L))
+    val ranked = RunningTotal.grouped(base, "source",
+      Seq("score", "doc_id"), "__one", "__rank")
+    val counts = ranked.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    ranked.join(broadcast(counts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("score"),
+        when(col("n_s") > 1, expr("((__rank - 1) * 1000000) div (n_s - 1)"))
+          .otherwise(lit(0L)).as("pct_fp"))
+      .withColumn("tercile",
+        when(col("pct_fp") * 3 < 1000000L, "low")
+          .when(col("pct_fp") * 3 < 2000000L, "mid")
+          .otherwise("high"))
+  }
+
   // --------------------------------------- linear quality classifier
   /** Hashed bag-of-words linear classifier INFERENCE — the plumbing of a
     * fasttext/logistic quality scorer (the GPT-3/LLaMA "looks like

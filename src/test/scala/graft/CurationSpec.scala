@@ -108,6 +108,21 @@ class CurationSpec extends SparkSpec {
     assert(raw(1L) == raw(3L))
   }
 
+  test("calibrateBySource: per-source percentile, id tiebreak, singleton source") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 30L), // tie 1-2 → id order
+      (4L, "B", 99L)                                  // singleton → pct 0
+    ).toDF("doc_id", "source", "q")
+    val out = Curation.calibrateBySource(rows, "q", "doc_id", "source")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pct_fp"), r.getAs[String]("tercile"))).toMap
+    assert(out(1L) == ((0L, "low")))
+    assert(out(2L) == ((500000L, "mid")))
+    assert(out(3L) == ((1000000L, "high")))
+    assert(out(4L) == ((0L, "low")))
+  }
+
   test("linearScore: hashed-slot lookup, per-doc integer sum, keep sign") {
     import spark.implicits._
     def bucket(tok: String, b: Int): Long = {
