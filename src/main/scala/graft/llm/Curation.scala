@@ -251,6 +251,30 @@ object Curation {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Stateless literal-weights form of [[linearScore]] — the streaming
+    * gate (same relationship as [[contaminationFilter]] to
+    * [[contamination]]): the weight table is a bounded LITERAL map (models
+    * are KB-MB of slots by construction), the per-token lookup and the
+    * score sum are row-local, so this works identically on a batch frame
+    * and a `readStream` frame — no join, no state, no watermark. Integer
+    * adds commute, so the row-local fold equals the batch groupBy sum
+    * bit-for-bit. A weights map covering every slot reproduces
+    * [[linearScore]] exactly (spec-asserted). */
+  def linearScoreLiteral(docs: DataFrame, textCol: String, idCol: String,
+                         weights: Map[Long, Long], buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
+    val wmap = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("__ws", transform(col("toks"), t =>
+        coalesce(element_at(wmap, Sampling.hashBucket(t, buckets)), lit(0L))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("__ws"), lit(0L), (a, x) => a + x).as("score_fp"))
+      .withColumn("keep", col("score_fp") > 0L)
+  }
+
   // --------------------------------------- per-source score calibration
   /** Per-source percentile calibration of a quality score — the CCNet
     * move: scores from different domains aren't comparable (each domain

@@ -596,6 +596,48 @@ object StreamingQueries {
     * batch LSH candidate self-join exactly. */
   val q123_sql: String = graft.queries.LlmQueries.oracles("q23_lsh_candidates")
 
+  /** Streaming quality-classifier gate: the corpus replays as four
+    * doc_id-range micro-batches through the STATELESS literal-weights
+    * scorer ([[graft.llm.Curation.linearScoreLiteral]] — per-token slot
+    * lookup and score fold are row-local; no join, no state, no
+    * watermark), and the final table must hash-match q136's batch oracle
+    * verbatim — the same batch≡stream certification discipline as
+    * q117/q123. */
+  val q139_stream_quality: Q = (s, d) => {
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val weights: Map[Long, Long] = (0 until 256)
+      .map(i => i.toLong -> ((i * 2654435761L) % 2000001L - 1000000L)).toMap
+    val (srcDir, _, _) = Stage.memo(d, "docsall4") { dir =>
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(dir)
+      (0L, 0L)
+    }
+    val ckpt = Stage.ckpt()
+    val name = "q139_quality_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = graft.llm.Curation
+        .linearScoreLiteral(stream, "text", "doc_id", weights, buckets = 256)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("doc_id"), col("n_tokens"), col("score_fp"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q136's oracle verbatim — the streaming gate must reproduce the batch
+    * classifier inference exactly. */
+  val q139_sql: String = graft.queries.LlmQueries.oracles("q136_quality_classifier")
+
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
@@ -603,7 +645,8 @@ object StreamingQueries {
     "q80_stream_stream_join" -> q80_stream_stream_join,
     "q98_stream_scd2" -> q98_stream_scd2,
     "q117_stream_contamination" -> q117_stream_contamination,
-    "q123_stream_lsh" -> q123_stream_lsh)
+    "q123_stream_lsh" -> q123_stream_lsh,
+    "q139_stream_quality" -> q139_stream_quality)
 
   val oracles: Map[String, String] = Map(
     "q65_stream_sessions" -> q65_sql,
@@ -612,5 +655,6 @@ object StreamingQueries {
     "q80_stream_stream_join" -> q80_sql,
     "q98_stream_scd2" -> q98_sql,
     "q117_stream_contamination" -> q117_sql,
-    "q123_stream_lsh" -> q123_sql)
+    "q123_stream_lsh" -> q123_sql,
+    "q139_stream_quality" -> q139_sql)
 }

@@ -108,6 +108,18 @@ class CurationSpec extends SparkSpec {
     assert(raw(1L) == raw(3L))
   }
 
+  test("linearScoreLiteral (stateless form) matches linearScore (broadcast-join form)") {
+    import spark.implicits._
+    val weights: Map[Long, Long] = (0 until 16)
+      .map(i => i.toLong -> ((i * 2654435761L) % 2001L - 1000L)).toMap
+    val wDf = weights.toSeq.toDF("bucket", "w_fp")
+    val viaJoin = Curation.linearScore(docs, "text", "doc_id", wDf, buckets = 16)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val viaLiteral = Curation.linearScoreLiteral(docs, "text", "doc_id", weights, buckets = 16)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaJoin.toSeq == viaLiteral.toSeq)
+  }
+
   test("calibrateBySource: per-source percentile, id tiebreak, singleton source") {
     import spark.implicits._
     val rows = Seq(
