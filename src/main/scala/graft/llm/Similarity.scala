@@ -121,4 +121,60 @@ object Similarity {
         cosineWithNorms(col("vec_a"), col("vec_b"), col("__na"), col("__nb"), dim).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** Maximal-Marginal-Relevance diverse top-k (Carbonell/Goldstein '98):
+    * greedily pick k of the `candidates` nearest neighbors, each round
+    * maximizing 0.5·sim(query, c) − 0.5·max_{s∈selected} sim(c, s) — the
+    * standard diverse-retrieval re-rank (RAG context selection, exemplar
+    * picking). Ties break to the smaller neighbor id.
+    *
+    * Shape: the candidate pool is BOUNDED (`candidates` per query — the
+    * whole point of re-ranking a shortlist), so each of the k driver
+    * rounds is one join + one argmax aggregate over |queries|·candidates
+    * rows, with the argmax as a max(struct(score, −id, …)) — never a
+    * per-query window over unbounded data. All cosines go through the
+    * same dot/(na·nb) expression as [[bruteForceTopK]], so scores are
+    * bit-identical to the oracle's unrolled-round SQL.
+    *
+    * Returns (query_id, rank, neighbor_id, score), unordered.
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, candidates: Int, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = -1): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need candidates >= k >= 1 (got candidates=$candidates, k=$k)")
+    val cvecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      norm(col(vecCol), dim).as("__nn"))
+    val cand = bruteForceTopK(queries, corpus, candidates, idCol, vecCol, dim)
+      .join(cvecs, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("nvec"), col("__nn"),
+        col("cos_sim").as("simq"))
+      .localCheckpoint(true) // bounded: |queries| × candidates rows
+    var selected = cand.where(lit(false))
+      .select(col("query_id"), col("neighbor_id").as("sel_id"),
+        col("nvec").as("svec"), col("__nn").as("__sn"),
+        lit(0L).as("rank"), lit(0.0).as("score"))
+    for (r <- 1 to k) {
+      val rem = cand.join(
+        selected.select(col("query_id"), col("sel_id").as("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val pen = rem
+        .join(selected.select(col("query_id"), col("svec"), col("__sn")), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineWithNorms(col("nvec"), col("svec"), col("__nn"), col("__sn"), dim).as("p"))
+        .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("p")).as("pen"))
+      val scored = rem.join(pen, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("score",
+          lit(0.5) * col("simq") - lit(0.5) * coalesce(col("pen"), lit(0.0)))
+      val pick = scored.groupBy(col("query_id"))
+        .agg(max(struct(col("score"), (-col("neighbor_id")).as("negid"),
+          col("neighbor_id"), col("nvec"), col("__nn"))).as("w"))
+        .select(col("query_id"), col("w.neighbor_id").as("sel_id"),
+          col("w.nvec").as("svec"), col("w.__nn").as("__sn"),
+          lit(r.toLong).as("rank"), col("w.score").as("score"))
+      selected = selected.union(pick).localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("rank"),
+      col("sel_id").as("neighbor_id"), col("score"))
+  }
 }

@@ -158,6 +158,40 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mmr picks diversity over raw similarity; ranks and scores match hand math") {
+    // query 0 = [1,1]; corpus: 1=[1,0], 2=[0.9,0.1], 3=[0,1]
+    // sims to q: c2 ≈ 0.781 (top), c1 = c3 ≈ 0.707
+    // round 1 → c2. round 2: c1 is nearly parallel to c2 (cos ≈ 0.994) so
+    // its MMR score goes negative; c3 is nearly orthogonal to c2 → picked.
+    val emb = Seq(
+      (0L, Seq(1f, 1f)),
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.mmrTopK(
+        emb.where(col("vec_id") === 0L), emb, candidates = 3, k = 3, dim = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(x => (x._1, x._2)).toSeq == Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    // hand math (float inputs promoted to double, same op order as engine)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val q = Seq(1f, 1f); val c1 = Seq(1f, 0f); val c2 = Seq(0.9f, 0.1f); val c3 = Seq(0f, 1f)
+    assert(math.abs(out(0)._3 - 0.5 * cos(q, c2)) < 1e-12)
+    assert(math.abs(out(1)._3 - (0.5 * cos(q, c3) - 0.5 * cos(c3, c2))) < 1e-12)
+    // round 3 takes the last candidate; penalty is the max over {c2, c3}
+    val pen1 = math.max(cos(c1, c2), cos(c1, c3))
+    assert(math.abs(out(2)._3 - (0.5 * cos(q, c1) - 0.5 * pen1)) < 1e-12)
+  }
+}
+
 class IvfSpec extends SparkSpec {
   import spark.implicits._
 
