@@ -204,6 +204,59 @@ object Curation {
         when(col("n_bigrams") > 0, expr("score_fp div n_bigrams")).otherwise(lit(0L)))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring — the production-grade
+    * smoothing tier above [[lmScore]]'s raw and Laplace forms, made
+    * hash-exact by expressing the standard discount D = 0.75 as the
+    * RATIONAL 3/4:
+    *
+    *   p_KN(w₂|w₁) = (c₁₂ − 3/4)/c₁ + (3/4)·(N₁₊(w₁·)/c₁)·p_cont(w₂)
+    *   p_cont(w₂)  = N₁₊(·w₂) / |bigram types|
+    *
+    * in fixed point:  p_fp = ((4c₁₂ − 3)·10¹²) div (4c₁)
+    *                       + (3 · N₁₊(w₁·) · pcont_fp(w₂)) div (4c₁)
+    *
+    * — every term an integer multiply/divide, so per-doc sums are
+    * order-independent and oracle-exact. No max(·,0) clamp is needed: a
+    * corpus-derived LM only scores bigrams it contains (c₁₂ ≥ 1 →
+    * 4c₁₂ − 3 ≥ 1). The continuation counts N₁₊ are one extra aggregate
+    * each over the (already bounded) bigram-type table; |types| is a
+    * 1-row broadcast. Same big⋈big scoring join as [[lmScore]].
+    * Magnitude bound: 4c₁₂·10¹² caps bigram counts at ~2·10⁶ before
+    * overflow — drop the scale to 10⁶ past that, as in [[lmScore]].
+    */
+  def lmScoreKN(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toked = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val docBi = toked
+      .select(col("doc_id"), explode(ngramsFromTokens(col("toks"), 2)).as("g"))
+    val biCounts = docBi.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+      .localCheckpoint(true) // bounded (bigram types), read by 4 aggregates
+    val w1c = biCounts.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("succ"))
+    val predC = biCounts.groupBy(col("w2")).agg(count(lit(1)).as("pred"))
+    val types = biCounts.agg(count(lit(1)).as("t_types"))
+    val lm = biCounts
+      .join(w1c, Seq("w1"))
+      .join(predC, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("g"),
+        (expr("((4 * c2 - 3) * 1000000000000) div (4 * c1)") +
+          expr("(3 * succ * ((pred * 1000000000000) div t_types)) div (4 * c1)"))
+          .as("p_fp"))
+    val scored = docBi.join(lm, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("score_fp"))
+    toked.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"))
+      .withColumn("avg_fp",
+        when(col("n_bigrams") > 0, expr("score_fp div n_bigrams")).otherwise(lit(0L)))
+  }
+
   // ----------------------------------------------------- span dedup
   /** Cross-document exact span deduplication with reassembly (the C4
     * line-dedup shape, over fixed-width word spans since this corpus has no
