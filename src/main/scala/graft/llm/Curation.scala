@@ -51,15 +51,18 @@ object Curation {
     * sized by construction. Returns (doc_id, n_grams, n_overlap,
     * contaminated); unordered — callers sort if they need to dump.
     *
-    * @param isBench predicate over the id column selecting benchmark docs
+    * @param isBench predicate selecting benchmark docs, evaluated against
+    *   the CALLER's columns (before the id rename) — so it references the
+    *   original id column name, matching `Importance.hashedNgramScores`
     */
   def contamination(docs: DataFrame, textCol: String, idCol: String,
                     isBench: Column, n: Int = 8): DataFrame = {
     val toked = graft.io.Tables.widen(docs)
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"),
+        isBench.as("__bench"))
       .select(col("doc_id"),
         array_distinct(ngramsFromTokens(col("toks"), n)).as("grams"),
-        isBench.as("__bench"))
+        col("__bench"))
     // one row: the sorted distinct benchmark gram set (bounded by design)
     val benchGrams = toked.where(col("__bench"))
       .select(explode(col("grams")).as("g")).distinct()
@@ -70,6 +73,37 @@ object Curation {
         size(col("grams")).cast("long").as("n_grams"),
         size(array_intersect(col("grams"), col("__bench_grams"))).cast("long").as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** The distinct benchmark n-gram set as a driver-side Seq (sorted for
+    * determinism) — the batch half of the streaming contamination gate:
+    * compute once here, then gate the corpus stream with
+    * [[contaminationFilter]].
+    *
+    * The collect is HARD-BOUNDED: the plan fetches at most `maxGrams + 1`
+    * rows (`limit` pushes into the exchange, so the driver can never
+    * receive an unbounded set even on a mis-specified predicate), and a
+    * `require` rejects sets over budget. Eval benchmarks are KB-to-MB by
+    * construction; a "benchmark" beyond the budget is a corpus — use the
+    * broadcast-join form [[contamination]] for that.
+    *
+    * @param isBench predicate over the caller's columns selecting benchmark docs
+    * @param maxGrams driver budget for distinct grams (default 2^20 ≈ 1M,
+    *   ~tens of MB of strings — far above any real eval set)
+    */
+  def benchGramSet(docs: DataFrame, textCol: String, isBench: Column,
+                   n: Int, maxGrams: Int = 1 << 20): Seq[String] = {
+    val got = graft.io.Tables.widen(docs).where(isBench)
+      .select(TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(explode(array_distinct(ngramsFromTokens(col("toks"), n))).as("g"))
+      .distinct()
+      .limit(maxGrams + 1)
+      .collect().map(_.getString(0))
+    require(got.length <= maxGrams,
+      s"benchmark gram set exceeds the driver budget of $maxGrams distinct " +
+        s"$n-grams; a benchmark this large is a corpus — use the join form " +
+        "(Curation.contamination) instead")
+    got.sorted.toSeq
   }
 
   /** Stateless contamination annotator for a KNOWN benchmark gram set —
@@ -389,9 +423,14 @@ object Curation {
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
     val tb = toked.select(col("doc_id"), explode(col("toks")).as("t"))
       .select(col("doc_id"), Sampling.hashBucket(col("t"), buckets).as("bucket"))
-    val sc = tb.join(broadcast(weights), Seq("bucket"))
+    // LEFT join so n_tokens counts ALL tokens, not just those whose bucket
+    // has a weight row — keeps this form and [[linearScoreLiteral]] agreeing
+    // on n_tokens under partial-coverage weight tables (unmatched buckets
+    // contribute weight 0, exactly as an absent feature slot should)
+    val sc = tb.join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("w_fp")).as("score_fp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w_fp"), lit(0L))).as("score_fp"))
     toked.select(col("doc_id"))
       .join(sc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -184,9 +184,11 @@ object Dedup {
       }
       it.flatMap { case (id, text) =>
         // tokens/shingles exactly as TextAnalysis.tokens/shinglesFromTokens:
-        // lower → split \W+ → drop empties → word 3-grams (ASCII-equivalent
-        // lowercasing; the corpus contract is BMP/ASCII, as q30 documents)
-        val toks = Option(text).getOrElse("").toLowerCase.split("\\W+").filter(_.nonEmpty)
+        // lower → split \W+ → drop empties → word 3-grams. Locale.ROOT so a
+        // Turkish-locale JVM ('I'→'ı') can't diverge from Spark's
+        // locale-independent lower() and break the batch≡stream guarantee.
+        val toks = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+          .split("\\W+").filter(_.nonEmpty)
         if (toks.length < 3) Iterator.empty
         else {
           val mins = Array.fill(k)(MaxSentinel)
@@ -285,6 +287,61 @@ object Dedup {
     val right = buckets.select(col("band"), col("bkey"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     left.join(right, Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Multi-probe (Hamming-ball radius-1) SimHash candidate pairs — the
+    * recall-doubling extension of [[simhashNearDupPairs]]: band the
+    * fingerprint identically, but PROBE each document's band keys AND all
+    * their 1-bit perturbations against the exact-key index.
+    *
+    * Completeness: a pair at Hamming distance d must have some band whose
+    * keys differ in ≤ 1 bit whenever d ≤ 2·nBands−1 (if every band
+    * differed in ≥ 2 bits, d would be ≥ 2·nBands), and a 1-bit-differing
+    * band key is reached by exactly one perturbation — so candidates are
+    * complete for `maxHamming ≤ 2·nBands−1`, DOUBLE the exact-banding
+    * radius, at a fixed (bandBits+1)× probe fan-out per band. Still never
+    * all-pairs: the join is an equi-join on (band, key), the probe side
+    * fan-out is a constant, and oversized index buckets are dropped by the
+    * same degenerate-corpus guard as the exact form. Hamming is verified
+    * exactly (`bit_count(xor)`) so extra candidates only cost compute,
+    * never precision. */
+  def simhashMultiProbePairs(df: DataFrame, textCol: String, idCol: String,
+                             bits: Int = 64, bandBits: Int = 8,
+                             maxHamming: Int = 10, maxBucket: Int = 1000): DataFrame = {
+    require(bits % bandBits == 0, "bandBits must divide bits")
+    val nBands = bits / bandBits
+    require(maxHamming < 2 * nBands,
+      "1-bit multi-probe banding is only candidate-complete for maxHamming < 2*nBands")
+    val fp = simhash(df, textCol, idCol, bits).localCheckpoint(true)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
+    }
+    val exact = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // index side: exact keys only, oversized buckets dropped (guard sized
+    // on the index — probes aimed at a dropped bucket simply match nothing)
+    val index = exact
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+      .select(col("band"), col("bkey"),
+        col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    // probe side: the exact key plus its bandBits 1-bit flips
+    val flips = lit(0L) +: (0 until bandBits).map(i => lit(1L << i))
+    val probes = exact
+      .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+        col("band"), explode(array(flips.map(col("bkey").bitwiseXOR): _*)).as("bkey"))
+    probes.join(index, Seq("band", "bkey"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))

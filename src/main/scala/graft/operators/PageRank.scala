@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   *    `iters` (power iteration's error decays as 0.85^k, so 20–50 rounds
   *    is production-grade; tests use fewer). Deterministic round count is
   *    also what makes the result oracle-checkable.
-  *  - Dangling nodes (outdeg 0) drop their mass instead of redistributing
-  *    it — the common simplification; total mass then decays toward the
-  *    teleport floor but RELATIVE ranking is preserved, which is all a
-  *    quality-weighting consumer reads.
+  *  - Dangling nodes (outdeg 0) drop their mass by default — the common
+  *    simplification; total mass then decays toward the teleport floor but
+  *    RELATIVE ranking is preserved, which is all a quality-weighting
+  *    consumer reads. `danglingRedistribute = true` switches to the full
+  *    Page et al. treatment: each round the dangling nodes' pooled rank is
+  *    split `div n` across every node (inside the damped term), keeping
+  *    total mass ≈ scale so absolute ranks stay comparable across graphs.
+  *    The pooled mass is a ONE-ROW aggregate broadcast into the round's
+  *    plan — no per-round driver collect.
   *
   * Scale shape (100 TB): per round, ONE hash-partitioned equi-join of the
   * rank table against the degree-annotated edge list (both sides
@@ -43,7 +48,8 @@ object PageRank {
   /** Fixed-point ranks after `iters` power-iteration rounds.
     * Returns (id, r_fp), unordered — callers sort at the dump layer. */
   def ranksFp(edges: DataFrame, srcCol: String, dstCol: String,
-              iters: Int, scale: Long = 1000000000000L): DataFrame = {
+              iters: Int, scale: Long = 1000000000000L,
+              danglingRedistribute: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     require(scale >= 1000000L, s"scale must be >= 10^6 (got $scale)")
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -61,15 +67,30 @@ object PageRank {
     // degree-annotated edges, computed once: (src, dst, deg)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, Seq("src")).localCheckpoint(true)
+    // dangling node set is fixed across rounds: nodes with no out-edges
+    val danglingIds =
+      if (danglingRedistribute)
+        nodes.join(deg, nodes("id") === deg("src"), "left_anti").localCheckpoint(true)
+      else null
     var r = nodes.select(col("id"), lit(init).as("r_fp"))
     for (_ <- 1 to iters) {
       val s = ed.join(r, col("src") === col("id"))
         .select(col("dst"), expr("r_fp div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(s, nodes("id") === s("dst"), "left")
-        .select(nodes("id"),
+      val joined = nodes.join(s, nodes("id") === s("dst"), "left")
+      r = (if (danglingRedistribute) {
+        // pooled dangling mass, pre-split div n: one row, broadcast into
+        // the plan so the round stays a single distributed job
+        val share = r.join(danglingIds, Seq("id"), "left_semi")
+          .agg(coalesce(sum(col("r_fp")), lit(0L)).as("t"))
+          .select(expr(s"t div ${n}L").as("__share"))
+        joined.crossJoin(broadcast(share))
+          .select(nodes("id"),
+            (lit(base) + expr("(85 * (coalesce(s, 0L) + __share)) div 100")).as("r_fp"))
+      } else {
+        joined.select(nodes("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r_fp"))
-        .localCheckpoint(true)
+      }).localCheckpoint(true)
     }
     r
   }

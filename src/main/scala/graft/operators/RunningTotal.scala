@@ -23,8 +23,18 @@ import org.apache.spark.sql.types.LongType
   *     once more adding a running counter.
   *
   * Two jobs over the sorted data (Spark reuses the exchange for the second
-  * pass), O(#partitions) driver state, no group ever concentrated on one
-  * task. Requires (group, order) to be unique per row for a deterministic
+  * pass), no group ever concentrated on one task. Driver state is
+  * O(#groups + #partitions) — one slice entry per group plus one per
+  * partition boundary a group straddles — NOT O(#partitions): a caller
+  * with millions of groups would OOM the driver. A cheap exact slice-count
+  * pre-pass over the (checkpointed) sorted frame guards this: above
+  * `maxDriverSlices` the operator falls back to the classic
+  * `Window.partitionBy(group)` form, which is safe in exactly that regime —
+  * high group cardinality means small per-group partitions, so no single
+  * task concentrates the data. The two regimes are complementary: few big
+  * groups → driver path; many small groups → window path.
+  *
+  * Requires (group, order) to be unique per row for a deterministic
   * result — true for the (source, doc_id) pipelines this backs.
   */
 object RunningTotal {
@@ -40,9 +50,14 @@ object RunningTotal {
 
   /** As above with a COMPOSITE ordering — (group, orderCols...) must be
     * unique per row. Used by interleaving layouts whose within-group order
-    * is itself a (rank, tiebreak) pair. */
+    * is itself a (rank, tiebreak) pair.
+    *
+    * @param maxDriverSlices budget for driver-side slice entries
+    *   (≈ #groups + #partition straddles). Above it the window fallback
+    *   runs instead — identical result, no driver state. */
   def grouped(df: DataFrame, groupCol: String, orderCols: Seq[String],
-              valueCol: String, outCol: String): DataFrame = {
+              valueCol: String, outCol: String,
+              maxDriverSlices: Long = 1L << 20): DataFrame = {
     require(orderCols.nonEmpty, "RunningTotal: at least one order column")
     require(!df.columns.contains(outCol),
       s"RunningTotal: output column '$outCol' already exists in the input")
@@ -55,6 +70,31 @@ object RunningTotal {
       .localCheckpoint(true) // both passes read the SAME sorted layout
     val gIdx = sorted.schema.fieldIndex(groupCol)
     val vIdx = sorted.schema.fieldIndex(valueCol)
+
+    // pass 0: EXACT driver-state budget check — count group slices per
+    // partition (a local scan of the checkpointed frame returning one long
+    // per partition; nothing data-sized moves). Above budget, the window
+    // form computes the identical result with zero driver state: in that
+    // regime groups are numerous hence small, so per-group window
+    // partitions fit a task.
+    val totalSlices = sorted.rdd.mapPartitions { it =>
+      var n = 0L; var cur: Any = null; var open = false
+      it.foreach { r =>
+        val g = r.get(gIdx)
+        if (!open || !java.util.Objects.equals(g, cur)) { n += 1; cur = g; open = true }
+      }
+      Iterator.single(n)
+    }.collect().sum
+    if (totalSlices > maxDriverSlices) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+        .orderBy(orderCols.map(col(_).asc_nulls_first): _*)
+      // preserve the driver path's fail-fast-on-null contract
+      val checked = when(col(valueCol).isNull, raise_error(lit(
+        "RunningTotal: null value encountered; filter or default nulls first")))
+        .otherwise(col(valueCol))
+      return sorted.withColumn(outCol, sum(checked).over(w))
+    }
 
     // pass 1: per-partition, per-group slice sums, in slice order
     val sliceSums: Array[(Int, Array[(Any, Long)])] =

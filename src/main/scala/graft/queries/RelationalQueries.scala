@@ -134,6 +134,38 @@ object RelationalQueries {
       |       count(*) AS n, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
       |FROM part, cuts GROUP BY 1 ORDER BY price_tier""".stripMargin
 
+  /** The APPROX-quantile path of qcut (`exact=false`,
+    * `percentile_approx`) — the 100 TB mode, which avoids q05's global
+    * sort-based exact percentile. Oracle-checkable because the binning
+    * column is tie-heavy (l_quantity: 50 distinct values over 60k+ rows,
+    * ~1.2k-row tie runs at sf0.01) and the tertile target ranks fall
+    * INTERIOR to tie runs at every tested SF — so Spark's GK-sketch
+    * discrete percentile and DuckDB's `quantile_disc` must return the
+    * same element regardless of their (differing) rank conventions, and
+    * the sketch's ≤ n/accuracy rank error cannot cross a value boundary.
+    * Quartiles would NOT be safe here: rank n/2 is exactly the last
+    * element of a tie run. */
+  val q144_qcut_approx: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    qcut(li, col("l_quantity"), 3, Seq("Low", "Mid", "High"), "qty_tier",
+        exact = false)
+      .groupBy(col("qty_tier"))
+      .agg(count(lit(1)).as("n"),
+           min(col("l_quantity")).as("min_qty"),
+           max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("qty_tier"))
+  }
+  val q144_sql: String =
+    """WITH cuts AS (
+      |  SELECT quantile_disc(l_quantity, 1.0/3) AS c0,
+      |         quantile_disc(l_quantity, 2.0/3) AS c1
+      |  FROM lineitem)
+      |SELECT CASE WHEN l_quantity <= c0 THEN 'Low'
+      |            WHEN l_quantity <= c1 THEN 'Mid'
+      |            ELSE 'High' END AS qty_tier,
+      |       count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem, cuts GROUP BY 1 ORDER BY qty_tier""".stripMargin
+
   // ------------------------------------------------------------------- O15
   /** Currency clean round-trip: render a £-price string, strip non-numerics,
     * cast back to double (`transformation_pipeline.py:5-11` semantics). */
@@ -1877,6 +1909,7 @@ object RelationalQueries {
     "q03_derived" -> q03_derived,
     "q04_fixed_bins" -> q04_fixed_bins,
     "q05_quantile_bins" -> q05_quantile_bins,
+    "q144_qcut_approx" -> q144_qcut_approx,
     "q06_currency_clean" -> q06_currency_clean,
     "q07_word_map" -> q07_word_map,
     "q08_stock_parse" -> q08_stock_parse,
@@ -1949,6 +1982,7 @@ object RelationalQueries {
     "q03_derived" -> q03_sql,
     "q04_fixed_bins" -> q04_sql,
     "q05_quantile_bins" -> q05_sql,
+    "q144_qcut_approx" -> q144_sql,
     "q06_currency_clean" -> q06_sql,
     "q07_word_map" -> q07_sql,
     "q08_stock_parse" -> q08_sql,

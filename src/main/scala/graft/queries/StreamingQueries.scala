@@ -502,14 +502,11 @@ object StreamingQueries {
   val q117_stream_contamination: Q = (s, d) => {
     val docs = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
-    // batch side: the benchmark gram set (sorted for determinism)
-    val toked = docs.where(col("doc_id") % 97 === 0)
-      .select(col("doc_id"), graft.llm.TextAnalysis.tokens(col("text")).as("toks"))
-    val benchGrams = toked
-      .select(explode(array_distinct(
-        graft.llm.Curation.ngramsFromTokens(col("toks"), 4))).as("g"))
-      .distinct().orderBy(col("g"))
-      .collect().map(_.getString(0)).toSeq
+    // batch side: the benchmark gram set (sorted; the driver collect is
+    // hard-bounded by benchGramSet's budget — a limit in the plan plus a
+    // require on the result)
+    val benchGrams = graft.llm.Curation.benchGramSet(
+      docs, "text", col("doc_id") % 97 === 0, n = 4)
     // stage the corpus (minus bench docs) as 4 doc_id-range files
     val (srcDir, _, _) = Stage.memo(d, "docs4s") { dir =>
       docs.where(col("doc_id") % 97 =!= 0)

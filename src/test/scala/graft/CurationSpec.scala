@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.Curation
+import graft.llm.{Curation, Sampling}
 import graft.operators.RunningTotal
 
 class CurationSpec extends SparkSpec {
@@ -71,6 +71,62 @@ class CurationSpec extends SparkSpec {
           .partitionBy("g").orderBy("ord")).as("cum"))
       .as[(String, Long, Long)].collect().toSet
     assert(got == want)
+  }
+
+  test("RunningTotal.grouped: window fallback over driver budget gives identical results") {
+    val df = (1 to 100).map(i => (s"g${i % 7}", i.toLong, (i % 13).toLong))
+      .toDF("g", "ord", "v").repartition(5)
+    // budget of 1 forces the high-cardinality fallback (7 groups > 1 slice)
+    val got = RunningTotal.grouped(df, "g", Seq("ord"), "v", "cum", maxDriverSlices = 1L)
+      .select("g", "ord", "cum").as[(String, Long, Long)].collect().toSet
+    val want = df.select(col("g"), col("ord"),
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("ord")).as("cum"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("RunningTotal.grouped: window fallback preserves fail-fast on null values") {
+    val df = Seq(("a", 1L, java.lang.Long.valueOf(1L)), ("a", 2L, null: java.lang.Long))
+      .toDF("g", "ord", "v")
+    val ex = intercept[Exception] {
+      RunningTotal.grouped(df, "g", Seq("ord"), "v", "cum", maxDriverSlices = 0L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("null value") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null value")))
+  }
+
+  test("benchGramSet: rejects gram sets over the driver budget") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.benchGramSet(docs, "text", col("doc_id") === 1L, n = 2, maxGrams = 3)
+    }
+    assert(ex.getMessage.contains("driver budget"))
+    // within budget: sorted distinct grams come back
+    val ok = Curation.benchGramSet(docs, "text", col("doc_id") === 2L, n = 2, maxGrams = 10)
+    assert(ok == ok.sorted && ok.nonEmpty)
+  }
+
+  test("linearScore: partial-coverage weight table counts ALL tokens in n_tokens") {
+    val docs = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    // weights covering only SOME buckets: n_tokens must still be 4, and
+    // the two documented-equivalent forms must agree
+    val buckets = 64
+    val bucketOf = Seq("aa", "bb", "cc", "dd").toDF("t")
+      .select(col("t"), Sampling.hashBucket(col("t"), buckets).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val covered = Seq(bucketOf("aa"), bucketOf("bb")).distinct
+    val weights = covered.map(b => (b, 5L)).toDF("bucket", "w_fp")
+    val viaJoin = Curation.linearScore(docs, "text", "doc_id", weights, buckets)
+      .select("doc_id", "n_tokens", "score_fp", "keep").collect().head
+    val viaLit = Curation.linearScoreLiteral(docs, "text", "doc_id",
+        covered.map(b => b -> 5L).toMap, buckets)
+      .select("doc_id", "n_tokens", "score_fp", "keep").collect().head
+    assert(viaJoin.getAs[Long]("n_tokens") == 4L)
+    assert(viaJoin.toSeq == viaLit.toSeq)
   }
 
   test("lmScore: predictable transitions outscore scrambled ones; fixed-point exact") {
