@@ -258,7 +258,15 @@ object Dedup {
     * `bits/bandBits` bands and self-join per band — by pigeonhole, any pair
     * within Hamming distance < nBands shares at least one band, so
     * candidate generation is complete for `maxHamming ≤ nBands-1` while
-    * never going all-pairs. Emits (doc_a, doc_b, hamming ≤ maxHamming). */
+    * never going all-pairs. Emits (doc_a, doc_b, hamming ≤ maxHamming).
+    *
+    * CAPACITY BOUND (pick bandBits for your corpus size): each band has
+    * only 2^bandBits distinct keys, so a corpus larger than about
+    * 2^bandBits · maxBucket docs saturates EVERY bucket past the
+    * degenerate-corpus guard and candidates silently vanish (measured at
+    * 100× stress: 8-bit bands cap out at ~256k docs; 500k docs need
+    * bandBits ≥ 16). Widening bands trades completeness radius for key
+    * space — recover radius with [[simhashMultiProbePairs]]. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           bits: Int = 16, bandBits: Int = 4,
                           maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {

@@ -76,31 +76,44 @@ class BooksTable(properties: Map[String, String]) extends Table with SupportsRea
 }
 
 class BooksScanBuilder(path: String, filesPerPartition: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = BooksDataSource.schema
+  private var limit: Option[Int] = None
   /** Column pruning: only the projected fields are materialized into rows —
     * a `select(Title)` over a million-page dump carries 1 string per page,
     * not 13. */
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new BooksScan(path, filesPerPartition, required)
+  /** Limit pushdown: one detail page parses to EXACTLY one row, so
+    * truncating the file listing to the first `n` files is a COMPLETE
+    * push — `.load().limit(n)` lists, reads, and parses n files, not the
+    * whole crawl dump. `isPartiallyPushed = false` tells Spark no residual
+    * limit is needed on top. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = false
+  override def build(): Scan = new BooksScan(path, filesPerPartition, required, limit)
 }
 
 case class BooksFilePartition(files: Seq[String]) extends InputPartition
 
-class BooksScan(path: String, filesPerPartition: Int, required: StructType)
+class BooksScan(path: String, filesPerPartition: Int, required: StructType,
+                limit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"BooksScan(path=$path, limit=${limit.getOrElse(-1)})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(path)
-    val files: Seq[String] =
+    val listed: Seq[String] =
       if (Files.isDirectory(dir))
         Files.list(dir).iterator().asScala
           .filter(p => p.toString.endsWith(".html"))
           .map(_.toString).toSeq.sorted
       else Seq.empty
+    val files = limit.fold(listed)(listed.take)
     files.grouped(math.max(1, filesPerPartition))
       .map(g => BooksFilePartition(g): InputPartition).toArray
   }

@@ -76,6 +76,19 @@ class FunctionsSpec extends SparkSpec {
     assert(exact.values.sum == 90)
   }
 
+  test("qcut exact=false agrees with exact per-row on tie-heavy data") {
+    // 50 distinct values × 120-row tie runs — the q144 shape: tertile
+    // targets land interior to tie runs, so the GK sketch's bounded rank
+    // error cannot cross a value boundary and the labels must be identical
+    val df = spark.range(6000)
+      .select(col("id"), ((col("id") % 50) + 1).cast("double").as("v"))
+    val ex = qcut(df, $"v", 3, Seq("lo", "mid", "hi"), "tier")
+      .select($"id", $"tier".as("t_ex"))
+    val ap = qcut(df, $"v", 3, Seq("lo", "mid", "hi"), "tier", exact = false)
+      .select($"id", $"tier".as("t_ap"))
+    assert(ex.join(ap, "id").where($"t_ex" =!= $"t_ap").count() == 0)
+  }
+
   test("qcut: duplicate-heavy values — every tied value lands in one bin") {
     val df = (Seq.fill(8)(5) ++ Seq(1, 9)).toDF("v")
     val out = qcut(df, $"v", 3, Seq("lo", "mid", "hi"), "tier")

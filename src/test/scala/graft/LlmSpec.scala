@@ -56,6 +56,31 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg == viaColumns)
   }
 
+  test("simhashMultiProbePairs: complete to Hamming 2*nBands-1, superset of exact banding") {
+    val corpus = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fp = Dedup.simhash(corpus, "text", "doc_id", 64).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    // brute-force ground truth at maxHamming 10 (≤ 2·8−1 = 15, so the
+    // probe expansion must find EVERY such pair)
+    val ids = fp.keys.toSeq.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= 10
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashMultiProbePairs(corpus, "text", "doc_id", 64, 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // and it can only ADD candidates relative to exact banding at ITS radius
+    val exact = Dedup.simhashNearDupPairs(corpus, "text", "doc_id", 64, 8, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.subsetOf(got))
+    // radius bound respected
+    assert(intercept[IllegalArgumentException] {
+      Dedup.simhashMultiProbePairs(corpus, "text", "doc_id", 64, 8, 16)
+    }.getMessage.contains("candidate-complete"))
+  }
+
   test("simhash near-dup banding finds the exact-dup pair at hamming 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", 16, 4, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

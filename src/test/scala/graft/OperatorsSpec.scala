@@ -247,6 +247,28 @@ class BooksPruningSpec extends SparkSpec {
     val r = df.collect().head
     assert(r.getString(0) == "P" && r.getInt(1) == 1)
   }
+
+  test("DSv2 source pushes LIMIT down to the file listing") {
+    val dir = java.nio.file.Files.createTempDirectory("books_limit")
+    (1 to 10).foreach { i =>
+      val html = Fixtures.detailPage(s"P$i", "Cat", "One", "£1.00",
+        "In stock (1 available)", true)
+      java.nio.file.Files.write(dir.resolve(f"b$i%02d.html"), html.getBytes("UTF-8"))
+    }
+    val df = spark.read.format("graft.sources.BooksDataSource")
+      .option("path", dir.toString).option("filesPerPartition", "2")
+      .load().limit(5)
+    // complete push: the scan itself returns exactly 5 rows from the 5
+    // lexicographically-first files, planned as ceil(5/2) partitions
+    val scanExec = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+    assert(scanExec.scan.description().contains("limit=5"))
+    assert(scanExec.inputPartitions.length == 3)
+    val titles = df.select("Title").collect().map(_.getString(0)).toSet
+    assert(titles == (1 to 5).map(i => s"P$i").toSet)
+  }
 }
 
 class MicroBatchSpec extends SparkSpec {

@@ -30,6 +30,27 @@ class PageRankSpec extends SparkSpec {
     assert(r2.toSeq == Seq((1L, 313750L), (2L, 324375L), (3L, 324375L), (4L, 37500L)))
   }
 
+  test("dangling redistribution conserves total mass; default drops it") {
+    // 1→2, 1→3: nodes 2 and 3 are dangling sinks
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    // hand check at scale 10^12, n=3, 1 round with redistribution:
+    //   init = 333333333333, base = 49999999999
+    //   dangling pool = r(2)+r(3) = 666666666666 → share = 222222222222
+    //   r1(1) = base + 85·share div 100                        = 238888888887
+    //   r1(2) = r1(3) = base + 85·(166666666666 + share) div 100 = 380555555553
+    val redist = PageRank.ranksFp(edges, "src", "dst", iters = 1,
+        danglingRedistribute = true)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(redist.toSeq == Seq((1L, 238888888887L),
+      (2L, 380555555553L), (3L, 380555555553L)))
+    // total stays ≈ scale (integer-truncation loss only)…
+    assert(math.abs(redist.map(_._2).sum - 1000000000000L) < 100L)
+    // …whereas the default drops the sinks' damped mass entirely
+    val dropped = PageRank.ranksFp(edges, "src", "dst", iters = 1)
+      .collect().map(_.getLong(1)).sum
+    assert(dropped < 700000000000L)
+  }
+
   test("3-cycle: symmetric ranks, floor drift only") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     // n=3: init = 333333, base = 49999; every round r' = 49999 + 85r div 100
