@@ -302,6 +302,71 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Stateless per-row SimHash band buckets — the SimHash counterpart of
+    * [[bandBuckets]] for STREAMING near-dup candidate generation: each
+    * document's `bits`-bit fingerprint is computed ROW-LOCALLY (a doc's
+    * distinct tokens, md5 votes, majority per bit — byte-identical to the
+    * batch [[simhash]] aggregate; `SimhashStreamSpec` asserts it) and
+    * banded into bits/bandBits `BandBucket` rows ready for
+    * [[graft.streaming.Streaming.lshCandidateStream]]'s per-bucket
+    * pairing. No shuffle, no state — works identically on a batch frame
+    * and a `readStream` frame. Docs with zero tokens emit nothing, as in
+    * the batch path (they never enter the vote aggregate). */
+  def simhashBandBuckets(docs: DataFrame, textCol: String, idCol: String,
+                         bits: Int = 32, bandBits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash supports 1..64 bits, got $bits")
+    require(bits % bandBits == 0, "bandBits must divide bits")
+    val hexLen = if (bits <= 32) 8 else 16
+    val nBands = bits / bandBits
+    val s = docs.sparkSession
+    import s.implicits._
+    val rows = docs
+      .select(col(idCol).cast("long").as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+    rows.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
+      def hHex(in: String): Array[Char] = {
+        md.reset()
+        val d = md.digest(in.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val out = new Array[Char](hexLen)
+        var i = 0
+        while (i < hexLen / 2) {
+          out(2 * i) = hex((d(i) >> 4) & 0xf); out(2 * i + 1) = hex(d(i) & 0xf)
+          i += 1
+        }
+        out
+      }
+      it.flatMap { case (id, text) =>
+        // exactly TextAnalysis.tokens + the per-doc distinct of [[simhash]]
+        val toks = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+          .split("\\W+").filter(_.nonEmpty).distinct
+        if (toks.isEmpty) Iterator.empty
+        else {
+          val votes = new Array[Int](bits)
+          toks.foreach { t =>
+            val h = hHex(t)
+            var b = 0
+            while (b < bits) {
+              // batch form: conv(substring(h, hexLen - b/4, 1), 16, 10),
+              // 1-indexed substring → 0-based char hexLen - 1 - b/4
+              val nib = Character.digit(h(hexLen - 1 - b / 4), 16)
+              votes(b) += (if (((nib >> (b % 4)) & 1) == 1) 1 else -1)
+              b += 1
+            }
+          }
+          var fp = 0L
+          var b = 0
+          while (b < bits) { if (votes(b) >= 0) fp |= (1L << b); b += 1 }
+          (0 until nBands).iterator.map { bb =>
+            val bkey = (fp >> (bb * bandBits)) & ((1L << bandBits) - 1)
+            BandBucket(bb, bkey.toString, id)
+          }
+        }
+      }
+    }.toDF()
+  }
+
   /** Multi-probe (Hamming-ball radius-1) SimHash candidate pairs — the
     * recall-doubling extension of [[simhashNearDupPairs]]: band the
     * fingerprint identically, but PROBE each document's band keys AND all

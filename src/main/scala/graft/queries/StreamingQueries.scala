@@ -635,6 +635,65 @@ object StreamingQueries {
     * classifier inference exactly. */
   val q139_sql: String = graft.queries.LlmQueries.oracles("q136_quality_classifier")
 
+  /** Streaming SimHash near-dup certification — the ninth streaming cert:
+    * fingerprints and band keys are computed ROW-LOCALLY per arriving doc
+    * ([[graft.llm.Dedup.simhashBandBuckets]] — no shuffle, no state in the
+    * fingerprint stage; byte-identical to the batch aggregate, asserted by
+    * SimhashStreamSpec), the per-bucket pairing runs in
+    * `flatMapGroupsWithState` across four doc_id-range micro-batches, and
+    * the candidate set — hamming-verified batch-side exactly as q31 — must
+    * hash-match q31's batch oracle verbatim. */
+  val q146_stream_simhash: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val (srcDir, _, _) = Stage.memo(d, "docsAll4") { dir =>
+      docs.repartitionByRange(4, col("doc_id")).write.mode("append").parquet(dir)
+      (0L, 0L)
+    }
+    val ckpt = Stage.ckpt()
+    val name = "q146_simhash_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = graft.llm.Dedup
+      .simhashBandBuckets(stream, "text", "doc_id",
+        LlmQueries.SimhashBits, LlmQueries.SimhashBandBits)
+      .as[graft.llm.BandBucket]
+    withCertStatePartitions(s) {
+      val query = Streaming.lshCandidateStream(arrivals)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    // batch post-filter mirroring simhashNearDupPairs' maxBucket cap, then
+    // exact Hamming verification against the batch fingerprints
+    val buckets = graft.llm.Dedup.simhashBandBuckets(docs, "text", "doc_id",
+      LlmQueries.SimhashBits, LlmQueries.SimhashBandBits)
+    val oversized = buckets
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1000)
+      .select(col("band"), col("bkey"))
+    val fp = graft.llm.Dedup.simhash(docs, "text", "doc_id", LlmQueries.SimhashBits)
+    s.table(name)
+      .join(oversized, Seq("band", "bkey"), "left_anti")
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q31's oracle verbatim — the streamed, state-paired candidate set must
+    * reproduce the batch banding self-join exactly. */
+  val q146_sql: String = graft.queries.LlmQueries.oracles("q31_simhash_neardup")
+
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
@@ -643,7 +702,8 @@ object StreamingQueries {
     "q98_stream_scd2" -> q98_stream_scd2,
     "q117_stream_contamination" -> q117_stream_contamination,
     "q123_stream_lsh" -> q123_stream_lsh,
-    "q139_stream_quality" -> q139_stream_quality)
+    "q139_stream_quality" -> q139_stream_quality,
+    "q146_stream_simhash" -> q146_stream_simhash)
 
   val oracles: Map[String, String] = Map(
     "q65_stream_sessions" -> q65_sql,
@@ -653,5 +713,6 @@ object StreamingQueries {
     "q98_stream_scd2" -> q98_sql,
     "q117_stream_contamination" -> q117_sql,
     "q123_stream_lsh" -> q123_sql,
-    "q139_stream_quality" -> q139_sql)
+    "q139_stream_quality" -> q139_sql,
+    "q146_stream_simhash" -> q146_sql)
 }

@@ -213,6 +213,27 @@ class LshStreamSpec extends SparkSpec {
     assert(batch.contains((1L, 2L))) // the exact dups definitely meet
   }
 
+  test("simhashBandBuckets: row-local fingerprints byte-identical to the batch aggregate") {
+    val corpus = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    def batchBuckets(bits: Int, bandBits: Int) = {
+      val nBands = bits / bandBits
+      val mask = (1L << bandBits) - 1
+      graft.llm.Dedup.simhash(corpus, "text", "doc_id", bits)
+        .select(col("doc_id"), explode(array((0 until nBands).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+                .cast("string").as("bkey"))): _*)).as("bk"))
+        .select(col("bk.band"), col("bk.bkey"), col("doc_id"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    }
+    def localBuckets(bits: Int, bandBits: Int) =
+      graft.llm.Dedup.simhashBandBuckets(corpus, "text", "doc_id", bits, bandBits)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(localBuckets(32, 8) == batchBuckets(32, 8))
+    // 64-bit exercises the 16-hex vote prefix and the bit-63 sign path
+    assert(localBuckets(64, 16) == batchBuckets(64, 16))
+  }
+
   test("lshCandidateStream pairs arrivals across micro-batch boundaries exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
