@@ -122,6 +122,59 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** Multi-probe (Hamming-ball radius-1) sign-LSH near-dup pairs — the
+    * embedding-space counterpart of
+    * [[Dedup.simhashMultiProbePairs]]: band the `nBits` sign signature,
+    * probe each band key and its 1-bit flips against the exact-key index
+    * — candidate-complete for sign-Hamming ≤ 2·nBands−1, so it catches
+    * near-dup vectors that straddle up to that many coordinate
+    * hyperplanes, which [[embeddingNearDupPairs]]' full-signature
+    * equality misses entirely — then verify candidates with the EXACT
+    * cosine. Pair ids travel alone through the probe join (no vector
+    * duplication across the probe fan-out); vectors re-join only for the
+    * bounded verify stage. */
+  def embeddingNearDupPairsMultiProbe(corpus: DataFrame, threshold: Double,
+      nBits: Int = 8, bandBits: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = -1, maxBucket: Int = 1000): DataFrame = {
+    require(nBits % bandBits == 0, "bandBits must divide nBits")
+    val nBands = nBits / bandBits
+    val sig = corpus.select(col(idCol).as("__id"),
+        signBucket(col(vecCol), nBits).as("__sig"))
+      .localCheckpoint(true)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("__sig"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
+    }
+    val exact = sig.select(col("__id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("__id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // degenerate-corpus guard sized on the index, as in the SimHash form
+    val index = exact
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+      .select(col("band"), col("bkey"), col("__id").as("id_b"))
+    val flips = lit(0L) +: (0 until bandBits).map(i => lit(1L << i))
+    val probes = exact.select(col("__id").as("id_a"), col("band"),
+      explode(array(flips.map(col("bkey").bitwiseXOR): _*)).as("bkey"))
+    val pairs = probes.join(index, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val vecs = corpus.select(col(idCol), col(vecCol),
+      norm(col(vecCol), dim).as("__n"))
+    pairs
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineWithNorms(col("vec_a"), col("vec_b"),
+          col("__na"), col("__nb"), dim).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** Maximal-Marginal-Relevance diverse top-k (Carbonell/Goldstein '98):
     * greedily pick k of the `candidates` nearest neighbors, each round
     * maximizing 0.5·sim(query, c) − 0.5·max_{s∈selected} sim(c, s) — the

@@ -81,6 +81,19 @@ class DedupSpec extends SparkSpec {
     }.getMessage.contains("candidate-complete"))
   }
 
+  test("embedding multi-probe sign-LSH: superset of full-signature bucketing") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dim = graft.io.Stats.embeddingDim(spark, "/root/testdata/sf0.001")
+    val full = Similarity.embeddingNearDupPairs(emb, 0.15, 8, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = Similarity.embeddingNearDupPairsMultiProbe(emb, 0.15,
+        nBits = 8, bandBits = 4, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full-signature equality = every band equal = the flip-0 probes, so
+    // multi-probe can only ADD candidates
+    assert(full.subsetOf(mp))
+  }
+
   test("simhash near-dup banding finds the exact-dup pair at hamming 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, "text", "doc_id", 16, 4, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
