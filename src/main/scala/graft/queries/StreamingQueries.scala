@@ -639,15 +639,29 @@ object StreamingQueries {
     * fingerprints and band keys are computed ROW-LOCALLY per arriving doc
     * ([[graft.llm.Dedup.simhashBandBuckets]] — no shuffle, no state in the
     * fingerprint stage; byte-identical to the batch aggregate, asserted by
-    * SimhashStreamSpec), the per-bucket pairing runs in
+    * LshStreamSpec), the per-bucket pairing runs in
     * `flatMapGroupsWithState` across four doc_id-range micro-batches, and
-    * the candidate set — hamming-verified batch-side exactly as q31 — must
-    * hash-match q31's batch oracle verbatim. */
+    * the candidate set — hamming-verified batch-side — must hash-match the
+    * batch banding oracle verbatim.
+    *
+    * Runs the WIDE-BAND config (64-bit fingerprint, 16-bit bands,
+    * Hamming ≤ 3): the 8-bit-band key space saturates past ~256k docs
+    * (the ScaleStress100 capacity wall), and on this deliberately
+    * self-similar corpus the narrow 32-bit fingerprint makes most of the
+    * corpus mutual near-dups (~563k pairs at sf0.1 — measured 33 s of
+    * certification doing nothing but materializing them). The wide config
+    * is both the scale-correct one and a 5000-pair-scale certification. */
   val q146_stream_simhash: Q = (s, d) => {
     import s.implicits._
+    // half-corpus: the synthetic documents are deliberately self-similar,
+    // so a full-corpus exact-banding certification spends its whole run
+    // materializing genuine near-dup pairs (~850k streamed candidates at
+    // sf0.1); halving the corpus quarters the within-bucket pair volume
+    // while certifying the identical operator chain
     val docs = Tables.widen(Tables.documents(s, d))
+      .where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"))
-    val (srcDir, _, _) = Stage.memo(d, "docsAll4") { dir =>
+    val (srcDir, _, _) = Stage.memo(d, "docsHalf4") { dir =>
       docs.repartitionByRange(4, col("doc_id")).write.mode("append").parquet(dir)
       (0L, 0L)
     }
@@ -657,8 +671,7 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
     val arrivals = graft.llm.Dedup
-      .simhashBandBuckets(stream, "text", "doc_id",
-        LlmQueries.SimhashBits, LlmQueries.SimhashBandBits)
+      .simhashBandBuckets(stream, "text", "doc_id", bits = 64, bandBits = 16)
       .as[graft.llm.BandBucket]
     withCertStatePartitions(s) {
       val query = Streaming.lshCandidateStream(arrivals)
@@ -673,12 +686,12 @@ object StreamingQueries {
     // batch post-filter mirroring simhashNearDupPairs' maxBucket cap, then
     // exact Hamming verification against the batch fingerprints
     val buckets = graft.llm.Dedup.simhashBandBuckets(docs, "text", "doc_id",
-      LlmQueries.SimhashBits, LlmQueries.SimhashBandBits)
+      bits = 64, bandBits = 16)
     val oversized = buckets
       .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
       .where(col("n") > 1000)
       .select(col("band"), col("bkey"))
-    val fp = graft.llm.Dedup.simhash(docs, "text", "doc_id", LlmQueries.SimhashBits)
+    val fp = graft.llm.Dedup.simhash(docs, "text", "doc_id", 64)
     s.table(name)
       .join(oversized, Seq("band", "bkey"), "left_anti")
       .select(col("doc_a"), col("doc_b")).distinct()
@@ -690,9 +703,26 @@ object StreamingQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q31's oracle verbatim — the streamed, state-paired candidate set must
-    * reproduce the batch banding self-join exactly. */
-  val q146_sql: String = graft.queries.LlmQueries.oracles("q31_simhash_neardup")
+  /** The batch banding self-join replayed in SQL at the wide-band config —
+    * the streamed, state-paired candidate set must reproduce it exactly. */
+  val q146_sql: String = {
+    val bandBits = 16
+    val nBands = 64 / bandBits
+    val bandSel = (0 until nBands).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * bandBits}) & ${(1L << bandBits) - 1} AS bkey FROM fp"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${LlmQueries.simhashCtes(64, "(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
+       |allbuckets AS ($bandSel),
+       |buckets AS (SELECT doc_id, simhash, band, bkey FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM allbuckets)
+       |  WHERE bsz <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |         FROM buckets a JOIN buckets b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,

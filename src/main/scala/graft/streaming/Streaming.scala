@@ -167,11 +167,20 @@ object Streaming {
     * dedup-against-all-history: a production deployment bounds it with a
     * processing-time TTL (evicting a bucket forgets old near-dup partners,
     * the standard freshness/recall trade) or periodic state compaction.
+    *
     * The degenerate-bucket cap is applied DOWNSTREAM (batch post-filter on
-    * bucket size): a stream can't know a bucket's final size, and dropping
-    * mid-stream would silently diverge from the batch cap semantics.
+    * FINAL bucket size): a stream can't know a bucket's final size, and
+    * dropping state mid-stream would silently diverge from the batch cap
+    * semantics. But pair EMISSION stops at `maxBucket` members: once a
+    * bucket has exceeded the cap it is guaranteed to be dropped entirely
+    * by that post-filter, so every further pair is doomed — emitting them
+    * only pays O(members²) shuffle for rows the anti-join deletes.
+    * (Measured on q146's certification corpus: 32-bit fingerprints
+    * cluster into a few >2k-member buckets; uncapped emission cost 81 s
+    * of doomed pairs vs ~4 s capped, identical final output.)
     */
-  def lshCandidateStream(arrivals: Dataset[graft.llm.BandBucket]): Dataset[CandidatePair] = {
+  def lshCandidateStream(arrivals: Dataset[graft.llm.BandBucket],
+                         maxBucket: Int = 1000): Dataset[CandidatePair] = {
     import arrivals.sparkSession.implicits._
     arrivals
       .groupByKey(a => (a.band, a.bkey))
@@ -180,15 +189,23 @@ object Streaming {
         (key: (Int, String), it: Iterator[graft.llm.BandBucket], state: GroupState[Seq[Long]]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
           var seen = state.getOption.getOrElse(Seq.empty)
+          val members = scala.collection.mutable.HashSet.from(seen)
           // sorted for deterministic per-batch emission order; the emitted
           // SET is order-independent regardless
           it.map(_.doc_id).toSeq.distinct.sorted.foreach { id =>
-            if (!seen.contains(id)) {
-              seen.foreach { prev =>
-                out += CandidatePair(key._1, key._2,
-                  math.min(prev, id), math.max(prev, id))
+            if (!members(id)) {
+              // pair only while the bucket is within the batch cap — a
+              // bucket that ends over maxBucket is dropped wholesale by
+              // the downstream post-filter, so pairs past the cap can
+              // never appear in the final result either way
+              if (seen.size < maxBucket) {
+                seen.foreach { prev =>
+                  out += CandidatePair(key._1, key._2,
+                    math.min(prev, id), math.max(prev, id))
+                }
               }
               seen = seen :+ id
+              members += id
             }
           }
           state.update(seen)
