@@ -535,4 +535,107 @@ object Curation {
         sum(col("n_tokens")).as("n_started_tokens"),
         sum(when(col("end_seq") > col("seq_id"), 1L).otherwise(0L)).as("n_crossing"))
   }
+
+  // ------------------------------------------- Gopher structural rules
+  /** Stopwords for the Gopher "natural language" check — a deliberately
+    * tiny fixed list (the rule needs ≥ 2 hits, not linguistic coverage). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "a", "in", "that", "have", "with")
+
+  /** Gopher-style STRUCTURAL document-quality rules (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1) — the doc-shape half of the Gopher
+    * filter, complementing [[repetitionStats]]' repetition half:
+    *
+    *  - word count in [minWords, maxWords];
+    *  - mean word length in [3, 10] chars;
+    *  - ≥ 80% of words contain at least one letter;
+    *  - ≥ 2 stopword hits ([[GopherStopwords]]);
+    *  - ≤ 90% of lines start with a bullet (`-`, `*`, `•`);
+    *  - ≤ 30% of lines end with an ellipsis (`...`, `…`).
+    *
+    * Every stat is an integer and every threshold a cross-multiplied
+    * integer comparison — no float ratio anywhere — so keep decisions
+    * hash-match SQL exactly. Entirely row-local (tokenize + two
+    * array-filter counts + a line scan per document): zero shuffles, the
+    * same cheapest-tier license as [[repetitionStats]]. At 100 TB this is
+    * a map over the corpus scan, typically fused into whatever pass reads
+    * the text anyway.
+    *
+    * Returns (doc_id, n_words, sum_word_chars, n_alpha_words,
+    * n_stop_hits, n_lines, n_bullet_lines, n_ellipsis_lines, keep);
+    * unordered.
+    */
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val toked = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"),
+        split(col(textCol), "\n", -1).as("lines"))
+    toked.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+          .as("sum_word_chars"),
+        size(filter(col("toks"), x => x.rlike("[a-z]"))).cast("long")
+          .as("n_alpha_words"),
+        size(filter(col("toks"), x => x.isin(GopherStopwords: _*))).cast("long")
+          .as("n_stop_hits"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"), l => {
+          val t = ltrim(l)
+          t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
+        })).cast("long").as("n_bullet_lines"),
+        size(filter(col("lines"), l => {
+          val t = rtrim(l)
+          t.endsWith("...") || t.endsWith("…")
+        })).cast("long").as("n_ellipsis_lines"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          // 3 ≤ mean word length ≤ 10, cross-multiplied
+          col("sum_word_chars") >= col("n_words") * 3L &&
+          col("sum_word_chars") <= col("n_words") * 10L &&
+          // ≥ 80% alpha words
+          col("n_alpha_words") * 5L >= col("n_words") * 4L &&
+          col("n_stop_hits") >= 2L &&
+          // ≤ 90% bullet lines, ≤ 30% ellipsis lines
+          col("n_bullet_lines") * 10L <= col("n_lines") * 9L &&
+          col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L)
+  }
+
+  // --------------------------------------------- C4 line-level cleaning
+  /** C4-style LINE-level cleaning (Raffel et al. 2020, §2.2): a line
+    * survives iff it ends in terminal punctuation (`.` `!` `?` `"`), has
+    * at least `minLineWords` words, and (lowercased) contains none of
+    * `{`, `javascript`, `lorem ipsum`; the document is reassembled from
+    * surviving lines in original order and kept iff any line survives.
+    *
+    * Entirely row-local — one split + one array filter + one join per
+    * document, zero shuffles (same license as [[gopherRules]]). The
+    * cleaned text itself is returned so callers (and the oracle hash)
+    * certify the reassembly, not just the counts.
+    *
+    * Returns (doc_id, n_lines, n_kept, kept_chars, clean_text, keep);
+    * unordered. `clean_text` is the empty string when nothing survives.
+    */
+  def c4Clean(docs: DataFrame, textCol: String, idCol: String,
+              minLineWords: Int = 3): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1 (got $minLineWords)")
+    val lined = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\n", -1).as("lines"))
+    val kept = lined.select(col("doc_id"), col("lines"),
+      filter(col("lines"), l => {
+        val t = rtrim(l)
+        val lo = lower(l)
+        (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") || t.endsWith("\"")) &&
+          size(filter(split(lo, "\\W+"), w => w =!= "")) >= minLineWords &&
+          !lo.contains("{") && !lo.contains("javascript") && !lo.contains("lorem ipsum")
+      }).as("kept_lines"))
+    kept.select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept_lines")).cast("long").as("n_kept"),
+        concat_ws("\n", col("kept_lines")).as("clean_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        length(col("clean_text")).cast("long").as("kept_chars"),
+        col("clean_text"))
+      .withColumn("keep", col("n_kept") >= 1L)
+  }
 }

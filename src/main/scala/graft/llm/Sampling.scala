@@ -140,4 +140,30 @@ object Sampling {
       .withColumn("interleave_pos", col("__rank") - 1L)
       .drop("__g", "__one", "__rank")
   }
+
+  /** Per-source document cap (the CommonCrawl "max docs per domain" rule):
+    * keep the `k` documents with the smallest `md5(id)` in each source — a
+    * deterministic uniform sample of exactly min(k, |source|) docs, stable
+    * under corpus growth EXCEPT at the cap boundary (a new doc with a
+    * smaller hash displaces the current k-th; any cap rule must displace
+    * something).
+    *
+    * The within-source rank comes from the grouped prefix sum
+    * ([[graft.operators.RunningTotal]]) over the composite (hash, id)
+    * order — never a `Window.partitionBy(source)`, so a billion-document
+    * source never concentrates on one task. Returns the input plus
+    * (cap_rank, kept); unordered.
+    */
+  def capPerSource(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   sourceCol: String, k: Long): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"cap must be >= 1 (got $k)")
+    val withH = df
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__one", lit(1L))
+    graft.operators.RunningTotal
+      .grouped(withH, sourceCol, Seq("__h", idCol), "__one", "__rank")
+      .withColumn("cap_rank", col("__rank"))
+      .withColumn("kept", col("__rank") <= k)
+      .drop("__h", "__one", "__rank")
+  }
 }

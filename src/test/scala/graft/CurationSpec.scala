@@ -302,4 +302,70 @@ class CurationSpec extends SparkSpec {
     // doc 4 (1 token) starts seq 1 at offset 10
     assert(out(("b", 1L)).getAs[Long]("n_docs") == 1)
   }
+
+  test("gopherRules: each rule trips independently; integer thresholds exact") {
+    val gdocs = Seq(
+      // 50 words, mean length 3-10, alpha, stopwords -> keep
+      (1L, (1 to 50).map(i => s"the word$i").mkString(" ").split(" ").take(50).mkString(" ")),
+      (2L, "short doc"),                               // < 50 words
+      (3L, (1 to 50).map(_ => "12345").mkString(" ")), // no alpha words, no stopwords
+      (4L, "- bullet\n- bullet\nthe " + (1 to 47).map(i => s"w$i").mkString(" ")), // 2/3 bullet lines > 90%? no: 2*10 <= 3*9 -> pass bullets
+      (5L, "the end is near...\nthe end is near…\nok the " +
+        (1 to 46).map(i => s"w$i").mkString(" "))      // 2/3 ellipsis lines > 30%
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRules(gdocs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Long]("n_stop_hits") == 25)
+    assert(!out(2L).getAs[Boolean]("keep"))           // word count
+    assert(!out(3L).getAs[Boolean]("keep"))           // alpha + stopwords
+    assert(out(3L).getAs[Long]("n_alpha_words") == 0)
+    assert(out(4L).getAs[Long]("n_bullet_lines") == 2)
+    assert(out(5L).getAs[Long]("n_ellipsis_lines") == 2)
+    assert(!out(5L).getAs[Boolean]("keep"))           // 2*10 > 3*3
+    // mean-word-length boundary: exactly 3.0 passes (cross-multiplied >=)
+    val b = Seq((9L, (1 to 50).map(_ => "the").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ob = Curation.gopherRules(b, "text", "doc_id").collect().head
+    assert(ob.getAs[Long]("sum_word_chars") == 150 && ob.getAs[Boolean]("keep"))
+  }
+
+  test("c4Clean: line predicate, order-preserving reassembly, empty survivors") {
+    val cdocs = Seq(
+      (1L, "Good first line here.\nno punctuation line\nAnother good line!\nhas javascript inside.\ntiny.\nQuoted line stays \""),
+      (2L, "all lines fail\nno punct here"),
+      (3L, "Braces {bad} line.\nLorem ipsum dolor sit.\nThe only good line?")
+    ).toDF("doc_id", "text")
+    val out = Curation.c4Clean(cdocs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") == 6)
+    assert(out(1L).getAs[Long]("n_kept") == 3)
+    assert(out(1L).getAs[String]("clean_text") ==
+      "Good first line here.\nAnother good line!\nQuoted line stays \"")
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[String]("clean_text") == "")
+    assert(out(2L).getAs[Long]("kept_chars") == 0)
+    assert(out(3L).getAs[Long]("n_kept") == 1)
+    assert(out(3L).getAs[String]("clean_text") == "The only good line?")
+  }
+
+  test("capPerSource: exact k kept per source, rank deterministic by (md5, id)") {
+    val df = (1L to 30L).map(i => (i, if (i <= 20) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = Sampling.capPerSource(df, "doc_id", "source", 5L)
+    val kept = out.where(col("kept")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("doc_id"))
+    assert(kept.count(_._1 == "a") == 5)
+    assert(kept.count(_._1 == "b") == 5)
+    // rank order matches a driver-side md5 sort of the same ids
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectA = (1L to 20L).sortBy(i => (h(i), i)).take(5).toSet
+    assert(kept.filter(_._1 == "a").map(_._2).toSet == expectA)
+    // under-cap source keeps everything
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "source")
+    assert(Sampling.capPerSource(tiny, "doc_id", "source", 5L)
+      .where(col("kept")).count() == 2)
+  }
 }
