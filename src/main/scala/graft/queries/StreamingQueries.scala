@@ -724,6 +724,77 @@ object StreamingQueries {
        |FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Stage a (doc_id, source) frame into `parts` doc_id-RANGE parquet
+    * files with strictly-increasing mtimes in range order, so a
+    * `maxFilesPerTrigger=1` replay delivers micro-batches in doc_id order
+    * — the arrival-order contract the admission-cap certification needs
+    * (same mtime-stamping discipline as [[stageTimeOrdered]], minus the
+    * event-time bounds and sentinels, which an unwatermarked stateful op
+    * doesn't use). Memoized per (sfDir, key). */
+  private def stageIdOrdered(docs: DataFrame, d: String, key: String,
+                             parts: Int): String = {
+    val (dir, _, _) = Stage.memo(d, key) { srcDir =>
+      import java.nio.file.{Files => F, Paths}
+      import java.nio.file.attribute.FileTime
+      docs.repartitionByRange(parts, col("doc_id")).write.mode("append").parquet(srcDir)
+      val it = F.list(Paths.get(srcDir)).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          buf += p
+      }
+      // one job, one job-UUID → lexicographic name order IS partition order
+      val t0 = System.currentTimeMillis() - 24 * 60 * 60 * 1000L
+      buf.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+        F.setLastModifiedTime(p, FileTime.fromMillis(t0 + i * 2000L))
+      }
+      (0L, 0L)
+    }
+    dir
+  }
+
+  /** Streaming per-source admission cap — the tenth streaming cert:
+    * [[Streaming.admitFirstK]] admits the first 30 docs per source across
+    * four doc_id-ordered micro-batches (state: one long per source), and
+    * the admitted set + ranks must hash-match the batch "30 smallest
+    * doc_ids per source" window oracle. Cross-batch statefulness is real:
+    * every source spans all four range files, so its count accumulates
+    * through the whole replay. */
+  val q152_stream_source_cap: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"))
+    val srcDir = stageIdOrdered(docs, d, "docsIdOrdered4", 4)
+    val ckpt = Stage.ckpt()
+    val name = "q152_cap_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.select(col("source"), col("doc_id"))
+      .as[Streaming.SourceDoc]
+    withCertStatePartitions(s) {
+      val query = Streaming.admitFirstK(arrivals, 30L)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("doc_id"), col("source"), col("admit_rank"))
+      .orderBy(col("doc_id"))
+  }
+  val q152_sql: String =
+    """SELECT doc_id, source, admit_rank FROM (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS admit_rank
+      |  FROM documents)
+      |WHERE admit_rank <= 30 ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
@@ -733,7 +804,8 @@ object StreamingQueries {
     "q117_stream_contamination" -> q117_stream_contamination,
     "q123_stream_lsh" -> q123_stream_lsh,
     "q139_stream_quality" -> q139_stream_quality,
-    "q146_stream_simhash" -> q146_stream_simhash)
+    "q146_stream_simhash" -> q146_stream_simhash,
+    "q152_stream_source_cap" -> q152_stream_source_cap)
 
   val oracles: Map[String, String] = Map(
     "q65_stream_sessions" -> q65_sql,
@@ -744,5 +816,6 @@ object StreamingQueries {
     "q117_stream_contamination" -> q117_sql,
     "q123_stream_lsh" -> q123_sql,
     "q139_stream_quality" -> q139_sql,
-    "q146_stream_simhash" -> q146_sql)
+    "q146_stream_simhash" -> q146_sql,
+    "q152_stream_source_cap" -> q152_sql)
 }

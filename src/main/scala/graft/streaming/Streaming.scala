@@ -212,4 +212,43 @@ object Streaming {
           out.iterator
       }
   }
+
+  case class SourceDoc(source: String, doc_id: Long)
+  case class AdmittedDoc(source: String, doc_id: Long, admit_rank: Long)
+
+  /** Stateful streaming per-source admission cap — the streaming form of
+    * [[graft.llm.Sampling.capPerSource]]'s "max docs per domain" rule:
+    * admit the first `k` documents of each source IN ARRIVAL ORDER and
+    * drop the rest, across micro-batch boundaries.
+    *
+    * State is ONE long per source (the admitted count) — bounded by the
+    * source cardinality, the cheapest state shape a stateful operator can
+    * have; no TTL needed. Within a batch the group's rows are admitted in
+    * doc_id order (the iterator's order is not contractual); ACROSS
+    * batches the admission order is the replay order, so the
+    * certification stages doc_id-range files with ordered mtimes and the
+    * result equals the batch "k smallest doc_ids per source". A
+    * production stream admits in true arrival order — the point of the
+    * operator — and has no batch-equivalent to certify against.
+    */
+  def admitFirstK(arrivals: Dataset[SourceDoc], k: Long): Dataset[AdmittedDoc] = {
+    require(k >= 1, s"cap must be >= 1 (got $k)")
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, AdmittedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, it: Iterator[SourceDoc], state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedDoc]
+          it.map(_.doc_id).toSeq.sorted.foreach { id =>
+            if (admitted < k) {
+              admitted += 1
+              out += AdmittedDoc(source, id, admitted)
+            }
+          }
+          state.update(admitted)
+          out.iterator
+      }
+  }
 }

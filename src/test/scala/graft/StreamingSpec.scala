@@ -90,4 +90,27 @@ class StreamingSpec extends SparkSpec {
       assert(u1.get.getAs[Double]("total_value") == 3.0)
     } finally q.stop()
   }
+
+  test("admitFirstK: cap accumulates across micro-batches; within-batch order is doc_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.SourceDoc]
+    val q = Streaming.admitFirstK(mem.toDS(), 3L)
+      .writeStream.format("memory").queryName("admit_cap")
+      .outputMode("append").start()
+    try {
+      // batch 1: 'a' arrives out of id order — admitted sorted (1 then 2)
+      mem.addData(Streaming.SourceDoc("a", 2), Streaming.SourceDoc("a", 1),
+        Streaming.SourceDoc("b", 10))
+      q.processAllAvailable()
+      // batch 2: 'a' already holds 2 admissions — only one slot left
+      mem.addData(Streaming.SourceDoc("a", 3), Streaming.SourceDoc("a", 4),
+        Streaming.SourceDoc("b", 11))
+      q.processAllAvailable()
+      val rows = spark.table("admit_cap").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("admit_rank"))).toSet
+      assert(rows == Set(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+        ("b", 10L, 1L), ("b", 11L, 2L)))
+    } finally q.stop()
+  }
 }
