@@ -271,4 +271,27 @@ object Similarity {
         col("st.mean").as("mean"),
         sqrt(col("st.m2") - col("st.mean") * col("st.mean")).as("std"))
   }
+
+  /** Apply a [[dimStats]] table to a vector column: z = (v − mean) / std
+    * per component (feature standardization / z-normalization).
+    *
+    * The stats table is BOUNDED by the embedding width by contract, so it
+    * packs into one broadcast row of (means, stds) arrays — the corpus
+    * never shuffles and gains one row-local `transform` (the
+    * [[Ivf.assign]] packed-broadcast license). The column is replaced in
+    * place as `array<double>`.
+    */
+  def standardize(df: DataFrame, stats: DataFrame, vecCol: String): DataFrame = {
+    val packed = stats
+      .agg(sort_array(collect_list(struct(col("dim"), col("mean"), col("std"))))
+        .as("__st"))
+      .select(transform(col("__st"), x => x.getField("mean")).as("__means"),
+        transform(col("__st"), x => x.getField("std")).as("__stds"))
+    df.crossJoin(broadcast(packed))
+      .withColumn(vecCol,
+        transform(sequence(lit(1), size(col(vecCol))), j =>
+          (element_at(col(vecCol), j).cast("double") -
+            element_at(col("__means"), j)) / element_at(col("__stds"), j)))
+      .drop("__means", "__stds")
+  }
 }

@@ -194,6 +194,41 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L))) // 2 is orthogonal; 3 is in another sign bucket
   }
+
+  test("dimStats: per-dimension mean/std match a driver-side recompute") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, -2.0f)),
+      (2L, Seq(3.0f, 0.5f)),
+      (3L, Seq(5.0f, 0.25f))).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.dimStats(emb, "embedding", 2)
+      .collect().map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean"), r.getAs[Double]("std"))).toMap
+    assert(out(0L)._1 == 3)
+    // exact values: fixed-point round(v*1e12) is lossless for these inputs
+    assert(out(0L)._2 == 3.0)
+    assert(out(0L)._3 == math.sqrt((1.0 + 9.0 + 25.0) / 3.0 - 9.0))
+    assert(out(1L)._2 == (-2.0 + 0.5 + 0.25) / 3.0)
+  }
+
+  test("standardize: z-vectors have mean 0 / unit std against their own stats") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(3.0f, 20.0f)),
+      (3L, Seq(5.0f, 60.0f))).toDF("vec_id", "embedding")
+    val stats = graft.llm.Similarity.dimStats(emb, "embedding", 2)
+    val z = graft.llm.Similarity.standardize(emb, stats, "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    // dim 0: mean 3, std sqrt(8/3)
+    val s0 = math.sqrt((1.0 + 9.0 + 25.0) / 3.0 - 9.0)
+    assert(z(1L)(0) == (1.0 - 3.0) / s0)
+    assert(z(3L)(0) == (5.0 - 3.0) / s0)
+    // standardized columns re-standardize to ~N(0,1): mean 0, std 1
+    val zd = z.values.map(_.head)
+    assert(math.abs(zd.sum) < 1e-12)
+    assert(math.abs(zd.map(x => x * x).sum / 3.0 - 1.0) < 1e-12)
+  }
 }
 
 class MmrSpec extends SparkSpec {
@@ -632,21 +667,5 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getSeq[Float](2)).toMap
     assert(pad(2L) == Seq(2f, 0f, 0f, 0f)) // frame [4,6) is pure padding
     assert(pad(1L) == Seq(2f, 'c'.toFloat, 'd'.toFloat, ('c' + 'd').toFloat % 997))
-  }
-
-  test("dimStats: per-dimension mean/std match a driver-side recompute") {
-    import spark.implicits._
-    val emb = Seq(
-      (1L, Seq(1.0f, -2.0f)),
-      (2L, Seq(3.0f, 0.5f)),
-      (3L, Seq(5.0f, 0.25f))).toDF("vec_id", "embedding")
-    val out = graft.llm.Similarity.dimStats(emb, "embedding", 2)
-      .collect().map(r => r.getAs[Long]("dim") ->
-        (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean"), r.getAs[Double]("std"))).toMap
-    assert(out(0L)._1 == 3)
-    // exact values: fixed-point round(v*1e12) is lossless for these inputs
-    assert(out(0L)._2 == 3.0)
-    assert(out(0L)._3 == math.sqrt((1.0 + 9.0 + 25.0) / 3.0 - 9.0))
-    assert(out(1L)._2 == (-2.0 + 0.5 + 0.25) / 3.0)
   }
 }
