@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding TRAINING plumbing (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"): the
+  * distributed half of a BPE trainer is the weighted adjacent-pair count
+  * over the corpus vocabulary plus the merge election; the merge
+  * application is a row-local fold over each word's symbol sequence.
+  *
+  * Scale shape: the vocabulary build is ONE map-side-combined groupBy on
+  * the token (the word-count table every tokenizer trainer materializes
+  * first — bounded by vocabulary, not corpus size); pair generation is
+  * row-local over each vocab entry; the pair count is a second map-side-
+  * combined groupBy bounded by the symbol-pair space. Nothing corpus-sized
+  * ever shuffles twice, and no window appears anywhere. A full BPE train
+  * iterates [[electMerge]] + [[applyMerge]] over the (small) vocab table —
+  * driver-paced like any Lloyd loop, with the heavy corpus pass done once.
+  */
+object Bpe {
+
+  /** Corpus vocabulary: (word, n) — one map-side-combined groupBy over the
+    * exploded token stream. */
+  def vocab(docs: DataFrame, textCol: String): DataFrame =
+    graft.io.Tables.widen(docs)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** A word as its initial symbol sequence (single characters). */
+  def charSymbols(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Weighted adjacent-pair counts over a (word, n) vocab whose `symsCol`
+    * holds the current symbol sequence: row-local pair generation, one
+    * bounded groupBy on the pair. Pairs are space-joined (symbols never
+    * contain spaces — they are character concatenations). */
+  def pairCounts(vocabSyms: DataFrame, symsCol: String): DataFrame =
+    vocabSyms
+      .where(size(col(symsCol)) >= 2)
+      .select(col("n"), explode(transform(
+        sequence(lit(1), size(col(symsCol)) - 1),
+        i => concat_ws(" ", element_at(col(symsCol), i),
+          element_at(col(symsCol), i + 1)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+
+  /** The BPE merge election: highest count, ties to the lexicographically
+    * SMALLEST pair — two bounded aggregates (max count, then min pair at
+    * that count), never a global sort. Returns a 1-row (pair, cnt) frame
+    * suitable for `broadcast`. */
+  def electMerge(counts: DataFrame): DataFrame = {
+    val top = counts.agg(max(col("cnt")).as("__top"))
+    counts.join(broadcast(top), col("cnt") === col("__top"))
+      .agg(min(col("pair")).as("pair"), max(col("cnt")).as("cnt"))
+  }
+
+  /** Apply one elected merge to a symbol sequence: the standard
+    * left-to-right NON-OVERLAPPING scan — if the accumulator's last symbol
+    * is `a` and the current is `b`, fuse them; a fused symbol never
+    * re-merges in the same pass (its text is `a+b`, not `a`). Row-local
+    * `aggregate` fold, O(len) per word. */
+  def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) => {
+      // `get` (0-based) returns NULL on empty — ANSI-safe, no index error
+      val last = get(acc, size(acc) - 1)
+      when(last === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(last, x))))
+        .otherwise(concat(acc, array(x)))
+    })
+}

@@ -1903,6 +1903,71 @@ object RelationalQueries {
       |FROM base b LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------- bucketed join
+  /** Bucketed-table pair for [[q157_bucketed_join]], memoized per dataset
+    * dir: lineitem and orders written once as EXTERNAL bucketed tables
+    * (8 buckets on the join key, bucket-sorted, data on [[graft.io
+    * .Scratch]]) — the layout that makes every subsequent orderkey join
+    * shuffle-free AND sort-free. Table names carry a dir hash so sf0.001
+    * tests and sf0.01/0.1 runs never collide in the shared session
+    * catalog. */
+  private val bucketed =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedPair(s: SparkSession, d: String): (String, String) =
+    bucketed.computeIfAbsent(d, { _ =>
+      val h = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      val li = s"li_bkt_$h"
+      val ord = s"ord_bkt_$h"
+      if (!s.catalog.tableExists(li)) {
+        // repartition on the bucket key with numPartitions == numBuckets
+        // (same Murmur3 hash as bucketBy) → exactly ONE file per bucket:
+        // Spark only trusts bucket-sortedness in that layout; multi-file
+        // buckets get re-sorted under the SMJ, defeating sortBy
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .repartition(8, col("l_orderkey"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", graft.io.Scratch.dir("bkt_li_"))
+          .mode("overwrite").saveAsTable(li)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(8, col("o_orderkey"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", graft.io.Scratch.dir("bkt_ord_"))
+          .mode("overwrite").saveAsTable(ord)
+      }
+      (li, ord)
+    })
+
+  /** Co-located big⋈big join via BUCKETED tables — the 100 TB fact⋈fact
+    * shape: both sides pre-bucketed on the join key, so the SortMergeJoin
+    * reads buckets pairwise with NO shuffle on either side
+    * (PlanGuaranteesSpec asserts it). At scale this is the layout
+    * investment that converts every recurring orderkey join from two
+    * corpus shuffles into a metadata lookup; the only remaining exchange
+    * is the bounded per-priority rollup. A LOCAL per-bucket sort remains
+    * under the SMJ: Spark ≥3 ignores bucket-sort metadata at scan time
+    * unless `spark.sql.legacy.bucketedTableScan.outputOrdering` is set
+    * (single-file buckets only) — the sortBy in the layout still buys
+    * within-file ordering (compression + min/max pruning), and the sort
+    * it leaves behind is exchange-free and per-bucket, not a shuffle.
+    * The oracle recomputes the same join + rollup from the raw tables —
+    * bucketing must be result-invisible. */
+  val q157_bucketed_join: Q = (s, d) => {
+    val (li, ord) = bucketedPair(s, d)
+    s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val q157_sql: String =
+    """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
+      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1974,7 +2039,8 @@ object RelationalQueries {
     "q101_profile" -> q101_profile,
     "q104_partitioned_scan" -> q104_partitioned_scan,
     "q109_bloom_prefilter" -> q109_bloom_prefilter,
-    "q111_funnel" -> q111_funnel)
+    "q111_funnel" -> q111_funnel,
+    "q157_bucketed_join" -> q157_bucketed_join)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -2047,5 +2113,6 @@ object RelationalQueries {
     "q101_profile" -> q101_sql,
     "q104_partitioned_scan" -> q104_sql,
     "q109_bloom_prefilter" -> q109_sql,
-    "q111_funnel" -> q111_sql)
+    "q111_funnel" -> q111_sql,
+    "q157_bucketed_join" -> q157_sql)
 }

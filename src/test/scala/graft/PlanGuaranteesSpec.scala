@@ -214,4 +214,27 @@ class PlanGuaranteesSpec extends SparkSpec {
     assert(!plan.contains("Generate [posexplode"),
       s"dimStats plan explodes the corpus:\n$plan")
   }
+
+  // The bucketed fact⋈fact join must be shuffle-free on the join key: a
+  // hashpartitioning exchange on the orderkey means the bucketed layout
+  // stopped being picked up. (A LOCAL per-bucket Sort under the SMJ is
+  // expected — Spark ≥3 ignores bucket-sort metadata at scan time; see
+  // q157's scaladoc.) Broadcast is disabled so the small sf0.001 side
+  // can't turn the test vacuous.
+  test("q157 bucketed join: no exchange on the join key, bucketed scans") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.queries.RelationalQueries
+        .q157_bucketed_join(spark, sfDir)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"),
+        s"bucketed join no longer plans as SMJ:\n$plan")
+      assert(!plan.contains("hashpartitioning(l_orderkey") &&
+        !plan.contains("hashpartitioning(o_orderkey"),
+        s"bucketed join shuffles a side (bucketing not picked up):\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan is not bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
