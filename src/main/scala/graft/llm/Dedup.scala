@@ -39,6 +39,42 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** N-gram NOVELTY attribution (first-occurrence credit): every distinct
+    * word `n`-gram in the corpus is owned by the smallest doc_id that
+    * contains it; a document's novelty is the fraction of its distinct
+    * n-grams it owns. Duplicated and boilerplate-heavy documents score low
+    * — the within-corpus complement of the new-vs-existing incremental
+    * dedup, and the doc-level aggregate of span dedup's winner election.
+    *
+    * Plan shape: one explode shuffle to distinct (doc, gram), one
+    * gram-keyed min agg (bounded by the distinct-gram vocabulary), one
+    * equi-join back on the gram, one doc-keyed count agg. No window, no
+    * cross join; the gram join is hash-partitioned on a key whose
+    * cardinality grows with corpus CONTENT, not corpus size squared — the
+    * same license as [[AllPairs]]'s postings. Docs with fewer than `n`
+    * tokens report (0, 0) and novelty_fp 0.
+    *
+    * Outputs are integer-exact: (doc_id, n_grams, n_novel,
+    * novelty_fp = n_novel·10⁶ div n_grams); unordered. */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 5): DataFrame = {
+    val grams = graft.io.Tables.widen(df)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode_outer(array_distinct(
+          Curation.ngramsFromTokens(col("toks"), n))).as("gram"))
+    val owners = grams.where(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(min(col("doc_id")).as("__owner"))
+    grams
+      .join(owners, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("gram")).as("n_grams"),
+        sum(when(col("__owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        when(col("n_grams") > 0L,
+          expr("(n_novel * 1000000L) div n_grams")).otherwise(0L).as("novelty_fp"))
+  }
+
   /** (doc, shingle) distinct pairs — the input relation for MinHash and
     * exact-Jaccard. One shuffle (the distinct). Tokens are projected into a
     * column before shingling so the regex split runs once per document, not

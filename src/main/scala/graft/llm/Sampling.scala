@@ -166,4 +166,89 @@ object Sampling {
       .withColumn("kept", col("__rank") <= k)
       .drop("__h", "__one", "__rank")
   }
+
+  /** Per-source TOKEN budget (the token-denominated sibling of
+    * [[capPerSource]]): admit documents in deterministic md5(id) order
+    * until the source's cumulative token count exceeds `budget` — the
+    * standard "at most N tokens per domain" mixture rule, which caps by
+    * what training actually consumes rather than by document count.
+    *
+    * Because the cumulative sum is monotone, the admitted set is a strict
+    * PREFIX of the hash order: the first document that would overflow the
+    * budget ends admission for its source (no best-fit backfilling — that
+    * would make membership depend on later arrivals, breaking the
+    * incremental/streaming equivalence). A document alone larger than the
+    * budget blocks its source entirely, by design.
+    *
+    * The running sum rides [[graft.operators.RunningTotal.grouped]] over
+    * the composite (hash, id) order — never a `Window.partitionBy(source)`
+    * — so a billion-document source never concentrates on one task.
+    * Returns the input plus (cum_tokens, kept); unordered.
+    */
+  def tokenBudgetPerSource(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           sourceCol: String, tokenCol: String,
+                           budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    val withH = df.withColumn("__h", md5(col(idCol).cast("string")))
+    graft.operators.RunningTotal
+      .grouped(withH, sourceCol, Seq("__h", idCol), tokenCol, "cum_tokens")
+      .withColumn("kept", col("cum_tokens") <= budget)
+      .drop("__h")
+  }
+
+  /** Temperature-scaled source mixture with LARGEST-REMAINDER rounding:
+    * allocate an integer sampling quota of exactly `total` documents
+    * across sources, with source s weighted by ⌊√cₛ⌋ (the α = 0.5
+    * mixture temperature of multilingual-LM practice — flattens the
+    * head, lifts the tail) and the fractional shares rounded by the
+    * Hamilton/largest-remainder method so the quotas sum EXACTLY to
+    * `total`.
+    *
+    * Everything is 64-bit-integer exact, so the result is reproducible
+    * across engines: the integer sqrt is `floor(sqrt(double))` hardened
+    * by a ±1 correction (exact for any count < 2⁶³ regardless of float
+    * rounding); shares are `(total·wₛ) div W` with remainder
+    * `(total·wₛ) mod W`; the `total − Σ base` leftover units go to the
+    * largest remainders (ties by source name). The remainder rank rides
+    * [[graft.operators.RunningTotal.grouped]] and the two scalar totals
+    * (W, leftover) ride one-row aggregates broadcast back onto the
+    * table — the per-source aggregate is only #sources rows, but the
+    * house rule (no single-task global window, ever) costs nothing to
+    * keep.
+    *
+    * Returns (source, n_docs, w, base, rem, rem_rank, quota); unordered.
+    * Σ quota = total by construction.
+    */
+  def temperatureQuotas(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+                        total: Long): org.apache.spark.sql.DataFrame = {
+    require(total >= 0, s"total must be >= 0 (got $total)")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      // integer sqrt: float estimate, then correct — exact even where the
+      // double sqrt rounds across an integer boundary
+      .withColumn("__w0", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      .withColumn("w",
+        when((col("__w0") + 1L) * (col("__w0") + 1L) <= col("n_docs"), col("__w0") + 1L)
+          .when(col("__w0") * col("__w0") > col("n_docs"), col("__w0") - 1L)
+          .otherwise(col("__w0")))
+      .drop("__w0")
+    // scalar totals ride ONE-ROW aggregates broadcast back onto the table
+    // (never an empty-frame global window)
+    val shares = counts
+      .crossJoin(broadcast(counts.agg(sum(col("w")).as("__W"))))
+      .withColumn("base", expr(s"($total * w) div __W"))
+      .withColumn("rem", expr(s"($total * w) % __W"))
+      .withColumn("__negrem", -col("rem"))
+      .withColumn("__one", lit(1L))
+      .withColumn("__g", lit(0))
+    val ranked = graft.operators.RunningTotal
+      .grouped(shares, "__g", Seq("__negrem", "source"), "__one", "rem_rank")
+    val leftover = ranked
+      .crossJoin(broadcast(ranked.agg((lit(total) - sum(col("base"))).as("__R"))))
+    leftover
+      .withColumn("quota",
+        col("base") + when(col("rem_rank") <= col("__R"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("w"), col("base"),
+        col("rem"), col("rem_rank"), col("quota"))
+  }
 }

@@ -795,6 +795,51 @@ object StreamingQueries {
       |  FROM documents)
       |WHERE admit_rank <= 30 ORDER BY doc_id""".stripMargin
 
+  /** Streaming per-source token budget — the eleventh streaming cert:
+    * [[Streaming.admitTokenBudget]] admits docs while each source's
+    * cumulative token count stays ≤ 600, across four doc_id-ordered
+    * micro-batches (state: one saturated long per source). Unlike q152's
+    * unit increments, the state advances by a VARIABLE amount per row and
+    * the first overflow CLOSES the source — both must survive the batch
+    * boundaries to hash-match the batch prefix-sum oracle. Budget 600
+    * bites mid-source everywhere (sources carry ~1.1–1.6k tokens). */
+  val q164_stream_token_budget: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val srcDir = stageIdOrdered(docs, d, "docsTokIdOrdered4", 4)
+    val ckpt = Stage.ckpt()
+    val name = "q164_tb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.select(col("source"), col("doc_id"), col("n_tokens"))
+      .as[Streaming.SourceTokDoc]
+    withCertStatePartitions(s) {
+      val query = Streaming.admitTokenBudget(arrivals, 600L)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("doc_id"), col("source"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+  val q164_sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''))::BIGINT AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n,
+      |        sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |      FROM t)
+      |SELECT doc_id, source, cum AS cum_tokens FROM c
+      |WHERE cum <= 600 ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
@@ -805,7 +850,8 @@ object StreamingQueries {
     "q123_stream_lsh" -> q123_stream_lsh,
     "q139_stream_quality" -> q139_stream_quality,
     "q146_stream_simhash" -> q146_stream_simhash,
-    "q152_stream_source_cap" -> q152_stream_source_cap)
+    "q152_stream_source_cap" -> q152_stream_source_cap,
+    "q164_stream_token_budget" -> q164_stream_token_budget)
 
   val oracles: Map[String, String] = Map(
     "q65_stream_sessions" -> q65_sql,
@@ -817,5 +863,6 @@ object StreamingQueries {
     "q123_stream_lsh" -> q123_sql,
     "q139_stream_quality" -> q139_sql,
     "q146_stream_simhash" -> q146_sql,
-    "q152_stream_source_cap" -> q152_sql)
+    "q152_stream_source_cap" -> q152_sql,
+    "q164_stream_token_budget" -> q164_sql)
 }

@@ -251,4 +251,52 @@ object Streaming {
           out.iterator
       }
   }
+
+  case class SourceTokDoc(source: String, doc_id: Long, n_tokens: Long)
+  case class AdmittedTokDoc(source: String, doc_id: Long, cum_tokens: Long)
+
+  /** Stateful streaming per-source TOKEN budget — the streaming form of
+    * [[graft.llm.Sampling.tokenBudgetPerSource]]: admit documents while
+    * the source's cumulative token count stays within `budget`, across
+    * micro-batch boundaries. The first document that would push the
+    * running total past the budget CLOSES the source (prefix semantics,
+    * exactly the batch operator's rule — monotone cum, no best-fit
+    * backfilling), so batch and stream agree document-for-document under
+    * ordered replay.
+    *
+    * State is ONE long per source (the cumulative token count, saturated
+    * to budget+1 once closed) — the same bounded state shape as
+    * [[admitFirstK]]. Within a batch rows are processed in doc_id order
+    * (iterator order is not contractual); across batches the replay
+    * order is the certification's staged order.
+    */
+  def admitTokenBudget(arrivals: Dataset[SourceTokDoc],
+                       budget: Long): Dataset[AdmittedTokDoc] = {
+    require(budget >= 1, s"budget must be >= 1 (got $budget)")
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, AdmittedTokDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, it: Iterator[SourceTokDoc], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          var closed = cum > budget
+          val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedTokDoc]
+          it.toSeq.sortBy(d => (d.doc_id, d.n_tokens)).foreach { d =>
+            if (!closed) {
+              if (cum + d.n_tokens <= budget) {
+                cum += d.n_tokens
+                out += AdmittedTokDoc(source, d.doc_id, cum)
+              } else {
+                // overflow doc closes the source for good (prefix rule);
+                // saturate the state so replays stay closed
+                closed = true
+                cum = budget + 1
+              }
+            }
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
 }
