@@ -40,19 +40,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark reads
-    * only as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true` — set
-    * by Verify/Bench). Convert ns→µs with integer division (a double
-    * division would lose precision above 2^53 ns) and surface a proper
-    * timestamp column.
+  /** `events.parquet` has stored `ts` as TIMESTAMP(NANOS) (readable only
+    * as a raw long under `spark.sql.legacy.parquet.nanosAsLong=true`, set
+    * by Verify/Bench) and, in newer generations, as naive TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ). Normalize BOTH to a session-zone TIMESTAMP:
+    * ns→µs uses integer division (a double division would lose precision
+    * above 2^53 ns); the NTZ cast is wall-clock-preserving under the UTC
+    * session every entry point pins. Downstream event-time code (watermarks,
+    * `Row.getTimestamp`, `unix_millis`) requires the LTZ type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

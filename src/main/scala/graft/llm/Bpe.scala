@@ -67,4 +67,43 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(concat(last, x))))
         .otherwise(concat(acc, array(x)))
     })
+
+  /** The full iterative trainer loop, `rounds` merges deep: elect → apply →
+    * re-count, driver-paced over the VOCAB table (the Lloyd-loop license —
+    * the corpus was folded into (word, n) once; every later round touches
+    * only vocabulary-bounded data). Each application is `localCheckpoint`ed
+    * so round r+1's plan does not re-derive rounds 1..r (the q121
+    * re-execution lesson), and the per-round election collects exactly ONE
+    * bounded row to the driver.
+    *
+    * Returns (round 1-based, pair, cnt) — one row per elected merge, fewer
+    * than `rounds` only if the corpus runs out of mergeable pairs. */
+  def trainRounds(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val spark = docs.sparkSession
+    var syms = vocab(docs, textCol)
+      .withColumn("syms", charSymbols(col("word")))
+      .select(col("word"), col("n"), col("syms"))
+      .localCheckpoint()
+    val merges = collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val elected = electMerge(pairCounts(syms, "syms")).collect()
+      if (elected.isEmpty || elected(0).isNullAt(0)) exhausted = true
+      else {
+        val pair = elected(0).getString(0)
+        val cnt = elected(0).getLong(1)
+        merges += ((r.toLong, pair, cnt))
+        if (r < rounds) {
+          val Array(a, b) = pair.split(" ", 2)
+          syms = syms.withColumn("syms", applyMerge(col("syms"), a, b))
+            .localCheckpoint()
+        }
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "pair", "cnt")
+  }
 }

@@ -381,12 +381,14 @@ object Curation {
     * unordered.
     */
   def calibrateBySource(df: DataFrame, scoreCol: String, idCol: String,
-                        sourceCol: String): DataFrame = {
+                        sourceCol: String,
+                        sourceCountHint: Option[Long] = None): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
         col(scoreCol).as("score"))
       .withColumn("__one", lit(1L))
     val ranked = RunningTotal.grouped(base, "source",
-      Seq("score", "doc_id"), "__one", "__rank")
+      Seq("score", "doc_id"), "__one", "__rank",
+      groupCountHint = sourceCountHint)
     val counts = ranked.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
     ranked.join(broadcast(counts), Seq("source"))
       .select(col("doc_id"), col("source"), col("score"),
@@ -516,13 +518,15 @@ object Curation {
     * never lands on one task.
     */
   def packStats(docs: DataFrame, textCol: String, idCol: String,
-                sourceCol: String, budget: Int): DataFrame = {
+                sourceCol: String, budget: Int,
+                sourceCountHint: Option[Long] = None): DataFrame = {
     require(budget > 0)
     val toked = graft.io.Tables.widen(docs)
       .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
         TextAnalysis.wsTokenCount(col(textCol)).as("n_tokens"))
       .where(col("n_tokens") > 0)
-    val cum = RunningTotal.grouped(toked, "source", "doc_id", "n_tokens", "cum_tokens")
+    val cum = RunningTotal.grouped(toked, "source", "doc_id", "n_tokens",
+      "cum_tokens", sourceCountHint)
     cum
       // integer `div`, not double division: exact at any cumulative size
       // (a source's token total can pass 2^52 at 100 TB, where doubles

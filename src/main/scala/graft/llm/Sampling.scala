@@ -104,7 +104,8 @@ object Sampling {
       .withColumn("__h", md5(col(idCol).cast("string")))
       .withColumn("__g", lit(0))
       .withColumn("__one", lit(1L))
-    graft.operators.RunningTotal.grouped(withH, "__g", "__h", "__one", "__rank")
+    graft.operators.RunningTotal.grouped(withH, "__g", "__h", "__one", "__rank",
+        Some(1L)) // constant group: the pre-pass is provably unnecessary
       .withColumn("shard", (col("__rank") - 1L) % nShards)
       .withColumn("shard_pos", expr(s"(__rank - 1) div $nShards"))
       .drop("__h", "__g", "__one", "__rank")
@@ -126,17 +127,20 @@ object Sampling {
     * anywhere, at any corpus or source size.
     */
   def interleaveBySource(df: org.apache.spark.sql.DataFrame, idCol: String,
-                         sourceCol: String): org.apache.spark.sql.DataFrame = {
+                         sourceCol: String,
+                         sourceCountHint: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
     val withH = df
       .withColumn("__h", md5(col(idCol).cast("string")))
       .withColumn("__one", lit(1L))
     val inSrc = graft.operators.RunningTotal
-      .grouped(withH, sourceCol, "__h", "__one", "__src_rank")
+      .grouped(withH, sourceCol, "__h", "__one", "__src_rank", sourceCountHint)
       .withColumn("src_pos", col("__src_rank") - 1L)
       .drop("__src_rank", "__h")
       .withColumn("__g", lit(0))
     graft.operators.RunningTotal
-      .grouped(inSrc, "__g", Seq("src_pos", sourceCol), "__one", "__rank")
+      .grouped(inSrc, "__g", Seq("src_pos", sourceCol), "__one", "__rank",
+        groupCountHint = Some(1L)) // constant group
       .withColumn("interleave_pos", col("__rank") - 1L)
       .drop("__g", "__one", "__rank")
   }
@@ -155,13 +159,16 @@ object Sampling {
     * (cap_rank, kept); unordered.
     */
   def capPerSource(df: org.apache.spark.sql.DataFrame, idCol: String,
-                   sourceCol: String, k: Long): org.apache.spark.sql.DataFrame = {
+                   sourceCol: String, k: Long,
+                   sourceCountHint: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"cap must be >= 1 (got $k)")
     val withH = df
       .withColumn("__h", md5(col(idCol).cast("string")))
       .withColumn("__one", lit(1L))
     graft.operators.RunningTotal
-      .grouped(withH, sourceCol, Seq("__h", idCol), "__one", "__rank")
+      .grouped(withH, sourceCol, Seq("__h", idCol), "__one", "__rank",
+        groupCountHint = sourceCountHint)
       .withColumn("cap_rank", col("__rank"))
       .withColumn("kept", col("__rank") <= k)
       .drop("__h", "__one", "__rank")
@@ -187,11 +194,14 @@ object Sampling {
     */
   def tokenBudgetPerSource(df: org.apache.spark.sql.DataFrame, idCol: String,
                            sourceCol: String, tokenCol: String,
-                           budget: Long): org.apache.spark.sql.DataFrame = {
+                           budget: Long,
+                           sourceCountHint: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
     require(budget >= 1, s"budget must be >= 1 (got $budget)")
     val withH = df.withColumn("__h", md5(col(idCol).cast("string")))
     graft.operators.RunningTotal
-      .grouped(withH, sourceCol, Seq("__h", idCol), tokenCol, "cum_tokens")
+      .grouped(withH, sourceCol, Seq("__h", idCol), tokenCol, "cum_tokens",
+        groupCountHint = sourceCountHint)
       .withColumn("kept", col("cum_tokens") <= budget)
       .drop("__h")
   }
@@ -242,7 +252,8 @@ object Sampling {
       .withColumn("__one", lit(1L))
       .withColumn("__g", lit(0))
     val ranked = graft.operators.RunningTotal
-      .grouped(shares, "__g", Seq("__negrem", "source"), "__one", "rem_rank")
+      .grouped(shares, "__g", Seq("__negrem", "source"), "__one", "rem_rank",
+        groupCountHint = Some(1L)) // constant group over #sources rows
     val leftover = ranked
       .crossJoin(broadcast(ranked.agg((lit(total) - sum(col("base"))).as("__R"))))
     leftover
@@ -250,5 +261,80 @@ object Sampling {
         col("base") + when(col("rem_rank") <= col("__R"), 1L).otherwise(0L))
       .select(col("source"), col("n_docs"), col("w"), col("base"),
         col("rem"), col("rem_rank"), col("quota"))
+  }
+
+  /** Epoch-repetition mixing plan: how many times each document is seen
+    * when source `s` must contribute `quota_tokens` training tokens but
+    * only carries `src_tokens` of them — the up-sampling side of mixture
+    * design (the multi-epoch regime of Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": small high-quality sources repeat;
+    * the fractional tail is a deterministic hash-order prefix, so reruns
+    * pick the SAME tail docs).
+    *
+    *  - `full_epochs = quota div src_tokens` — every doc repeats this many
+    *    times;
+    *  - the remaining `quota mod src_tokens` budget admits one more copy
+    *    of the docs whose cumulative token count (in (md5(id), id) order —
+    *    [[tokenBudgetPerSource]]'s exact rule) still fits;
+    *  - `n_copies = full_epochs + (extra ? 1 : 0)`.
+    *
+    * `quotas` is (source, quota) — bounded by the source set, broadcast.
+    * Scale shape: one per-source agg (bounded), one broadcast join, one
+    * grouped prefix sum ([[graft.operators.RunningTotal]] — range-
+    * partitioned, never a per-source window). Sources absent from `quotas`
+    * get quota 0 (n_copies 0), so a partial plan is safe, not silent.
+    *
+    * Returns (doc_id, source, n_tokens, cum_tokens, full_epochs, extra,
+    * n_copies); unordered. */
+  def epochPlan(df: org.apache.spark.sql.DataFrame, idCol: String,
+                sourceCol: String, tokenCol: String,
+                quotas: org.apache.spark.sql.DataFrame,
+                sourceCountHint: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).as("__src_tokens"))
+    val withH = df.withColumn("__h", md5(col(idCol).cast("string")))
+    val cum = graft.operators.RunningTotal
+      .grouped(withH, sourceCol, Seq("__h", idCol), tokenCol, "cum_tokens",
+        groupCountHint = sourceCountHint)
+    cum
+      .join(broadcast(totals), Seq(sourceCol))
+      .join(broadcast(quotas.select(col("source").as(sourceCol),
+        col("quota").as("__quota"))), Seq(sourceCol), "left")
+      .withColumn("__quota", coalesce(col("__quota"), lit(0L)))
+      .withColumn("full_epochs", expr("__quota div __src_tokens"))
+      .withColumn("extra",
+        col("cum_tokens") <= col("__quota") % col("__src_tokens"))
+      .withColumn("n_copies",
+        col("full_epochs") + when(col("extra"), 1L).otherwise(0L))
+      .drop("__h", "__src_tokens", "__quota")
+  }
+
+  /** Length-bucketed batching layout: assign each document to the smallest
+    * power-of-two token bucket that holds it (floor 16, cap 2048 — longer
+    * docs clamp into the top bucket) and report the padding waste per
+    * bucket — the pre-flight a batch-inference or packing scheduler reads
+    * to pick bucket edges. One row-local CASE + one map-side-combined
+    * groupBy over ≤9 keys; nothing else moves.
+    *
+    * Returns (bucket, n_docs, sum_tokens, padding, waste_fp) where
+    * `padding = Σ (bucket − n_tokens)` over the bucket's docs (clamped
+    * docs contribute 0) and `waste_fp = padding·10⁶ div (n_docs·bucket)`;
+    * unordered. */
+  def lengthBuckets(df: org.apache.spark.sql.DataFrame, tokenCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val n = col(tokenCol)
+    val edges = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+    val bucket = edges.init.reverse.foldLeft(lit(edges.last)) { (acc, e) =>
+      when(n <= e, e).otherwise(acc)
+    }
+    df.where(n > 0)
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(n).as("sum_tokens"),
+        sum(greatest(col("bucket") - n, lit(0L))).as("padding"))
+      .withColumn("waste_fp",
+        expr("(padding * 1000000L) div (n_docs * bucket)"))
   }
 }

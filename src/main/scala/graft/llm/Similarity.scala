@@ -294,4 +294,45 @@ object Similarity {
             element_at(col("__means"), j)) / element_at(col("__stds"), j)))
       .drop("__means", "__stds")
   }
+
+  /** Pairwise cosine between per-group embedding CENTROIDS — the "source
+    * similarity matrix" a mixture designer reads before setting sampling
+    * weights (near-identical sources are dedup candidates; orthogonal ones
+    * are diversity anchors).
+    *
+    * Exactness: cos(Σa/n_a, Σb/n_b) = cos(Σa, Σb) — the 1/n factors cancel
+    * — so the centroid never has to exist as a float vector. Components
+    * quantize to `round(v·10⁶)` and accumulate as decimal(38,0) integers
+    * (order-independent, the [[dimStats]] license), the pairwise dot is an
+    * integer sum of integer products, and the single double divide+sqrt at
+    * the end is IEEE-identical on any engine.
+    *
+    * Scale shape: ONE corpus pass → (group, dim) integer sums, bounded by
+    * #groups × dim (not corpus size); the pair join is over that bounded
+    * table (self-join on dim, group_a < group_b) — at 100 TB with
+    * thousands of sources this is a few-MB broadcast-sized frame.
+    * Integer range: |round(v·10⁶)| ≤ ~10⁷ per component; a 10¹²-row group
+    * sums to ≤ 10¹⁹, products ≤ 10³⁸ — right at decimal(38)'s edge, so the
+    * quantization scale is 10⁶ (not dimStats' 10¹²) to keep 100 TB-sized
+    * groups inside exact range. */
+  def centroidSimilarity(emb: DataFrame, groupCol: String,
+                         vecCol: String = "embedding", dim: Int = -1): DataFrame = {
+    val long = graft.io.Tables.widen(emb)
+      .select(col(groupCol).as("grp"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .select(col("grp"), col("dim").cast("long").as("dim"),
+        round(col("v") * lit(1e6)).cast("decimal(38,0)").as("qv"))
+    val sums = long.groupBy(col("grp"), col("dim"))
+      .agg(sum(col("qv")).as("s"))
+    val pairs = sums.as("a").join(sums.as("b"),
+        col("a.dim") === col("b.dim") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("group_a"), col("b.grp").as("group_b"))
+      .agg(sum(col("a.s") * col("b.s")).as("dot_ab"),
+        sum(col("a.s") * col("a.s")).as("dot_aa"),
+        sum(col("b.s") * col("b.s")).as("dot_bb"))
+    pairs.select(col("group_a"), col("group_b"),
+      (col("dot_ab").cast("double") /
+        (sqrt(col("dot_aa").cast("double")) * sqrt(col("dot_bb").cast("double"))))
+        .as("cos_centroid"))
+  }
 }

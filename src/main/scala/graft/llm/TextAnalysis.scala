@@ -277,4 +277,44 @@ object TextAnalysis {
       .limit(k)
       .select(col(idCol), col("bm25"))
   }
+
+  /** Vocabulary coverage / OOV rate: build the top-`vocabSize` corpus
+    * vocabulary (by count desc, term asc — the deterministic tie-break a
+    * hash-checked boundary needs) and score every document's
+    * out-of-vocabulary TOKEN rate against it. The standard tokenizer-fit
+    * pre-flight: a doc whose tokens mostly fall outside the head
+    * vocabulary is boilerplate, another language, or noise.
+    *
+    * Scale shape: the vocab build is one map-side-combined groupBy bounded
+    * by vocabulary (not corpus) size; the top-V cut is an orderBy+limit on
+    * that bounded table (a TakeOrderedAndProject, never a global window);
+    * the per-doc score re-explodes tokens once and joins them against the
+    * BROADCAST vocab — the corpus never shuffles, and the only corpus-
+    * sized agg is the per-doc rollup (map-side combined on doc_id).
+    *
+    * Returns (doc_id, n_tokens, n_oov, oov_fp = n_oov·10⁶ div n_tokens);
+    * token-less docs surface with zeros (LEFT join back to the input);
+    * unordered. */
+  def vocabCoverage(docs: DataFrame, textCol: String, idCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1 (got $vocabSize)")
+    val toks = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("__in_v"))
+    val perDoc = toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+    graft.io.Tables.widen(docs).select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_fp",
+        when(col("n_tokens") > 0,
+          expr("(n_oov * 1000000L) div n_tokens")).otherwise(0L))
+  }
 }

@@ -48,16 +48,33 @@ object RunningTotal {
               valueCol: String, outCol: String): DataFrame =
     grouped(df, groupCol, Seq(orderCol), valueCol, outCol)
 
+  /** As above with a caller-known group-count upper bound (see the full
+    * overload) — skips the slice-count pre-pass when the hint proves the
+    * driver-state budget. */
+  def grouped(df: DataFrame, groupCol: String, orderCol: String,
+              valueCol: String, outCol: String,
+              groupCountHint: Option[Long]): DataFrame =
+    grouped(df, groupCol, Seq(orderCol), valueCol, outCol,
+      groupCountHint = groupCountHint)
+
   /** As above with a COMPOSITE ordering — (group, orderCols...) must be
     * unique per row. Used by interleaving layouts whose within-group order
     * is itself a (rank, tiebreak) pair.
     *
     * @param maxDriverSlices budget for driver-side slice entries
     *   (≈ #groups + #partition straddles). Above it the window fallback
-    *   runs instead — identical result, no driver state. */
+    *   runs instead — identical result, no driver state.
+    * @param groupCountHint caller-known upper bound on the number of
+    *   distinct groups. When `hint + numPartitions - 1 <= maxDriverSlices`
+    *   (slices = groups + at-most-one straddle per partition boundary, so
+    *   the bound is sound), the exact slice-count pre-pass is skipped —
+    *   saving one full scan for callers whose group cardinality is known
+    *   small (a constant group, a bounded source set). An understated hint
+    *   fails fast in pass 1 rather than silently OOMing the driver. */
   def grouped(df: DataFrame, groupCol: String, orderCols: Seq[String],
               valueCol: String, outCol: String,
-              maxDriverSlices: Long = 1L << 20): DataFrame = {
+              maxDriverSlices: Long = 1L << 20,
+              groupCountHint: Option[Long] = None): DataFrame = {
     require(orderCols.nonEmpty, "RunningTotal: at least one order column")
     require(!df.columns.contains(outCol),
       s"RunningTotal: output column '$outCol' already exists in the input")
@@ -76,8 +93,12 @@ object RunningTotal {
     // per partition; nothing data-sized moves). Above budget, the window
     // form computes the identical result with zero driver state: in that
     // regime groups are numerous hence small, so per-group window
-    // partitions fit a task.
-    val totalSlices = sorted.rdd.mapPartitions { it =>
+    // partitions fit a task. Skipped entirely when a caller hint already
+    // proves the bound (slices <= hint + partitions - 1).
+    val numParts = sorted.rdd.getNumPartitions.toLong
+    val hintCovers = groupCountHint.exists(h =>
+      h >= 0 && h + math.max(numParts - 1, 0L) <= maxDriverSlices)
+    val totalSlices = if (hintCovers) 0L else sorted.rdd.mapPartitions { it =>
       var n = 0L; var cur: Any = null; var open = false
       it.foreach { r =>
         val g = r.get(gIdx)
@@ -113,10 +134,18 @@ object RunningTotal {
             throw new IllegalArgumentException(
               "RunningTotal: null value encountered; filter or default nulls first")
           sum += r.getLong(vIdx)
+          if (out.size > maxDriverSlices) // a lying groupCountHint fails
+            throw new IllegalArgumentException( // fast, executor-side
+              s"RunningTotal: groupCountHint understated the group count " +
+                s"(partition $pid alone exceeds maxDriverSlices=$maxDriverSlices)")
         }
         if (open) out += ((cur, sum))
         Iterator.single((pid, out.toArray))
       }.collect() // bounded: one entry per (partition, group-slice)
+    val collectedSlices = sliceSums.iterator.map(_._2.length.toLong).sum
+    require(collectedSlices <= maxDriverSlices + numParts,
+      s"RunningTotal: groupCountHint understated the group count " +
+        s"($collectedSlices slices collected, budget $maxDriverSlices)")
 
     // driver prefix-sum: offset for (pid, g) = totals of g in partitions < pid
     val running = collection.mutable.Map.empty[Any, Long]

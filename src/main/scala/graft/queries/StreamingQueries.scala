@@ -837,7 +837,7 @@ object StreamingQueries {
       |c AS (SELECT doc_id, source, n,
       |        sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS cum
       |      FROM t)
-      |SELECT doc_id, source, cum AS cum_tokens FROM c
+      |SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens FROM c
       |WHERE cum <= 600 ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, Q] = Map(
