@@ -70,4 +70,27 @@ class BpeSpec extends SparkSpec {
     assert(c2("b an") == 3)
     assert(!c2.contains("a n"))  // fully merged away
   }
+
+  test("trainRounds: three elections with merged symbols feeding later rounds") {
+    val docs = Seq((1L, "banana bandana banana")).toDF("doc_id", "text")
+    // vocab: banana n=2, bandana n=1
+    // r1 pairs: 'a n' = 2*2+2 = 6 wins
+    // r2 over [b,an,an,a] n=2 and [b,an,d,an,a] n=1:
+    //   'b an' 3, 'an an' 2, 'an a' 3, 'an d' 1, 'd an' 1
+    //   -> tie at 3 between 'an a' and 'b an' -> 'an a' (lexicographic)
+    // r3 over [b,an,ana] n=2 and [b,an,d,ana] n=1:
+    //   'b an' 3, 'an ana' 2, 'an d' 1, 'd ana' 1 -> 'b an' wins with 3
+    val got = Bpe.trainRounds(docs, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a n", 6L), (2L, "an a", 3L), (3L, "b an", 3L)))
+  }
+
+  test("trainRounds stops early when no pairs remain") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val got = Bpe.trainRounds(docs, "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // round 1 merges 'a b' (the only pair); afterwards every word is one
+    // symbol -> rounds 2..5 elect nothing
+    assert(got == Set((1L, "a b", 2L)))
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, RandomProjection, Sampling, Similarity, TextAnalysis}
+
+/** Unit coverage for the round-7 operators, independent of the sf0.01
+  * oracle corpus: projection arithmetic, centroid-cosine exactness, the
+  * epoch-plan quota split, vocab-boundary tie-breaks, bucket assignment,
+  * and n-gram novelty attribution. */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RandomProjection.signMatrix is deterministic ±1 and seed-sensitive") {
+    val m1 = RandomProjection.signMatrix(4, 8, "rp")
+    val m2 = RandomProjection.signMatrix(4, 8, "rp")
+    val m3 = RandomProjection.signMatrix(4, 8, "other")
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.map(_.toSeq).toSeq != m3.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+
+  test("project computes the exact signed sums, row-locally") {
+    val vecs = Seq((1L, Array(1.0f, 2.0f, 4.0f)), (2L, Array(0.5f, -1.5f, 8.0f)))
+      .toDF("vec_id", "embedding")
+    val m = RandomProjection.signMatrix(2, 3, "rp")
+    val got = RandomProjection.project(vecs, "embedding", "proj", 2, 3)
+      .select(col("vec_id"), col("proj"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, v) <- Seq(1L -> Seq(1.0, 2.0, 4.0), 2L -> Seq(0.5, -1.5, 8.0));
+         j <- 0 until 2) {
+      val want = v.zip(m(j)).foldLeft(0.0) { case (s, (x, sg)) => s + x * sg }
+      assert(got(id)(j) == want, s"vec $id component $j")
+    }
+  }
+
+  test("centroidSimilarity: cosine of integer-quantized group sums, pairs once") {
+    // group 0: (1,0) and (1,0) -> centroid along x; group 1: (0,2) -> y;
+    // group 2: (3,3) -> diagonal. cos(0,1)=0, cos(0,2)=cos(45°), cos(1,2) same
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f)),
+      (3L, 1, Array(0.0f, 2.0f)), (4L, 2, Array(3.0f, 3.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidSimilarity(emb, "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(got((0, 1)) == 0.0)
+    assert(math.abs(got((0, 2)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(got((1, 2)) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("epochPlan: full epochs + hash-order fractional tail, absent quota -> 0 copies") {
+    // source a: 3 docs x 10 tokens (total 30), quota 75 -> 2 full epochs,
+    // tail 15 admits the first doc (cum 10) in md5 order but not the second
+    val docs = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "b", 7L)).toDF("doc_id", "source", "n_tokens")
+    val quotas = Seq(("a", 75L)).toDF("source", "quota")
+    val got = Sampling.epochPlan(docs, "doc_id", "source", "n_tokens", quotas)
+      .select(col("doc_id"), col("full_epochs"), col("extra"), col("n_copies"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val order = Seq(1L, 2L, 3L).sortBy(i => md5hex(i.toString))
+    assert(got(order(0)) == ((2L, true, 3L)))   // cum 10 <= 15
+    assert(got(order(1)) == ((2L, false, 2L)))  // cum 20 > 15
+    assert(got(order(2)) == ((2L, false, 2L)))
+    assert(got(4L) == ((0L, false, 0L)))        // no quota row -> quota 0
+  }
+
+  test("vocabCoverage: count-desc term-asc boundary, exact OOV counts, empty docs") {
+    // counts: x=4, y=3, b=2, a=2, z=1; V=3 -> vocab {x, y, a} (a beats b
+    // only by... no: count desc, term asc -> x(4), y(3), then a/b tie at 2
+    // -> 'a' wins the last slot alphabetically)
+    val docs = Seq(
+      (1L, "x x y a"), (2L, "x x y y b"), (3L, "a b z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((4L, 0L, 0L)))
+    assert(got(2L) == ((5L, 1L, 200000L)))          // b is OOV
+    assert(got(3L) == ((3L, 2L, 666666L)))          // b and z OOV
+    assert(got(4L) == ((0L, 0L, 0L)))               // token-less doc surfaces
+  }
+
+  test("lengthBuckets: power-of-two assignment, clamping, waste arithmetic") {
+    val toks = Seq(1L, 16L, 17L, 100L, 5000L).toDF("n_tokens")
+    val got = Sampling.lengthBuckets(toks, "n_tokens")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(16L) == ((2L, 17L, 15L, 468750L)))   // 1 and 16; pad 15+0
+    assert(got(32L) == ((1L, 17L, 15L, 468750L)))   // 17 -> 32
+    assert(got(128L) == ((1L, 100L, 28L, 218750L)))
+    assert(got(2048L) == ((1L, 5000L, 0L, 0L)))     // clamped: no padding
+  }
+
+  test("ngramNovelty: first-occurrence credit by min doc_id, short docs zero") {
+    val docs = Seq(
+      (1L, "a b c d e f"),     // grams: abcde, bcdef -> both owned by 1
+      (2L, "a b c d e x"),     // abcde (owned by 1), bcdex (novel)
+      (3L, "q r s"))           // too short for 5-grams
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs, "text", "doc_id", 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1000000L)))
+    assert(got(2L) == ((2L, 1L, 500000L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+}

@@ -113,4 +113,33 @@ class StreamingSpec extends SparkSpec {
         ("b", 10L, 1L), ("b", 11L, 2L)))
     } finally q.stop()
   }
+
+  test("admitTokenBudget: overflow closes a source FOR GOOD across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.SourceTokDoc]
+    val q = Streaming.admitTokenBudget(mem.toDS(), 50L)
+      .writeStream.format("memory").queryName("admit_budget")
+      .outputMode("append").start()
+    try {
+      // batch 1: a admits 1 (cum 30) then doc 2 (40 tokens) would reach 70
+      // -> overflow closes 'a'; b admits within budget
+      mem.addData(Streaming.SourceTokDoc("a", 1, 30L),
+        Streaming.SourceTokDoc("a", 2, 40L), Streaming.SourceTokDoc("b", 9, 50L))
+      q.processAllAvailable()
+      // batch 2: 'a' stays closed even for a 1-token doc (prefix rule:
+      // nothing re-opens after the overflow); b is exactly at budget ->
+      // any further b doc overflows and closes it too
+      mem.addData(Streaming.SourceTokDoc("a", 3, 1L),
+        Streaming.SourceTokDoc("b", 10, 1L))
+      q.processAllAvailable()
+      // batch 3: both closed
+      mem.addData(Streaming.SourceTokDoc("a", 4, 1L),
+        Streaming.SourceTokDoc("b", 11, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("admit_budget").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("cum_tokens"))).toSet
+      assert(rows == Set(("a", 1L, 30L), ("b", 9L, 50L)))
+    } finally q.stop()
+  }
 }
