@@ -106,4 +106,52 @@ object Bpe {
     import spark.implicits._
     merges.toSeq.toDF("round", "pair", "cnt")
   }
+
+  /** ENCODE with a trained merge list: per-document BPE symbol counts —
+    * the apply half of the tokenizer, closing the train→encode loop.
+    *
+    * Key scale property: merges apply to WORDS, so the application runs
+    * over the vocabulary table (bounded), never the corpus — the corpus
+    * pass is one explode + one BROADCAST join against the (word →
+    * symbol-count) table + one map-side-combined per-doc rollup. This is
+    * exactly how production tokenizer pipelines amortize encoding: encode
+    * the vocab once, join the text against it.
+    *
+    * Returns (doc_id, n_words, n_chars_tok = Σ word lengths, n_bpe,
+    * ratio_fp = n_bpe·10⁶ div n_chars_tok) — token-less docs surface with
+    * zeros; unordered. */
+  def encodeStats(docs: DataFrame, textCol: String, idCol: String,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    var syms = vocab(docs, textCol)
+      .withColumn("syms", charSymbols(col("word")))
+      .select(col("word"), col("n"), col("syms"))
+      .localCheckpoint()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val elected = electMerge(pairCounts(syms, "syms")).collect()
+      if (elected.isEmpty || elected(0).isNullAt(0)) exhausted = true
+      else {
+        val Array(a, b) = elected(0).getString(0).split(" ", 2)
+        syms = syms.withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    val wordLens = syms.select(col("word"),
+      length(col("word")).cast("long").as("__n_chars"),
+      size(col("syms")).cast("long").as("__n_syms"))
+    val words = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"),
+        explode_outer(TextAnalysis.tokens(col(textCol))).as("word"))
+    words.join(broadcast(wordLens), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("word")).as("n_words"),
+        coalesce(sum(col("__n_chars")), lit(0L)).as("n_chars_tok"),
+        coalesce(sum(col("__n_syms")), lit(0L)).as("n_bpe"))
+      .withColumn("ratio_fp",
+        when(col("n_chars_tok") > 0,
+          expr("(n_bpe * 1000000L) div n_chars_tok")).otherwise(0L))
+  }
 }

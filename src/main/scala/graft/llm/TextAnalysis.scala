@@ -317,4 +317,44 @@ object TextAnalysis {
         when(col("n_tokens") > 0,
           expr("(n_oov * 1000000L) div n_tokens")).otherwise(0L))
   }
+
+  /** Driver-side top-V vocabulary for [[oovGateLiteral]]: the bounded
+    * collect a literal gate needs, with the budget made explicit —
+    * vocabularies are gate configuration (like the contamination gram set
+    * and the classifier weights), not data. */
+  def vocabTopV(docs: DataFrame, textCol: String, vocabSize: Int,
+                maxVocab: Int = 100000): Seq[String] = {
+    require(vocabSize >= 1 && vocabSize <= maxVocab,
+      s"vocabSize must be in [1, $maxVocab] (got $vocabSize)")
+    graft.io.Tables.widen(docs)
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Stream-safe OOV gate against a LITERAL vocabulary: row-local token
+    * membership against the inlined vocab array — no aggregate, no state,
+    * no shuffle, so it drops into a `readStream → writeStream` chain
+    * unchanged (the q139 stateless-gate shape). Same output contract as
+    * [[vocabCoverage]] plus the keep verdict; per-token membership is an
+    * O(V) scan of the literal array, fine for gate-sized vocabularies
+    * (use the broadcast-join form for dictionary-sized ones). */
+  def oovGateLiteral(df: DataFrame, textCol: String, idCol: String,
+                     vocab: Seq[String], keepBelowFp: Long): DataFrame = {
+    require(vocab.nonEmpty, "oovGateLiteral: empty vocabulary")
+    val vlit = typedLit(vocab)
+    // no Tables.widen here: this gate must stay streaming-safe (widen
+    // probes df.rdd, which streaming frames reject)
+    df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(filter(col("__toks"), t => !array_contains(vlit, t)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_fp",
+        when(col("n_tokens") > 0,
+          expr("(n_oov * 1000000L) div n_tokens")).otherwise(0L))
+      .withColumn("keep", col("oov_fp") < keepBelowFp)
+  }
 }

@@ -840,6 +840,61 @@ object StreamingQueries {
       |SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens FROM c
       |WHERE cum <= 600 ORDER BY doc_id""".stripMargin
 
+  /** Streaming vocabulary/OOV gate — the twelfth streaming cert: the
+    * top-20 vocab is fit batch-side ([[graft.llm.TextAnalysis.vocabTopV]],
+    * a bounded driver collect with an explicit budget — gate config, like
+    * q117's gram set and q139's weights), inlined as a literal array, and
+    * every arriving doc is scored ROW-LOCALLY
+    * ([[graft.llm.TextAnalysis.oovGateLiteral]] — no aggregate, no state,
+    * no shuffle). Output must hash-match q168's batch coverage plus the
+    * keep verdict at the 0.32 median cut. */
+  val q173_stream_oov: Q = (s, d) => {
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val vocab = graft.llm.TextAnalysis.vocabTopV(Tables.documents(s, d), "text", 20)
+    val (srcDir, _, _) = Stage.memo(d, "docsall4") { dir =>
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(dir)
+      (0L, 0L)
+    }
+    val ckpt = Stage.ckpt()
+    val name = "q173_oov_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = graft.llm.TextAnalysis
+        .oovGateLiteral(stream, "text", "doc_id", vocab, 320000L)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_fp"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+  }
+  val q173_sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |  unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |vc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+      |v AS (SELECT term FROM vc ORDER BY cnt DESC, term LIMIT 20),
+      |pd AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+      |         sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+      |       FROM tok LEFT JOIN v ON tok.term = v.term GROUP BY 1),
+      |f AS (SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+      |        coalesce(pd.n_oov, 0) AS n_oov,
+      |        CASE WHEN coalesce(pd.n_tokens, 0) > 0
+      |             THEN (pd.n_oov * 1000000) // pd.n_tokens ELSE 0 END AS oov_fp
+      |      FROM documents d LEFT JOIN pd USING (doc_id))
+      |SELECT doc_id, n_tokens, n_oov, oov_fp, oov_fp < 320000 AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
@@ -851,7 +906,8 @@ object StreamingQueries {
     "q139_stream_quality" -> q139_stream_quality,
     "q146_stream_simhash" -> q146_stream_simhash,
     "q152_stream_source_cap" -> q152_stream_source_cap,
-    "q164_stream_token_budget" -> q164_stream_token_budget)
+    "q164_stream_token_budget" -> q164_stream_token_budget,
+    "q173_stream_oov" -> q173_stream_oov)
 
   val oracles: Map[String, String] = Map(
     "q65_stream_sessions" -> q65_sql,
@@ -864,5 +920,6 @@ object StreamingQueries {
     "q139_stream_quality" -> q139_sql,
     "q146_stream_simhash" -> q146_sql,
     "q152_stream_source_cap" -> q152_sql,
-    "q164_stream_token_budget" -> q164_sql)
+    "q164_stream_token_budget" -> q164_sql,
+    "q173_stream_oov" -> q173_sql)
 }

@@ -93,4 +93,18 @@ class BpeSpec extends SparkSpec {
     // symbol -> rounds 2..5 elect nothing
     assert(got == Set((1L, "a b", 2L)))
   }
+
+  test("encodeStats: per-doc symbol counts after the trained merges") {
+    val docs = Seq((1L, "banana bandana banana"), (2L, "banana"), (3L, ""))
+      .toDF("doc_id", "text")
+    // merges (from the trainRounds trace on this corpus): a+n, an+a, b+an.
+    // After all three: banana = [ban, ana] (2 syms), bandana = [ban, d, ana]
+    // (3 syms)
+    val got = Bpe.encodeStats(docs, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((3L, 19L, 7L, 368421L)))  // 2+3+2 syms over 6+7+6 chars
+    assert(got(2L) == ((1L, 6L, 2L, 333333L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))        // token-less doc surfaces
+  }
 }

@@ -96,6 +96,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(got(2048L) == ((1L, 5000L, 0L, 0L)))     // clamped: no padding
   }
 
+  test("oovGateLiteral matches vocabCoverage and is row-local (streaming-safe)") {
+    val docs = Seq((1L, "x x y a"), (2L, "x x y y b"), (3L, "a b z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabTopV(docs, "text", 3)
+    assert(vocab == Seq("x", "y", "a")) // count desc, term asc at the tie
+    val gate = TextAnalysis.oovGateLiteral(docs, "text", "doc_id", vocab, 300000L)
+    val got = gate.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((4L, 0L, 0L, true)))
+    assert(got(2L) == ((5L, 1L, 200000L, true)))
+    assert(got(3L) == ((3L, 2L, 666666L, false)))
+    assert(got(4L) == ((0L, 0L, 0L, true)))
+    // row-local contract: no aggregate or shuffle in the gate's plan
+    val plan = gate.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Aggregate") &&
+      !"(?<!\\w)Exchange(?!\\w)".r.findFirstIn(plan).isDefined,
+      s"oovGateLiteral must stay row-local:\n$plan")
+  }
+
   test("ngramNovelty: first-occurrence credit by min doc_id, short docs zero") {
     val docs = Seq(
       (1L, "a b c d e f"),     // grams: abcde, bcdef -> both owned by 1
