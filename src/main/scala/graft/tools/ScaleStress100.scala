@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.llm.{AllPairs, Dedup}
+import graft.llm.{AllPairs, Dedup, RandomProjection, SetJoin}
 
 /** Dev-only 100× scale stress for the similarity/graph family — the
   * round-6 evidence run: LSH, SimHash-64 banding + multi-probe, exact
@@ -90,6 +90,27 @@ object ScaleStress100 {
       AllPairs.cosinePairs(big, "doc_id", "text", maxDf = 25,
         minCos2Fp = 640000L).count())
 
+    // prefix-filtered exact Jaccard (q159's operator): replicas share no
+    // vocabulary, and within a replica the token remap is a bijection, so
+    // the x100 pair count is EXACTLY 100x the x1 count when candidate
+    // generation is linear; a broken prefix filter (all-pairs fallback)
+    // would land at ~10000x
+    val jp1 = count("jaccard ppjoin x1")(
+      SetJoin.jaccardPairs(rep0, "doc_id", "text", 7L, 10L).count())
+    val jp100 = count("jaccard ppjoin x100")(
+      SetJoin.jaccardPairs(big, "doc_id", "text", 7L, 10L).count())
+
+    // sign-matrix projection throughput (row-local by construction): 500k
+    // 64-d embeddings synthesized from doc hashes, projected to 16-d
+    count("random projection x100 (500k x 64->16)") {
+      val vecs = spark.range(500000L).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id"), j), lit(1000)) - 500).cast("double") / 100.0)
+          .as("embedding"))
+      RandomProjection.project(vecs, "embedding", "proj", 16, 64)
+        .queryExecution.toRdd.count()
+    }
+
     // --- graph family at 100× ---
     count("pagerank 10M edges, 3 rounds") {
       val edges = spark.range(10000000L)
@@ -112,7 +133,8 @@ object ScaleStress100 {
       if (x1 == 0) -1.0 else x100.toDouble / x1
     val ratios = Map(
       "lsh" -> ratio(lsh100, lsh1), "simhash64" -> ratio(sh100, sh1),
-      "multiprobe" -> ratio(mp100, mp1), "allpairs" -> ratio(ap100, ap1))
+      "multiprobe" -> ratio(mp100, mp1), "allpairs" -> ratio(ap100, ap1),
+      "jaccard" -> ratio(jp100, jp1))
     // per-replica hash variance makes each replica's count an iid-ish draw;
     // the 100-replica sum concentrates near 100× the mean, but the x1
     // baseline is a single draw — hence the wide band. A quadratic
