@@ -1968,6 +1968,59 @@ object RelationalQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------- round 7: maintenance/OLS
+  /** Small-file compaction round-trip — [[graft.io.Compact]]: the
+    * documents table is deliberately fragmented into 64 files, compacted
+    * to 4 with a shuffle-free `coalesce` write, and the READ-BACK rows
+    * must hash-match the original table — certifying the maintenance op
+    * preserves every row bit-for-bit. File-count mechanics are asserted
+    * in LayoutSpec-style unit coverage; the oracle certifies fidelity. */
+  val q174_compaction: Q = (s, d) => {
+    val frag = graft.io.Scratch.dir("compact_in_")
+    val out = graft.io.Scratch.dir("compact_out_")
+    Tables.documents(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+    graft.io.Compact.rewrite(s, frag, out, 4)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+  val q174_sql: String =
+    """SELECT doc_id, md5(text) AS text_md5, lang, source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-priority revenue trend — [[graft.operators.GroupRegression]]:
+    * closed-form OLS of fixed-point order totals over a month index, per
+    * order priority, in ONE partial-aggregated pass. The five sufficient
+    * statistics are decimal(38,0) integers on both engines; only the
+    * final slope/intercept divides run in IEEE doubles (same operation
+    * order), so the fit hash-matches exactly. */
+  val q175_priority_trend: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_orderpriority"),
+      ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("x"),
+      round(col("o_totalprice") * 10000).cast("long").as("y"))
+    graft.operators.GroupRegression.fit(o, "o_orderpriority", "x", "y")
+      .orderBy(col("o_orderpriority"))
+  }
+  val q175_sql: String =
+    """WITH t AS (SELECT o_orderpriority,
+      |    ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1)::BIGINT AS x,
+      |    CAST(round(o_totalprice * 10000) AS BIGINT) AS y
+      |  FROM orders),
+      |a AS (SELECT o_orderpriority, count(*)::HUGEINT AS n,
+      |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+      |    sum(x::HUGEINT * y::HUGEINT) AS sxy, sum(x::HUGEINT * x::HUGEINT) AS sxx
+      |  FROM t GROUP BY 1),
+      |b AS (SELECT o_orderpriority, n, sx, sy,
+      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM a)
+      |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN den = 0 THEN NULL
+      |       ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+      |  CASE WHEN den = 0 THEN NULL
+      |       ELSE (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+      |             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept
+      |FROM b ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -2040,7 +2093,9 @@ object RelationalQueries {
     "q104_partitioned_scan" -> q104_partitioned_scan,
     "q109_bloom_prefilter" -> q109_bloom_prefilter,
     "q111_funnel" -> q111_funnel,
-    "q157_bucketed_join" -> q157_bucketed_join)
+    "q157_bucketed_join" -> q157_bucketed_join,
+    "q174_compaction" -> q174_compaction,
+    "q175_priority_trend" -> q175_priority_trend)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -2114,5 +2169,7 @@ object RelationalQueries {
     "q104_partitioned_scan" -> q104_sql,
     "q109_bloom_prefilter" -> q109_sql,
     "q111_funnel" -> q111_sql,
-    "q157_bucketed_join" -> q157_sql)
+    "q157_bucketed_join" -> q157_sql,
+    "q174_compaction" -> q174_sql,
+    "q175_priority_trend" -> q175_sql)
 }

@@ -115,6 +115,31 @@ class Round7OpsSpec extends SparkSpec {
       s"oovGateLiteral must stay row-local:\n$plan")
   }
 
+  test("Compact.rewrite merges 16 files to 2 without changing a row") {
+    val in = graft.io.Scratch.dir("spec_compact_in_")
+    val out = graft.io.Scratch.dir("spec_compact_out_")
+    val df = (1L to 100L).map(i => (i, s"row$i")).toDF("id", "s")
+    df.repartition(16).write.mode("overwrite").parquet(in)
+    assert(graft.io.Compact.dataFiles(in).size == 16)
+    val back = graft.io.Compact.rewrite(spark, in, out, 2)
+    assert(graft.io.Compact.dataFiles(out).size == 2)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      (1L to 100L).map(i => (i, s"row$i")).toSet)
+  }
+
+  test("GroupRegression.fit: exact line recovered; zero-variance x -> nulls") {
+    // group a: y = 3x + 7 exactly; group b: all x equal (den = 0)
+    val pts = (0L to 10L).map(x => ("a", x, 3 * x + 7)) ++
+      Seq(("b", 5L, 1L), ("b", 5L, 9L))
+    val got = graft.operators.GroupRegression
+      .fit(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got("a")._1 == 11L)
+    assert(got("a")._2.contains(3.0) && got("a")._3.contains(7.0))
+    assert(got("b") == ((2L, None, None)))
+  }
+
   test("ngramNovelty: first-occurrence credit by min doc_id, short docs zero") {
     val docs = Seq(
       (1L, "a b c d e f"),     // grams: abcde, bcdef -> both owned by 1
