@@ -140,6 +140,29 @@ class Round7OpsSpec extends SparkSpec {
     assert(got("b") == ((2L, None, None)))
   }
 
+  test("Triangles.stats: K4 + star + chain, duplicate/reversed edges canonicalized") {
+    // K4 on 1-4 (4 triangles, C(4,3)... K4 has 4 triangles), a 5-leaf star
+    // on hub 10 (0 triangles, C(5,2)=10 wedges all open), a 3-chain 20-21-22
+    // (1 open wedge), plus duplicate and reversed copies of K4 edges
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (11L to 15L).map(l => (10L, l))
+    val chain = Seq((20L, 21L), (21L, 22L))
+    val edges = (k4 ++ star ++ chain ++ k4.map(_.swap) ++ k4)
+      .toDF("a", "b")
+    val r = graft.operators.Triangles.stats(edges, "a", "b").head()
+    assert(r.getAs[Long]("n_nodes") == 4 + 6 + 3)
+    assert(r.getAs[Long]("n_edges") == 6 + 5 + 2)
+    assert(r.getAs[Long]("n_triangles") == 4)
+    // oriented wedges: K4 contributes C(3,2)+C(2,2... = 3+1 = 4 (all of
+    // which close); the star and the chain contribute ZERO — their edges
+    // all point INTO the center, so no vertex has two out-neighbors. Every
+    // triangle closes exactly one oriented wedge.
+    assert(r.getAs[Long]("n_wedges") == 4)
+    val hubWedges = graft.operators.Triangles
+      .stats(star.toDF("a", "b"), "a", "b").head()
+    assert(hubWedges.getAs[Long]("n_wedges") == 0) // degree orientation works
+  }
+
   test("ngramNovelty: first-occurrence credit by min doc_id, short docs zero") {
     val docs = Seq(
       (1L, "a b c d e f"),     // grams: abcde, bcdef -> both owned by 1
