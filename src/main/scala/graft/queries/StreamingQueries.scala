@@ -895,6 +895,50 @@ object StreamingQueries {
       |SELECT doc_id, n_tokens, n_oov, oov_fp, oov_fp < 320000 AS keep
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window streaming aggregation — the thirteenth streaming
+    * cert: 2-hour windows sliding every hour, so EVERY event lands in
+    * exactly two windows (the overlap fan-out happens row-locally in the
+    * window Generate, not a join). Sentinels sit at +5h/+7h: the last
+    * window can end as late as hi+2h, and the flush batch needs the
+    * watermark (sentinel − 2h delay) STRICTLY past that. The oracle
+    * replays the overlap as a two-branch UNION ALL of shifted hourly
+    * truncations. */
+  val q178_stream_sliding: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val (srcDir, _, _) = stageTimeOrdered(ev, d, "events4s5", 4, dupEachFile = false,
+      sentinelOffsetsMs = Seq(5 * 60 * 60 * 1000L, 7 * 60 * 60 * 1000L))
+    val ckpt = Stage.ckpt()
+    val name = "q178_sliding_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = Streaming.slidingEventCounts(stream, "2 hours", "1 hour", "2 hours")
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .where(col("event_type") =!= "sentinel")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_s"), col("event_type"))
+  }
+  val q178_sql: String =
+    """WITH x AS (
+      |  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start_s, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
@@ -907,7 +951,8 @@ object StreamingQueries {
     "q146_stream_simhash" -> q146_stream_simhash,
     "q152_stream_source_cap" -> q152_stream_source_cap,
     "q164_stream_token_budget" -> q164_stream_token_budget,
-    "q173_stream_oov" -> q173_stream_oov)
+    "q173_stream_oov" -> q173_stream_oov,
+    "q178_stream_sliding" -> q178_stream_sliding)
 
   val oracles: Map[String, String] = Map(
     "q65_stream_sessions" -> q65_sql,
@@ -921,5 +966,6 @@ object StreamingQueries {
     "q146_stream_simhash" -> q146_sql,
     "q152_stream_source_cap" -> q152_sql,
     "q164_stream_token_budget" -> q164_sql,
-    "q173_stream_oov" -> q173_sql)
+    "q173_stream_oov" -> q173_sql,
+    "q178_stream_sliding" -> q178_sql)
 }

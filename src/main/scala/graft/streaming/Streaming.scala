@@ -38,6 +38,22 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** SLIDING-window variant of [[windowedEventCounts]]: each event lands
+    * in `window/slide` overlapping windows (Spark's `window(ts, win,
+    * slide)` generates them row-locally — the fan-out is in the Generate,
+    * not a join). State per key is bounded by (windows overlapping the
+    * watermark horizon) × event_type, exactly like the tumbling form. */
+  def slidingEventCounts(events: DataFrame, window: String, slide: String,
+                         watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
   /** O34 in-engine variant: the reference's 10-minute full re-run
     * (`airflow.py:31`) as a Structured-Streaming file source +
     * `foreachBatch` — each micro-batch runs an arbitrary batch transform

@@ -163,6 +163,35 @@ class Round7OpsSpec extends SparkSpec {
     assert(hubWedges.getAs[Long]("n_wedges") == 0) // degree orientation works
   }
 
+  test("plan locks: projection is shuffle-free; vocab join broadcasts; OLS is one agg pair") {
+    val sfDir = "/root/testdata/sf0.001"
+    val shuffle = "(?<!\\w)Exchange(?!\\w)".r
+    // RandomProjection.project alone: a pure row-local Project — NO
+    // Exchange of any kind may appear between scan and projection
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val projPlan = RandomProjection.project(emb, "embedding", "proj", 16, 64)
+      .queryExecution.executedPlan.toString()
+    assert(shuffle.findFirstIn(projPlan).isEmpty &&
+      !projPlan.contains("BroadcastExchange"),
+      s"projection must be exchange-free:\n$projPlan")
+    // vocabCoverage: the per-doc token join must be a BroadcastHashJoin
+    // (vocab side broadcast), never a sort-merge join of the token stream
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vcPlan = TextAnalysis.vocabCoverage(docs, "text", "doc_id", 20)
+      .queryExecution.executedPlan.toString()
+    assert(vcPlan.contains("BroadcastHashJoin") && !vcPlan.contains("SortMergeJoin"),
+      s"vocabCoverage token join must broadcast the vocab:\n$vcPlan")
+    // GroupRegression: one partial+final aggregate pair on the group key,
+    // no Window, no join
+    val olsPlan = graft.operators.GroupRegression
+      .fit(docs.selectExpr("source AS g", "doc_id AS x", "n_chars AS y"), "g", "x", "y")
+      .queryExecution.executedPlan.toString()
+    assert(!olsPlan.contains("Window") && !olsPlan.contains("Join"),
+      s"GroupRegression must be a single aggregate pass:\n$olsPlan")
+    assert(shuffle.findAllIn(olsPlan).size <= 1,
+      s"GroupRegression should shuffle once (group key):\n$olsPlan")
+  }
+
   test("ngramNovelty: first-occurrence credit by min doc_id, short docs zero") {
     val docs = Seq(
       (1L, "a b c d e f"),     // grams: abcde, bcdef -> both owned by 1
