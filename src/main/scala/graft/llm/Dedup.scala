@@ -477,4 +477,34 @@ object Dedup {
         (col("n_inter").cast("double") /
           (col("size_a") + col("size_b") - col("n_inter"))).as("jaccard"))
   }
+
+  /** CONTAINMENT scoring over candidate pairs — the asymmetric cousin of
+    * [[ngramJaccard]]: `inter/|A|` (how much of A lies inside B) and
+    * `inter/|B|`. Jaccard misses near-SUBSET relations entirely — a quote
+    * or an excerpt embedded in a 100× longer doc has tiny Jaccard but
+    * containment ≈ 1 on the short side — and subset pruning is its own
+    * standard dedup stage (Broder 1997's "containment", the quote/excerpt
+    * tier of near-dup). Same plan shape as the Jaccard verify: candidate
+    * pairs only (never all-pairs), one shingle equi-join, fixed-point
+    * outputs. `near_subset` fires when either side is ≥ `tauNum/tauDen`
+    * contained. */
+  def containmentPairs(shingled: DataFrame, pairs: DataFrame,
+                       tauNum: Long = 9L, tauDen: Long = 10L): DataFrame = {
+    require(tauNum >= 0 && tauDen >= 1 && tauNum <= tauDen,
+      s"need 0 <= tauNum/tauDen <= 1 (got $tauNum/$tauDen)")
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val inter = pairs
+      .join(shingled.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("size_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        expr("(n_inter * 1000000L) div size_a").as("cont_a_fp"),
+        expr("(n_inter * 1000000L) div size_b").as("cont_b_fp"))
+      .withColumn("near_subset",
+        greatest(col("cont_a_fp"), col("cont_b_fp")) * tauDen >= lit(1000000L) * tauNum)
+  }
 }

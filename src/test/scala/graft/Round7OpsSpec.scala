@@ -192,6 +192,68 @@ class Round7OpsSpec extends SparkSpec {
       s"GroupRegression should shuffle once (group key):\n$olsPlan")
   }
 
+  test("Triangles matches an O(n³) brute force on seeded random graphs") {
+    val rnd = new scala.util.Random(7) // deterministic; no global RNG state
+    for (trial <- 1 to 3) {
+      val n = 12
+      val edgeSet = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSet
+      val brute = (for {
+        a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if edgeSet((a, b)) && edgeSet((b, c)) && edgeSet((a, c))
+      } yield 1).size
+      val got = graft.operators.Triangles
+        .stats(edgeSet.toSeq.toDF("a", "b"), "a", "b").head()
+      assert(got.getAs[Long]("n_triangles") == brute, s"trial $trial")
+      assert(got.getAs[Long]("n_edges") == edgeSet.size, s"trial $trial edges")
+    }
+  }
+
+  test("epochPlan invariants on seeded random corpora: budget respected, prefix-closed") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 40L)
+      .map(i => (i, s"s${i % 3}", 1L + rnd.nextInt(20).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+    val quotas = Seq(("s0", 137L), ("s1", 55L), ("s2", 9L)).toDF("source", "quota")
+    val rows = Sampling.epochPlan(docs, "doc_id", "source", "n_tokens", quotas)
+      .select(col("source"), col("n_tokens"), col("cum_tokens"),
+        col("full_epochs"), col("extra"), col("n_copies"))
+      .collect()
+    val bySource = rows.groupBy(_.getString(0))
+    for ((src, rs) <- bySource) {
+      val quota = Map("s0" -> 137L, "s1" -> 55L, "s2" -> 9L)(src)
+      val total = rs.map(_.getLong(1)).sum
+      val full = rs.head.getLong(3)
+      assert(rs.forall(_.getLong(3) == full), s"$src: full_epochs not uniform")
+      assert(full == quota / total, s"$src: full epochs")
+      val planned = rs.map(r => r.getLong(5) * r.getLong(1)).sum
+      assert(planned <= quota, s"$src: planned $planned over quota $quota")
+      // prefix-closed: the admitted-extra docs are exactly those whose
+      // cumulative count fits the remainder — no gaps in cum order
+      val tail = quota % total
+      rs.foreach { r =>
+        assert(r.getBoolean(4) == (r.getLong(2) <= tail), s"$src tail rule")
+      }
+    }
+  }
+
+  test("containmentPairs: a strict subset scores 1000000 on its short side") {
+    val shingled = Seq(
+      (1L, "a b c"), (1L, "b c d"), (1L, "c d e"), (1L, "d e f"),
+      (2L, "a b c"), (2L, "b c d"),             // subset of doc 1's set
+      (3L, "x y z"), (3L, "a b c"))             // overlaps but not subset
+      .toDF("doc_id", "shingle")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = graft.llm.Dedup.containmentPairs(shingled, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // pair (1,2): inter 2, |A|=4, |B|=2 -> cont_a 500000, cont_b 1000000
+    assert(got((1L, 2L)) == ((2L, 500000L, 1000000L, true)))
+    // pair (1,3): inter 1, |A|=4, |B|=2 -> 250000 / 500000, not near-subset
+    assert(got((1L, 3L)) == ((1L, 250000L, 500000L, false)))
+  }
+
   test("ngramNovelty: first-occurrence credit by min doc_id, short docs zero") {
     val docs = Seq(
       (1L, "a b c d e f"),     // grams: abcde, bcdef -> both owned by 1
