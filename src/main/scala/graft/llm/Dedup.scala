@@ -507,4 +507,31 @@ object Dedup {
       .withColumn("near_subset",
         greatest(col("cont_a_fp"), col("cont_b_fp")) * tauDen >= lit(1000000L) * tauNum)
   }
+
+  /** Single-pass SUBSET PRUNING on top of [[containmentPairs]]: for every
+    * near-subset pair, the MORE-CONTAINED side (the doc that mostly lives
+    * inside the other; ties to the higher doc_id) is the loser, and a doc
+    * survives iff it loses no pair. One pass by design — the standard
+    * excerpt-removal stage; iterated pruning (a keeper itself contained in
+    * a third doc) converges via rerun, like every fixed-point here.
+    *
+    * Returns (doc_id, kept); unordered. Plan: the loser projection is
+    * row-local over the (bounded) verified-pair set; the verdict is one
+    * left-anti join of the corpus against the distinct losers. */
+  def subsetPrune(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int, bands: Int,
+                  tauNum: Long = 9L, tauDen: Long = 10L): DataFrame = {
+    val shingled = docShingles(docs, textCol, idCol)
+    val pairs = lshCandidatePairs(minhashSignatures(shingled, k), bands, k / bands)
+    val cont = containmentPairs(shingled, pairs, tauNum, tauDen)
+    val losers = cont.where(col("near_subset"))
+      .select(when(col("cont_a_fp") > col("cont_b_fp"), col("doc_a"))
+        .when(col("cont_b_fp") > col("cont_a_fp"), col("doc_b"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    graft.io.Tables.widen(docs).select(col(idCol).as("doc_id"))
+      .join(losers.withColumn("__lost", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__lost"), lit(false)).as("lost"))
+      .select(col("doc_id"), (!col("lost")).as("kept"))
+  }
 }

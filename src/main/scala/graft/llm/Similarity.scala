@@ -335,4 +335,46 @@ object Similarity {
         (sqrt(col("dot_aa").cast("double")) * sqrt(col("dot_bb").cast("double"))))
         .as("cos_centroid"))
   }
+
+  /** Intra-group embedding diversity: the MEAN PAIRWISE COSINE of a
+    * group's vectors in ONE pass, via the unit-vector identity
+    *
+    *   Σ_{i≠j} ûᵢ·ûⱼ = ‖Σᵢ ûᵢ‖² − n   ⟹   mean = (‖Σû‖² − n) / (n(n−1))
+    *
+    * — the all-pairs sum collapses to the squared norm of the group's
+    * unit-vector RESULTANT, so a statistic that naively costs O(n²)
+    * comparisons per group is one aggregate (the SemDeDup-style "how
+    * self-similar is this source" pre-flight, exact instead of sampled).
+    *
+    * Exactness: components are normalized (v/‖v‖, in-order double fold
+    * for the norm), quantized to `round(û·10⁶)` and accumulated as
+    * decimal(38,0); the identity is then evaluated once in IEEE doubles
+    * from the exact integer ‖Σq‖². Quantization error is O(10⁻⁶) on the
+    * statistic and both engines compute the identical quantized value —
+    * hash-exact. Singleton groups yield NULL (no pairs).
+    *
+    * Scale shape: one corpus pass → (group, dim) integer sums (bounded),
+    * one bounded rollup. Nothing pairwise ever materializes. */
+  def groupDiversity(emb: DataFrame, groupCol: String,
+                     vecCol: String = "embedding", dim: Int = -1): DataFrame = {
+    val nrm = norm(col(vecCol), dim)
+    val q = graft.io.Tables.widen(emb)
+      .select(col(groupCol).as("grp"), col(vecCol), nrm.as("__nrm"))
+      .select(col("grp"), posexplode(
+        transform(col(vecCol).cast("array<double>"),
+          x => round(x / col("__nrm") * lit(1e6)).cast("decimal(38,0)")))
+        .as(Seq("dim", "qv")))
+    val sums = q.groupBy(col("grp"), col("dim"))
+      .agg(sum(col("qv")).as("s"))
+    val s2 = sums.groupBy(col("grp"))
+      .agg(sum(col("s") * col("s")).as("__s2"))
+    val n = graft.io.Tables.widen(emb).groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_vecs"))
+    n.join(s2, Seq("grp"))
+      .select(col("grp"), col("n_vecs"),
+        when(col("n_vecs") >= 2,
+          (col("__s2").cast("double") / lit(1e12) - col("n_vecs").cast("double")) /
+            (col("n_vecs").cast("double") * (col("n_vecs").cast("double") - 1.0)))
+          .otherwise(lit(null).cast("double")).as("mean_pairwise_cos"))
+  }
 }

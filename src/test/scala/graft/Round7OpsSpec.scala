@@ -254,6 +254,34 @@ class Round7OpsSpec extends SparkSpec {
     assert(got((1L, 3L)) == ((1L, 250000L, 500000L, false)))
   }
 
+  test("groupDiversity: one-pass identity equals hand-computed pairwise means") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f)),   // identical -> 1
+      (3L, 1, Array(1.0f, 0.0f)), (4L, 1, Array(0.0f, 1.0f)),   // orthogonal -> 0
+      (5L, 2, Array(1.0f, 0.0f)), (6L, 2, Array(-1.0f, 0.0f)),  // opposite -> -1
+      (7L, 3, Array(5.0f, 5.0f)))                               // singleton -> null
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.groupDiversity(emb, "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(0) == ((2L, Some(1.0))))
+    assert(got(1) == ((2L, Some(0.0))))
+    assert(got(2) == ((2L, Some(-1.0))))
+    assert(got(3) == ((1L, None)))
+  }
+
+  test("subsetPrune drops the contained side of a near-subset pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),                                      // superset, survives
+      (2L, base.split(" ").dropRight(1).mkString(" ")), // ~contained in 1 -> pruned
+      (3L, "one two three four five six seven eight"))  // unrelated, survives
+      .toDF("doc_id", "text")
+    val got = Dedup.subsetPrune(docs, "text", "doc_id", 8, 4, 8L, 10L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("ngramNovelty: first-occurrence credit by min doc_id, short docs zero") {
     val docs = Seq(
       (1L, "a b c d e f"),     // grams: abcde, bcdef -> both owned by 1
