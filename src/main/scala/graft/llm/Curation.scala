@@ -642,4 +642,46 @@ object Curation {
         col("clean_text"))
       .withColumn("keep", col("n_kept") >= 1L)
   }
+
+  // --------------------------------------------------- dataset card rollup
+  /** Per-source dataset "nutrition label" — the release-gate summary a
+    * training-mix owner reads before shipping a snapshot: volume (docs,
+    * chars, mean doc length), exact-duplicate load (docs whose content hash
+    * appears more than once ANYWHERE in the corpus — cross-source copies
+    * count against both sources), and language composition (distinct
+    * languages + the plurality language, ties to the alphabetically first).
+    *
+    * Scale shape: one corpus scan feeds (a) a map-side-combined content-hash
+    * aggregate (shuffle carries pre-combined (hash, count) cells) joined
+    * back on the hash — the q19 exact-dedup shape — and (b) a bounded
+    * (source, lang) aggregate; the final rollup is over source-bounded
+    * rows. No window, no all-pairs, nothing driver-side. */
+  def datasetCard(docs: DataFrame, textCol: String, idCol: String,
+                  sourceCol: String, langCol: String): DataFrame = {
+    val base = graft.io.Tables.widen(docs)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        col(langCol).as("lang"), md5(col(textCol)).as("__h"),
+        length(col(textCol)).cast("long").as("__chars"))
+    val copies = base.groupBy(col("__h")).agg(count(lit(1)).as("__copies"))
+    val flagged = base.join(copies, Seq("__h"))
+      .withColumn("__dup", (col("__copies") > 1L).cast("long"))
+    val volume = flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("total_chars"),
+        sum(col("__dup")).as("n_dup_docs"))
+    // plurality language: min(struct(-n, lang)) = highest count, ties to
+    // the alphabetically first language — no per-source window
+    val langs = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        min(struct((-col("__n")).as("__neg"), col("lang"))).as("__top"))
+      .select(col("source"), col("n_langs"), col("__top.lang").as("top_lang"))
+    volume.join(langs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("total_chars div n_docs").as("mean_chars"),
+        col("n_dup_docs"),
+        expr("(n_dup_docs * 1000000L) div n_docs").as("dup_rate_fp"),
+        col("n_langs"), col("top_lang"))
+  }
 }

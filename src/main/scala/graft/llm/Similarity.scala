@@ -377,4 +377,42 @@ object Similarity {
             (col("n_vecs").cast("double") * (col("n_vecs").cast("double") - 1.0)))
           .otherwise(lit(null).cast("double")).as("mean_pairwise_cos"))
   }
+
+  /** Mutual-kNN graph within coarse cells — the neighborhood graph that
+    * graph-based curation (semantic clustering, density scoring, SemDeDup-
+    * style pruning) is built on. An UNDIRECTED edge (a,b) survives iff a is
+    * one of b's k nearest AND b is one of a's k nearest; the mutuality
+    * filter is what strips hub vectors' one-sided edges.
+    *
+    * Scale shape: vectors only meet inside their `bucketCol` cell (an IVF
+    * centroid id at 100 TB; the testdata's `label` here), so candidate
+    * generation is O(Σ cell²), never O(n²) — the same contract as
+    * [[bucketTopK]]/[[embeddingNearDupPairs]]. The per-node top-k Window
+    * partitions on node id (max cell-size rows per task, no global sort),
+    * and the mutuality check is an equi-join of the directed edge list
+    * (≤ k·n rows) with itself on the reversed key — no second corpus scan.
+    * Ties break by neighbor id ascending, so ranks are deterministic. */
+  def mutualKnnGraph(corpus: DataFrame, k: Int, bucketCol: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dim: Int = -1): DataFrame = {
+    val c = graft.io.Tables.widen(corpus)
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"), col(bucketCol).as("__cell"),
+        norm(col(vecCol), dim).as("__n"))
+    val scored = c.as("s").join(c.as("t"), col("s.__cell") === col("t.__cell") &&
+        col("s.__id") =!= col("t.__id"))
+      .select(col("s.__id").as("src"), col("t.__id").as("dst"),
+        cosineWithNorms(col("s.__vec"), col("t.__vec"),
+          col("s.__n"), col("t.__n"), dim).as("cos_sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    val directed = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+    directed.as("f").join(
+        directed.select(col("src").as("dst"), col("dst").as("src"),
+          col("rank").as("rank_back")).as("r"),
+        Seq("src", "dst"))
+      .where(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"),
+        col("cos_sim"), col("rank").as("rank_ab"), col("rank_back").as("rank_ba"))
+  }
 }

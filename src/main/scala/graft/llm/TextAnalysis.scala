@@ -357,4 +357,30 @@ object TextAnalysis {
           expr("(n_oov * 1000000L) div n_tokens")).otherwise(0L))
       .withColumn("keep", col("oov_fp") < keepBelowFp)
   }
+
+  /** Per-group lexical-diversity profile: token count, type (distinct-token)
+    * count, hapax legomena (types occurring once in the group), and the
+    * fixed-point type-token and hapax ratios — the vocabulary-growth audit
+    * that flags template-generated or boilerplate-heavy sources (low TTR)
+    * and OCR/noise-heavy ones (hapax spike) before they enter the mix.
+    *
+    * Scale shape: one explode pass → a map-side-combined (group, token)
+    * aggregate whose output is vocabulary-bounded per group, then one
+    * bounded rollup. The corpus shuffles only as pre-aggregated token
+    * cells; no row ever carries more than one token. */
+  def typeTokenStats(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val perToken = graft.io.Tables.widen(df)
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("__n"))
+    perToken.groupBy(col("grp"))
+      .agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("grp"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        when(col("n_tokens") > 0, expr("(n_types * 1000000L) div n_tokens"))
+          .otherwise(0L).cast("long").as("ttr_fp"),
+        when(col("n_types") > 0, expr("(n_hapax * 1000000L) div n_types"))
+          .otherwise(0L).cast("long").as("hapax_fp"))
+  }
 }
