@@ -66,4 +66,40 @@ object Drift {
         count(lit(1)).as("n_values"),
         expr("sum(delta_fp) div 2L").cast("long").as("tvd_fp"),
         sum(col("__chi")).cast("long").as("chi2_fp"))
+
+  /** Per-tick drift scoreboard: TVD of each ingestion tick's composition
+    * against a reference histogram. `tickHist` is (tick, value, n) —
+    * typically maintained INCREMENTALLY by a streaming aggregation —
+    * and `ref` is (value, n_ref), the bounded reference composition.
+    *
+    * Values present in `ref` but absent from a tick count 0 there (the
+    * grid is ticks × reference values); values outside the reference
+    * domain are ignored — a reference must cover its domain by
+    * construction. Output: (tick, tvd_fp) — everything bounded: the grid
+    * is |ticks|·|values| rows, the corpus itself never appears. */
+  def perTickDrift(tickHist: DataFrame, ref: DataFrame): DataFrame = {
+    // Reference `tickHist` exactly ONCE: a streaming memory-sink view
+    // cannot be self-joined (conflicting-attribute resolution fails), and
+    // single-reference is the cheaper plan anyway. Per-tick totals come
+    // from a window over the bounded histogram, and the contribution of
+    // reference values ABSENT from a tick (|0 − pr| = pr) is recovered by
+    // the identity Σ_absent pr = PRTOT − Σ_present pr.
+    val refTot = ref.agg(sum(col("n_ref")).as("__tr"))
+    val refFp = ref.crossJoin(broadcast(refTot))
+      .select(col("value"), expr(s"(n_ref * ${Fp}L) div __tr").as("__pr"))
+    val prTot = refFp.agg(sum(col("__pr")).as("__prtot"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tick"))
+    tickHist
+      .withColumn("__tot", sum(col("n")).over(w))
+      .join(broadcast(refFp), Seq("value"), "left")
+      .select(col("tick"), col("__pr"),
+        expr(s"(n * ${Fp}L) div __tot").as("__p"))
+      .groupBy(col("tick"))
+      .agg(sum(when(col("__pr").isNotNull, abs(col("__p") - col("__pr")))
+          .otherwise(lit(0L))).as("__dsum"),
+        sum(coalesce(col("__pr"), lit(0L))).as("__prsum"))
+      .crossJoin(broadcast(prTot))
+      .select(col("tick"),
+        expr("(__dsum + __prtot - __prsum) div 2L").cast("long").as("tvd_fp"))
+  }
 }

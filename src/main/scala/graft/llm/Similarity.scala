@@ -415,4 +415,48 @@ object Similarity {
       .select(col("src").as("id_a"), col("dst").as("id_b"),
         col("cos_sim"), col("rank").as("rank_ab"), col("rank_back").as("rank_ba"))
   }
+
+  /** kNN density / outlier profile per vector: the mean cosine to its (up
+    * to) k nearest within its coarse cell, plus how many of those edges are
+    * MUTUAL — low mean-cos + low mutuality is the classic embedding-space
+    * outlier signature (mislabeled, off-domain, or corrupt rows), scored
+    * before such rows poison semantic-dedup cell statistics.
+    *
+    * Per-neighbor cosines are quantized to round(cos·10⁶) and summed as
+    * integers, so the per-node mean is order-independent and hash-exact
+    * cross-engine. Same O(Σ cell²) candidate contract as
+    * [[mutualKnnGraph]]; singleton-cell vectors emit 0 neighbors.
+    * Output: (vec_id, n_neighbors, mean_cos_fp, mutual_degree). */
+  def knnDensity(corpus: DataFrame, k: Int, bucketCol: String,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 dim: Int = -1): DataFrame = {
+    val c = graft.io.Tables.widen(corpus)
+      .select(col(idCol).as("__id"), col(vecCol).as("__vec"), col(bucketCol).as("__cell"),
+        norm(col(vecCol), dim).as("__n"))
+    val scored = c.as("s").join(c.as("t"), col("s.__cell") === col("t.__cell") &&
+        col("s.__id") =!= col("t.__id"))
+      .select(col("s.__id").as("src"), col("t.__id").as("dst"),
+        cosineWithNorms(col("s.__vec"), col("t.__vec"),
+          col("s.__n"), col("t.__n"), dim).as("cos_sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    val directed = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("src"), col("dst"),
+        round(col("cos_sim") * lit(1e6)).cast("long").as("__q"))
+    val back = directed.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("__mutual", lit(1L))
+    val perNode = directed.join(back, Seq("src", "dst"), "left")
+      .groupBy(col("src").as("vec_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(col("__q")).as("__sum"),
+        sum(coalesce(col("__mutual"), lit(0L))).as("mutual_degree"))
+      .select(col("vec_id"), col("n_neighbors"),
+        expr("__sum div n_neighbors").as("mean_cos_fp"), col("mutual_degree"))
+    c.select(col("__id").as("vec_id")).join(perNode, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("mean_cos_fp"), lit(0L)).as("mean_cos_fp"),
+        coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"))
+  }
 }

@@ -939,7 +939,66 @@ object StreamingQueries {
       |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM x GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin
 
+  /** Streaming composition-drift scoreboard — the fourteenth streaming
+    * cert: docs arrive in micro-batches, a streaming aggregation maintains
+    * the per-tick (doc_id div 125 — an ingestion-time bucket) × source
+    * histogram incrementally across batches (complete-mode state, the
+    * histogram is bounded ticks×sources), and the drift stage
+    * ([[graft.llm.Drift.perTickDrift]]) scores each tick's composition
+    * against the batch-fit reference histogram in rational fixed point.
+    * Must hash-match the all-batch oracle replay. */
+  val q188_stream_drift: Q = (s, d) => {
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"))
+    val (srcDir, _, _) = Stage.memo(d, "docsrc4") { dir =>
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(dir)
+      (0L, 0L)
+    }
+    val ckpt = Stage.ckpt()
+    val name = "q188_drift_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = stream
+        .select(expr("doc_id div 125").as("tick"), col("source").as("value"))
+        .groupBy(col("tick"), col("value"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .queryName(name)
+        .outputMode("complete")
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    val ref = Tables.documents(s, d)
+      .groupBy(col("source").as("value"))
+      .agg(count(lit(1)).as("n_ref"))
+    graft.llm.Drift.perTickDrift(s.table(name), ref)
+      .orderBy(col("tick"))
+  }
+  val q188_sql: String =
+    """WITH t AS (SELECT doc_id // 125 AS tick, source FROM documents),
+      |h AS (SELECT tick, source, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+      |tt AS (SELECT tick, sum(n)::BIGINT AS tot FROM h GROUP BY 1),
+      |ref AS (SELECT source, count(*)::BIGINT AS n_ref FROM documents GROUP BY 1),
+      |rt AS (SELECT sum(n_ref)::BIGINT AS tr FROM ref),
+      |grid AS (SELECT tt.tick, ref.source, ref.n_ref, tt.tot,
+      |                coalesce(h.n, 0)::BIGINT AS n
+      |         FROM tt CROSS JOIN ref
+      |         LEFT JOIN h ON h.tick = tt.tick AND h.source = ref.source),
+      |fp AS (SELECT g.tick,
+      |         (g.n * 1000000) // g.tot AS p,
+      |         (g.n_ref * 1000000) // rt.tr AS pr
+      |       FROM grid g CROSS JOIN rt)
+      |SELECT tick, (sum(abs(p - pr)) // 2)::BIGINT AS tvd_fp
+      |FROM fp GROUP BY tick ORDER BY tick""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q188_stream_drift" -> q188_stream_drift,
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
     "q75_stream_dedup" -> q75_stream_dedup,
@@ -967,5 +1026,6 @@ object StreamingQueries {
     "q152_stream_source_cap" -> q152_sql,
     "q164_stream_token_budget" -> q164_sql,
     "q173_stream_oov" -> q173_sql,
-    "q178_stream_sliding" -> q178_sql)
+    "q178_stream_sliding" -> q178_sql,
+    "q188_stream_drift" -> q188_sql)
 }

@@ -50,6 +50,29 @@ class DriftCardSpec extends SparkSpec {
     assert(tvd0 == 0L && chi0 == 0L)
   }
 
+  test("perTickDrift: absent reference values contribute |0 - pr|") {
+    // ref: a->3/4, b->1/4. tick 0 is all-a (delta |1e6*3/4 div ... |):
+    //   p_a=1e6, pr_a=750000 -> 250000; absent b contributes pr_b=250000
+    //   tvd = (250000 + 250000)/2 = 250000
+    // tick 1 matches ref exactly -> p_a=750000, p_b=250000 -> tvd 0
+    val hist = Seq((0L, "a", 2L), (1L, "a", 3L), (1L, "b", 1L))
+      .toDF("tick", "value", "n")
+    val ref = Seq(("a", 3L), ("b", 1L)).toDF("value", "n_ref")
+    val got = Drift.perTickDrift(hist, ref).orderBy(col("tick"))
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 250000L), (1L, 0L)))
+  }
+
+  test("perTickDrift: histogram values outside the reference domain widen tot only") {
+    // tick has a (2) and unknown x (2); ref is 100% a.
+    // tot=4 -> p_a=500000, pr_a=1000000 -> delta 500000; x ignored in the
+    // delta sum; no absent-ref mass -> tvd = 250000
+    val hist = Seq((0L, "a", 2L), (0L, "x", 2L)).toDF("tick", "value", "n")
+    val ref = Seq(("a", 5L)).toDF("value", "n_ref")
+    val got = Drift.perTickDrift(hist, ref).as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 250000L)))
+  }
+
   // ------------------------------------------------------- mutual kNN
 
   test("mutualKnnGraph: hub's one-sided edges are stripped; ranks kept") {
@@ -82,6 +105,27 @@ class DriftCardSpec extends SparkSpec {
     val got = Similarity.mutualKnnGraph(emb, 5, "label", dim = 2)
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("knnDensity: quantized mean, mutual degree, and singleton-cell zeros") {
+    // cell 0: a=(1,0), b=(.999,.01), h=(.7,.7); k=1 -> a picks b (mutual),
+    // b picks a (mutual), h picks a (one-sided). cell 1: lone vector.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.999f, 0.01f), 0),
+      (3L, Array(0.7f, 0.7f), 0), (9L, Array(1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.llm.Similarity.knnDensity(emb, 1, "label", dim = 2)
+      .orderBy(col("vec_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 1L && byId(1L)._4 == 1L) // a: 1 neighbor, mutual
+    assert(byId(2L)._2 == 1L && byId(2L)._4 == 1L) // b: mutual
+    assert(byId(3L)._2 == 1L && byId(3L)._4 == 0L) // hub: one-sided
+    assert(byId(9L) == ((9L, 0L, 0L, 0L)))         // singleton cell
+    // a's mean = quantized cos(a,b); verify the integer quantization
+    val cos = (1.0 * 0.999f + 0.0 * 0.01f) /
+      (1.0 * math.sqrt(0.999f * 0.999f.toDouble + 0.01f * 0.01f.toDouble))
+    assert(byId(1L)._3 == math.round(cos * 1e6))
   }
 
   // ------------------------------------------------------ dataset card
