@@ -684,4 +684,38 @@ object Curation {
         expr("(n_dup_docs * 1000000L) div n_docs").as("dup_rate_fp"),
         col("n_langs"), col("top_lang"))
   }
+
+  // ------------------------------------------------- robust length outliers
+  /** Median/MAD robust outlier flags per group: a row is an outlier when
+    * |x − median| > cut · MAD (MAD = median absolute deviation), computed
+    * per `groupCol`. Robust statistics don't move when the outliers
+    * themselves get worse — unlike mean/stddev, a crawl where 1% of docs
+    * are 100× too long still gets the RIGHT center — which is why length
+    * screens use median/MAD, not z-scores.
+    *
+    * `exact = true` uses the exact interpolating percentile (two grouped
+    * sort-buffer passes — certifiable, and fine while per-group row counts
+    * fit a task). At 100 TB per-group buffers don't fit: `exact = false`
+    * switches both passes to `approx_percentile` at `accuracy`, keeping
+    * the identical plan shape (the q144 qcut precedent). Both group-stat
+    * frames are bounded by |groups| and broadcast back. Output: input
+    * columns + (med, mad, is_outlier), unordered. */
+  def robustOutliers(df: DataFrame, valCol: String, groupCol: String,
+                     cut: Double = 3.0, exact: Boolean = true,
+                     accuracy: Int = 10000): DataFrame = {
+    def pct(c: org.apache.spark.sql.Column) =
+      if (exact) percentile(c, lit(0.5))
+      else approx_percentile(c, lit(0.5), lit(accuracy))
+    val wide = graft.io.Tables.widen(df)
+    val med = wide.groupBy(col(groupCol).as("__g"))
+      .agg(pct(col(valCol).cast("double")).as("med"))
+    val withMed = wide.join(broadcast(med),
+      col(groupCol) === col("__g")).drop("__g")
+    val mad = withMed
+      .groupBy(col(groupCol).as("__g"))
+      .agg(pct(abs(col(valCol).cast("double") - col("med"))).as("mad"))
+    withMed.join(broadcast(mad), col(groupCol) === col("__g")).drop("__g")
+      .withColumn("is_outlier",
+        abs(col(valCol).cast("double") - col("med")) > lit(cut) * col("mad"))
+  }
 }

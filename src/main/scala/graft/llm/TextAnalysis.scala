@@ -383,4 +383,31 @@ object TextAnalysis {
         when(col("n_types") > 0, expr("(n_hapax * 1000000L) div n_types"))
           .otherwise(0L).cast("long").as("hapax_fp"))
   }
+
+  /** Pairwise vocabulary overlap between groups (sources): Jaccard of the
+    * distinct-token sets for every group pair — the mix-design diagnostic
+    * for "are these two crawls really different domains?".
+    *
+    * Scale shape: the corpus collapses to distinct (group, token) postings
+    * (vocabulary-bounded) in one map-side-combined pass; the pair
+    * intersection self-joins the POSTINGS on token — per-token fan-out is
+    * ≤ C(|groups|, 2), so with S sources the whole pair table is ≤ S²
+    * rows regardless of corpus size. No doc ever meets another doc.
+    * Output: (grp_a, grp_b, n_inter, n_union, jaccard_fp), unordered. */
+  def vocabOverlap(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val postings = graft.io.Tables.widen(df)
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    val sizes = postings.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val inter = postings.as("a").join(postings.as("b"),
+        col("a.tok") === col("b.tok") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("grp").as("grp_a"), col("n").as("__na"))), Seq("grp_a"))
+      .join(broadcast(sizes.select(col("grp").as("grp_b"), col("n").as("__nb"))), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_inter"),
+        (col("__na") + col("__nb") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard_fp", expr("(n_inter * 1000000L) div n_union"))
+  }
 }

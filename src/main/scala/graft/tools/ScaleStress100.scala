@@ -119,6 +119,26 @@ object ScaleStress100 {
       graft.operators.PageRank.ranksFp(edges, "src", "dst", iters = 3)
         .queryExecution.toRdd.count()
     }
+    count("kcore peel 10M edges, k=3") {
+      // same synthetic 500k-node / 10M-edge graph as the PageRank stage;
+      // 3 budgeted peel rounds — per round one degree agg + two anti joins
+      val edges = spark.range(10000000L)
+        .select((col("id") % 500000L).as("src"),
+          ((col("id") * 31L + 7L) % 500000L).as("dst"))
+      graft.operators.KCore.peel(edges, "src", "dst", 3, maxRounds = 3)
+        .queryExecution.toRdd.count()
+    }
+    count("knn density 500k vecs, 5k cells") {
+      // the q187 cell contract at scale: 100 vectors/cell -> ~50M scored
+      // pairs TOTAL (cell-bounded), never the 250G all-pairs
+      val vecs = spark.range(500000L).select(col("id").as("vec_id"),
+        (col("id") % 5000L).as("label"),
+        transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id"), j), lit(1000)) - 500).cast("float") / 100.0f)
+          .as("embedding"))
+      graft.llm.Similarity.knnDensity(vecs, 5, "label", dim = 64)
+        .queryExecution.toRdd.count()
+    }
     count("cc large-star 1M-node chain") {
       // worst-case diameter: one chain of 1M nodes — label-prop would need
       // 1M rounds; large-star/small-star must close it in O(log n)
