@@ -2021,7 +2021,123 @@ object RelationalQueries {
       |             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept
       |FROM b ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------- round 7: incremental refresh
+  /** Incremental view maintenance — [[graft.operators.Incremental]]: the
+    * per-(source, lang) rollup is materialized once over the base (80% of
+    * the corpus), then refreshed from a weighted changelog — inserts (the
+    * remaining 20%, weight +1) and retractions (every 97th base doc,
+    * weight −1) — WITHOUT rescanning the base: the refresh
+    * partial-aggregates only the delta and merges two |groups|-bounded
+    * frames. At 100 TB this is the difference between a per-batch
+    * delta-sized job and a daily full-table recompute; the oracle replays
+    * the equivalent full recompute, certifying the maintained view equals
+    * it exactly (including retraction arithmetic). */
+  val q193_incremental_agg: Q = (s, d) => {
+    import graft.operators.Incremental
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val base = doc.where(col("doc_id") % 10 < 8)
+    val state = Incremental.partial(base, Seq("source", "lang"), lit(1L),
+      Seq("tot_chars" -> col("n_chars")))
+    val changes = doc.where(col("doc_id") % 10 >= 8).withColumn("w", lit(1L))
+      .unionByName(base.where(col("doc_id") % 97 === 0).withColumn("w", lit(-1L)))
+    val deltaPartial = Incremental.partial(changes, Seq("source", "lang"),
+      col("w"), Seq("tot_chars" -> col("n_chars")))
+    Incremental.merge(Seq(state, deltaPartial), Seq("source", "lang"))
+      .orderBy(col("source"), col("lang"))
+  }
+  val q193_sql: String =
+    """SELECT source, lang, count(*)::BIGINT AS n_rows,
+      |       sum(n_chars)::BIGINT AS tot_chars
+      |FROM documents
+      |WHERE (doc_id % 10 < 8 AND doc_id % 97 <> 0) OR doc_id % 10 >= 8
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-source exact top-5 by length — [[graft.operators.TopK]]: the
+    * map-side-combinable top-k AGGREGATE, the 100 TB alternative to q33's
+    * window form. `row_number() OVER (PARTITION BY …)` shuffles and sorts
+    * every corpus row; the aggregator's partial combine keeps ≤ k pairs
+    * per group per map task, so the exchange carries |groups|·k bounded
+    * buffers. Exact (top-k is distributive), deterministic via the
+    * (score DESC, id ASC) tie-break; the oracle replays the window form —
+    * the two formulations must agree row-for-row. */
+  val q197_topk_agg: Q = (s, d) =>
+    graft.operators.TopK.topKByGroup(
+      Tables.documents(s, d).select(col("source"), col("n_chars"), col("doc_id")),
+      "source", "n_chars", "doc_id", 5)
+      .orderBy(col("source"), col("rank"))
+  val q197_sql: String =
+    """SELECT source, rank, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY n_chars DESC, doc_id)::BIGINT AS rank
+      |  FROM documents) WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+
+  /** HITS hubs-and-authorities over the customer→supplier purchase graph,
+    * two fixed-point rounds — the directed-graph complement of PageRank
+    * (q129): authority(supplier) = Σ weight·hub(customer) over purchase
+    * edges, hub = Σ weight·authority, each round sum-normalized to 1e6 in
+    * EXACT integer arithmetic (decimal(38,0) partial sums, integral `div`
+    * — no libm, no float drift; DuckDB replays in HUGEINT). Per round:
+    * one edge⋈score hash join + one map-side-combined aggregate; the edge
+    * list is built once and localCheckpoint'ed, score frames are bounded
+    * by the entity counts. The oracle unrolls both rounds as CTEs. */
+  val q199_hits: Q = (s, d) => {
+    val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .groupBy(col("c"), col("p"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("w"))
+      .localCheckpoint(true)
+    def normalize(raw: DataFrame, key: String, rawCol: String): DataFrame = {
+      val tot = raw.agg(sum(col(rawCol)).cast("decimal(38,0)").as("TOT"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key), expr(s"($rawCol * 1000000) div TOT").as("score"))
+    }
+    val a1 = normalize(
+      e.groupBy(col("p"))
+        .agg((sum(col("w")) * lit(1000000L)).cast("decimal(38,0)").as("raw")),
+      "p", "raw").localCheckpoint(true)
+    val h1 = normalize(
+      e.join(a1, Seq("p"))
+        .groupBy(col("c"))
+        .agg(sum(col("w") * col("score")).cast("decimal(38,0)").as("raw")),
+      "c", "raw").localCheckpoint(true)
+    val a2 = normalize(
+      e.join(h1, Seq("c"))
+        .groupBy(col("p"))
+        .agg(sum(col("w") * col("score")).cast("decimal(38,0)").as("raw")),
+      "p", "raw")
+    a1.select(col("p"), col("score").as("auth1_fp"))
+      .join(a2.select(col("p"), col("score").as("auth2_fp")), Seq("p"))
+      .select(col("p").as("suppkey"), col("auth1_fp"), col("auth2_fp"))
+      .orderBy(col("suppkey"))
+  }
+  val q199_sql: String =
+    """WITH e AS (SELECT o_custkey AS c, l_suppkey AS p, count(*)::HUGEINT AS w
+      |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |           GROUP BY 1, 2),
+      |a1r AS (SELECT p, sum(w) * 1000000 AS raw FROM e GROUP BY 1),
+      |s1 AS (SELECT sum(raw) AS tot FROM a1r),
+      |a1 AS (SELECT p, (raw * 1000000) // tot AS score FROM a1r, s1),
+      |h1r AS (SELECT c, sum(e.w * a1.score) AS raw
+      |        FROM e JOIN a1 USING (p) GROUP BY 1),
+      |hh1 AS (SELECT sum(raw) AS tot FROM h1r),
+      |h1 AS (SELECT c, (raw * 1000000) // tot AS score FROM h1r, hh1),
+      |a2r AS (SELECT p, sum(e.w * h1.score) AS raw
+      |        FROM e JOIN h1 USING (c) GROUP BY 1),
+      |s2 AS (SELECT sum(raw) AS tot FROM a2r),
+      |a2 AS (SELECT p, (raw * 1000000) // tot AS score FROM a2r, s2)
+      |SELECT a1.p AS suppkey, a1.score::BIGINT AS auth1_fp,
+      |       a2.score::BIGINT AS auth2_fp
+      |FROM a1 JOIN a2 USING (p) ORDER BY suppkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q193_incremental_agg" -> q193_incremental_agg,
+    "q197_topk_agg" -> q197_topk_agg,
+    "q199_hits" -> q199_hits,
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
     "q03_derived" -> q03_derived,
@@ -2171,5 +2287,8 @@ object RelationalQueries {
     "q111_funnel" -> q111_sql,
     "q157_bucketed_join" -> q157_sql,
     "q174_compaction" -> q174_sql,
-    "q175_priority_trend" -> q175_sql)
+    "q175_priority_trend" -> q175_sql,
+    "q193_incremental_agg" -> q193_sql,
+    "q197_topk_agg" -> q197_sql,
+    "q199_hits" -> q199_sql)
 }

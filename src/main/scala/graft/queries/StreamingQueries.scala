@@ -60,6 +60,21 @@ object StreamingQueries {
     def ckpt(): String = graft.io.Scratch.dir("ckpt_")
   }
 
+  /** Data part-files of a parquet dir, lexicographically — one write job
+    * has one job-UUID, so name order IS partition order. */
+  private def partFiles(dirStr: String): Seq[java.nio.file.Path] = {
+    import java.nio.file.{Files => F, Paths}
+    val it = F.list(Paths.get(dirStr)).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        buf += p
+    }
+    buf.sortBy(_.getFileName.toString).toSeq
+  }
+
   /** Stage a batch frame into `parts` TIME-RANGE parquet files, so a
     * file-source replay (`maxFilesPerTrigger=1`, oldest file first)
     * delivers micro-batches in event-time order — no rows ever arrive
@@ -102,18 +117,6 @@ object StreamingQueries {
       val lo = bounds.getTimestamp(0).getTime
       val hi = bounds.getTimestamp(1).getTime
       ev.repartitionByRange(parts, col("ts")).write.mode("append").parquet(srcDir)
-      def partFiles(dirStr: String): Seq[java.nio.file.Path] = {
-        val it = F.list(Paths.get(dirStr)).iterator()
-        val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-        while (it.hasNext) {
-          val p = it.next()
-          val n = p.getFileName.toString
-          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-            buf += p
-        }
-        // one job, one job-UUID → lexicographic name order IS partition order
-        buf.sortBy(_.getFileName.toString).toSeq
-      }
       val sliceFiles = partFiles(srcDir)
       // each sentinel is written to a side dir, then its single part file is
       // moved into srcDir under a distinct name (same tmpfs → a rename)
@@ -136,6 +139,64 @@ object StreamingQueries {
           F.copy(p, copy)
           F.setLastModifiedTime(copy, FileTime.fromMillis(t0 + i * 2000L + 1000L))
         }
+      }
+      (lo, hi)
+    }
+
+  /** Stage a replay where rows matching `latePred` arrive in ONE file
+    * AFTER every on-time slice — deliberately behind the watermark. The
+    * on-time rows replay time-ordered exactly as [[stageTimeOrdered]]
+    * (so none of them can be late, whatever the delay), then the late
+    * file delivers event times from the whole history against a watermark
+    * already advanced to `max(on-time ts) − delay`, then the sentinels
+    * flush. Offsets are relative to the GLOBAL max ts and must exceed the
+    * watermark delay for the flush to reach every real window.
+    *
+    * Spark ≥3.4 splits the watermark: the LATE-EVENT FILTER of batch N
+    * uses the previous batch's watermark (data through batch N−2) while
+    * EVICTION uses the current one (through N−1). A flush file carrying
+    * one sentinel row at exactly `max(on-time ts)` sits between the
+    * slices and the late file, so the late batch's filter watermark is
+    * pinned to `max(on-time ts) − delay` — an oracle-derivable quantity —
+    * instead of the sample-dependent max of the second-to-last slice. */
+  private def stageLateReplay(ev: DataFrame, d: String, key: String,
+                              parts: Int, latePred: org.apache.spark.sql.Column,
+                              sentinelOffsetsMs: Seq[Long]): (String, Long, Long) =
+    Stage.memo(d, key) { srcDir =>
+      import java.nio.file.{Files => F, Paths}
+      import java.nio.file.attribute.FileTime
+      val s = ev.sparkSession
+      import s.implicits._
+      val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      val lo = bounds.getTimestamp(0).getTime
+      val hi = bounds.getTimestamp(1).getTime
+      ev.where(!latePred).repartitionByRange(parts, col("ts"))
+        .write.mode("append").parquet(srcDir)
+      val sliceFiles = partFiles(srcDir)
+      val dir = Paths.get(srcDir)
+      val hiOnTime = ev.where(!latePred).agg(max(col("ts"))).head()
+        .getTimestamp(0).getTime
+      val flushDir = dir.getParent.resolve("flush").toString
+      Seq((-1L, new java.sql.Timestamp(hiOnTime), -1L, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(flushDir)
+      val flushFile = F.move(partFiles(flushDir).head,
+        dir.resolve("x-flush-0.parquet"))
+      val lateDir = dir.getParent.resolve("late").toString
+      ev.where(latePred).coalesce(1).write.parquet(lateDir)
+      val lateFile = F.move(partFiles(lateDir).head,
+        dir.resolve("y-late-0.parquet"))
+      val senFiles = sentinelOffsetsMs.zipWithIndex.map { case (off, j) =>
+        val senDir = dir.getParent.resolve(s"sen$j").toString
+        Seq((-1L, new java.sql.Timestamp(hi + off), -1L, "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.parquet(senDir)
+        F.move(partFiles(senDir).head, dir.resolve(s"zz-sentinel-$j.parquet"))
+      }
+      val ordered = sliceFiles ++ Seq(flushFile, lateFile) ++ senFiles
+      val t0 = System.currentTimeMillis() - 24 * 60 * 60 * 1000L
+      ordered.zipWithIndex.foreach { case (p, i) =>
+        F.setLastModifiedTime(p, FileTime.fromMillis(t0 + i * 2000L))
       }
       (lo, hi)
     }
@@ -997,7 +1058,109 @@ object StreamingQueries {
       |SELECT tick, (sum(abs(p - pr)) // 2)::BIGINT AS tvd_fp
       |FROM fp GROUP BY tick ORDER BY tick""".stripMargin
 
+  /** Late-data watermark-drop certification — the fifteenth streaming
+    * cert, and the first to certify what the watermark DROPS rather than
+    * what it emits: every 7th event is withheld from the time-ordered
+    * replay and redelivered in one batch at the very end, when the
+    * watermark already stands at `max(on-time ts) − 48h`. Spark must
+    * aggregate exactly the stragglers whose hourly window is still open
+    * (`window_end > watermark` — the last ~2 days of history) and drop
+    * the rest on the floor. The oracle replays the same admission rule
+    * arithmetically — `date_trunc(hour, ts) + 1h > max_ontime − 48h` —
+    * so both the admitted set and, by their absence, the dropped set are
+    * hash-certified. On-time slices can never lose rows whatever the
+    * delay (each batch's minimum exceeds the previous batch's maximum,
+    * and the watermark lags that by the full delay). */
+  val q196_stream_late_data: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val (srcDir, _, _) = stageLateReplay(ev, d, "events3late", 3,
+      col("event_id") % 7 === 0,
+      sentinelOffsetsMs = Seq(50 * 60 * 60 * 1000L, 54 * 60 * 60 * 1000L))
+    val ckpt = Stage.ckpt()
+    val name = "q196_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = Streaming.windowedEventCounts(stream, "1 hour", "48 hours")
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .where(col("event_type") =!= "sentinel")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_s"), col("event_type"))
+  }
+  val q196_sql: String =
+    """WITH hi AS (SELECT max(ts) AS h FROM events WHERE event_id % 7 <> 0),
+      |adm AS (
+      |  SELECT ts, event_type, value FROM events WHERE event_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT ts, event_type, value FROM events, hi
+      |  WHERE event_id % 7 = 0
+      |    AND date_trunc('hour', ts) + INTERVAL 1 HOUR > h - INTERVAL 48 HOUR)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start_s,
+      |       event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM adm GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin
+
+  /** Stream-static broadcast-join enrichment — the sixteenth streaming
+    * cert: each micro-batch of arriving documents joins a STATIC
+    * per-source dimension (doc count + total chars, computed batch-side
+    * once) with the static side broadcast — the canonical "enrich the
+    * stream against reference data" shape. Stateless: no watermark, no
+    * state store; the join re-executes per batch against the same static
+    * relation, and the appended union across batches must hash-match the
+    * batch join replayed by the oracle. */
+  val q198_stream_static_join: Q = (s, d) => {
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"))
+    val (srcDir, _, _) = Stage.memo(d, "docsrc4") { dir =>
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(dir)
+      (0L, 0L)
+    }
+    val dim = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"), sum(col("n_chars")).as("src_chars"))
+    val ckpt = Stage.ckpt()
+    val name = "q198_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = stream
+        .join(broadcast(dim), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_src"), col("src_chars"))
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name).orderBy(col("doc_id"))
+  }
+  val q198_sql: String =
+    """WITH c AS (SELECT source, count(*)::BIGINT AS n_src,
+      |                  sum(n_chars)::BIGINT AS src_chars
+      |           FROM documents GROUP BY 1)
+      |SELECT doc_id, source, n_src, src_chars
+      |FROM documents JOIN c USING (source) ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q196_stream_late_data" -> q196_stream_late_data,
+    "q198_stream_static_join" -> q198_stream_static_join,
     "q188_stream_drift" -> q188_stream_drift,
     "q65_stream_sessions" -> q65_stream_sessions,
     "q74_stream_windows" -> q74_stream_windows,
@@ -1027,5 +1190,7 @@ object StreamingQueries {
     "q164_stream_token_budget" -> q164_sql,
     "q173_stream_oov" -> q173_sql,
     "q178_stream_sliding" -> q178_sql,
-    "q188_stream_drift" -> q188_sql)
+    "q188_stream_drift" -> q188_sql,
+    "q196_stream_late_data" -> q196_sql,
+    "q198_stream_static_join" -> q198_sql)
 }
