@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Functions._
@@ -2134,7 +2135,127 @@ object RelationalQueries {
       |       a2.score::BIGINT AS auth2_fp
       |FROM a1 JOIN a2 USING (p) ORDER BY suppkey""".stripMargin
 
+  // --------------------------------------- round 7: time-series + evolution
+  /** Keyed gap-fill — [[graft.operators.Impute]]: every 5th reading is
+    * nulled out, then carried forward (LOCF) and backward within each
+    * user's timeline. Two frame-bounded window passes partitioned on
+    * user_id sharing ONE (key, order) sort shuffle — no join, no
+    * self-union, codegen throughout; leading/trailing gaps stay null.
+    * The (ts, event_id) ordering is total, so fills are deterministic
+    * and the oracle replays them with IGNORE NULLS window functions. */
+  val q201_locf_fill: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("ts"),
+      when(col("event_id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("v"))
+    graft.operators.Impute.fill(ev, "user_id", Seq(col("ts"), col("event_id")), "v")
+      .select(col("event_id"), col("user_id"), col("v"), col("v_ffill"),
+        col("v_bfill"))
+      .orderBy(col("event_id"))
+  }
+  val q201_sql: String =
+    """WITH e AS (SELECT event_id, user_id, ts,
+      |             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      |           FROM events)
+      |SELECT event_id, user_id, v,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+      |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+      |FROM e ORDER BY event_id""".stripMargin
+
+  /** Per-user integer EWMA — [[graft.operators.Ewma]]: the ordered
+    * value-recursive fold `sₜ = (sₜ₋₁ + xₜ) div 2` that NO window
+    * function can express, folded in one constant-memory sorted-run scan
+    * (repartition by user + sortWithinPartitions + mapPartitions with
+    * key-change reset — no per-key buffer, unbounded history). All
+    * integer, so the oracle's O(n²)-per-user prefix list_reduce replay
+    * hash-matches exactly. */
+  val q202_ewma_fixed: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("tsm"), col("event_id"),
+      round(abs(col("value")) * 10000).cast("long").as("x"))
+    graft.operators.Ewma.halfLife(ev, "user_id", "tsm", "event_id", "x")
+      .orderBy(col("event_id"))
+  }
+  val q202_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm,
+      |             CAST(round(abs(value) * 10000) AS BIGINT) AS x
+      |           FROM events),
+      |g AS (SELECT user_id,
+      |        list(x ORDER BY tsm, event_id) AS xs,
+      |        list(event_id ORDER BY tsm, event_id) AS ids
+      |      FROM e GROUP BY 1),
+      |u AS (SELECT user_id, unnest(ids) AS event_id, unnest(xs) AS x,
+      |             unnest(list_transform(range(1, len(xs) + 1),
+      |               i -> list_reduce(xs[1:i], (a, b) -> (a + b) // 2))) AS ewma
+      |      FROM g)
+      |SELECT user_id, event_id, x, ewma FROM u ORDER BY event_id""".stripMargin
+
+  /** First-order Markov transition matrix of the event stream: per-user
+    * lag pairs (one keyed window sort), then a map-side-combined count
+    * per (prev, next) — the transition frame is bounded by |event
+    * types|², so the probability normalization (integral fixed point,
+    * window over the BOUNDED counts frame) never touches corpus-sized
+    * data again. */
+  val q203_markov_transitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("prob_fp", expr("(n * 1000000) div tot"))
+      .drop("tot")
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+  val q203_sql: String =
+    """WITH p AS (SELECT user_id, event_type,
+      |             lag(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS prev_type
+      |           FROM events),
+      |c AS (SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, sum(n)::HUGEINT AS tot FROM c GROUP BY 1)
+      |SELECT c.prev_type, c.next_type, c.n,
+      |       ((c.n * 1000000) // t.tot)::BIGINT AS prob_fp
+      |FROM c JOIN t USING (prev_type) ORDER BY prev_type, next_type""".stripMargin
+
+  /** Schema-evolution read: two parquet generations (v2 adds `lang`)
+    * merged by `mergeSchema` into one relation, absent columns
+    * null-backfilled per file — the "old shards never rewritten" contract
+    * a 100 TB lake depends on (schema merge happens in file-footer
+    * metadata at planning; data files are read as-is, each with its own
+    * projection). The oracle recomputes the expected null pattern from
+    * the generation rule. */
+  val q204_schema_evolution: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val root = graft.io.Scratch.dir("schevo_")
+    doc.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(root + "/v1")
+    doc.where(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .write.mode("overwrite").parquet(root + "/v2")
+    s.read.option("mergeSchema", "true").parquet(root + "/v1", root + "/v2")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+  val q204_sql: String =
+    """SELECT doc_id, source,
+      |       CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q201_locf_fill" -> q201_locf_fill,
+    "q202_ewma_fixed" -> q202_ewma_fixed,
+    "q203_markov_transitions" -> q203_markov_transitions,
+    "q204_schema_evolution" -> q204_schema_evolution,
     "q193_incremental_agg" -> q193_incremental_agg,
     "q197_topk_agg" -> q197_topk_agg,
     "q199_hits" -> q199_hits,
@@ -2290,5 +2411,9 @@ object RelationalQueries {
     "q175_priority_trend" -> q175_sql,
     "q193_incremental_agg" -> q193_sql,
     "q197_topk_agg" -> q197_sql,
-    "q199_hits" -> q199_sql)
+    "q199_hits" -> q199_sql,
+    "q201_locf_fill" -> q201_sql,
+    "q202_ewma_fixed" -> q202_sql,
+    "q203_markov_transitions" -> q203_sql,
+    "q204_schema_evolution" -> q204_sql)
 }
