@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source breadth-first hop distance over an undirected graph —
+  * the reachability/propagation primitive the component and community
+  * operators don't give you: HOW FAR each node sits from a seed set
+  * (contamination blast radius, near-dup halo depth, influence rings).
+  *
+  * Semantics: `dist(n) = 0` for seeds, else the minimum number of edges
+  * to any seed, computed by `rounds` synchronous relaxation rounds —
+  * after round r every node within r hops carries its exact distance
+  * (distances are monotone under min, so a fixed round count is a
+  * radius budget, not an approximation knob). Unreached nodes are
+  * absent from the output.
+  *
+  * Scale shape per round: one hash equi-join (frontier ⋈ edges on the
+  * node id) plus one map-side-combined min aggregate; state is the
+  * |reached|-sized distance frame, `localCheckpoint`ed per round so
+  * lineage stays flat (the [[PageRank]]/[[Lpa]] iterative discipline).
+  * Relaxing the FULL distance frame each round (not a delta frontier)
+  * keeps every round's plan identical and replayable as unrolled oracle
+  * CTEs; a delta-frontier variant saves join input on high-diameter
+  * graphs but the near-dup graphs this serves are shallow.
+  */
+object Bfs {
+
+  /** `rounds` relaxation rounds from `seeds` (a 1-column frame of node
+    * ids) over undirected `pairs`. Returns (node, dist). */
+  def hops(pairs: DataFrame, aCol: String, bCol: String,
+           seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")).where(col("u") =!= col("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = seeds.toDF("node")
+      .select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val relaxed = edges
+        .join(dist.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist
+  }
+}

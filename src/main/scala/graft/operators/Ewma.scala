@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 
 /** Per-key ordered exponential smoothing in exact integer arithmetic —
   * `s₀ = x₀; sₜ = (sₜ₋₁ + xₜ) div 2` (α = ½ fixed point, integral
@@ -26,30 +25,16 @@ import org.apache.spark.sql.functions._
 object Ewma {
 
   /** (key, tieCol, x) sorted by (key, orderMillis, tieCol) → one output
-    * row per input row: (key, tieCol as id, x, ewma). */
+    * row per input row: (key, tieCol as id, x, ewma). Delegates the
+    * sorted-run scaffolding to [[KeyedFold]]. */
   def halfLife(df: DataFrame, key: String, orderCol: String, tieCol: String,
                xCol: String): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    val prepared = df.select(col(key).cast("long").as("k"),
-      col(orderCol).cast("long").as("o"),
-      col(tieCol).cast("long").as("id"),
-      col(xCol).cast("long").as("x"))
-      .repartition(col("k"))
-      .sortWithinPartitions(col("k"), col("o"), col("id"))
-      .as[(Long, Long, Long, Long)]
-    prepared.mapPartitions { iter =>
-      var curKey = Long.MinValue
-      var state = 0L
-      var first = true
-      iter.map { case (k, _, id, x) =>
-        require(x >= 0L, s"ewmaHalf requires non-negative inputs (got $x)")
-        if (first || k != curKey) { curKey = k; state = x; first = false }
-        else state = (state + x) / 2
-        (k, id, x, state)
-      }
-    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
-      Encoders.scalaLong, Encoders.scalaLong))
-      .toDF(key, tieCol, xCol, "ewma")
+    def checked(x: Long): Long = {
+      require(x >= 0L, s"ewmaHalf requires non-negative inputs (got $x)")
+      x
+    }
+    KeyedFold.fold(df, key, orderCol, tieCol, xCol, "ewma")(
+      init = x => checked(x),
+      step = (s, x) => (s + checked(x)) / 2)
   }
 }

@@ -2251,7 +2251,82 @@ object RelationalQueries {
       |       CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Regular-grid resample + gap-fill — [[graft.operators.Resample]]
+    * densifies each user's timeline onto an hourly grid (map-side-
+    * combined bucket agg → |keys|-bounded span frame → narrow
+    * budget-guarded `sequence` explode → keyed left join), then
+    * [[graft.operators.Impute]] carries the bucket sums across empty
+    * ticks. Grid arithmetic is epoch-millis Longs throughout, so the
+    * oracle regenerates the identical grid with `range()` — no
+    * timestamp-zone semantics in the compared output. */
+  val q205_resample_grid: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      round(abs(col("value")) * 10000).cast("long").as("x"))
+    val grid = graft.operators.Resample.toGrid(ev, "user_id", col("tsm"),
+      3600000L, Seq("n_obs" -> count(lit(1)), "x_sum" -> sum(col("x"))))
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    graft.operators.Impute.fill(grid, "user_id", Seq(col("tick_ms")), "x_sum")
+      .orderBy(col("user_id"), col("tick_ms"))
+  }
+  val q205_sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm,
+      |             CAST(round(abs(value) * 10000) AS BIGINT) AS x
+      |           FROM events),
+      |b AS (SELECT user_id, tsm - tsm % 3600000 AS tick_ms,
+      |        count(*)::BIGINT AS n_obs, sum(x)::BIGINT AS x_sum
+      |      FROM e GROUP BY 1, 2),
+      |sp AS (SELECT user_id, min(tick_ms) AS t0, max(tick_ms) AS t1
+      |       FROM b GROUP BY 1),
+      |g AS (SELECT user_id, unnest(range(t0, t1 + 1, 3600000)) AS tick_ms
+      |      FROM sp),
+      |j AS (SELECT g.user_id, g.tick_ms,
+      |        coalesce(b.n_obs, 0)::BIGINT AS n_obs, b.x_sum
+      |      FROM g LEFT JOIN b USING (user_id, tick_ms))
+      |SELECT user_id, tick_ms, n_obs, x_sum,
+      |  last_value(x_sum IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY tick_ms
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x_sum_ffill,
+      |  first_value(x_sum IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY tick_ms
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS x_sum_bfill
+      |FROM j ORDER BY user_id, tick_ms""".stripMargin
+
+  /** Per-user CUSUM drift detection — [[graft.operators.Cusum]]: Page's
+    * one-sided cumulative-sum statistic `sₜ = max(0, sₜ₋₁ + xₜ − k)`
+    * against reference level k = 5000 fixed-point, alarming above
+    * h = 30000 — the ordered value-recursive fold (same [[graft.operators.KeyedFold]]
+    * sorted-run shape as q202: one keyed sort shuffle, one constant-
+    * memory partition scan, unbounded per-key history). All-integer, so
+    * the oracle's prefix `list_reduce` replay (seeded with a prepended 0)
+    * hash-matches exactly. */
+  val q207_cusum_drift: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("tsm"), col("event_id"),
+      round(abs(col("value")) * 10000).cast("long").as("x"))
+    graft.operators.Cusum.drift(ev, "user_id", "tsm", "event_id", "x",
+      k = 5000L, h = 30000L)
+      .orderBy(col("event_id"))
+  }
+  val q207_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm,
+      |             CAST(round(abs(value) * 10000) AS BIGINT) AS x
+      |           FROM events),
+      |g AS (SELECT user_id,
+      |        list(x ORDER BY tsm, event_id) AS xs,
+      |        list(event_id ORDER BY tsm, event_id) AS ids
+      |      FROM e GROUP BY 1),
+      |u AS (SELECT user_id, unnest(ids) AS event_id, unnest(xs) AS x,
+      |             unnest(list_transform(range(1, len(xs) + 1),
+      |               i -> list_reduce(list_prepend(0::BIGINT, xs[1:i]),
+      |                      (a, b) -> greatest(0, a + b - 5000)))) AS cusum
+      |      FROM g)
+      |SELECT user_id, event_id, x, cusum, cusum > 30000 AS alarm
+      |FROM u ORDER BY event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q205_resample_grid" -> q205_resample_grid,
+    "q207_cusum_drift" -> q207_cusum_drift,
     "q201_locf_fill" -> q201_locf_fill,
     "q202_ewma_fixed" -> q202_ewma_fixed,
     "q203_markov_transitions" -> q203_markov_transitions,
@@ -2415,5 +2490,7 @@ object RelationalQueries {
     "q201_locf_fill" -> q201_sql,
     "q202_ewma_fixed" -> q202_sql,
     "q203_markov_transitions" -> q203_sql,
-    "q204_schema_evolution" -> q204_sql)
+    "q204_schema_evolution" -> q204_sql,
+    "q205_resample_grid" -> q205_sql,
+    "q207_cusum_drift" -> q207_sql)
 }

@@ -793,11 +793,20 @@ object StreamingQueries {
     * event-time bounds and sentinels, which an unwatermarked stateful op
     * doesn't use). Memoized per (sfDir, key). */
   private def stageIdOrdered(docs: DataFrame, d: String, key: String,
-                             parts: Int): String = {
+                             parts: Int): String =
+    stageOrderedBy(docs, d, key, parts, Seq(col("doc_id")))
+
+  /** Stage `df` as `parts` range-partitioned parquet files whose file-name
+    * (= replay) order follows `orderCols` — the generic form of
+    * [[stageIdOrdered]] for certifications whose cross-batch contract is
+    * an arbitrary total order (e.g. event time, tie-broken by id). */
+  private def stageOrderedBy(df: DataFrame, d: String, key: String,
+                             parts: Int,
+                             orderCols: Seq[org.apache.spark.sql.Column]): String = {
     val (dir, _, _) = Stage.memo(d, key) { srcDir =>
       import java.nio.file.{Files => F, Paths}
       import java.nio.file.attribute.FileTime
-      docs.repartitionByRange(parts, col("doc_id")).write.mode("append").parquet(srcDir)
+      df.repartitionByRange(parts, orderCols: _*).write.mode("append").parquet(srcDir)
       val it = F.list(Paths.get(srcDir)).iterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
       while (it.hasNext) {
@@ -900,6 +909,59 @@ object StreamingQueries {
       |      FROM t)
       |SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens FROM c
       |WHERE cum <= 600 ORDER BY doc_id""".stripMargin
+
+  /** Stateful streaming EWMA — the seventeenth streaming cert:
+    * [[Streaming.ewmaHalfLife]] carries the per-user integer recurrence
+    * `sₜ = (sₜ₋₁ + xₜ) div 2` across micro-batch boundaries with ONE long
+    * of state per key. Events are staged range-partitioned on
+    * (tsm, event_id) so the replay's cross-batch order IS the recurrence
+    * order; within a batch the fold sorts each key's slice. The final
+    * table must hash-match the batch sorted-run fold's oracle (q202's
+    * per-prefix `list_reduce` replay) row-for-row — certifying that the
+    * streaming state hand-off is exactly the batch fold split at
+    * arbitrary batch boundaries. */
+  val q208_stream_ewma: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      round(abs(col("value")) * 10000).cast("long").as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsTsOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q208_ewma_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.KeyedObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.ewmaHalfLife(arrivals)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_id"), col("x"), col("ewma"))
+      .orderBy(col("event_id"))
+  }
+  val q208_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm,
+      |             CAST(round(abs(value) * 10000) AS BIGINT) AS x
+      |           FROM events),
+      |g AS (SELECT user_id,
+      |        list(x ORDER BY tsm, event_id) AS xs,
+      |        list(event_id ORDER BY tsm, event_id) AS ids
+      |      FROM e GROUP BY 1),
+      |u AS (SELECT user_id, unnest(ids) AS event_id, unnest(xs) AS x,
+      |             unnest(list_transform(range(1, len(xs) + 1),
+      |               i -> list_reduce(xs[1:i], (a, b) -> (a + b) // 2))) AS ewma
+      |      FROM g)
+      |SELECT user_id, event_id, x, ewma FROM u ORDER BY event_id""".stripMargin
 
   /** Streaming vocabulary/OOV gate — the twelfth streaming cert: the
     * top-20 vocab is fit batch-side ([[graft.llm.TextAnalysis.vocabTopV]],
@@ -1159,6 +1221,7 @@ object StreamingQueries {
       |FROM documents JOIN c USING (source) ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q208_stream_ewma" -> q208_stream_ewma,
     "q196_stream_late_data" -> q196_stream_late_data,
     "q198_stream_static_join" -> q198_stream_static_join,
     "q188_stream_drift" -> q188_stream_drift,
@@ -1192,5 +1255,6 @@ object StreamingQueries {
     "q178_stream_sliding" -> q178_sql,
     "q188_stream_drift" -> q188_sql,
     "q196_stream_late_data" -> q196_sql,
-    "q198_stream_static_join" -> q198_sql)
+    "q198_stream_static_join" -> q198_sql,
+    "q208_stream_ewma" -> q208_sql)
 }

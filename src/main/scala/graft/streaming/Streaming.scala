@@ -268,6 +268,46 @@ object Streaming {
       }
   }
 
+  case class KeyedObs(user_id: Long, tsm: Long, event_id: Long, x: Long)
+  case class EwmaOut(user_id: Long, event_id: Long, x: Long, ewma: Long)
+
+  /** Stateful streaming integer EWMA — the streaming form of
+    * [[graft.operators.Ewma.halfLife]]: the same value-recursive fold
+    * `s₀ = x₀; sₜ = (sₜ₋₁ + xₜ) div 2`, carried ACROSS micro-batch
+    * boundaries. State is one long per key (the last smoothed value) —
+    * the recurrence needs nothing else, so state size is |keys|,
+    * independent of history length: the unbounded-history property of
+    * the batch sorted-run fold holds in the stream too.
+    *
+    * Within a batch, a key's rows are folded in (tsm, event_id) order
+    * (iterator order is not contractual); ACROSS batches ordering is the
+    * replay's staged order — under event-time-ordered replay the stream
+    * output equals the batch fold row-for-row, which is what the
+    * certification query hash-checks.
+    */
+  def ewmaHalfLife(arrivals: Dataset[KeyedObs]): Dataset[EwmaOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[KeyedObs], state: GroupState[Long]) =>
+          var s = 0L
+          var init = state.getOption.isDefined
+          if (init) s = state.get
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaOut]
+          it.toSeq.sortBy(o => (o.tsm, o.event_id)).foreach { o =>
+            require(o.x >= 0L,
+              s"ewmaHalfLife requires non-negative inputs (got ${o.x})")
+            if (!init) { s = o.x; init = true }
+            else s = (s + o.x) / 2
+            out += EwmaOut(userId, o.event_id, o.x, s)
+          }
+          if (init) state.update(s)
+          out.iterator
+      }
+  }
+
   case class SourceTokDoc(source: String, doc_id: Long, n_tokens: Long)
   case class AdmittedTokDoc(source: String, doc_id: Long, cum_tokens: Long)
 
