@@ -2324,7 +2324,66 @@ object RelationalQueries {
       |SELECT user_id, event_id, x, cusum, cusum > 30000 AS alarm
       |FROM u ORDER BY event_id""".stripMargin
 
+  /** Ordered event-pattern matching (MATCH_RECOGNIZE-style): count
+    * non-overlapping greedy completions of the subsequence pattern
+    * view → click → purchase per user, via a 3-state DFA folded over each
+    * user's timeline by [[graft.operators.KeyedFold]]. The automaton
+    * state and the completion count pack into ONE long
+    * (`completions·10 + stage`), so the whole state machine is the same
+    * constant-memory sorted-run scan as q202/q207 — per-key history
+    * unbounded, no collect_list, no window — and the oracle replays the
+    * encoded transition table with a prefix `list_reduce`. The
+    * pattern-matching primitive sessionized funnels can't express (a
+    * funnel counts stage reach; this counts DISJOINT completions).
+    *
+    * Oracle note: the transition is written ARITHMETICALLY
+    * (boolean-cast deltas: +1 on an advance, +8 = (c+1)·10 − (10c+2) on
+    * a completion) because DuckDB 1.0.0 mis-evaluates a CASE expression
+    * inside a nested list_transform∘list_reduce lambda at vectorization
+    * boundaries (verified: the CASE form diverges from a single-user
+    * replay of the SAME SQL at prefix-workload ~1k elements; the
+    * arithmetic form matches an independent Python fold on all rows). */
+  val q210_pattern_dfa: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("tsm"), col("event_id"),
+      when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "purchase", 3L)
+        .otherwise(0L).as("x"))
+    def step(a: Long, b: Long): Long =
+      if (a % 10 == 0 && b == 1L) a + 1
+      else if (a % 10 == 1 && b == 2L) a + 1
+      else if (a % 10 == 2 && b == 3L) (a / 10 + 1) * 10
+      else a
+    graft.operators.KeyedFold.fold(ev, "user_id", "tsm", "event_id", "x",
+        "dfa")(init = x => step(0L, x), step = step)
+      .withColumn("completions", expr("dfa div 10"))
+      .withColumn("stage", col("dfa") % 10)
+      .orderBy(col("event_id"))
+  }
+  val q210_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm,
+      |             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |               WHEN 'purchase' THEN 3 ELSE 0 END::BIGINT AS x
+      |           FROM events),
+      |g AS (SELECT user_id,
+      |        list(x ORDER BY tsm, event_id) AS xs,
+      |        list(event_id ORDER BY tsm, event_id) AS ids
+      |      FROM e GROUP BY 1),
+      |u AS (SELECT user_id, unnest(ids) AS event_id, unnest(xs) AS x,
+      |             unnest(list_transform(range(1, len(xs) + 1),
+      |               i -> list_reduce(list_prepend(0::BIGINT, xs[1:i]),
+      |                      (a, b) -> a
+      |                        + ((a % 10 = 0 AND b = 1)
+      |                           OR (a % 10 = 1 AND b = 2))::BIGINT
+      |                        + (a % 10 = 2 AND b = 3)::BIGINT * 8))) AS dfa
+      |      FROM g)
+      |SELECT user_id, event_id, x, dfa,
+      |       (dfa // 10)::BIGINT AS completions, dfa % 10 AS stage
+      |FROM u ORDER BY event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q210_pattern_dfa" -> q210_pattern_dfa,
     "q205_resample_grid" -> q205_resample_grid,
     "q207_cusum_drift" -> q207_cusum_drift,
     "q201_locf_fill" -> q201_locf_fill,
@@ -2492,5 +2551,6 @@ object RelationalQueries {
     "q203_markov_transitions" -> q203_sql,
     "q204_schema_evolution" -> q204_sql,
     "q205_resample_grid" -> q205_sql,
-    "q207_cusum_drift" -> q207_sql)
+    "q207_cusum_drift" -> q207_sql,
+    "q210_pattern_dfa" -> q210_sql)
 }

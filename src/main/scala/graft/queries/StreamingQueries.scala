@@ -963,6 +963,60 @@ object StreamingQueries {
       |      FROM g)
       |SELECT user_id, event_id, x, ewma FROM u ORDER BY event_id""".stripMargin
 
+  /** Stateful streaming CUSUM — the eighteenth streaming cert:
+    * [[Streaming.cusumDrift]] carries q207's per-user drift statistic
+    * across micro-batch boundaries with one long of state per key.
+    * Replays the SAME staged (tsm, event_id)-ordered files as q208 (the
+    * staging memo makes that one copy), and the final table must
+    * hash-match q207's batch `list_reduce` oracle — certifying the
+    * always-on drift-sentinel shape: no history rescan, |keys|-bounded
+    * state, batch/stream agreement at every batch boundary. */
+  val q212_stream_cusum: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      round(abs(col("value")) * 10000).cast("long").as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsTsOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q212_cusum_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.KeyedObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.cusumDrift(arrivals, k = 5000L, h = 30000L)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_id"), col("x"), col("cusum"),
+        col("alarm"))
+      .orderBy(col("event_id"))
+  }
+  val q212_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm,
+      |             CAST(round(abs(value) * 10000) AS BIGINT) AS x
+      |           FROM events),
+      |g AS (SELECT user_id,
+      |        list(x ORDER BY tsm, event_id) AS xs,
+      |        list(event_id ORDER BY tsm, event_id) AS ids
+      |      FROM e GROUP BY 1),
+      |u AS (SELECT user_id, unnest(ids) AS event_id, unnest(xs) AS x,
+      |             unnest(list_transform(range(1, len(xs) + 1),
+      |               i -> list_reduce(list_prepend(0::BIGINT, xs[1:i]),
+      |                      (a, b) -> greatest(0, a + b - 5000)))) AS cusum
+      |      FROM g)
+      |SELECT user_id, event_id, x, cusum, cusum > 30000 AS alarm
+      |FROM u ORDER BY event_id""".stripMargin
+
   /** Streaming vocabulary/OOV gate — the twelfth streaming cert: the
     * top-20 vocab is fit batch-side ([[graft.llm.TextAnalysis.vocabTopV]],
     * a bounded driver collect with an explicit budget — gate config, like
@@ -1222,6 +1276,7 @@ object StreamingQueries {
 
   val defs: Map[String, Q] = Map(
     "q208_stream_ewma" -> q208_stream_ewma,
+    "q212_stream_cusum" -> q212_stream_cusum,
     "q196_stream_late_data" -> q196_stream_late_data,
     "q198_stream_static_join" -> q198_stream_static_join,
     "q188_stream_drift" -> q188_stream_drift,
@@ -1256,5 +1311,6 @@ object StreamingQueries {
     "q188_stream_drift" -> q188_sql,
     "q196_stream_late_data" -> q196_sql,
     "q198_stream_static_join" -> q198_sql,
-    "q208_stream_ewma" -> q208_sql)
+    "q208_stream_ewma" -> q208_sql,
+    "q212_stream_cusum" -> q212_sql)
 }

@@ -308,6 +308,36 @@ object Streaming {
       }
   }
 
+  case class CusumOut(user_id: Long, event_id: Long, x: Long, cusum: Long,
+                      alarm: Boolean)
+
+  /** Stateful streaming CUSUM — the streaming form of
+    * [[graft.operators.Cusum.drift]]: `sₜ = max(0, sₜ₋₁ + xₜ − k)` carried
+    * across micro-batch boundaries with ONE long of state per key (the
+    * max(0,·) recurrence needs no init distinct from its step, so the
+    * empty state IS the s₀ = 0 seed). Same ordering contract as
+    * [[ewmaHalfLife]]: within a batch rows fold in (tsm, event_id)
+    * order; across batches the replay's staged order. A drift monitor
+    * that never rescans history and never grows state — the always-on
+    * data-quality sentinel shape. */
+  def cusumDrift(arrivals: Dataset[KeyedObs], k: Long, h: Long): Dataset[CusumOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[KeyedObs], state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+          it.toSeq.sortBy(o => (o.tsm, o.event_id)).foreach { o =>
+            s = math.max(0L, s + o.x - k)
+            out += CusumOut(userId, o.event_id, o.x, s, s > h)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   case class SourceTokDoc(source: String, doc_id: Long, n_tokens: Long)
   case class AdmittedTokDoc(source: String, doc_id: Long, cum_tokens: Long)
 

@@ -65,6 +65,29 @@ class ResampleBfsCusumSpec extends SparkSpec {
       (0L, false), (40L, true)))
   }
 
+  test("SortedNeighborhood.pairs: window completeness and linear count") {
+    // sort keys order docs as 10,30,20,40 (keys a,b,c,d); w=3 pairs:
+    // (10,30),(10,20),(30,20),(30,40),(20,40)
+    val df = Seq((10L, "a"), (20L, "c"), (30L, "b"), (40L, "d"))
+      .toDF("doc_id", "sk")
+    val got = graft.operators.SortedNeighborhood
+      .pairs(df, "doc_id", col("sk"), w = 3)
+      .select(col("doc_a"), col("doc_b"), col("gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 30L, 1L), (10L, 20L, 2L), (20L, 30L, 1L),
+      (30L, 40L, 2L), (20L, 40L, 1L)))
+  }
+
+  test("Streaming.cusumDrift batch-mode fold matches Cusum.drift") {
+    val obs = Seq(
+      Streaming.KeyedObs(1L, 1L, 101L, 25L),
+      Streaming.KeyedObs(1L, 2L, 102L, 5L),
+      Streaming.KeyedObs(1L, 3L, 103L, 50L)).toDS()
+    val got = Streaming.cusumDrift(obs, k = 10L, h = 30L)
+      .collect().sortBy(_.event_id).map(o => (o.cusum, o.alarm))
+    assert(got.toSeq == Seq((15L, false), (10L, false), (50L, true)))
+  }
+
   test("Streaming.ewmaHalfLife batch-mode fold matches the recurrence") {
     // flatMapGroupsWithState on a batch Dataset = single-batch stream
     val obs = Seq(
