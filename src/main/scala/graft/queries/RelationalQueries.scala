@@ -2382,7 +2382,52 @@ object RelationalQueries {
       |       (dfa // 10)::BIGINT AS completions, dfa % 10 AS stage
       |FROM u ORDER BY event_id""".stripMargin
 
+  /** One-pass Pearson correlation matrix — [[graft.operators.Correlate]]:
+    * all 6 pairs of the four lineitem measures from a single
+    * map-side-combined sufficient-statistics aggregate (decimal-exact
+    * integer sums; r² + sign instead of r, so no sqrt and the only float
+    * step is one exact-int-to-double divide — hash-identical on any
+    * engine). */
+  val q213_corr_matrix: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      round(col("l_quantity") * 100).cast("long").as("qty"),
+      round(col("l_extendedprice") * 100).cast("long").as("price"),
+      round(col("l_discount") * 100).cast("long").as("disc"),
+      round(col("l_tax") * 100).cast("long").as("tax"))
+    graft.operators.Correlate.matrix(li, Seq("qty", "price", "disc", "tax"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+  val q213_sql: String = {
+    val cols = Seq("qty", "price", "disc", "tax")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val sums = cols.map(c =>
+      s"sum($c::HUGEINT) AS s_$c, sum($c::HUGEINT * $c::HUGEINT) AS ss_$c")
+      .mkString(", ")
+    val crossSums = pairs.map { case (a, b) =>
+      s"sum($a::HUGEINT * $b::HUGEINT) AS sp_${a}_$b" }.mkString(", ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+         |  sign(n * sp_${a}_$b - s_$a * s_$b)::BIGINT AS sign,
+         |  CASE WHEN n * ss_$a - s_$a * s_$a = 0
+         |         OR n * ss_$b - s_$b * s_$b = 0 THEN NULL
+         |       ELSE (CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+         |             * CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE))
+         |            / (CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
+         |               * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)) END AS r2
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+       |             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+       |             CAST(round(l_discount * 100) AS BIGINT) AS disc,
+       |             CAST(round(l_tax * 100) AS BIGINT) AS tax
+       |           FROM lineitem),
+       |a AS (SELECT count(*)::HUGEINT AS n, $sums, $crossSums FROM t)
+       |SELECT * FROM ($rows) ORDER BY col_a, col_b""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q213_corr_matrix" -> q213_corr_matrix,
     "q210_pattern_dfa" -> q210_pattern_dfa,
     "q205_resample_grid" -> q205_resample_grid,
     "q207_cusum_drift" -> q207_cusum_drift,
@@ -2552,5 +2597,6 @@ object RelationalQueries {
     "q204_schema_evolution" -> q204_sql,
     "q205_resample_grid" -> q205_sql,
     "q207_cusum_drift" -> q207_sql,
-    "q210_pattern_dfa" -> q210_sql)
+    "q210_pattern_dfa" -> q210_sql,
+    "q213_corr_matrix" -> q213_sql)
 }
