@@ -2350,13 +2350,7 @@ object RelationalQueries {
         .when(col("event_type") === "click", 2L)
         .when(col("event_type") === "purchase", 3L)
         .otherwise(0L).as("x"))
-    def step(a: Long, b: Long): Long =
-      if (a % 10 == 0 && b == 1L) a + 1
-      else if (a % 10 == 1 && b == 2L) a + 1
-      else if (a % 10 == 2 && b == 3L) (a / 10 + 1) * 10
-      else a
-    graft.operators.KeyedFold.fold(ev, "user_id", "tsm", "event_id", "x",
-        "dfa")(init = x => step(0L, x), step = step)
+    graft.operators.PatternDfa.fold(ev, "user_id", "tsm", "event_id", "x")
       .withColumn("completions", expr("dfa div 10"))
       .withColumn("stage", col("dfa") % 10)
       .orderBy(col("event_id"))
@@ -2426,7 +2420,73 @@ object RelationalQueries {
        |SELECT * FROM ($rows) ORDER BY col_a, col_b""".stripMargin
   }
 
+  /** Exact per-group weighted median —
+    * [[graft.operators.WeightedMedian]]: the quantity-weighted median
+    * line price per return flag. Cumulative weights ride the
+    * range-partitioned prefix sum (no per-group single-task window);
+    * totals are a |groups|-bounded broadcast; the median is one filter +
+    * min. The robust weighted center `percentile()` can't express. */
+  val q216_weighted_median: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("price"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("line_id"),
+      round(col("l_quantity")).cast("long").as("qty"))
+    graft.operators.WeightedMedian.lower(li, "l_returnflag", "price",
+      "line_id", "qty")
+      .orderBy(col("l_returnflag"))
+  }
+  val q216_sql: String =
+    """WITH t AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    (l_orderkey * 10 + l_linenumber)::BIGINT AS id,
+      |    CAST(round(l_quantity) AS BIGINT) AS w
+      |  FROM lineitem),
+      |c AS (SELECT l_returnflag, v, w,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS wt
+      |  FROM t)
+      |SELECT l_returnflag, CAST(wt AS BIGINT) AS w_total,
+      |       min(v) AS median
+      |FROM c WHERE 2 * cumw >= wt GROUP BY l_returnflag, wt
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Recency-decayed engagement score: per-user sum of event values
+    * halved per week of age at the corpus snapshot instant — exponential
+    * time decay in EXACT integer arithmetic (the decay is a power-of-two
+    * integral division, so no float accumulation and the oracle
+    * hash-matches). Shape: one bounded max-snapshot aggregate broadcast
+    * under the scan, then a single map-side-combined per-user sum — the
+    * recency weighting needs NO ordered state, unlike q202's recurrence,
+    * because the decay depends only on each row's own age. */
+  val q217_decayed_engagement: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      round(abs(col("value")) * 10000).cast("long").as("x"))
+    val tmax = ev.agg(max(col("tsm")).as("tmax"))
+    ev.join(broadcast(tmax))
+      .withColumn("u", least(expr("(tmax - tsm) div 604800000"), lit(40L)))
+      .withColumn("dx", expr("x div cast(pow(2, u) as bigint)"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("dx")).as("decayed"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+  val q217_sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm,
+      |             CAST(round(abs(value) * 10000) AS BIGINT) AS x
+      |           FROM events),
+      |m AS (SELECT max(tsm) AS tmax FROM e),
+      |d AS (SELECT user_id,
+      |        x // CAST(2 ** least((tmax - tsm) // 604800000, 40) AS BIGINT)
+      |          AS dx
+      |      FROM e, m)
+      |SELECT user_id, sum(dx)::BIGINT AS decayed,
+      |       count(*)::BIGINT AS n_events
+      |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q216_weighted_median" -> q216_weighted_median,
+    "q217_decayed_engagement" -> q217_decayed_engagement,
     "q213_corr_matrix" -> q213_corr_matrix,
     "q210_pattern_dfa" -> q210_pattern_dfa,
     "q205_resample_grid" -> q205_resample_grid,
@@ -2598,5 +2658,7 @@ object RelationalQueries {
     "q205_resample_grid" -> q205_sql,
     "q207_cusum_drift" -> q207_sql,
     "q210_pattern_dfa" -> q210_sql,
-    "q213_corr_matrix" -> q213_sql)
+    "q213_corr_matrix" -> q213_sql,
+    "q216_weighted_median" -> q216_sql,
+    "q217_decayed_engagement" -> q217_sql)
 }

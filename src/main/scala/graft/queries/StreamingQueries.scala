@@ -1274,7 +1274,53 @@ object StreamingQueries {
       |SELECT doc_id, source, n_src, src_chars
       |FROM documents JOIN c USING (source) ORDER BY doc_id""".stripMargin
 
+  /** Stateful streaming pattern matcher — the nineteenth streaming cert:
+    * [[Streaming.patternDfa]] advances q210's view→click→purchase
+    * automaton across micro-batch boundaries with one packed long of
+    * state per key. Staged on its own (tsm, event_id)-ordered copy
+    * (event CODES, not values), and the final table must hash-match
+    * q210's batch oracle — certifying that an order-sensitive state
+    * MACHINE (not just a numeric recurrence) splits correctly at
+    * arbitrary batch boundaries. */
+  val q218_stream_dfa: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "purchase", 3L)
+        .otherwise(0L).as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsTsCodeOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q218_dfa_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.KeyedObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.patternDfa(arrivals)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_id"), col("x"), col("dfa"))
+      .withColumn("completions", expr("dfa div 10"))
+      .withColumn("stage", col("dfa") % 10)
+      .orderBy(col("event_id"))
+  }
+  /** Same oracle as the batch fold — the certification IS the equality. */
+  val q218_sql: String = RelationalQueries.q210_sql
+
   val defs: Map[String, Q] = Map(
+    "q218_stream_dfa" -> q218_stream_dfa,
     "q208_stream_ewma" -> q208_stream_ewma,
     "q212_stream_cusum" -> q212_stream_cusum,
     "q196_stream_late_data" -> q196_stream_late_data,
@@ -1312,5 +1358,6 @@ object StreamingQueries {
     "q196_stream_late_data" -> q196_sql,
     "q198_stream_static_join" -> q198_sql,
     "q208_stream_ewma" -> q208_sql,
-    "q212_stream_cusum" -> q212_sql)
+    "q212_stream_cusum" -> q212_sql,
+    "q218_stream_dfa" -> q218_sql)
 }

@@ -338,6 +338,34 @@ object Streaming {
       }
   }
 
+  case class DfaOut(user_id: Long, event_id: Long, x: Long, dfa: Long)
+
+  /** Stateful streaming pattern matcher — the streaming form of
+    * [[graft.operators.PatternDfa.fold]]: the view→click→purchase
+    * automaton advanced across micro-batch boundaries with ONE long of
+    * state per key (the automaton's packed state IS its carry, and
+    * `init = step(0, x)`, so the empty state seeds itself). Same
+    * ordering contract as [[ewmaHalfLife]]/[[cusumDrift]]. The always-on
+    * funnel-completion counter: no history rescan, |keys|-bounded
+    * state. */
+  def patternDfa(arrivals: Dataset[KeyedObs]): Dataset[DfaOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, DfaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[KeyedObs], state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DfaOut]
+          it.toSeq.sortBy(o => (o.tsm, o.event_id)).foreach { o =>
+            s = graft.operators.PatternDfa.step(s, o.x)
+            out += DfaOut(userId, o.event_id, o.x, s)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   case class SourceTokDoc(source: String, doc_id: Long, n_tokens: Long)
   case class AdmittedTokDoc(source: String, doc_id: Long, cum_tokens: Long)
 

@@ -60,6 +60,39 @@ class ProfilingSketchSpec extends SparkSpec {
     assert(est(("a", "c"))._1 >= 1L)
   }
 
+  test("WeightedMedian.lower: weight-majority element and tie-break") {
+    // group g: values 1(w=1), 2(w=1), 3(w=10) -> median 3 (cumw 12/2=6 at v=3)
+    // group h: values 5(w=2), 6(w=2) -> lower median 5 (cumw 2 >= 2)
+    val df = Seq(("g", 1L, 1L, 1L), ("g", 2L, 2L, 1L), ("g", 3L, 3L, 10L),
+      ("h", 5L, 4L, 2L), ("h", 6L, 5L, 2L)).toDF("g", "v", "id", "w")
+    val got = graft.operators.WeightedMedian.lower(df, "g", "v", "id", "w")
+      .orderBy(col("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("g", 12L, 3L), ("h", 4L, 5L)))
+  }
+
+  test("PatternDfa: greedy disjoint completions and stage tracking") {
+    // codes: v c p v v c x p p -> completions after each:
+    // 1,2,10,11,11,12,12,20,20
+    val xs = Seq(1L, 2L, 3L, 1L, 1L, 2L, 0L, 3L, 3L)
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, i.toLong, x) }
+      .toDF("k", "tsm", "id", "x")
+    val got = graft.operators.PatternDfa.fold(df, "k", "tsm", "id", "x")
+      .orderBy(col("id")).collect().map(_.getLong(3))
+    assert(got.toSeq == Seq(1L, 2L, 10L, 11L, 11L, 12L, 12L, 20L, 20L))
+  }
+
+  test("Streaming.patternDfa batch-mode matches the batch fold") {
+    val obs = Seq(
+      graft.streaming.Streaming.KeyedObs(1L, 1L, 101L, 1L),
+      graft.streaming.Streaming.KeyedObs(1L, 2L, 102L, 2L),
+      graft.streaming.Streaming.KeyedObs(1L, 3L, 103L, 3L),
+      graft.streaming.Streaming.KeyedObs(2L, 1L, 201L, 3L)).toDS()
+    val got = graft.streaming.Streaming.patternDfa(obs)
+      .collect().sortBy(_.event_id).map(o => (o.event_id, o.dfa))
+    assert(got.toSeq == Seq((101L, 1L), (102L, 2L), (103L, 10L), (201L, 0L)))
+  }
+
   test("Kmv.pairEstimates exact regime: union below k is exact") {
     val df = (Seq(("a", "x"), ("a", "y"), ("b", "y"), ("b", "z")))
       .toDF("g", "e")
