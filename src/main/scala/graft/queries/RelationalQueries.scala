@@ -2484,7 +2484,126 @@ object RelationalQueries {
       |       count(*)::BIGINT AS n_events
       |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Last-touch attribution: every purchase is credited to the user's
+    * most recent view within a 30-minute lookback. ONE keyed window pass
+    * (the same (user, tsm, event_id) sort class as q201/q203 — at 100 TB
+    * the cost is that single keyed sort shuffle): the last view's
+    * (tsm, id) carry forward in two IGNORE-NULLS window columns over a
+    * ROWS frame on the TOTAL order — deliberately not a RANGE frame,
+    * whose tsm-only ordering would make intra-tie attribution
+    * nondeterministic — and the lookback is a row-local comparison
+    * afterwards. */
+  val q220_attribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsm"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
+        col("event_id"), col("event_type"))
+      .withColumn("lv_tsm",
+        last(when(col("event_type") === "view", col("tsm")),
+          ignoreNulls = true).over(w))
+      .withColumn("lv_id",
+        last(when(col("event_type") === "view", col("event_id")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("lv_tsm").isNotNull && col("lv_tsm") >= col("tsm") - 1800000L)
+      .select(col("user_id"), col("event_id"),
+        when(col("attributed"), col("lv_id")).as("view_id"),
+        col("attributed"))
+      .orderBy(col("event_id"))
+  }
+  val q220_sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             epoch_ms(ts) AS tsm FROM events),
+      |c AS (SELECT user_id, event_id, event_type, tsm,
+      |  last_value(CASE WHEN event_type = 'view' THEN tsm END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY tsm, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv_tsm,
+      |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY tsm, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv_id
+      |  FROM e)
+      |SELECT user_id, event_id,
+      |  CASE WHEN lv_tsm IS NOT NULL AND lv_tsm >= tsm - 1800000
+      |       THEN lv_id END AS view_id,
+      |  (lv_tsm IS NOT NULL AND lv_tsm >= tsm - 1800000) AS attributed
+      |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** Weekly retention cohorts: users grouped by first-seen week, counted
+    * distinct per week offset — the durable-engagement matrix. Shape:
+    * one per-user min aggregate (map-side combined), one hash join back
+    * on user_id (both sides partition on the key; the cohort frame is
+    * |users|-sized, NOT broadcast — users scale with the corpus), then a
+    * count-distinct over the |weeks|²-bounded cohort grid. */
+  val q221_retention_cohorts: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("tsm"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("tsm")).as("t0"))
+    ev.join(first, Seq("user_id"))
+      .select(expr("t0 div 604800000").as("cohort_week"),
+        expr("(tsm - t0) div 604800000").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+  val q221_sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm FROM events),
+      |f AS (SELECT user_id, min(tsm) AS t0 FROM e GROUP BY 1)
+      |SELECT t0 // 604800000 AS cohort_week,
+      |       (tsm - t0) // 604800000 AS week_offset,
+      |       count(DISTINCT e.user_id)::BIGINT AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Benford first-digit audit of the line prices — the classic
+    * fabricated-data / unit-mixup detector: observed leading-digit shares
+    * against Benford's law, as signed fixed-point deviations (ppm). The
+    * expected shares are precomputed integer constants (log10(1+1/d)·10⁶)
+    * so the whole audit — one map-side-combined 9-row aggregate plus
+    * row-local arithmetic — is libm-free and hash-exact. */
+  val q222_benford: Q = (s, d) => {
+    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val bmap = benford.zipWithIndex
+      .map { case (p, i) => (i + 1).toString -> p }
+    val li = Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .where(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+    val counts = li.groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    val total = counts.agg(sum(col("n_d")).as("n"))
+    val exp = bmap.foldLeft(lit(0L)) { case (acc, (ds, p)) =>
+      when(col("digit") === ds.toLong, lit(p)).otherwise(acc) }
+    counts.join(broadcast(total))
+      .withColumn("share_fp", expr("(n_d * 1000000) div n"))
+      .withColumn("benford_fp", exp)
+      .withColumn("dev_fp", col("share_fp") - col("benford_fp"))
+      .select(col("digit"), col("n_d"), col("share_fp"), col("benford_fp"),
+        col("dev_fp"))
+      .orderBy(col("digit"))
+  }
+  val q222_sql: String =
+    """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |           FROM lineitem
+      |           WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+      |dg AS (SELECT CAST(substr(v::VARCHAR, 1, 1) AS BIGINT) AS digit FROM v),
+      |c AS (SELECT digit, count(*)::BIGINT AS n_d FROM dg GROUP BY 1),
+      |t AS (SELECT sum(n_d)::BIGINT AS n FROM c),
+      |b AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+      |        (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+      |        (9, 45757)) AS bb(digit, p))
+      |SELECT c.digit, n_d, (n_d * 1000000) // n AS share_fp,
+      |       p::BIGINT AS benford_fp,
+      |       (n_d * 1000000) // n - p AS dev_fp
+      |FROM c JOIN b ON b.digit = c.digit, t ORDER BY c.digit""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q220_attribution" -> q220_attribution,
+    "q221_retention_cohorts" -> q221_retention_cohorts,
+    "q222_benford" -> q222_benford,
     "q216_weighted_median" -> q216_weighted_median,
     "q217_decayed_engagement" -> q217_decayed_engagement,
     "q213_corr_matrix" -> q213_corr_matrix,
@@ -2660,5 +2779,8 @@ object RelationalQueries {
     "q210_pattern_dfa" -> q210_sql,
     "q213_corr_matrix" -> q213_sql,
     "q216_weighted_median" -> q216_sql,
-    "q217_decayed_engagement" -> q217_sql)
+    "q217_decayed_engagement" -> q217_sql,
+    "q220_attribution" -> q220_sql,
+    "q221_retention_cohorts" -> q221_sql,
+    "q222_benford" -> q222_sql)
 }
