@@ -2600,7 +2600,121 @@ object RelationalQueries {
       |       (n_d * 1000000) // n - p AS dev_fp
       |FROM c JOIN b ON b.digit = c.digit, t ORDER BY c.digit""".stripMargin
 
+  /** Winsorized robust stats: per return flag, clip line prices to the
+    * group's exact lower 5th/95th percentiles, then report the clipped sum
+    * and clip counts — the outlier-robust revenue summary a mean/stddev
+    * pair misrepresents under heavy tails. Shape: group ranks ride the
+    * range-partitioned prefix sum ([[graft.operators.RunningTotal]] with a
+    * 4-group hint — never a per-group single-task window); group totals
+    * and both thresholds are |groups|-bounded broadcasts; the clip itself
+    * is row-local and the final sum is map-side combined. The lower-
+    * percentile threshold is `min(v | rank >= ceil(q·n))`, kept in integer
+    * arithmetic (`100·rank >= q·n`) so the oracle hash-matches. */
+  val q224_winsorized_stats: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("price"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("line_id"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.operators.RunningTotal.grouped(li, "l_returnflag",
+        Seq("price", "line_id"), "one", "rnk", groupCountHint = Some(8L))
+      .localCheckpoint(true) // consumers: totals + 2 thresholds + clip scan
+    val totals = ranked.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val withN = ranked.join(broadcast(totals), Seq("l_returnflag"))
+    def thr(pct: Int, name: String) = withN
+      .where(col("rnk") * 100 >= col("n") * pct)
+      .groupBy(col("l_returnflag")).agg(min(col("price")).as(name))
+    withN
+      .join(broadcast(thr(5, "lo")), Seq("l_returnflag"))
+      .join(broadcast(thr(95, "hi")), Seq("l_returnflag"))
+      .withColumn("clipped", greatest(col("lo"), least(col("hi"), col("price"))))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(col("clipped")).as("winsorized_sum"),
+        sum(when(col("price") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("price") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+      .orderBy(col("l_returnflag"))
+  }
+  val q224_sql: String =
+    """WITH t AS (SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+      |    (l_orderkey * 10 + l_linenumber)::BIGINT AS line_id
+      |  FROM lineitem),
+      |r AS (SELECT l_returnflag, price,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY price, line_id) AS rnk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM t),
+      |lo AS (SELECT l_returnflag, min(price) AS lo FROM r
+      |       WHERE rnk * 100 >= n * 5 GROUP BY 1),
+      |hi AS (SELECT l_returnflag, min(price) AS hi FROM r
+      |       WHERE rnk * 100 >= n * 95 GROUP BY 1)
+      |SELECT r.l_returnflag, CAST(max(n) AS BIGINT) AS n,
+      |       max(lo) AS lo, max(hi) AS hi,
+      |       CAST(sum(greatest(lo, least(hi, price))) AS BIGINT)
+      |         AS winsorized_sum,
+      |       CAST(sum(CASE WHEN price < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_clip_lo,
+      |       CAST(sum(CASE WHEN price > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_clip_hi
+      |FROM r JOIN lo USING (l_returnflag) JOIN hi USING (l_returnflag)
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Key-skew audit: the Gini coefficient of the per-join-key row-count
+    * distribution — the one-number answer to "will this key skew a
+    * shuffle?" that drives the salted-join / AQE-skew decision
+    * ([[graft.operators.Skew]]). Shape: one map-side-combined count per
+    * key; the |keys|-sized counts frame (localCheckpoint'ed — two
+    * consumers) is ranked by the range-partitioned prefix sum (constant
+    * group, hint 1 — NO single-task global window even though the rank is
+    * global); the Gini and the top-1 %-key share reduce to exact integer
+    * sums (decimal-accumulated) with ONE IEEE division each, so the
+    * output hash-matches the oracle's window replay. */
+  val q225_key_skew_gini: Q = (s, d) => {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
+      .withColumn("g", lit(0))
+      .withColumn("one", lit(1L))
+      .localCheckpoint(true) // consumers: rank pass + n-keys agg
+    val n = counts.agg(count(lit(1)).as("n_keys"))
+    val ranked = graft.operators.RunningTotal.grouped(counts, "g",
+      Seq("x", "l_orderkey"), "one", "rnk", groupCountHint = Some(1L))
+    val sums = ranked.agg(
+      sum(col("rnk").cast("decimal(38,0)") * col("x")).as("s"),
+      sum(col("x").cast("decimal(38,0)")).as("t"))
+    ranked.join(broadcast(n))
+      .where(col("rnk") * 100 > col("n_keys") * 99)
+      .agg(sum(col("x")).as("top1"))
+      .crossJoin(broadcast(sums)) // 1x1: broadcast nested loop
+      .crossJoin(broadcast(n))
+      .select(col("n_keys"), col("t").cast("long").as("total_rows"),
+        ((lit(2).cast("decimal(38,0)") * col("s")
+          - (col("n_keys") + 1) * col("t")).cast("double")
+          / (col("n_keys").cast("decimal(38,0)") * col("t")).cast("double"))
+          .as("gini"),
+        col("top1"))
+      .withColumn("top1_share_ppm", expr("top1 * 1000000 div total_rows"))
+      .drop("top1")
+  }
+  val q225_sql: String =
+    """WITH c AS (SELECT l_orderkey, count(*)::BIGINT AS x FROM lineitem
+      |           GROUP BY 1),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, l_orderkey) AS rnk,
+      |             count(*) OVER () AS n_keys FROM c),
+      |a AS (SELECT max(n_keys)::BIGINT AS n_keys,
+      |             sum(rnk::HUGEINT * x) AS s, sum(x::HUGEINT) AS t,
+      |             sum(CASE WHEN rnk * 100 > n_keys * 99 THEN x END) AS top1
+      |      FROM r)
+      |SELECT n_keys, CAST(t AS BIGINT) AS total_rows,
+      |       CAST(2 * s - (n_keys + 1) * t AS DOUBLE)
+      |         / CAST(n_keys::HUGEINT * t AS DOUBLE) AS gini,
+      |       CAST(top1 * 1000000 // t AS BIGINT) AS top1_share_ppm
+      |FROM a""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q224_winsorized_stats" -> q224_winsorized_stats,
+    "q225_key_skew_gini" -> q225_key_skew_gini,
     "q220_attribution" -> q220_attribution,
     "q221_retention_cohorts" -> q221_retention_cohorts,
     "q222_benford" -> q222_benford,
@@ -2782,5 +2896,7 @@ object RelationalQueries {
     "q217_decayed_engagement" -> q217_sql,
     "q220_attribution" -> q220_sql,
     "q221_retention_cohorts" -> q221_sql,
-    "q222_benford" -> q222_sql)
+    "q222_benford" -> q222_sql,
+    "q224_winsorized_stats" -> q224_sql,
+    "q225_key_skew_gini" -> q225_sql)
 }
