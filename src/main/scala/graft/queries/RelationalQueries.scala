@@ -2712,7 +2712,94 @@ object RelationalQueries {
       |       CAST(top1 * 1000000 // t AS BIGINT) AS top1_share_ppm
       |FROM a""".stripMargin
 
+  /** Exact RE-AGGREGABLE distinct counts via 64-bit-word bitmaps: daily
+    * distinct users, then WEEKLY distinct computed from the daily word
+    * frame alone — never rescanning the raw events. This is the
+    * pre-aggregated-cube shape that makes exact distinct viable at
+    * 100 TB: the event scan happens once, producing |days|·|users|/64
+    * bitmap words via ONE map-side-combined `bit_or` (a day's word merges
+    * inside each task before the shuffle); every coarser rollup
+    * (week, month, all-time) is a `bit_or` over words — associative,
+    * idempotent, and tiny. `sum_daily_distinct` vs `weekly_distinct`
+    * quantifies the cross-day dedup a naive sum would overcount. */
+  val q226_bitmap_distinct: Q = (s, d) => {
+    val words = Tables.events(s, d)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        expr("user_id div 64").as("word"),
+        expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+      .groupBy(col("day"), col("word")).agg(expr("bit_or(bit)").as("bits"))
+      .localCheckpoint(true) // consumers: daily counts + weekly re-merge
+    val daily = words
+      .groupBy(col("day"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("day_distinct"))
+    val weekly = words
+      .groupBy(expr("day div 7").as("week"), col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+      .groupBy(col("week"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("weekly_distinct"))
+    daily.groupBy(expr("day div 7").as("week"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day_distinct")).as("sum_daily_distinct"))
+      .join(weekly, Seq("week"))
+      .orderBy(col("week"))
+  }
+  val q226_sql: String =
+    """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id
+      |           FROM events),
+      |dd AS (SELECT day, count(DISTINCT user_id)::BIGINT AS day_distinct
+      |       FROM e GROUP BY 1),
+      |wd AS (SELECT day // 7 AS week,
+      |              count(DISTINCT user_id)::BIGINT AS weekly_distinct
+      |       FROM e GROUP BY 1)
+      |SELECT week, count(*)::BIGINT AS n_days,
+      |       sum(day_distinct)::BIGINT AS sum_daily_distinct,
+      |       max(weekly_distinct) AS weekly_distinct
+      |FROM dd JOIN wd ON dd.day // 7 = wd.week
+      |GROUP BY week ORDER BY week""".stripMargin
+
+  /** Co-visitation pairs: directed (event_type → later event_type) counts
+    * for the next 3 events of the same user within a 30-minute lookahead
+    * — the co-occurrence signal item-to-item recommenders train on. ONE
+    * keyed window pass in the (user, tsm, event_id) sort class shared
+    * with q220/q201 (three `lead` columns collapse into a single physical
+    * window), a row-local time gate, then a map-side-combined count over
+    * the |types|²-bounded pair domain. No self-join — the naive
+    * events⋈events formulation shuffles the corpus twice and explodes on
+    * hot users; the lead form is linear with bounded fan-out 3. */
+  val q228_covisitation: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsm"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
+        col("event_id"), col("event_type"))
+    val pairs = (1 to 3).map { k =>
+      ev.withColumn("b", lead(col("event_type"), k).over(w))
+        .withColumn("b_tsm", lead(col("tsm"), k).over(w))
+        .where(col("b").isNotNull && col("b_tsm") <= col("tsm") + 1800000L)
+        .select(col("event_type").as("a"), col("b"))
+    }.reduce(_ unionAll _)
+    pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("a"), col("b"))
+  }
+  val q228_sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |             epoch_ms(ts) AS tsm FROM events),
+      |l AS (SELECT event_type AS a, tsm,
+      |        lead(event_type, 1) OVER w AS b1, lead(tsm, 1) OVER w AS t1,
+      |        lead(event_type, 2) OVER w AS b2, lead(tsm, 2) OVER w AS t2,
+      |        lead(event_type, 3) OVER w AS b3, lead(tsm, 3) OVER w AS t3
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+      |p AS (SELECT a, b1 AS b FROM l WHERE b1 IS NOT NULL AND t1 <= tsm + 1800000
+      |      UNION ALL
+      |      SELECT a, b2 FROM l WHERE b2 IS NOT NULL AND t2 <= tsm + 1800000
+      |      UNION ALL
+      |      SELECT a, b3 FROM l WHERE b3 IS NOT NULL AND t3 <= tsm + 1800000)
+      |SELECT a, b, count(*)::BIGINT AS n_pairs FROM p
+      |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q226_bitmap_distinct" -> q226_bitmap_distinct,
+    "q228_covisitation" -> q228_covisitation,
     "q224_winsorized_stats" -> q224_winsorized_stats,
     "q225_key_skew_gini" -> q225_key_skew_gini,
     "q220_attribution" -> q220_attribution,
@@ -2898,5 +2985,7 @@ object RelationalQueries {
     "q221_retention_cohorts" -> q221_sql,
     "q222_benford" -> q222_sql,
     "q224_winsorized_stats" -> q224_sql,
-    "q225_key_skew_gini" -> q225_sql)
+    "q225_key_skew_gini" -> q225_sql,
+    "q226_bitmap_distinct" -> q226_sql,
+    "q228_covisitation" -> q228_sql)
 }
