@@ -66,4 +66,46 @@ object Triangles {
       .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
       .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
   }
+
+  /** Per-node triangle counts + degree — the local-clustering-coefficient
+    * inputs. Same degree-oriented wedge generation as [[stats]] (out-degree
+    * O(√m), so no hub blow-up), but the closure join is INNER and keeps
+    * the wedge pivot, so each closed triangle emits its three endpoints
+    * (a row-local explode) into one map-side-combined count. Returns
+    * (node, deg, n_tri) for every node, n_tri = 0 when none. */
+  def perNode(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true) // consumers: degree agg + orientation
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // consumers: two degree attaches + final join
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val lowerIsU = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val orient = withDeg.select(
+        when(lowerIsU, col("u")).otherwise(col("v")).as("src"),
+        when(lowerIsU, col("v")).otherwise(col("u")).as("dst"),
+        when(lowerIsU, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint(true) // consumers: wedge self-join (×2) + closure
+    val wedges = orient.as("e1").join(orient.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("piv"), col("e1.dst").as("wsrc"),
+        col("e2.dst").as("wdst"))
+    val triNodes = wedges.join(
+        orient.select(col("src").as("wsrc"), col("dst").as("wdst")),
+        Seq("wsrc", "wdst"))
+      .select(explode(array(col("piv"), col("wsrc"), col("wdst"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(triNodes, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

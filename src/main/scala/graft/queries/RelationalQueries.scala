@@ -2797,7 +2797,82 @@ object RelationalQueries {
       |SELECT a, b, count(*)::BIGINT AS n_pairs FROM p
       |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
 
+  /** Local clustering coefficient over the part CO-PURCHASE graph (parts
+    * linked when bought in the same order) — the neighborhood-density
+    * signal behind "customers also bought" quality checks. Edge
+    * generation is an equi-join on the order key with per-order fan-out
+    * bounded by order size (≤ 7 lines), never all-pairs;
+    * [[graft.operators.Triangles.perNode]] then counts each node's
+    * triangles with degree-oriented wedges (out-degree O(√m) — a hub
+    * part contributes no wedges from its own adjacency). The coefficient
+    * is exact fixed-point: 2·tri·10⁶ div deg·(deg−1). */
+  val q230_clustering_coeff: Q = (s, d) => {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("pa"), col("b.p").as("pb"))
+    graft.operators.Triangles.perNode(pairs, "pa", "pb")
+      .select(col("node"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2,
+          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))")).as("coeff_ppm"))
+      .orderBy(col("node"))
+  }
+  val q230_sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+      |      JOIN op b ON a.o = b.o AND a.p < b.p),
+      |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tn AS (SELECT node, count(*)::BIGINT AS n_tri FROM (
+      |         SELECT a AS node FROM t UNION ALL SELECT b FROM t
+      |         UNION ALL SELECT c FROM t) GROUP BY 1),
+      |d AS (SELECT node, count(*)::BIGINT AS deg FROM (
+      |        SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+      |SELECT d.node, deg, coalesce(n_tri, 0) AS n_tri,
+      |       CASE WHEN deg >= 2
+      |            THEN (2 * coalesce(n_tri, 0) * 1000000) // (deg * (deg - 1))
+      |       END AS coeff_ppm
+      |FROM d LEFT JOIN tn ON d.node = tn.node ORDER BY d.node""".stripMargin
+
+  /** CDC log apply: the events table as an upsert/delete change log on
+    * (user, event_type) — negative values are tombstones — reduced to
+    * the final snapshot with ONE map-side-combined `max(struct)`
+    * aggregate. This deliberately replaces the classic
+    * `row_number() = 1` window (which shuffles the ENTIRE log into
+    * per-key sorted tasks): the struct max combines partially inside
+    * each map task, so the shuffle carries |keys| rows, not |log| rows —
+    * at a 100 TB change log that is the difference between a merge that
+    * finishes and one that doesn't. (tsm, event_id) is unique per key,
+    * so the lexicographic struct order is total and deterministic. */
+  val q231_cdc_apply: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm"), col("event_id"),
+        round(col("value") * 10000).cast("long").as("v"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("tsm"), col("event_id"), col("v"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.tsm").as("last_tsm"), col("m.event_id").as("last_event_id"),
+        col("m.v").as("last_value"))
+      .where(col("last_value") >= 0)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+  val q231_sql: String =
+    """WITH l AS (SELECT user_id, event_type, epoch_ms(ts) AS tsm, event_id,
+      |             CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |        ORDER BY tsm DESC, event_id DESC) AS rn FROM l)
+      |SELECT user_id, event_type, tsm AS last_tsm,
+      |       event_id AS last_event_id, v AS last_value
+      |FROM r WHERE rn = 1 AND v >= 0
+      |ORDER BY user_id, event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q230_clustering_coeff" -> q230_clustering_coeff,
+    "q231_cdc_apply" -> q231_cdc_apply,
     "q226_bitmap_distinct" -> q226_bitmap_distinct,
     "q228_covisitation" -> q228_covisitation,
     "q224_winsorized_stats" -> q224_winsorized_stats,
@@ -2987,5 +3062,7 @@ object RelationalQueries {
     "q224_winsorized_stats" -> q224_sql,
     "q225_key_skew_gini" -> q225_sql,
     "q226_bitmap_distinct" -> q226_sql,
-    "q228_covisitation" -> q228_sql)
+    "q228_covisitation" -> q228_sql,
+    "q230_clustering_coeff" -> q230_sql,
+    "q231_cdc_apply" -> q231_sql)
 }

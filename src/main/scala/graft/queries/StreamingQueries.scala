@@ -1319,7 +1319,52 @@ object StreamingQueries {
   /** Same oracle as the batch fold — the certification IS the equality. */
   val q218_sql: String = RelationalQueries.q210_sql
 
+  /** Stateful streaming last-touch attribution — the twentieth streaming
+    * cert: [[Streaming.lastTouchAttribution]] carries each user's latest
+    * view (two longs of state) across micro-batch boundaries and credits
+    * purchases within the 30-minute lookback. Replays the staged
+    * (tsm, event_id)-ordered files (its own memo — the type code differs
+    * from q218's DFA alphabet), and the emitted purchases must hash-match
+    * q220's batch IGNORE-NULLS-window oracle — certifying that the
+    * unbounded attribution window really does collapse to |users|-bounded
+    * carried state with no history rescan. */
+  val q229_stream_attribution: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "purchase", 2L)
+        .otherwise(0L).as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsAttrOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q229_attr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.KeyedObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.lastTouchAttribution(arrivals, lookbackMs = 1800000L)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_id"), col("view_id"),
+        col("attributed"))
+      .orderBy(col("event_id"))
+  }
+  /** Same oracle as the batch window query. */
+  val q229_sql: String = RelationalQueries.q220_sql
+
   val defs: Map[String, Q] = Map(
+    "q229_stream_attribution" -> q229_stream_attribution,
     "q218_stream_dfa" -> q218_stream_dfa,
     "q208_stream_ewma" -> q208_stream_ewma,
     "q212_stream_cusum" -> q212_stream_cusum,
@@ -1359,5 +1404,6 @@ object StreamingQueries {
     "q198_stream_static_join" -> q198_sql,
     "q208_stream_ewma" -> q208_sql,
     "q212_stream_cusum" -> q212_sql,
-    "q218_stream_dfa" -> q218_sql)
+    "q218_stream_dfa" -> q218_sql,
+    "q229_stream_attribution" -> q229_sql)
 }

@@ -413,4 +413,49 @@ object Streaming {
           out.iterator
       }
   }
+
+  case class AttributionOut(user_id: Long, event_id: Long,
+                            view_id: Option[Long], attributed: Boolean)
+
+  /** Stateful streaming LAST-TOUCH ATTRIBUTION — the streaming form of
+    * the q220 batch window query: each purchase is credited to the
+    * user's most recent view within `lookbackMs`, with the last view's
+    * (tsm, event_id) carried ACROSS micro-batch boundaries as TWO longs
+    * of state per user. This is the always-on marketing-attribution
+    * shape: no per-user history buffer, no rescan — the batch query's
+    * unbounded-preceding IGNORE-NULLS window collapses to a single
+    * carried value because only the LATEST view can ever win.
+    *
+    * The event-type code rides [[KeyedObs]].x: 1 = view, 2 = purchase,
+    * 0 = anything else (ignored but it still flows through ordering).
+    * Within a batch rows fold in (tsm, event_id) order (iterator order
+    * is not contractual); across batches the replay's staged order —
+    * under event-time-ordered replay the emitted purchases hash-match
+    * the batch oracle row-for-row. */
+  def lastTouchAttribution(arrivals: Dataset[KeyedObs],
+                           lookbackMs: Long): Dataset[AttributionOut] = {
+    require(lookbackMs >= 0, s"lookbackMs must be >= 0 (got $lookbackMs)")
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AttributionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[KeyedObs], state: GroupState[(Long, Long)]) =>
+          var has = state.getOption.isDefined
+          var vt = 0L
+          var vid = 0L
+          state.getOption.foreach { case (t, i) => vt = t; vid = i }
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributionOut]
+          it.toSeq.sortBy(o => (o.tsm, o.event_id)).foreach { o =>
+            if (o.x == 1L) { vt = o.tsm; vid = o.event_id; has = true }
+            else if (o.x == 2L) {
+              val ok = has && vt >= o.tsm - lookbackMs
+              out += AttributionOut(userId, o.event_id,
+                if (ok) Some(vid) else None, ok)
+            }
+          }
+          if (has) state.update((vt, vid))
+          out.iterator
+      }
+  }
 }
