@@ -1363,7 +1363,57 @@ object StreamingQueries {
   /** Same oracle as the batch window query. */
   val q229_sql: String = RelationalQueries.q220_sql
 
+  /** Stateful streaming co-visitation — the twenty-first streaming cert:
+    * [[Streaming.covisitPairs]] carries a ring of each user's last 3
+    * events and pairs every arrival against it (the batch lead-window's
+    * lookahead read from the other end). The pair STREAM is what the
+    * state machine emits; the final count is a batch aggregate over the
+    * emitted pairs, and the whole thing must hash-match q228's batch
+    * lead-window oracle — certifying that bounded O(k) per-user state
+    * reproduces the window semantics with no history rescan. Event-type
+    * codes ride KeyedObs.x (alphabetical: click=1 … view=5) and are
+    * decoded back to names for oracle parity. */
+  val q232_stream_covisit: Q = (s, d) => {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val code = types.zipWithIndex.foldLeft(lit(0L)) { case (acc, (t, i)) =>
+      when(col("event_type") === t, lit(i + 1L)).otherwise(acc) }
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      code.as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsCovisitOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q232_cov_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.KeyedObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.covisitPairs(arrivals, lookbackMs = 1800000L, k = 3)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    def decode(c: org.apache.spark.sql.Column) =
+      types.zipWithIndex.foldLeft(lit("?")) { case (acc, (t, i)) =>
+        when(c === (i + 1L), lit(t)).otherwise(acc) }
+    s.table(name)
+      .select(decode(col("a")).as("a"), decode(col("b")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("a"), col("b"))
+  }
+  /** Same oracle as the batch lead-window query. */
+  val q232_sql: String = RelationalQueries.q228_sql
+
   val defs: Map[String, Q] = Map(
+    "q232_stream_covisit" -> q232_stream_covisit,
     "q229_stream_attribution" -> q229_stream_attribution,
     "q218_stream_dfa" -> q218_stream_dfa,
     "q208_stream_ewma" -> q208_stream_ewma,
@@ -1405,5 +1455,6 @@ object StreamingQueries {
     "q208_stream_ewma" -> q208_sql,
     "q212_stream_cusum" -> q212_sql,
     "q218_stream_dfa" -> q218_sql,
-    "q229_stream_attribution" -> q229_sql)
+    "q229_stream_attribution" -> q229_sql,
+    "q232_stream_covisit" -> q232_sql)
 }

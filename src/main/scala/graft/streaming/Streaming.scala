@@ -458,4 +458,40 @@ object Streaming {
           out.iterator
       }
   }
+
+  case class CovisitOut(a: Long, b: Long)
+
+  /** Stateful streaming CO-VISITATION pairs — the streaming form of the
+    * q228 batch lead-window query: every event pairs with each of the
+    * user's PREVIOUS `k` events whose timestamp is within `lookbackMs`.
+    * State is a ring of the user's last `k` (tsm, event_id, code)
+    * triples — the batch `lead(·, 1..k)` lookAHEAD becomes a lookBACK
+    * against the carried ring, which is the only direction an append
+    * stream can pair in; under event-time-ordered replay the emitted
+    * pair multiset is identical (pair (p, o) exists iff o is within p's
+    * next k events and the time gate holds — the same predicate read
+    * from the other end). State is k triples per user, independent of
+    * history length. */
+  def covisitPairs(arrivals: Dataset[KeyedObs], lookbackMs: Long,
+                   k: Int): Dataset[CovisitOut] = {
+    require(k >= 1 && k <= 16, s"ring size k must be in [1,16] (got $k)")
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], CovisitOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[KeyedObs],
+         state: GroupState[Seq[(Long, Long, Long)]]) =>
+          var ring = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CovisitOut]
+          it.toSeq.sortBy(o => (o.tsm, o.event_id)).foreach { o =>
+            ring.foreach { case (ptsm, _, pcode) =>
+              if (o.tsm <= ptsm + lookbackMs) out += CovisitOut(pcode, o.x)
+            }
+            ring = (ring :+ ((o.tsm, o.event_id, o.x))).takeRight(k)
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
 }

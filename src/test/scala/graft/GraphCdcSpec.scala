@@ -74,4 +74,32 @@ class GraphCdcSpec extends SparkSpec {
         (4L, None, false), (6L, Some(5L), true)))
     } finally q.stop()
   }
+
+  test("covisitPairs: ring pairs across batches, evicts beyond k, gates on time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.KeyedObs]
+    val q = Streaming.covisitPairs(mem.toDS(), lookbackMs = 100L, k = 2)
+      .writeStream.format("memory").queryName("covisit_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: codes 1@0, 2@10 -> pair (1,2)
+      mem.addData(Streaming.KeyedObs(5L, 0L, 1L, 1L),
+        Streaming.KeyedObs(5L, 10L, 2L, 2L))
+      q.processAllAvailable()
+      // batch 2: 3@20 pairs with ring {1@0, 2@10}: (1,3), (2,3);
+      // 4@130 pairs only with 3@20 in time (ring {2@10,3@20}: 10+100<130 out,
+      // 20+100<130 out -> NO pairs for 4)
+      mem.addData(Streaming.KeyedObs(5L, 20L, 3L, 3L),
+        Streaming.KeyedObs(5L, 130L, 4L, 4L))
+      q.processAllAvailable()
+      // batch 3: 5@140 pairs with ring {3@20, 4@130}: 3 too old, 4 in -> (4,5)
+      mem.addData(Streaming.KeyedObs(5L, 140L, 5L, 5L))
+      q.processAllAvailable()
+      val got = spark.table("covisit_test").collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == Map((1L, 2L) -> 1, (1L, 3L) -> 1, (2L, 3L) -> 1,
+        (4L, 5L) -> 1))
+    } finally q.stop()
+  }
 }
