@@ -2870,7 +2870,54 @@ object RelationalQueries {
       |FROM r WHERE rn = 1 AND v >= 0
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** JOIN-SIZE ESTIMATION from Count-Min sketches (the AMS/CMS inner
+    * product of Cormode & Muthukrishnan, J.Alg 2005): the self-join size
+    * Σₖ cₖ² of lineitem on part key — the number the optimizer needs
+    * BEFORE running a join to predict skew blow-up — estimated as
+    * min over the d hash rows of Σⱼ counter², and compared against the
+    * exact answer. Shape: ONE corpus scan exploding each key into its d
+    * row-buckets (row-local), one map-side-combined count per (row,
+    * bucket) — d·w cells of state, the planning-time sketch a 100 TB
+    * optimizer would maintain per column — then bounded re-aggregation.
+    * The estimate is exact integer arithmetic end to end (a guaranteed
+    * OVERestimate: row sums only collide upward), so it hash-matches. */
+  val q235_join_size_cms: Q = (s, d) => {
+    val depth = 3
+    val width = 512
+    val keys = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
+      .localCheckpoint(true) // consumers: sketch build + exact groupBy
+    val ib = (0 until depth).map { i =>
+      struct(lit(i).as("i"),
+        graft.llm.Sketch.cmsBucket(i, col("k"), width).as("b"))
+    }
+    val est = keys
+      .select(explode(array(ib: _*)).as("ib"))
+      .select(col("ib.i").as("i"), col("ib.b").as("b"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("i")).agg(sum(col("c") * col("c")).as("e"))
+      .agg(min(col("e")).as("cms_join_size"))
+    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_join_size"))
+    exact.crossJoin(broadcast(est)) // 1 row x 1 row
+      .withColumn("ratio_ppm",
+        expr("cms_join_size * 1000000 div exact_join_size"))
+  }
+  val q235_sql: String =
+    """WITH k AS (SELECT l_partkey AS k FROM lineitem),
+      |b AS (SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
+      |          || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 512 AS b
+      |      FROM k, (SELECT unnest(range(3)) AS i) d),
+      |c AS (SELECT i, b, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+      |e AS (SELECT i, sum(c * c)::BIGINT AS e FROM c GROUP BY 1),
+      |est AS (SELECT min(e)::BIGINT AS cms_join_size FROM e),
+      |ex AS (SELECT sum(c * c)::BIGINT AS exact_join_size FROM (
+      |         SELECT count(*)::BIGINT AS c FROM k GROUP BY k))
+      |SELECT exact_join_size, cms_join_size,
+      |       cms_join_size * 1000000 // exact_join_size AS ratio_ppm
+      |FROM ex, est""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q235_join_size_cms" -> q235_join_size_cms,
     "q230_clustering_coeff" -> q230_clustering_coeff,
     "q231_cdc_apply" -> q231_cdc_apply,
     "q226_bitmap_distinct" -> q226_bitmap_distinct,
@@ -3064,5 +3111,6 @@ object RelationalQueries {
     "q226_bitmap_distinct" -> q226_sql,
     "q228_covisitation" -> q228_sql,
     "q230_clustering_coeff" -> q230_sql,
-    "q231_cdc_apply" -> q231_sql)
+    "q231_cdc_apply" -> q231_sql,
+    "q235_join_size_cms" -> q235_sql)
 }

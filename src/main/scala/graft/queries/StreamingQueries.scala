@@ -1412,7 +1412,79 @@ object StreamingQueries {
   /** Same oracle as the batch lead-window query. */
   val q232_sql: String = RelationalQueries.q228_sql
 
+  /** Stateful streaming HyperLogLog — the twenty-second streaming cert:
+    * [[Streaming.hllSketch]] keeps ONE m-byte register array per week in
+    * the state store and folds pre-hashed (j, rho) arrivals in by
+    * register max; the replay's final per-week row must reproduce the
+    * estimate the batch rollup (q227) computes from the same registers —
+    * certifying the live-dashboard distinct-count shape: constant state
+    * per key, order-insensitive updates (micro-batch boundaries can't
+    * change the answer), estimates hash-exact against the SQL replay. */
+  val q234_stream_hll: Q = (s, d) => {
+    import s.implicits._
+    val m = 256
+    val bits = graft.llm.Hll.rhoBits(m)
+    val ev = Tables.events(s, d).select(
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      expr("unix_millis(ts) div 86400000 div 7").as("week"),
+      graft.llm.Hll.jCol(col("user_id"), m).as("j"),
+      graft.llm.Hll.rhoCol(col("user_id"), m).cast("long").as("rho"))
+    val srcDir = stageOrderedBy(ev, d, "eventsHllOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q234_hll_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.HllObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.hllSketch(arrivals, m, bits)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .groupBy(col("week"))
+      .agg(max(struct(col("seen"), col("s"), col("zero_registers"))).as("f"))
+      .select(col("week"), col("f.seen").as("n_events"),
+        (lit(graft.llm.Hll.numerator(m)) / col("f.s")).as("hll_estimate"),
+        col("f.zero_registers"))
+      .orderBy(col("week"))
+  }
+  val q234_sql: String = {
+    val m = 256
+    val bits = graft.llm.Hll.rhoBits(m)
+    s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 // 7 AS week, user_id,
+       |             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |           FROM events),
+       |jr AS (SELECT week, hv % $m AS j,
+       |          CASE WHEN instr(lpad(bin(hv // $m), $bits, '0'), '1') = 0 THEN ${bits + 1}
+       |               ELSE instr(lpad(bin(hv // $m), $bits, '0'), '1') END AS rho
+       |       FROM e),
+       |wr AS (SELECT week, j, max(rho) AS mx FROM jr GROUP BY 1, 2),
+       |grid AS (SELECT w.week, sp.j
+       |         FROM (SELECT DISTINCT week FROM wr) w,
+       |              (SELECT unnest(range($m)) AS j) sp),
+       |regs AS (SELECT grid.week, CAST(coalesce(wr.mx, 0) AS INTEGER) AS m
+       |         FROM grid LEFT JOIN wr ON grid.week = wr.week AND grid.j = wr.j),
+       |agg AS (SELECT week,
+       |          CAST(sum(1::BIGINT << (${bits + 1} - m)) AS BIGINT) AS s,
+       |          CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
+       |        FROM regs GROUP BY 1),
+       |ne AS (SELECT week, count(*)::BIGINT AS n_events FROM e GROUP BY 1)
+       |SELECT ne.week, n_events,
+       |       CAST(${graft.llm.Hll.numerator(m)} AS DOUBLE) / s AS hll_estimate,
+       |       zero_registers
+       |FROM ne JOIN agg USING (week) ORDER BY week""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q234_stream_hll" -> q234_stream_hll,
     "q232_stream_covisit" -> q232_stream_covisit,
     "q229_stream_attribution" -> q229_stream_attribution,
     "q218_stream_dfa" -> q218_stream_dfa,
@@ -1456,5 +1528,6 @@ object StreamingQueries {
     "q212_stream_cusum" -> q212_sql,
     "q218_stream_dfa" -> q218_sql,
     "q229_stream_attribution" -> q229_sql,
-    "q232_stream_covisit" -> q232_sql)
+    "q232_stream_covisit" -> q232_sql,
+    "q234_stream_hll" -> q234_sql)
 }

@@ -494,4 +494,49 @@ object Streaming {
           out.iterator
       }
   }
+
+  case class HllObs(week: Long, j: Long, rho: Long)
+  case class HllBatchOut(week: Long, seen: Long, s: Long, zero_registers: Long)
+
+  /** Stateful streaming HYPERLOGLOG — a live distinct-count sketch per
+    * key: state is the m-register array (m bytes per key, independent of
+    * both history length and cardinality), updated by elementwise max —
+    * the same merge that makes the batch sketch partition-safe makes the
+    * stream's micro-batch boundaries invisible. Each batch emits the
+    * key's CURRENT denominator sum + zero-register count with a monotone
+    * `seen` counter, so a bounded replay's FINAL row per key (max seen)
+    * carries exactly the registers the batch sketch would have built —
+    * what the certification hash-checks. Inputs arrive pre-hashed as
+    * (j, rho) pairs ([[graft.llm.Hll.jCol]]/[[graft.llm.Hll.rhoCol]]),
+    * keeping the state update a pure register max. */
+  def hllSketch(arrivals: Dataset[HllObs], m: Int,
+                bits: Int): Dataset[HllBatchOut] = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two (got $m)")
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.week)
+      .flatMapGroupsWithState[(Array[Byte], Long), HllBatchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (week: Long, it: Iterator[HllObs],
+         state: GroupState[(Array[Byte], Long)]) =>
+          val (regs, seen0) = state.getOption
+            .getOrElse((new Array[Byte](m), 0L))
+          var seen = seen0
+          it.foreach { o => // register max is order-insensitive: no sort
+            val j = o.j.toInt
+            if (o.rho > regs(j)) regs(j) = o.rho.toByte
+            seen += 1L
+          }
+          var s = 0L
+          var zeros = 0L
+          var i = 0
+          while (i < m) {
+            s += 1L << (bits + 1 - regs(i))
+            if (regs(i) == 0) zeros += 1L
+            i += 1
+          }
+          state.update((regs, seen))
+          Iterator.single(HllBatchOut(week, seen, s, zeros))
+      }
+  }
 }

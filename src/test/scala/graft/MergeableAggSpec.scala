@@ -55,6 +55,52 @@ class MergeableAggSpec extends SparkSpec {
     assert(merged == regs(day1 ++ day2))
   }
 
+  test("streaming hllSketch: registers accumulate across batches, order-free") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val m = 16
+    val bits = 32 - Integer.numberOfTrailingZeros(m)
+    val mem = MemoryStream[graft.streaming.Streaming.HllObs]
+    val q = graft.streaming.Streaming.hllSketch(mem.toDS(), m, bits)
+      .writeStream.format("memory").queryName("hll_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(graft.streaming.Streaming.HllObs(1L, 3L, 5L),
+        graft.streaming.Streaming.HllObs(1L, 7L, 2L))
+      q.processAllAvailable()
+      // batch 2: same register j=3 with smaller rho (ignored) + new j=9
+      mem.addData(graft.streaming.Streaming.HllObs(1L, 3L, 4L),
+        graft.streaming.Streaming.HllObs(1L, 9L, 1L))
+      q.processAllAvailable()
+      val last = spark.table("hll_test").where(col("seen") === 4L)
+        .collect().map(r => (r.getAs[Long]("s"), r.getAs[Long]("zero_registers")))
+      // registers: j3=5, j7=2, j9=1, 13 zeros
+      val expS = (1L << (bits + 1 - 5)) + (1L << (bits + 1 - 2)) +
+        (1L << (bits + 1 - 1)) + 13L * (1L << (bits + 1))
+      assert(last.toSeq == Seq((expS, 13L)))
+    } finally q.stop()
+  }
+
+  test("cms self-join size: exact on collision-free keys, never underestimates") {
+    val keys = (1 to 20).flatMap(k => Seq.fill(k % 3 + 1)(k.toLong))
+      .toDF("k") // counts 1..3 per key
+    val width = 64
+    val depth = 3
+    val ib = (0 until depth).map { i =>
+      struct(lit(i).as("i"),
+        graft.llm.Sketch.cmsBucket(i, col("k"), width).as("b"))
+    }
+    val est = keys.select(explode(array(ib: _*)).as("ib"))
+      .select(col("ib.i").as("i"), col("ib.b").as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+      .groupBy("i").agg(sum(col("c") * col("c")).as("e"))
+      .agg(min("e")).head().getLong(0)
+    val exact = keys.groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head().getLong(0)
+    assert(est >= exact) // row sums only collide upward
+    assert(est <= exact * 3) // sane at this density
+  }
+
   test("covisitation gate: pairs beyond the lookahead window are dropped") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("tsm"), col("id"))
