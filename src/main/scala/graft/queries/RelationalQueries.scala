@@ -2916,7 +2916,161 @@ object RelationalQueries {
       |       cms_join_size * 1000000 // exact_join_size AS ratio_ppm
       |FROM ex, est""".stripMargin
 
+  /** FREQUENT ITEMSETS (Apriori levels 1–3) over (user, day) event-type
+    * baskets with RELATIVE minimum support (15 % / 7 % / 2.5 % of
+    * baskets — absolute thresholds would stop scaling with the corpus).
+    * The Apriori shapes that survive 100 TB: candidate generation is a
+    * basket-keyed self-join (fan-out bounded by basket size squared,
+    * row-local per basket — never item×item across baskets), level-k
+    * candidates are pruned by ALL their level-(k−1) subsets via
+    * broadcast semi-joins against the bounded frequent frames, and every
+    * support count is map-side combined. The basket count rides one
+    * 1-row broadcast; threshold compares stay in integer arithmetic
+    * (supp·1000 ≥ baskets·pct). */
+  val q237_frequent_itemsets: Q = (s, d) => {
+    val b = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"))
+      .distinct()
+      .localCheckpoint(true) // consumers: basket count + L1 + pair gen ×2
+    val nb = b.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("nb"))
+    val s1 = b.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
+      .crossJoin(broadcast(nb))
+    val f1 = s1.where(col("supp") * 1000 >= col("nb") * 150)
+      .localCheckpoint(true) // consumers: output + two prune joins
+    val f1keys = broadcast(f1.select(col("event_type")))
+    val pairsInst = b.as("a").join(b.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day")
+          && col("a.event_type") < col("b.event_type"))
+      .select(col("a.user_id"), col("a.day"),
+        col("a.event_type").as("ia"), col("b.event_type").as("ib"))
+      .join(f1keys.withColumnRenamed("event_type", "ia"), Seq("ia"), "left_semi")
+      .join(f1keys.withColumnRenamed("event_type", "ib"), Seq("ib"), "left_semi")
+      .localCheckpoint(true) // consumers: pair counts + triple gen
+    val f2 = pairsInst.groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("supp"))
+      .crossJoin(broadcast(nb))
+      .where(col("supp") * 1000 >= col("nb") * 70)
+      .localCheckpoint(true) // consumers: output + three prune joins
+    val f2keys = broadcast(f2.select(col("ia"), col("ib")))
+    val f3 = pairsInst.join(f2keys, Seq("ia", "ib"), "left_semi").as("p")
+      .join(b.as("c"),
+        col("p.user_id") === col("c.user_id") && col("p.day") === col("c.day")
+          && col("p.ib") < col("c.event_type"))
+      .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
+        col("c.event_type").as("ic"))
+      .join(f2keys.toDF("ia", "ic"), Seq("ia", "ic"), "left_semi")
+      .join(f2keys.toDF("ib", "ic"), Seq("ib", "ic"), "left_semi")
+      .groupBy(col("ia"), col("ib"), col("ic"))
+      .agg(count(lit(1)).as("supp"))
+      .crossJoin(broadcast(nb))
+      .where(col("supp") * 1000 >= col("nb") * 25)
+    f1.select(lit(1L).as("level"), col("event_type").as("item_a"),
+        lit(null).cast("string").as("item_b"),
+        lit(null).cast("string").as("item_c"), col("supp"))
+      .unionByName(f2.select(lit(2L).as("level"), col("ia").as("item_a"),
+        col("ib").as("item_b"), lit(null).cast("string").as("item_c"),
+        col("supp")))
+      .unionByName(f3.select(lit(3L).as("level"), col("ia").as("item_a"),
+        col("ib").as("item_b"), col("ic").as("item_c"), col("supp")))
+      .orderBy(col("level"), col("item_a"), col("item_b"), col("item_c"))
+  }
+  val q237_sql: String =
+    """WITH b AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day,
+      |             event_type FROM events),
+      |nb AS (SELECT count(*)::BIGINT AS nb FROM (
+      |         SELECT DISTINCT user_id, day FROM b)),
+      |f1 AS (SELECT event_type, count(*)::BIGINT AS supp FROM b GROUP BY 1
+      |       HAVING count(*) * 1000 >= (SELECT nb * 150 FROM nb)),
+      |pi AS (SELECT a.user_id, a.day, a.event_type AS ia, c.event_type AS ib
+      |       FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+      |                        AND a.event_type < c.event_type
+      |       WHERE a.event_type IN (SELECT event_type FROM f1)
+      |         AND c.event_type IN (SELECT event_type FROM f1)),
+      |f2 AS (SELECT ia, ib, count(*)::BIGINT AS supp FROM pi GROUP BY 1, 2
+      |       HAVING count(*) * 1000 >= (SELECT nb * 70 FROM nb)),
+      |f3 AS (SELECT p.ia, p.ib, c.event_type AS ic, count(*)::BIGINT AS supp
+      |       FROM pi p JOIN b c ON p.user_id = c.user_id AND p.day = c.day
+      |                         AND p.ib < c.event_type
+      |       WHERE EXISTS (SELECT 1 FROM f2 WHERE f2.ia = p.ia AND f2.ib = p.ib)
+      |         AND EXISTS (SELECT 1 FROM f2
+      |                     WHERE f2.ia = p.ia AND f2.ib = c.event_type)
+      |         AND EXISTS (SELECT 1 FROM f2
+      |                     WHERE f2.ia = p.ib AND f2.ib = c.event_type)
+      |       GROUP BY 1, 2, 3
+      |       HAVING count(*) * 1000 >= (SELECT nb * 25 FROM nb))
+      |SELECT 1::BIGINT AS level, event_type AS item_a,
+      |       NULL::VARCHAR AS item_b, NULL::VARCHAR AS item_c, supp FROM f1
+      |UNION ALL
+      |SELECT 2, ia, ib, NULL, supp FROM f2
+      |UNION ALL
+      |SELECT 3, ia, ib, ic, supp FROM f3
+      |ORDER BY level, item_a, item_b, item_c""".stripMargin
+
+  /** DEGREE ASSORTATIVITY (Newman 2002) of the part co-purchase graph:
+    * the Pearson correlation of endpoint degrees over (symmetrized)
+    * edges — positive means hubs buy with hubs, the one-number mixing
+    * diagnostic for any similarity/interaction graph. Shape: the same
+    * bounded-fan-out edge generation as q230, two keyed degree attaches,
+    * then ONE map-side-combined sufficient-stats aggregate; the
+    * correlation leaves integer arithmetic only in the final IEEE
+    * division (symmetry makes the x/y moments equal, so r reduces to a
+    * ratio of two exact integers; the raw moment sums are surfaced for
+    * the hash check, and the final algebra runs in DECIMAL(38,0) /
+    * HUGEINT because n·sxy and sx² pass 2^63 on graphs with ~10⁶ edges
+    * and hub degrees in the thousands). */
+  val q238_degree_assortativity: Q = (s, d) => {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .localCheckpoint(true) // consumers: degree agg + two attaches
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // symmetrization folded into the aggregate (each edge contributes
+    // (du,dv) AND (dv,du)): one pass, no self-union re-execution
+    val st = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("du") + col("dv")).as("sx"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"),
+        sum(col("du") * col("dv") * 2).as("sxy"))
+    // final algebra in DECIMAL(38,0): n·sxy and sx² pass 2^63 once edge
+    // counts reach ~10^6 with hub degrees in the thousands
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    st.select(col("n_edges"),
+        ((dec(col("n_edges")) * 2 * col("sxy") - dec(col("sx")) * col("sx"))
+          .cast("double")
+          / (dec(col("n_edges")) * 2 * col("sxx") - dec(col("sx")) * col("sx"))
+          .cast("double")).as("assortativity"),
+        col("sx"), col("sxx"), col("sxy"))
+  }
+  val q238_sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+      |      JOIN op b ON a.o = b.o AND a.p < b.p),
+      |dg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+      |         SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      |st AS (SELECT count(*)::BIGINT AS n_edges,
+      |              sum(du.deg + dv.deg)::BIGINT AS sx,
+      |              sum(du.deg * du.deg + dv.deg * dv.deg)::BIGINT AS sxx,
+      |              sum(du.deg * dv.deg * 2)::BIGINT AS sxy
+      |       FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v)
+      |SELECT n_edges,
+      |       CAST(n_edges::HUGEINT * 2 * sxy - sx::HUGEINT * sx AS DOUBLE)
+      |         / CAST(n_edges::HUGEINT * 2 * sxx - sx::HUGEINT * sx AS DOUBLE)
+      |         AS assortativity,
+      |       sx, sxx, sxy
+      |FROM st""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q237_frequent_itemsets" -> q237_frequent_itemsets,
+    "q238_degree_assortativity" -> q238_degree_assortativity,
     "q235_join_size_cms" -> q235_join_size_cms,
     "q230_clustering_coeff" -> q230_clustering_coeff,
     "q231_cdc_apply" -> q231_cdc_apply,
@@ -3112,5 +3266,7 @@ object RelationalQueries {
     "q228_covisitation" -> q228_sql,
     "q230_clustering_coeff" -> q230_sql,
     "q231_cdc_apply" -> q231_sql,
-    "q235_join_size_cms" -> q235_sql)
+    "q235_join_size_cms" -> q235_sql,
+    "q237_frequent_itemsets" -> q237_sql,
+    "q238_degree_assortativity" -> q238_sql)
 }

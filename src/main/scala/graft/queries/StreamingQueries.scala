@@ -1483,7 +1483,61 @@ object StreamingQueries {
        |FROM ne JOIN agg USING (week) ORDER BY week""".stripMargin
   }
 
+  /** Stateful streaming CMS join-size — the twenty-third streaming cert:
+    * [[Streaming.cmsRowSquares]] keeps the d×w Count-Min counters in the
+    * state store (keyed by hash row) while lineitem part keys stream
+    * through pre-bucketed, and the final min-over-rows Σcounter² must
+    * hash-match q235's batch sketch estimate — certifying that the
+    * join-size readout a streaming optimizer consults is EXACTLY the
+    * batch sketch at every point in the stream (increments commute, so
+    * batch boundaries are invisible). The exact Σc² comparison side is
+    * computed in batch from the same table, as in q235. */
+  val q239_stream_cms: Q = (s, d) => {
+    import s.implicits._
+    val depth = 3
+    val width = 512
+    val keys = Tables.lineitem(s, d).select(col("l_partkey").as("k"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("lid"))
+    val ib = (0 until depth).map { i =>
+      struct(lit(i.toLong).as("i"),
+        graft.llm.Sketch.cmsBucket(i, col("k"), width).as("b"))
+    }
+    val obs = keys.select(col("k"), col("lid"), explode(array(ib: _*)).as("ib"))
+      .select(col("ib.i").as("i"), col("ib.b").as("b"), col("k"), col("lid"))
+    val srcDir = stageOrderedBy(obs, d, "lineitemCmsOrdered4", 4,
+      Seq(col("k"), col("lid"), col("i")))
+    val ckpt = Stage.ckpt()
+    val name = "q239_cms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(obs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.CmsObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.cmsRowSquares(arrivals, width)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    val est = s.table(name)
+      .groupBy(col("i"))
+      .agg(max(struct(col("seen"), col("e"))).as("f"))
+      .agg(min(col("f.e")).as("cms_join_size"))
+    val exact = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_join_size"))
+    exact.crossJoin(broadcast(est)) // 1 row x 1 row
+      .withColumn("ratio_ppm",
+        expr("cms_join_size * 1000000 div exact_join_size"))
+  }
+  /** Same oracle as the batch sketch estimate. */
+  val q239_sql: String = RelationalQueries.q235_sql
+
   val defs: Map[String, Q] = Map(
+    "q239_stream_cms" -> q239_stream_cms,
     "q234_stream_hll" -> q234_stream_hll,
     "q232_stream_covisit" -> q232_stream_covisit,
     "q229_stream_attribution" -> q229_stream_attribution,
@@ -1529,5 +1583,6 @@ object StreamingQueries {
     "q218_stream_dfa" -> q218_sql,
     "q229_stream_attribution" -> q229_sql,
     "q232_stream_covisit" -> q232_sql,
-    "q234_stream_hll" -> q234_sql)
+    "q234_stream_hll" -> q234_sql,
+    "q239_stream_cms" -> q239_sql)
 }

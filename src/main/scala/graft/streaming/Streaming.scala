@@ -539,4 +539,38 @@ object Streaming {
           Iterator.single(HllBatchOut(week, seen, s, zeros))
       }
   }
+
+  case class CmsObs(i: Long, b: Long)
+  case class CmsBatchOut(i: Long, seen: Long, e: Long)
+
+  /** Stateful streaming COUNT-MIN row with live self-join-size readout:
+    * state is one w-counter array per hash row (d keys total — the whole
+    * sketch is d·w longs regardless of stream length), bumped per
+    * arrival and summarized each batch as Σ counter² — the CMS inner
+    * product whose min over rows estimates the stream's self-join size
+    * (Cormode & Muthukrishnan, J.Alg 2005). Counter increments commute,
+    * so micro-batch boundaries can't change the final registers; the
+    * certification takes each row's last batch (max `seen`) and must
+    * hash-match the batch sketch's estimate. The live-cardinality shape
+    * a streaming optimizer reads before committing to a join strategy. */
+  def cmsRowSquares(arrivals: Dataset[CmsObs], width: Int): Dataset[CmsBatchOut] = {
+    require(width > 0, s"width must be positive (got $width)")
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.i)
+      .flatMapGroupsWithState[(Array[Long], Long), CmsBatchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (row: Long, it: Iterator[CmsObs],
+         state: GroupState[(Array[Long], Long)]) =>
+          val (counters, seen0) = state.getOption
+            .getOrElse((new Array[Long](width), 0L))
+          var seen = seen0
+          it.foreach { o => counters(o.b.toInt) += 1L; seen += 1L }
+          var e = 0L
+          var j = 0
+          while (j < width) { e += counters(j) * counters(j); j += 1 }
+          state.update((counters, seen))
+          Iterator.single(CmsBatchOut(row, seen, e))
+      }
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+
+/** Unit coverage for the mining round: Apriori-style support counting on
+  * crafted baskets, degree assortativity's closed-form on a star graph,
+  * and the streaming CMS counter state across micro-batches.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("itemset supports: pair support counted per basket, subset-closed") {
+    // baskets: {a,b,c}, {a,b}, {a,c} -> supp(a)=3, (a,b)=2, (a,c)=2,
+    // (b,c)=1, (a,b,c)=1 <= min(pair supports) (Apriori monotonicity)
+    val b = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c")).toDF("bid", "item")
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.bid") === col("y.bid") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
+      .agg(count(lit(1)).as("supp"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs == Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+    val triple = b.as("x").join(b.as("y"),
+        col("x.bid") === col("y.bid") && col("x.item") < col("y.item"))
+      .join(b.as("z"),
+        col("x.bid") === col("z.bid") && col("y.item") < col("z.item"))
+      .count()
+    assert(triple == 1L)
+    assert(pairs.values.forall(_ >= 1L)) // every triple subset is frequent
+  }
+
+  test("assortativity: star graph is maximally disassortative (r -> -1)") {
+    // star K1,4: hub deg 4, leaves deg 1. Symmetrized moments:
+    // n=8, sx=8*... pairs (4,1)x4 and (1,4)x4 -> sx=20, sxx=68, sxy=32
+    // r = (8*32-400)/(8*68-400) = -144/144 = -1
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("u", "v")
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val st = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("ne"), sum(col("du") + col("dv")).as("sx"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"),
+        sum(col("du") * col("dv") * 2).as("sxy"))
+      .head()
+    val (ne, sx, sxx, sxy) =
+      (st.getLong(0) * 2, st.getLong(1), st.getLong(2), st.getLong(3))
+    val r = (ne * sxy - sx * sx).toDouble / (ne * sxx - sx * sx).toDouble
+    assert(r == -1.0)
+  }
+
+  test("streaming cmsRowSquares: counters persist across batches; sum of squares grows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.CmsObs]
+    val q = Streaming.cmsRowSquares(mem.toDS(), width = 8)
+      .writeStream.format("memory").queryName("cms_test")
+      .outputMode("append").start()
+    try {
+      // batch 1, row 0: buckets 1,1,2 -> counters [0,2,1,...] -> e = 5
+      mem.addData(Streaming.CmsObs(0L, 1L), Streaming.CmsObs(0L, 1L),
+        Streaming.CmsObs(0L, 2L))
+      q.processAllAvailable()
+      // batch 2, row 0: bucket 1 again -> [0,3,1] -> e = 10
+      mem.addData(Streaming.CmsObs(0L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("cms_test").collect()
+        .map(r => (r.getAs[Long]("seen"), r.getAs[Long]("e"))).toSet
+      assert(got == Set((3L, 5L), (4L, 10L)))
+    } finally q.stop()
+  }
+}
