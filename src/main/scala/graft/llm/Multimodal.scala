@@ -96,6 +96,50 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema)).toDF("id", "frame_idx", "feature")
   }
 
+  /** The audio-shaped stage: segment each payload into fixed-`win`-byte
+    * windows (hop = win) and emit one integer ENERGY per window —
+    * Σ (byte−128)², the RMS-loudness profile a real audio pipeline
+    * computes over PCM samples — inside the same batched `mapPartitions`
+    * shape as [[frameFeatures]] (codec setup per partition, k× fan-out
+    * executor-side, no shuffle, no driver). The windowing is real; only
+    * the sample decode is the identity byte read (the container has no
+    * audio codecs — a real deployment swaps the inner loop for decoded
+    * PCM). `maxWindows` caps the head sample per payload so downstream
+    * frames stay bounded. Output: (id, win_idx, n_bytes, energy), all
+    * integer-exact for the byte-level SQL oracle. */
+  def windowedEnergy(df: DataFrame, idCol: String, payloadCol: String,
+                     win: Int, maxWindows: Int): DataFrame = {
+    require(win > 0, s"windowedEnergy: win must be positive, got $win")
+    require(maxWindows > 0,
+      s"windowedEnergy: maxWindows must be positive, got $maxWindows")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("win_idx", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
+    projected.mapPartitions { rows =>
+      // per-partition codec setup happens here in a real deployment
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val nWin = math.min((bytes.length + win - 1) / win, maxWindows)
+        (0 until nWin).iterator.map { j =>
+          val s = j * win
+          val e = math.min(s + win, bytes.length)
+          var energy = 0L
+          var i = s
+          while (i < e) {
+            val d = (bytes(i) & 0xff) - 128L
+            energy += d * d
+            i += 1
+          }
+          Row(id, j.toLong, (e - s).toLong, energy)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema)).toDF("id", "win_idx", "n_bytes", "energy")
+  }
+
   /** Batched feature extraction over a binary column via `mapPartitions`:
     * the decoder is constructed once per partition (where a real codec
     * would load its native state), then streamed over the partition's rows.

@@ -3068,7 +3068,98 @@ object RelationalQueries {
       |       sx, sxx, sxy
       |FROM st""".stripMargin
 
+  /** BITMAP RETENTION: week-over-week retained users computed as
+    * popcount(weekₙ AND weekₙ₊₁) over the same 64-bit-word user bitmaps
+    * as q226 — the INTERSECTION query that bitmap indexes answer without
+    * touching raw data: one word-keyed equi-join between consecutive
+    * weeks' word frames (|users|/64 rows per week, not |events|), a
+    * bitwise AND, a popcount sum. Complements q221's count-distinct
+    * cohort matrix with the re-aggregable exact form — any week pair, no
+    * event rescan. */
+  val q242_bitmap_retention: Q = (s, d) => {
+    val words = Tables.events(s, d)
+      .select(expr("unix_millis(ts) div 86400000 div 7").as("week"),
+        expr("user_id div 64").as("word"),
+        expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+      .groupBy(col("week"), col("word")).agg(expr("bit_or(bit)").as("bits"))
+      .localCheckpoint(true) // consumers: active counts + pair self-join
+    val act = words.groupBy(col("week"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("active"))
+    val ret = words.as("a").join(words.as("b"),
+        col("a.word") === col("b.word") && col("b.week") === col("a.week") + 1)
+      .select(col("a.week").as("week"),
+        col("a.bits").bitwiseAND(col("b.bits")).as("band"))
+      .groupBy(col("week"))
+      .agg(sum(expr("bit_count(band)")).cast("long").as("retained"))
+    ret
+      .join(act, Seq("week"))
+      .join(act.select((col("week") - 1).as("week"),
+        col("active").as("active_next")), Seq("week"))
+      .select(col("week"), (col("week") + 1).as("next_week"),
+        col("active").as("active_week"), col("active_next"),
+        col("retained"))
+      .withColumn("retained_ppm", expr("retained * 1000000 div active_week"))
+      .orderBy(col("week"))
+  }
+  val q242_sql: String =
+    """WITH u AS (SELECT DISTINCT epoch_ms(ts) // 86400000 // 7 AS week,
+      |             user_id FROM events),
+      |a AS (SELECT week, count(*)::BIGINT AS active FROM u GROUP BY 1),
+      |r AS (SELECT x.week, count(*)::BIGINT AS retained
+      |      FROM u x JOIN u y ON y.user_id = x.user_id
+      |                       AND y.week = x.week + 1
+      |      GROUP BY 1)
+      |SELECT r.week, r.week + 1 AS next_week, a1.active AS active_week,
+      |       a2.active AS active_next, retained,
+      |       retained * 1000000 // a1.active AS retained_ppm
+      |FROM r JOIN a a1 ON a1.week = r.week
+      |       JOIN a a2 ON a2.week = r.week + 1
+      |ORDER BY r.week""".stripMargin
+
+  /** ENTRY PATHS: the first three event types of every (user, day) visit
+    * as a ">"-joined path, counted across visits — the landing-flow
+    * sankey feed. The "first 3" come from [[graft.operators.TopK]]'s
+    * map-side-combinable aggregate (score = −tsm, id tie-break — NO
+    * per-visit window sort of the corpus; the shuffle carries 3-entry
+    * buffers per visit), the types come back via one event-id-keyed
+    * join, and the path assembly is a bounded pivot. Output is at most
+    * |types|³ rows. */
+  val q243_entry_paths: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        unix_millis(col("ts")).as("tsm"), col("event_id"), col("event_type"))
+      .withColumn("visit",
+        col("user_id") * 1000000L + col("day") % 1000000L)
+      .localCheckpoint(true) // consumers: top-3 agg + type join-back
+    val top3 = graft.operators.TopK.topKByGroup(
+      ev.withColumn("negt", -col("tsm")), "visit", "negt", "event_id", 3)
+    top3
+      .join(ev.select(col("event_id"), col("event_type")), Seq("event_id"))
+      .groupBy(col("visit"))
+      .agg(max(when(col("rank") === 1, col("event_type"))).as("s1"),
+        max(when(col("rank") === 2, col("event_type"))).as("s2"),
+        max(when(col("rank") === 3, col("event_type"))).as("s3"))
+      .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_visits"))
+      .orderBy(col("n_visits").desc, col("path"))
+  }
+  val q243_sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+      |             epoch_ms(ts) AS tsm, event_id, event_type FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |        ORDER BY tsm, event_id) AS rn FROM e),
+      |p AS (SELECT user_id, day,
+      |        max(CASE WHEN rn = 1 THEN event_type END) AS s1,
+      |        max(CASE WHEN rn = 2 THEN event_type END) AS s2,
+      |        max(CASE WHEN rn = 3 THEN event_type END) AS s3
+      |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+      |SELECT concat_ws('>', s1, s2, s3) AS path,
+      |       count(*)::BIGINT AS n_visits
+      |FROM p GROUP BY 1 ORDER BY n_visits DESC, path""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q242_bitmap_retention" -> q242_bitmap_retention,
+    "q243_entry_paths" -> q243_entry_paths,
     "q237_frequent_itemsets" -> q237_frequent_itemsets,
     "q238_degree_assortativity" -> q238_degree_assortativity,
     "q235_join_size_cms" -> q235_join_size_cms,
@@ -3268,5 +3359,7 @@ object RelationalQueries {
     "q231_cdc_apply" -> q231_sql,
     "q235_join_size_cms" -> q235_sql,
     "q237_frequent_itemsets" -> q237_sql,
-    "q238_degree_assortativity" -> q238_sql)
+    "q238_degree_assortativity" -> q238_sql,
+    "q242_bitmap_retention" -> q242_sql,
+    "q243_entry_paths" -> q243_sql)
 }

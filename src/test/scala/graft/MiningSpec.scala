@@ -53,6 +53,37 @@ class MiningSpec extends SparkSpec {
     assert(r == -1.0)
   }
 
+  test("windowedEnergy: partial tail window, zero-byte energy, maxWindows cap") {
+    // payload "AB" + 0x80: bytes 65,66,128 -> win=2: [65,66] then [128]
+    // energies: (65-128)^2+(66-128)^2 = 3969+3844 = 7813; (128-128)^2 = 0
+    val df = Seq((1L, Array[Byte](65, 66, -128)),
+      (2L, Array.fill[Byte](10)(70))) // 5 full windows, cap at 3
+      .toDF("doc_id", "payload")
+    val got = graft.llm.Multimodal
+      .windowedEnergy(df, "doc_id", "payload", win = 2, maxWindows = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got((1L, 0L)) == (2L, 7813L))
+    assert(got((1L, 1L)) == (1L, 0L))
+    assert(got.keys.count(_._1 == 2L) == 3) // capped at maxWindows
+    assert(got((2L, 0L)) == (2L, 2 * 58L * 58L))
+  }
+
+  test("bitmap retention: AND of week bitmaps counts exactly the returning users") {
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 64L), (2L, 2L), (2L, 64L),
+      (2L, 65L)).toDF("week", "id") // week2 keeps {2, 64}, adds 65
+    val words = rows
+      .select(col("week"), expr("id div 64").as("word"),
+        expr("shiftleft(1L, cast(id % 64 as int))").as("bit"))
+      .groupBy(col("week"), col("word")).agg(expr("bit_or(bit)").as("bits"))
+    val retained = words.as("a").join(words.as("b"),
+        col("a.word") === col("b.word") && col("b.week") === col("a.week") + 1)
+      .select(col("a.bits").bitwiseAND(col("b.bits")).as("band"))
+      .agg(sum(expr("bit_count(band)"))).head().getLong(0)
+    assert(retained == 2L) // users 2 and 64 returned; 1 churned, 65 is new
+  }
+
   test("streaming cmsRowSquares: counters persist across batches; sum of squares grows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streaming.CmsObs]
