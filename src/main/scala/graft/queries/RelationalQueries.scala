@@ -3157,7 +3157,105 @@ object RelationalQueries {
       |       count(*)::BIGINT AS n_visits
       |FROM p GROUP BY 1 ORDER BY n_visits DESC, path""".stripMargin
 
+  /** Exact PERCENTILE BANDS (p50/p95/p99) of the event value per type —
+    * the latency-SLA report shape. One range-partitioned rank pass
+    * ([[graft.operators.RunningTotal]], |types| hint — no per-type
+    * single-task window even though every event of a type must be
+    * ranked), one |types|-bounded totals broadcast, and each band is a
+    * filtered min with the same integer threshold rule as q224
+    * (lower percentile: min v with 100·rank ≥ pct·n). `percentile()`
+    * interpolates in float; this is the exact integral form that
+    * hash-matches at any scale. */
+  val q244_percentile_bands: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      round(col("value") * 10000).cast("long").as("v"),
+      col("event_id").cast("long").as("event_id"))
+      .withColumn("one", lit(1L))
+    val ranked = graft.operators.RunningTotal.grouped(ev, "event_type",
+        Seq("v", "event_id"), "one", "rnk", groupCountHint = Some(64L))
+      .localCheckpoint(true) // consumers: totals + three band mins
+    val totals = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val withN = ranked.join(broadcast(totals), Seq("event_type"))
+    def band(pct: Int, name: String) = withN
+      .where(col("rnk") * 100 >= col("n") * pct)
+      .groupBy(col("event_type")).agg(min(col("v")).as(name))
+    totals
+      .join(band(50, "p50"), Seq("event_type"))
+      .join(band(95, "p95"), Seq("event_type"))
+      .join(band(99, "p99"), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+  val q244_sql: String =
+    """WITH t AS (SELECT event_type,
+      |    CAST(round(value * 10000) AS BIGINT) AS v, event_id FROM events),
+      |r AS (SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id)
+      |      AS rnk,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM t),
+      |n AS (SELECT event_type, max(n)::BIGINT AS n FROM r GROUP BY 1),
+      |p50 AS (SELECT event_type, min(v) AS p50 FROM r
+      |        WHERE rnk * 100 >= n * 50 GROUP BY 1),
+      |p95 AS (SELECT event_type, min(v) AS p95 FROM r
+      |        WHERE rnk * 100 >= n * 95 GROUP BY 1),
+      |p99 AS (SELECT event_type, min(v) AS p99 FROM r
+      |        WHERE rnk * 100 >= n * 99 GROUP BY 1)
+      |SELECT event_type, n, p50, p95, p99
+      |FROM n JOIN p50 USING (event_type) JOIN p95 USING (event_type)
+      |       JOIN p99 USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  /** MAX CONCURRENCY per event type — each event opens a 30-minute
+    * interval; the peak number of simultaneously-open intervals and the
+    * first instant it is reached. The classic ops metric, computed as
+    * the +1/−1 boundary sweep: one corpus-sized delta frame (two
+    * row-local rows per event), ONE range-partitioned prefix sum over
+    * (t, delta, event_id) — ends sort BEFORE starts at the same instant
+    * (half-open intervals), and no per-type single-task window — then a
+    * |types|-bounded peak broadcast and a struct-min for the first peak
+    * instant. The same sweep prices concurrent-connection licensing,
+    * peak session load, and room-booking overlap at any scale. */
+  val q245_max_concurrency: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      unix_millis(col("ts")).as("tsm"), col("event_id").cast("long").as("event_id"))
+    val deltas = ev.select(col("event_type"), col("tsm").as("t"),
+        lit(1L).as("delta"), col("event_id"))
+      .unionAll(ev.select(col("event_type"),
+        (col("tsm") + 1800000L).as("t"), lit(-1L).as("delta"),
+        col("event_id")))
+    val swept = graft.operators.RunningTotal.grouped(deltas, "event_type",
+        Seq("t", "delta", "event_id"), "delta", "conc",
+        groupCountHint = Some(64L))
+      .localCheckpoint(true) // consumers: peak agg + first-peak-instant
+    val peak = swept.groupBy(col("event_type"))
+      .agg(max(col("conc")).as("peak"))
+    swept.join(broadcast(peak),
+        Seq("event_type"))
+      .where(col("conc") === col("peak"))
+      .groupBy(col("event_type"))
+      .agg(max(col("peak")).as("peak"), min(col("t")).as("t_at_peak"))
+      .orderBy(col("event_type"))
+  }
+  val q245_sql: String =
+    """WITH e AS (SELECT event_type, epoch_ms(ts) AS tsm, event_id
+      |           FROM events),
+      |d AS (SELECT event_type, tsm AS t, 1 AS delta, event_id FROM e
+      |      UNION ALL
+      |      SELECT event_type, tsm + 1800000, -1, event_id FROM e),
+      |c AS (SELECT event_type, t,
+      |        sum(delta) OVER (PARTITION BY event_type
+      |          ORDER BY t, delta, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |      FROM d),
+      |p AS (SELECT event_type, max(conc)::BIGINT AS peak FROM c GROUP BY 1)
+      |SELECT c.event_type, max(peak) AS peak,
+      |       min(t) AS t_at_peak
+      |FROM c JOIN p ON p.event_type = c.event_type AND c.conc = p.peak
+      |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q244_percentile_bands" -> q244_percentile_bands,
+    "q245_max_concurrency" -> q245_max_concurrency,
     "q242_bitmap_retention" -> q242_bitmap_retention,
     "q243_entry_paths" -> q243_entry_paths,
     "q237_frequent_itemsets" -> q237_frequent_itemsets,
@@ -3361,5 +3459,7 @@ object RelationalQueries {
     "q237_frequent_itemsets" -> q237_sql,
     "q238_degree_assortativity" -> q238_sql,
     "q242_bitmap_retention" -> q242_sql,
-    "q243_entry_paths" -> q243_sql)
+    "q243_entry_paths" -> q243_sql,
+    "q244_percentile_bands" -> q244_sql,
+    "q245_max_concurrency" -> q245_sql)
 }

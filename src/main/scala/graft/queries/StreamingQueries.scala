@@ -1536,7 +1536,60 @@ object StreamingQueries {
   /** Same oracle as the batch sketch estimate. */
   val q239_sql: String = RelationalQueries.q235_sql
 
+  /** Stateful streaming max-concurrency — the twenty-fourth streaming
+    * cert: [[Streaming.concurrencyPeak]] sweeps the same +1/−1 interval
+    * deltas as q245's batch prefix sum with three longs of state per
+    * event type, and the final per-key row must hash-match the batch
+    * peak/first-instant oracle — certifying the live session-gauge
+    * shape. Event types ride the key as codes (alphabetical, as q232)
+    * and decode for oracle parity; the staged order is the sweep order
+    * (t, delta, event_id) so closes replay before opens per instant. */
+  val q246_stream_concurrency: Q = (s, d) => {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val code = types.zipWithIndex.foldLeft(lit(0L)) { case (acc, (t, i)) =>
+      when(col("event_type") === t, lit(i + 1L)).otherwise(acc) }
+    val ev = Tables.events(s, d).select(code.as("k"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"))
+    val deltas = ev.select(col("k").as("user_id"), col("tsm"),
+        lit(1L).as("x"), col("event_id"))
+      .unionAll(ev.select(col("k").as("user_id"),
+        (col("tsm") + 1800000L).as("tsm"), lit(-1L).as("x"),
+        col("event_id")))
+    val srcDir = stageOrderedBy(deltas, d, "eventsConcOrdered4", 4,
+      Seq(col("tsm"), col("x"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q246_conc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(deltas.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.KeyedObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.concurrencyPeak(arrivals)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    def decode(c: org.apache.spark.sql.Column) =
+      types.zipWithIndex.foldLeft(lit("?")) { case (acc, (t, i)) =>
+        when(c === (i + 1L), lit(t)).otherwise(acc) }
+    s.table(name)
+      .groupBy(col("key"))
+      .agg(max(struct(col("seen"), col("peak"), col("t_at_peak"))).as("f"))
+      .select(decode(col("key")).as("event_type"),
+        col("f.peak").as("peak"), col("f.t_at_peak").as("t_at_peak"))
+      .orderBy(col("event_type"))
+  }
+  /** Same oracle as the batch sweep. */
+  val q246_sql: String = RelationalQueries.q245_sql
+
   val defs: Map[String, Q] = Map(
+    "q246_stream_concurrency" -> q246_stream_concurrency,
     "q239_stream_cms" -> q239_stream_cms,
     "q234_stream_hll" -> q234_stream_hll,
     "q232_stream_covisit" -> q232_stream_covisit,
@@ -1584,5 +1637,6 @@ object StreamingQueries {
     "q229_stream_attribution" -> q229_sql,
     "q232_stream_covisit" -> q232_sql,
     "q234_stream_hll" -> q234_sql,
-    "q239_stream_cms" -> q239_sql)
+    "q239_stream_cms" -> q239_sql,
+    "q246_stream_concurrency" -> q246_sql)
 }

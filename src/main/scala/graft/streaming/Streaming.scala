@@ -573,4 +573,38 @@ object Streaming {
           Iterator.single(CmsBatchOut(row, seen, e))
       }
   }
+
+  case class ConcBatchOut(key: Long, seen: Long, cur: Long, peak: Long,
+                          t_at_peak: Long)
+
+  /** Stateful streaming MAX-CONCURRENCY sweep — the streaming form of the
+    * q245 batch prefix-sum: interval open/close deltas ride KeyedObs.x
+    * (+1/−1), and THREE longs of state per key (current count, peak,
+    * first peak instant) carry the sweep across micro-batch boundaries —
+    * the live "how many sessions are open RIGHT NOW, and what was
+    * today's peak" gauge, with no history rescan. Within a batch rows
+    * fold in (tsm, delta, event_id) order — closes sort BEFORE opens at
+    * the same instant, the half-open-interval rule the batch sweep uses;
+    * across batches the replay's staged order. Ties on the peak keep the
+    * FIRST instant, so the final row per key hash-matches the batch
+    * oracle. */
+  def concurrencyPeak(arrivals: Dataset[KeyedObs]): Dataset[ConcBatchOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), ConcBatchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[KeyedObs],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (cur, peak, tPeak, seen) = state.getOption
+            .getOrElse((0L, Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(o => (o.tsm, o.x, o.event_id)).foreach { o =>
+            cur += o.x
+            if (cur > peak) { peak = cur; tPeak = o.tsm }
+            seen += 1L
+          }
+          state.update((cur, peak, tPeak, seen))
+          Iterator.single(ConcBatchOut(key, seen, cur, peak, tPeak))
+      }
+  }
 }

@@ -53,6 +53,50 @@ class MiningSpec extends SparkSpec {
     assert(r == -1.0)
   }
 
+  test("concurrency sweep: close sorts before open at the same instant") {
+    // intervals [0,10), [10,20): at t=10 the first closes BEFORE the
+    // second opens -> peak 1, not 2; overlapping [0,10),[5,15) -> peak 2 at 5
+    def peak(iv: Seq[(Long, Long)]): (Long, Long) = {
+      val deltas = iv.zipWithIndex.flatMap { case ((s, e), i) =>
+        Seq((s, 1L, i.toLong), (e, -1L, i.toLong)) }
+        .sortBy { case (t, d, id) => (t, d, id) }
+      var cur = 0L; var pk = Long.MinValue; var tp = 0L
+      deltas.foreach { case (t, d, _) =>
+        cur += d; if (cur > pk) { pk = cur; tp = t } }
+      (pk, tp)
+    }
+    assert(peak(Seq((0L, 10L), (10L, 20L))) == (1L, 0L))
+    assert(peak(Seq((0L, 10L), (5L, 15L))) == (2L, 5L))
+    assert(peak(Seq((0L, 30L), (5L, 15L), (20L, 25L))) == (2L, 5L)) // FIRST peak
+  }
+
+  test("streaming concurrencyPeak: peak and first instant carry across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.KeyedObs]
+    val q = Streaming.concurrencyPeak(mem.toDS())
+      .writeStream.format("memory").queryName("conc_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: open@0, open@5 -> cur 2, peak 2 @5
+      mem.addData(Streaming.KeyedObs(1L, 0L, 1L, 1L),
+        Streaming.KeyedObs(1L, 5L, 2L, 1L))
+      q.processAllAvailable()
+      // batch 2: close@10, open@12, open@13 -> cur 3, peak 3 @13;
+      // then a later equal peak must NOT move the instant
+      mem.addData(Streaming.KeyedObs(1L, 10L, 3L, -1L),
+        Streaming.KeyedObs(1L, 12L, 4L, 1L),
+        Streaming.KeyedObs(1L, 13L, 5L, 1L))
+      q.processAllAvailable()
+      mem.addData(Streaming.KeyedObs(1L, 20L, 6L, -1L),
+        Streaming.KeyedObs(1L, 21L, 7L, 1L)) // back to 3: tie, keep @13
+      q.processAllAvailable()
+      val last = spark.table("conc_test").where(col("seen") === 7L)
+        .collect().map(r => (r.getAs[Long]("cur"), r.getAs[Long]("peak"),
+          r.getAs[Long]("t_at_peak")))
+      assert(last.toSeq == Seq((3L, 3L, 13L)))
+    } finally q.stop()
+  }
+
   test("windowedEnergy: partial tail window, zero-byte energy, maxWindows cap") {
     // payload "AB" + 0x80: bytes 65,66,128 -> win=2: [65,66] then [128]
     // energies: (65-128)^2+(66-128)^2 = 3969+3844 = 7813; (128-128)^2 = 0
