@@ -3253,7 +3253,134 @@ object RelationalQueries {
       |FROM c JOIN p ON p.event_type = c.event_type AND c.conc = p.peak
       |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin
 
+  /** NEGATIVE SAMPLING for link prediction over the co-purchase graph:
+    * for every node, k deterministic hash-picked candidate partners,
+    * ANTI-JOINED against the true edge set, top-3 kept by probe index —
+    * the contrastive-training data prep step (each positive edge needs
+    * non-edges, and at 100 TB they must come from hashing, not from
+    * materializing the complement graph). Shapes: candidate generation
+    * is row-local (k probes per node off a broadcast 1-row max-key), the
+    * reject step is one keyed LEFT ANTI join against canonical edges,
+    * and the keep-3 is [[graft.operators.TopK]]'s map-side-combined
+    * aggregate (score = −probe index) — no window. md5-probe hashing
+    * makes the sample replayable in the oracle. */
+  val q247_negative_sampling: Q = (s, d) => {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .localCheckpoint(true) // consumers: node set + anti-join target
+    val nodes = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct()
+    val maxP = e.agg(greatest(max(col("u")), max(col("v"))).as("maxp"))
+    val probes = nodes.crossJoin(broadcast(maxP))
+      .select(col("node"), explode(expr("sequence(0, 5)")).as("j"),
+        col("maxp"))
+      .withColumn("cand",
+        expr("1 + cast(conv(substr(md5(cast(node as string) || '|' " +
+          "|| cast(j as string)), 1, 8), 16, 10) as long) % maxp"))
+      .where(col("cand") =!= col("node"))
+      .select(col("node"), col("j"), col("cand"))
+    val canon = probes
+      .withColumn("cu", least(col("node"), col("cand")))
+      .withColumn("cv", greatest(col("node"), col("cand")))
+    val nonEdges = canon.join(
+        e.select(col("u").as("cu"), col("v").as("cv")),
+        Seq("cu", "cv"), "left_anti")
+      .select(col("node"), col("j"), col("cand"))
+    graft.operators.TopK.topKByGroup(
+        nonEdges.withColumn("negj", -col("j")), "node", "negj", "cand", 3)
+      .select(col("node"), col("rank"), col("cand").as("negative"))
+      .orderBy(col("node"), col("rank"))
+  }
+  val q247_sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+      |      JOIN op b ON a.o = b.o AND a.p < b.p),
+      |n AS (SELECT DISTINCT node FROM (
+      |        SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+      |mx AS (SELECT greatest(max(u), max(v)) AS maxp FROM e),
+      |pr AS (SELECT node, j,
+      |         1 + ('0x' || substr(md5(CAST(node AS VARCHAR) || '|'
+      |             || CAST(j AS VARCHAR)), 1, 8))::BIGINT % maxp AS cand
+      |       FROM n, (SELECT unnest(range(0, 6)) AS j), mx),
+      |ne AS (SELECT node, j, cand FROM pr
+      |       WHERE cand <> node
+      |         AND NOT EXISTS (SELECT 1 FROM e
+      |               WHERE e.u = least(node, cand)
+      |                 AND e.v = greatest(node, cand))),
+      |r AS (SELECT node, cand,
+      |        row_number() OVER (PARTITION BY node ORDER BY j) AS rank
+      |      FROM ne)
+      |SELECT node, rank::BIGINT AS rank, cand AS negative FROM r
+      |WHERE rank <= 3 ORDER BY node, rank""".stripMargin
+
+  /** ASSOCIATION RULES from the frequent pairs (q237's level 2): both
+    * directions of every frequent pair scored with CONFIDENCE
+    * (supp(ab)/supp(a)) and LIFT (supp(ab)·n / (supp(a)·supp(b))) in
+    * exact fixed-point ppm — the actionable "viewers also signed up"
+    * deliverable. Everything runs on the |items|²-bounded frequent
+    * frames from the one corpus-scanned support pass; margins attach by
+    * broadcast. Integer div keeps the scores hash-exact. */
+  val q248_association_rules: Q = (s, d) => {
+    val b = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"))
+      .distinct()
+      .localCheckpoint(true) // consumers: basket count + item supp + pairs
+    val nb = b.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("nb"))
+    val items = b.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day")
+          && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ia"), col("y.event_type").as("ib"))
+      .agg(count(lit(1)).as("s_ab"))
+      .crossJoin(broadcast(nb))
+      .where(col("s_ab") * 1000 >= col("nb") * 70)
+    val rules = pairs.select(col("ia").as("ante"), col("ib").as("cons"),
+        col("s_ab"), col("nb"))
+      .unionAll(pairs.select(col("ib").as("ante"), col("ia").as("cons"),
+        col("s_ab"), col("nb")))
+    rules
+      .join(broadcast(items.select(col("event_type").as("ante"),
+        col("supp").as("s_a"))), Seq("ante"))
+      .join(broadcast(items.select(col("event_type").as("cons"),
+        col("supp").as("s_c"))), Seq("cons"))
+      .select(col("ante"), col("cons"), col("s_ab"),
+        expr("s_ab * 1000000 div s_a").as("conf_ppm"),
+        expr("s_ab * nb * 1000000 div (s_a * s_c)").as("lift_ppm"))
+      .orderBy(col("ante"), col("cons"))
+  }
+  val q248_sql: String =
+    """WITH b AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day,
+      |             event_type FROM events),
+      |nb AS (SELECT count(*)::BIGINT AS nb FROM (
+      |         SELECT DISTINCT user_id, day FROM b)),
+      |it AS (SELECT event_type, count(*)::BIGINT AS supp FROM b GROUP BY 1),
+      |pr AS (SELECT x.event_type AS ia, y.event_type AS ib,
+      |              count(*)::BIGINT AS s_ab
+      |       FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+      |                        AND x.event_type < y.event_type
+      |       GROUP BY 1, 2
+      |       HAVING count(*) * 1000 >= (SELECT nb * 70 FROM nb)),
+      |ru AS (SELECT ia AS ante, ib AS cons, s_ab FROM pr
+      |       UNION ALL
+      |       SELECT ib, ia, s_ab FROM pr)
+      |SELECT ante, cons, s_ab,
+      |       s_ab * 1000000 // a.supp AS conf_ppm,
+      |       s_ab * (SELECT nb FROM nb) * 1000000 // (a.supp * c.supp)
+      |         AS lift_ppm
+      |FROM ru JOIN it a ON a.event_type = ru.ante
+      |        JOIN it c ON c.event_type = ru.cons
+      |ORDER BY ante, cons""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q247_negative_sampling" -> q247_negative_sampling,
+    "q248_association_rules" -> q248_association_rules,
     "q244_percentile_bands" -> q244_percentile_bands,
     "q245_max_concurrency" -> q245_max_concurrency,
     "q242_bitmap_retention" -> q242_bitmap_retention,
@@ -3461,5 +3588,7 @@ object RelationalQueries {
     "q242_bitmap_retention" -> q242_sql,
     "q243_entry_paths" -> q243_sql,
     "q244_percentile_bands" -> q244_sql,
+    "q247_negative_sampling" -> q247_sql,
+    "q248_association_rules" -> q248_sql,
     "q245_max_concurrency" -> q245_sql)
 }

@@ -53,6 +53,46 @@ class MiningSpec extends SparkSpec {
     assert(r == -1.0)
   }
 
+  test("negative sampling: hash candidates never include true edges or self") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v") // triangle 1-2-3
+    val nodes = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct()
+    val probes = nodes
+      .select(col("node"), explode(expr("sequence(0, 5)")).as("j"))
+      .withColumn("cand",
+        expr("1 + cast(conv(substr(md5(cast(node as string) || '|' " +
+          "|| cast(j as string)), 1, 8), 16, 10) as long) % 3"))
+      .where(col("cand") =!= col("node"))
+      .withColumn("cu", least(col("node"), col("cand")))
+      .withColumn("cv", greatest(col("node"), col("cand")))
+    val negs = probes.join(e.select(col("u").as("cu"), col("v").as("cv")),
+      Seq("cu", "cv"), "left_anti")
+    assert(negs.count() == 0) // K3 on {1,2,3}: every non-self pair IS an edge
+    val eSparse = Seq((1L, 2L)).toDF("u", "v")
+    val negs2 = probes.join(
+      eSparse.select(col("u").as("cu"), col("v").as("cv")),
+      Seq("cu", "cv"), "left_anti")
+      .select(col("node"), col("cand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negs2.forall { case (n, c) => n != c && Set(n, c) != Set(1L, 2L) })
+  }
+
+  test("posting gaps: adjacent deltas, varint bits from binary length") {
+    val posts = Seq((10L, "t"), (17L, "t"), (42L, "t")).toDF("doc_id", "term")
+    val row = posts.groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"),
+        count(lit(1)).as("df"))
+      .withColumn("gaps", expr(
+        "zip_with(slice(docs, 2, cast(df as int) - 1), " +
+          "slice(docs, 1, cast(df as int) - 1), (a, b) -> a - b)"))
+      .select(expr("array_max(gaps)"), expr("aggregate(gaps, 0L, (a,x) -> a+x)"),
+        length(bin(expr("array_max(gaps)"))))
+      .head()
+    assert(row.getLong(0) == 25L)      // gaps [7, 25]
+    assert(row.getLong(1) == 32L)      // 42 - 10
+    assert(row.getInt(2) == 5)         // bin(25) = '11001'
+  }
+
   test("concurrency sweep: close sorts before open at the same instant") {
     // intervals [0,10), [10,20): at t=10 the first closes BEFORE the
     // second opens -> peak 1, not 2; overlapping [0,10),[5,15) -> peak 2 at 5
