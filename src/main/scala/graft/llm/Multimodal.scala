@@ -140,6 +140,43 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema)).toDF("id", "win_idx", "n_bytes", "energy")
   }
 
+  /** The image-shaped fingerprint stage: a DIFFERENCE HASH (dHash) over
+    * the resized payload — bit i set iff byte i > byte i+1, the
+    * gradient-sign fingerprint image dedup pipelines compute over
+    * downscaled pixel rows. `resizeTo` bytes give `resizeTo−1` hash bits
+    * (keep ≤ 57 so the hash stays a non-negative BIGINT for the SQL
+    * oracle). Same batched `mapPartitions` shape as [[frameFeatures]];
+    * only the pixel decode is the identity byte read (stub — no image
+    * codecs in the container). Output: (id, dhash, popcnt), all
+    * integer-exact. */
+  def dHash(df: DataFrame, idCol: String, payloadCol: String,
+            resizeTo: Int): DataFrame = {
+    require(resizeTo >= 2 && resizeTo <= 57,
+      s"dHash: resizeTo must be in [2,57] for a sign-safe hash, got $resizeTo")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("popcnt", LongType, nullable = false)))
+    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
+    projected.mapPartitions { rows =>
+      // per-partition codec setup happens here in a real deployment
+      rows.map { r =>
+        val id = r.getLong(0)
+        val raw = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val bytes =
+          if (raw.length >= resizeTo) raw.take(resizeTo)
+          else raw ++ Array.fill[Byte](resizeTo - raw.length)(0)
+        var h = 0L
+        var i = 0
+        while (i < resizeTo - 1) {
+          if ((bytes(i) & 0xff) > (bytes(i + 1) & 0xff)) h |= 1L << i
+          i += 1
+        }
+        Row(id, h, java.lang.Long.bitCount(h).toLong)
+      }
+    }(RowEncoder.encoderFor(outSchema)).toDF("id", "dhash", "popcnt")
+  }
+
   /** Batched feature extraction over a binary column via `mapPartitions`:
     * the decoder is constructed once per partition (where a real codec
     * would load its native state), then streamed over the partition's rows.

@@ -53,6 +53,49 @@ class MiningSpec extends SparkSpec {
     assert(r == -1.0)
   }
 
+  test("dHash: gradient bits, zero-padding, popcount") {
+    // bytes [5,3,3,7] resized to 5 -> padded [5,3,3,7,0]
+    // bits: 5>3 -> b0; 3>3 no; 3<7 no; 7>0 -> b3  => hash 0b1001 = 9, pop 2
+    val df = Seq((1L, Array[Byte](5, 3, 3, 7))).toDF("doc_id", "payload")
+    val got = graft.llm.Multimodal.dHash(df, "doc_id", "payload", resizeTo = 5)
+      .head()
+    assert(got.getLong(1) == 9L)
+    assert(got.getLong(2) == 2L)
+  }
+
+  test("hll intersection: inclusion-exclusion over merged registers is consistent") {
+    val m = 64
+    def regs(keys: Seq[String]): Map[Long, Int] =
+      keys.toDF("k")
+        .select(graft.llm.Hll.jCol(col("k"), m).as("j"),
+          graft.llm.Hll.rhoCol(col("k"), m).as("rho"))
+        .groupBy("j").agg(max("rho").as("rho"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bits = graft.llm.Hll.rhoBits(m)
+    def est(r: Map[Long, Int]): Double = {
+      val s = (0 until m).map(j => 1L << (bits + 1 - r.getOrElse(j.toLong, 0))).sum
+      graft.llm.Hll.numerator(m) / s
+    }
+    val a = (1 to 60).map(i => s"u$i")
+    val b = (31 to 90).map(i => s"u$i") // true intersection 30
+    val union = (regs(a).toSeq ++ regs(b).toSeq)
+      .groupBy(_._1).map { case (j, vs) => j -> vs.map(_._2).max }
+    val (ea, eb, eu) = (est(regs(a)), est(regs(b)), est(union))
+    // exact structural properties (estimates carry sketch variance, so no
+    // tight numeric bound): register-max union dominates both sides, and
+    // inclusion-exclusion stays inside (0, min side) + sketch slack
+    assert(eu >= ea && eu >= eb) // su <= sa, sb register-wise
+    val inter = ea + eb - eu
+    assert(inter > 0.0 && inter < math.min(ea, eb))
+    // disjoint sets: union registers = elementwise max of independents,
+    // intersection estimate collapses toward 0 vs the overlapping case
+    val c = (1000 to 1060).map(i => s"v$i")
+    val unionAC = (regs(a).toSeq ++ regs(c).toSeq)
+      .groupBy(_._1).map { case (j, vs) => j -> vs.map(_._2).max }
+    val interAC = est(regs(a)) + est(regs(c)) - est(unionAC)
+    assert(interAC < inter, s"disjoint estimate $interAC >= overlap $inter")
+  }
+
   test("negative sampling: hash candidates never include true edges or self") {
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v") // triangle 1-2-3
     val nodes = e.select(col("u").as("node"))
