@@ -70,7 +70,15 @@ object Bench {
       else {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop this query's localCheckpoint blocks before the next one:
+        // ~80 queries checkpoint fan-out frames, and 250 queries × reps
+        // would otherwise accumulate hundreds of materialized RDDs in the
+        // block manager — storage eviction + GC pressure that inflates
+        // the later (state-store-heavy streaming) queries. Cleanup time
+        // is deliberately OUTSIDE the measured window.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        Some(name -> dt)
       }
     }.toMap
     // rep 1 pays one-time costs (parquet footer reads, broadcast warmup,
