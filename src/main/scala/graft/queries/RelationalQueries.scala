@@ -3382,7 +3382,171 @@ object RelationalQueries {
       |        JOIN it c ON c.event_type = ru.cons
       |ORDER BY ante, cons""".stripMargin
 
+  /** REVENUE CONCENTRATION (the 80/20 audit): the share of total revenue
+    * held by the top 1 % and top 10 % of orders — the Pareto-curve
+    * points a billing or abuse team reads before the Gini (q225 gives
+    * the one-number form for key COUNTS; this is the money version with
+    * explicit curve points). Shape: per-order revenue is one map-side
+    * combined aggregate; the global DESC rank rides the
+    * range-partitioned prefix sum on the NEGATED revenue (constant
+    * group, hint 1 — no single-task window); shares are integer ppm
+    * against a 1-row broadcast total. */
+  val q252_pareto_share: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      .withColumn("g", lit(0))
+      .withColumn("one", lit(1L))
+      .withColumn("nrev", -col("rev"))
+      .localCheckpoint(true) // consumers: rank pass + totals
+    val totals = rev.agg(count(lit(1)).as("n_orders"),
+      sum(col("rev")).as("total_rev"))
+    val ranked = graft.operators.RunningTotal.grouped(rev, "g",
+      Seq("nrev", "l_orderkey"), "one", "rnk", groupCountHint = Some(1L))
+    ranked.crossJoin(broadcast(totals))
+      .agg(max(col("n_orders")).as("n_orders"),
+        max(col("total_rev")).as("total_rev"),
+        sum(when(col("rnk") * 100 <= col("n_orders"), col("rev"))
+          .otherwise(0L)).as("top1_rev"),
+        sum(when(col("rnk") * 10 <= col("n_orders"), col("rev"))
+          .otherwise(0L)).as("top10_rev"))
+      .select(col("n_orders"), col("total_rev"),
+        expr("top1_rev * 1000000 div total_rev").as("top1_share_ppm"),
+        expr("top10_rev * 1000000 div total_rev").as("top10_share_ppm"))
+  }
+  val q252_sql: String =
+    """WITH r AS (SELECT l_orderkey,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rev
+      |  FROM lineitem GROUP BY 1),
+      |k AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, l_orderkey)
+      |        AS rnk, count(*) OVER () AS n FROM r)
+      |SELECT max(n)::BIGINT AS n_orders, sum(rev)::BIGINT AS total_rev,
+      |       CAST(sum(CASE WHEN rnk * 100 <= n THEN rev ELSE 0 END)
+      |            * 1000000 // sum(rev) AS BIGINT) AS top1_share_ppm,
+      |       CAST(sum(CASE WHEN rnk * 10 <= n THEN rev ELSE 0 END)
+      |            * 1000000 // sum(rev) AS BIGINT) AS top10_share_ppm
+      |FROM k""".stripMargin
+
+  /** COMMON-NEIGHBOR link prediction over the co-purchase graph: for
+    * every non-adjacent part pair sharing at least one neighbor, the
+    * common-neighbor count and neighborhood-Jaccard score
+    * (common / (d_a + d_b − common)) — the positive-candidate scorer
+    * that complements q247's negatives. Shapes: pairs are generated AT
+    * the shared pivot (fan-out deg², with a max-degree pivot cap — a
+    * celebrity hub predicts nothing and would dominate the pair count),
+    * counted map-side, degrees attach by two keyed joins, and true
+    * edges leave via ONE keyed anti-join. Top 20 by (jaccard, pair) is
+    * deterministic. Cost is honestly O(Σ deg²) — unlike triangle
+    * counting, common-neighbor pairs need EVERY pivot, so degree
+    * orientation cannot prune; ~72 M pivot pairs / 19 s at sf0.1. At
+    * 100 TB the pivot cap (and a per-node candidate shortlist) is the
+    * knob, and the shuffle carries map-combined pair counts, never raw
+    * wedges. */
+  val q253_common_neighbors: Q = (s, d) => {
+    val maxPivotDeg = 500L
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .localCheckpoint(true) // consumers: adjacency + degrees + anti-join
+    val adj = e.select(col("u").as("n"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // consumers: pivot cap + two attaches
+    val pivots = adj.join(
+      deg.where(col("deg") <= maxPivotDeg).select(col("n")), Seq("n"),
+      "left_semi")
+    val pairs = pivots.as("x").join(pivots.as("y"),
+        col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
+      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val scored = pairs
+      .join(e.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .withColumn("jaccard_ppm",
+        expr("common * 1000000 div (da + db - common)"))
+    scored.select(col("a"), col("b"), col("common"), col("da"), col("db"),
+        col("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+      .limit(20)
+  }
+  val q253_sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+      |      JOIN op b ON a.o = b.o AND a.p < b.p),
+      |adj AS (SELECT u AS n, v AS nb FROM e
+      |        UNION ALL SELECT v, u FROM e),
+      |dg AS (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+      |pv AS (SELECT adj.n, adj.nb FROM adj JOIN dg ON dg.n = adj.n
+      |       WHERE dg.deg <= 500),
+      |pr AS (SELECT x.nb AS a, y.nb AS b, count(*)::BIGINT AS common
+      |       FROM pv x JOIN pv y ON x.n = y.n AND x.nb < y.nb
+      |       GROUP BY 1, 2),
+      |ne AS (SELECT pr.* FROM pr WHERE NOT EXISTS (
+      |         SELECT 1 FROM e WHERE e.u = pr.a AND e.v = pr.b))
+      |SELECT a, b, common, da.deg AS da, db.deg AS db,
+      |       common * 1000000 // (da.deg + db.deg - common) AS jaccard_ppm
+      |FROM ne JOIN dg da ON da.n = ne.a JOIN dg db ON db.n = ne.b
+      |ORDER BY jaccard_ppm DESC, a, b LIMIT 20""".stripMargin
+
+  /** CONVERSION LATENCY bands: per user, the delay from FIRST view to
+    * the first purchase AFTER it, summarized as exact p50/p95 over
+    * converting users — the product-funnel health number. Shapes: both
+    * firsts are conditional min aggregates in ONE map-side-combined
+    * pass (no window, no self-join — `min(CASE)` per user); the band
+    * thresholds ride the global prefix-sum rank (constant group,
+    * hint 1) under the same integer rule as q244. */
+  val q254_conversion_latency: Q = (s, d) => {
+    val firsts = Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("tsm"))).as("tv"))
+    val lat = Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
+        col("event_type"))
+      .join(firsts, Seq("user_id"))
+      .where(col("event_type") === "purchase" && col("tsm") >= col("tv"))
+      .groupBy(col("user_id"))
+      .agg((min(col("tsm")) - max(col("tv"))).as("latency_ms"))
+      .withColumn("g", lit(0)).withColumn("one", lit(1L))
+      .localCheckpoint(true) // consumers: rank pass + count
+    val n = lat.agg(count(lit(1)).as("n_converted"))
+    val ranked = graft.operators.RunningTotal.grouped(lat, "g",
+      Seq("latency_ms", "user_id"), "one", "rnk", groupCountHint = Some(1L))
+    def band(pct: Int, name: String) = ranked.crossJoin(broadcast(n))
+      .where(col("rnk") * 100 >= col("n_converted") * pct)
+      .agg(min(col("latency_ms")).as(name))
+    n.crossJoin(broadcast(band(50, "p50_ms")))
+      .crossJoin(broadcast(band(95, "p95_ms")))
+  }
+  val q254_sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm, event_type
+      |           FROM events),
+      |f AS (SELECT user_id,
+      |        min(CASE WHEN event_type = 'view' THEN tsm END) AS tv
+      |      FROM e GROUP BY 1),
+      |l AS (SELECT e.user_id, min(tsm) - max(tv) AS latency_ms
+      |      FROM e JOIN f USING (user_id)
+      |      WHERE event_type = 'purchase' AND tsm >= tv
+      |      GROUP BY 1),
+      |k AS (SELECT latency_ms,
+      |        row_number() OVER (ORDER BY latency_ms, user_id) AS rnk,
+      |        count(*) OVER () AS n FROM l)
+      |SELECT max(n)::BIGINT AS n_converted,
+      |       min(CASE WHEN rnk * 100 >= n * 50 THEN latency_ms END) AS p50_ms,
+      |       min(CASE WHEN rnk * 100 >= n * 95 THEN latency_ms END) AS p95_ms
+      |FROM k""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q252_pareto_share" -> q252_pareto_share,
+    "q253_common_neighbors" -> q253_common_neighbors,
+    "q254_conversion_latency" -> q254_conversion_latency,
     "q247_negative_sampling" -> q247_negative_sampling,
     "q248_association_rules" -> q248_association_rules,
     "q244_percentile_bands" -> q244_percentile_bands,
@@ -3592,6 +3756,9 @@ object RelationalQueries {
     "q242_bitmap_retention" -> q242_sql,
     "q243_entry_paths" -> q243_sql,
     "q244_percentile_bands" -> q244_sql,
+    "q252_pareto_share" -> q252_sql,
+    "q253_common_neighbors" -> q253_sql,
+    "q254_conversion_latency" -> q254_sql,
     "q247_negative_sampling" -> q247_sql,
     "q248_association_rules" -> q248_sql,
     "q245_max_concurrency" -> q245_sql)

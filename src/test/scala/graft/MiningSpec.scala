@@ -53,6 +53,42 @@ class MiningSpec extends SparkSpec {
     assert(r == -1.0)
   }
 
+  test("common neighbors: diamond graph scores the missing edge, skips true edges") {
+    // edges 12,13,14,23,24 (diamond, missing 34): non-edge (3,4) has
+    // common {1,2} -> common=2, d3=d4=2, jaccard = 2/(2+2-2) = 1e6 ppm
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("u", "v")
+    val adj = e.select(col("u").as("n"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
+    val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+    val pairs = adj.as("x").join(adj.as("y"),
+        col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
+      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(e.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+        "left_anti")
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .withColumn("j", expr("common * 1000000 div (da + db - common)"))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("common"), r.getAs[Long]("j")))
+    assert(pairs.toSeq == Seq((3L, 4L, 2L, 1000000L)))
+  }
+
+  test("pareto share: top-k integer thresholds select exactly the biggest") {
+    // revenues 100,50,30,20 (n=4): top-25% (rnk*4<=n) = {100};
+    // top-50% = {100,50}; shares 500000 and 750000 ppm of 200
+    val rev = Seq((1L, 100L), (2L, 50L), (3L, 30L), (4L, 20L))
+      .toDF("k", "rev")
+    val ranked = rev.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev").desc, col("k"))))
+    val r = ranked.agg(
+      sum(when(col("rnk") * 4 <= 4, col("rev")).otherwise(0L)),
+      sum(when(col("rnk") * 2 <= 4, col("rev")).otherwise(0L))).head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 150L)
+  }
+
   test("dHash: gradient bits, zero-padding, popcount") {
     // bytes [5,3,3,7] resized to 5 -> padded [5,3,3,7,0]
     // bits: 5>3 -> b0; 3>3 no; 3<7 no; 7>0 -> b3  => hash 0b1001 = 9, pop 2
