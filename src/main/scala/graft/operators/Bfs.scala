@@ -55,4 +55,46 @@ object Bfs {
     }
     dist
   }
+
+  /** Weighted single/multi-source shortest paths — [[hops]] lifted from the
+    * (min, +1) hop semiring to the full (min, +) semiring: `rounds`
+    * synchronous Bellman–Ford relaxations of `dist(v) = min(dist(v),
+    * min over (u,v,w) of dist(u) + w)` from the seed set. After round r
+    * every node whose shortest path uses ≤ r edges carries its exact
+    * distance — a fixed round count is an edge-depth budget, exactly
+    * hops' radius-budget contract, and the result is monotone so extra
+    * rounds never hurt correctness.
+    *
+    * Scale shape per round is identical to hops: ONE hash equi-join
+    * (distance frame ⋈ edges on the source node) + ONE map-side-combined
+    * min aggregate; the edge list (symmetrized once, weights intact) and
+    * each round's distance frame are `localCheckpoint`ed so lineage stays
+    * flat. Weights must be non-negative longs — the min-fold is then a
+    * lattice and micro-round order is irrelevant. */
+  def sssp(pairs: DataFrame, aCol: String, bCol: String, wCol: String,
+           seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    val fwd = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
+    val edges = fwd
+      .unionAll(fwd.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .where(col("u") =!= col("v"))
+      .localCheckpoint(true)
+    var dist = seeds.toDF("node")
+      .select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val relaxed = edges
+        .join(dist.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist
+  }
 }

@@ -3543,7 +3543,58 @@ object RelationalQueries {
       |       min(CASE WHEN rnk * 100 >= n * 95 THEN latency_ms END) AS p95_ms
       |FROM k""".stripMargin
 
+  /** Weighted shortest paths — [[graft.operators.Bfs.sssp]]: three
+    * Bellman–Ford relaxation rounds over the part co-purchase graph with
+    * a SIMILARITY DISTANCE weight (`w = max(1, 1e6 div common)` — parts
+    * that co-occur in many orders sit close), from the `p_partkey % 100`
+    * seed set. The (min, +) semiring upgrade of q206's hop BFS: "how far
+    * is every part from the seed catalog, counting weak ties as long
+    * edges" — the substitution-radius / related-item-distance shape.
+    * Per round: one hash join + one map-side-combined min aggregate,
+    * distance frames localCheckpoint'ed (the q129/q206 iterative
+    * discipline); the oracle unrolls all three rounds as CTEs. Edge
+    * weights stay BIGINT on both engines — min() never widens, and the
+    * relax addition is row arithmetic, not an aggregate, so no HUGEINT
+    * divergence is possible. */
+  val q255_weighted_sssp: Q = (s, d) => {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("u"), col("v"),
+        greatest(lit(1L), expr("1000000 div c")).as("w"))
+    val seeds = Tables.part(s, d)
+      .where(col("p_partkey") % 100 === 0).select(col("p_partkey"))
+    graft.operators.Bfs.sssp(e, "u", "v", "w", seeds, rounds = 3)
+      .orderBy(col("node"))
+  }
+  val q255_sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e0 AS (SELECT a.p AS u, b.p AS v, count(*)::BIGINT AS c
+      |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      |e AS (SELECT u, v, greatest(1, 1000000 // c) AS w FROM e0
+      |      UNION ALL SELECT v, u, greatest(1, 1000000 // c) FROM e0),
+      |d0 AS (SELECT p_partkey AS node, 0::BIGINT AS dist FROM part
+      |       WHERE p_partkey % 100 = 0),
+      |d1 AS (SELECT node, min(dist) AS dist FROM (
+      |         SELECT * FROM d0 UNION ALL
+      |         SELECT e.v, d0.dist + e.w FROM d0 JOIN e ON e.u = d0.node)
+      |       GROUP BY 1),
+      |d2 AS (SELECT node, min(dist) AS dist FROM (
+      |         SELECT * FROM d1 UNION ALL
+      |         SELECT e.v, d1.dist + e.w FROM d1 JOIN e ON e.u = d1.node)
+      |       GROUP BY 1),
+      |d3 AS (SELECT node, min(dist) AS dist FROM (
+      |         SELECT * FROM d2 UNION ALL
+      |         SELECT e.v, d2.dist + e.w FROM d2 JOIN e ON e.u = d2.node)
+      |       GROUP BY 1)
+      |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q255_weighted_sssp" -> q255_weighted_sssp,
     "q252_pareto_share" -> q252_pareto_share,
     "q253_common_neighbors" -> q253_common_neighbors,
     "q254_conversion_latency" -> q254_conversion_latency,
@@ -3761,5 +3812,6 @@ object RelationalQueries {
     "q254_conversion_latency" -> q254_sql,
     "q247_negative_sampling" -> q247_sql,
     "q248_association_rules" -> q248_sql,
-    "q245_max_concurrency" -> q245_sql)
+    "q245_max_concurrency" -> q245_sql,
+    "q255_weighted_sssp" -> q255_sql)
 }
