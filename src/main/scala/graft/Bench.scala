@@ -92,9 +92,19 @@ object Bench {
       if (steal0 >= 0 && jiffies1 > jiffies0)
         100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
       else -1.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // batch queries and streaming certifications report in SEPARATE maps:
+    // the 12 stream certs each stage temp data + run a real multi-batch
+    // streaming job (cost is staging I/O, 1 rep), so folding them into the
+    // batch map would pollute the batch trend line round over round.
+    val (streamResults, batchResults) =
+      results.partition { case (k, _) => streamingNames(k) }
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(batchResults)
+    val certs = jmap(streamResults)
+    val batchTotal = batchResults.map(_._2).sum
+    val streamTotal = streamResults.map(_._2).sum
+    val total = batchTotal + streamTotal
     val warn =
       if (loadBefore(0) > 1.5)
         s""","warning":"host 1-min load ${loadBefore(0)} > 1.5 at start; numbers may be inflated by external load""""
@@ -102,7 +112,7 @@ object Bench {
         s""","warning":"hypervisor steal time ${f"$stealPct%.1f"}% over the run; numbers may be inflated by neighbor load""""
       else ""
     val loads = s""""load_before":[${loadBefore.mkString(",")}],"load_after":[${loadAfter.mkString(",")}],"steal_pct":${f"$stealPct%.2f"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stream_reps":1,$loads$warn}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_certs":$certs,"batch_total":$batchTotal,"stream_total":$streamTotal,"sf":"$sfDir","reps":$reps,"stream_reps":1,$loads$warn}""")
     spark.stop()
   }
 }

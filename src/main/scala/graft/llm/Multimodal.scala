@@ -193,4 +193,53 @@ object Multimodal {
       rows.map { r => Row(r.getLong(0), decoder(r.getAs[Array[Byte]](1)).toSeq) }
     }(RowEncoder.encoderFor(outSchema)).toDF("id", "feature")
   }
+
+  /** A REAL decoder behind the injection seam — proof the [[Decoder]]
+    * contract works beyond [[StubDecoder]] without native codecs: a
+    * pure-JVM RIFF/WAVE PCM-16 parser (chunk walk, little-endian
+    * samples, word-aligned chunk skip). Features:
+    * [n_samples, mean |amplitude|, max |amplitude|, zero crossings] —
+    * the loudness/activity profile an audio curation pipeline keys on.
+    * Exercised end-to-end through [[extractFeatures]] in
+    * MultimodalDecoderSpec; a production image/audio codec plugs into
+    * the same seam with the same bytes→float-vector shape. */
+  val PcmWavDecoder: Decoder = { bytes =>
+    def le16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    require(bytes != null && bytes.length >= 44 && tag(0) == "RIFF" &&
+      tag(8) == "WAVE", "PcmWavDecoder: not a RIFF/WAVE payload")
+    var off = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val sz = le32(off + 4)
+      if (id == "fmt ") {
+        require(le16(off + 8) == 1, "PcmWavDecoder: not uncompressed PCM")
+        require(le16(off + 22) == 16, "PcmWavDecoder: not 16-bit samples")
+        fmtOk = true
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(fmtOk && dataOff >= 0, "PcmWavDecoder: missing fmt /data chunk")
+    val n = math.min(dataLen, bytes.length - dataOff) / 2
+    var sumAbs = 0L
+    var maxAbs = 0L
+    var zc = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val s = (le16(dataOff + 2 * i) << 16) >> 16 // sign-extend 16→32
+      val a = math.abs(s).toLong
+      sumAbs += a
+      if (a > maxAbs) maxAbs = a
+      if (i > 0 && (s ^ prev) < 0) zc += 1
+      prev = s
+      i += 1
+    }
+    Array(n.toFloat, if (n == 0) 0f else (sumAbs.toDouble / n).toFloat,
+      maxAbs.toFloat, zc.toFloat)
+  }
 }

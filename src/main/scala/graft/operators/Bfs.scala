@@ -74,8 +74,17 @@ object Bfs {
   def sssp(pairs: DataFrame, aCol: String, bCol: String, wCol: String,
            seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1 (got $rounds)")
+    // enforce the non-negative-weight precondition the (min,+) lattice
+    // needs: a negative weight would silently turn "shortest path" into
+    // "min-cost bounded walk". Row-level raise_error keeps the check
+    // inside codegen (one branch per edge) and fails the job fast with
+    // the offending value instead of producing wrong distances.
     val fwd = pairs.select(col(aCol).cast("long").as("u"),
-      col(bCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
+      col(bCol).cast("long").as("v"),
+      when(col(wCol).cast("long") < 0, raise_error(concat(
+          lit("sssp: negative edge weight (shortest-path relaxation " +
+            "requires w >= 0): "), col(wCol).cast("string"))))
+        .otherwise(col(wCol).cast("long")).as("w"))
     val edges = fwd
       .unionAll(fwd.select(col("v").as("u"), col("u").as("v"), col("w")))
       .where(col("u") =!= col("v"))

