@@ -1,11 +1,15 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{LlmQueries, RelationalQueries, StreamingQueries}
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  * Queries live in `graft.queries.*`; each has a DuckDB oracle with
-  * identical column names and deterministic ordering.
+  * Queries live in `graft.queries.*`, one registry object per family
+  * (relational core / tpch / analytics / graph / sketch / llm text+dedup /
+  * ann / curation / multimodal / streaming); each query has a DuckDB
+  * oracle with identical column names and deterministic ordering. The
+  * single queries map is assembled HERE (and only here) so the family
+  * objects stay acyclic.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -14,10 +18,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ LlmQueries.defs ++ StreamingQueries.defs
+    RelationalQueries.defs ++ TpchQueries.defs ++ AnalyticsQueries.defs ++
+      GraphQueries.defs ++ SketchQueries.defs ++ LlmQueries.defs ++
+      AnnQueries.defs ++ CurationQueries.defs ++ MultimodalQueries.defs ++
+      StreamingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ LlmQueries.oracles ++ StreamingQueries.oracles
+    RelationalQueries.oracles ++ TpchQueries.oracles ++
+      AnalyticsQueries.oracles ++ GraphQueries.oracles ++
+      SketchQueries.oracles ++ LlmQueries.oracles ++ AnnQueries.oracles ++
+      CurationQueries.oracles ++ MultimodalQueries.oracles ++
+      StreamingQueries.oracles
 }

@@ -29,8 +29,9 @@ object RelationalQueries {
 
   /** Exact decimal-accumulated sum of a double expression, surfaced as
     * double: identical across engines regardless of partial-agg order. */
-  private def dsum(c: Column, scale: Int = 4): Column =
+  private[queries] def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
 
   // ---------------------------------------------------------------- O28-O31
   /** Global summary aggregates — the five email stats re-expressed over
@@ -45,6 +46,7 @@ object RelationalQueries {
       (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
       sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned_rows"))
   }
+
   val q01_sql: String =
     """SELECT count(*) AS total_rows,
       |       count(DISTINCT l_returnflag) AS n_flags,
@@ -52,6 +54,7 @@ object RelationalQueries {
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
       |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_rows
       |FROM lineitem""".stripMargin
+
 
   // ------------------------------------------------------------- O28-O32 ish
   /** Grouped pricing summary (TPC-H Q1 shape) — the flagship aggregation;
@@ -66,6 +69,7 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
+
   val q02_sql: String =
     """SELECT l_returnflag, l_linestatus,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -74,6 +78,7 @@ object RelationalQueries {
       |       count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
 
   // ------------------------------------------------------------- O9/O10/O11
   /** Per-row derived columns: arithmetic derive (inventory-value shape),
@@ -86,11 +91,13 @@ object RelationalQueries {
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("returned_flag"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
+
   val q03_sql: String =
     """SELECT l_orderkey, l_linenumber,
       |       l_extendedprice * l_quantity AS line_value,
       |       CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS returned_flag
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
 
   // ------------------------------------------------------------------- O12
   /** Fixed-edge binning, pd.cut(right=False) semantics: half-open bins over
@@ -103,6 +110,7 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("stock_bin").asc_nulls_first)
   }
+
   val q04_sql: String =
     """SELECT CASE WHEN l_quantity >= 1 AND l_quantity < 10 THEN 'Critical'
       |            WHEN l_quantity >= 10 AND l_quantity < 25 THEN 'Low'
@@ -111,6 +119,7 @@ object RelationalQueries {
       |       count(*) AS n,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY 1 ORDER BY stock_bin ASC NULLS FIRST""".stripMargin
+
 
   // ------------------------------------------------------------------- O13
   /** Quantile binning (pd.qcut q=3): exact percentile cut points broadcast
@@ -124,6 +133,7 @@ object RelationalQueries {
            max(col("p_retailprice")).as("max_price"))
       .orderBy(col("price_tier"))
   }
+
   val q05_sql: String =
     """WITH cuts AS (
       |  SELECT quantile_cont(p_retailprice, 1.0/3) AS q33,
@@ -134,6 +144,7 @@ object RelationalQueries {
       |            ELSE 'Premium' END AS price_tier,
       |       count(*) AS n, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
       |FROM part, cuts GROUP BY 1 ORDER BY price_tier""".stripMargin
+
 
   /** The APPROX-quantile path of qcut (`exact=false`,
     * `percentile_approx`) — the 100 TB mode, which avoids q05's global
@@ -156,6 +167,7 @@ object RelationalQueries {
            max(col("l_quantity")).as("max_qty"))
       .orderBy(col("qty_tier"))
   }
+
   val q144_sql: String =
     """WITH cuts AS (
       |  SELECT quantile_disc(l_quantity, 1.0/3) AS c0,
@@ -167,6 +179,7 @@ object RelationalQueries {
       |       count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
       |FROM lineitem, cuts GROUP BY 1 ORDER BY qty_tier""".stripMargin
 
+
   // ------------------------------------------------------------------- O15
   /** Currency clean round-trip: render a £-price string, strip non-numerics,
     * cast back to double (`transformation_pipeline.py:5-11` semantics). */
@@ -176,10 +189,12 @@ object RelationalQueries {
         cleanCurrency(format_string("£%.2f", col("p_retailprice"))).as("clean_price"))
       .orderBy(col("p_partkey"))
   }
+
   val q06_sql: String =
     """SELECT p_partkey,
       |       CAST(regexp_replace(printf('£%.2f', p_retailprice), '[^0-9.]', '', 'g') AS DOUBLE) AS clean_price
       |FROM part ORDER BY p_partkey""".stripMargin
+
 
   // ------------------------------------------------------------------- O17
   /** Literal-map word→int lookup with default 0 (rating-word shape,
@@ -194,12 +209,14 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
   }
+
   val q07_sql: String =
     """SELECT o_orderpriority,
       |       CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
       |            WHEN '3-MEDIUM' THEN 3 ELSE 0 END AS priority_code,
       |       count(*) AS n
       |FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin
+
 
   // ------------------------------------------------------------------- O18
   /** Stock-string parse: build "In stock (N available)" and parse it back
@@ -213,6 +230,7 @@ object RelationalQueries {
         stockCount(stockStr).as("n_available"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
+
   val q08_sql: String =
     """SELECT l_orderkey, l_linenumber,
       |       contains(trim(str_split(stock_str, '(')[1]), 'In stock') AS in_stock,
@@ -220,6 +238,7 @@ object RelationalQueries {
       |FROM (SELECT *, 'In stock (' || CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) || ' available)' AS stock_str
       |      FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
 
   // ------------------------------------------------------------------- O19
   /** URL rewrite: strip `../` path-escapes and prepend the site prefix
@@ -230,10 +249,12 @@ object RelationalQueries {
     pt.select(col("p_partkey"), rewriteImageUrl(rel).as("image_url"))
       .orderBy(col("p_partkey"))
   }
+
   val q09_sql: String =
     """SELECT p_partkey,
       |       'http://books.toscrape.com/' || regexp_replace('../../img/' || CAST(p_partkey AS VARCHAR) || '.jpg', '\.\./', '', 'g') AS image_url
       |FROM part ORDER BY p_partkey""".stripMargin
+
 
   // ------------------------------------------- O22-O27: full star-schema build
   /** Star schema over lineitem: a composite-key dim and an FK-sourced brand
@@ -252,6 +273,7 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("ship_id"), col("brand_id"))
   }
+
   val q10_sql: String =
     """WITH dim_ship AS (
       |  SELECT l_returnflag, l_linestatus,
@@ -268,6 +290,7 @@ object RelationalQueries {
       |JOIN dim_brand USING (p_brand)
       |GROUP BY ship_id, brand_id ORDER BY ship_id, brand_id""".stripMargin
 
+
   // ------------------------------------------------------------------- O25
   /** Null-safe dim join (`<=>` / IS NOT DISTINCT FROM): a nullable key still
     * joins to the dim's null row — pandas NaN==NaN merge semantics. */
@@ -280,6 +303,7 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("flag_id"))
   }
+
   val q11_sql: String =
     """WITH keyed AS (SELECT *, nullif(l_returnflag, 'N') AS flag_key FROM lineitem),
       |dim AS (SELECT flag_key, row_number() OVER (ORDER BY flag_key ASC NULLS FIRST) AS flag_id
@@ -288,6 +312,7 @@ object RelationalQueries {
       |FROM keyed JOIN dim ON keyed.flag_key IS NOT DISTINCT FROM dim.flag_key
       |GROUP BY 1, 2 ORDER BY flag_id""".stripMargin
 
+
   // ------------------------------------------------------------------- O26
   /** Multi-column distinct (dim extraction shape). */
   val q12_distinct: Q = (s, d) => {
@@ -295,9 +320,11 @@ object RelationalQueries {
     o.select(col("o_orderstatus"), col("o_orderpriority")).distinct()
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
+
   val q12_sql: String =
     """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
 
   // ------------------------------------------------------------------- O27
   /** Dense 1..N surrogate keys over a distinct natural key. */
@@ -306,9 +333,11 @@ object RelationalQueries {
     Star.buildDim(c, Seq("c_mktsegment"), "segment_id")
       .orderBy(col("segment_id"))
   }
+
   val q13_sql: String =
     """SELECT c_mktsegment, row_number() OVER (ORDER BY c_mktsegment ASC NULLS FIRST) AS segment_id
       |FROM (SELECT DISTINCT c_mktsegment FROM customer) ORDER BY segment_id""".stripMargin
+
 
   // ------------------------------------------------------------------- O32
   /** Exact percentiles (sort-based aggregate; approx variant exists behind
@@ -325,11 +354,13 @@ object RelationalQueries {
         element_at(col("__ps"), 2).as("p50"),
         element_at(col("__ps"), 3).as("p75"))
   }
+
   val q14_sql: String =
     """SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
       |       quantile_cont(l_extendedprice, 0.5) AS p50,
       |       quantile_cont(l_extendedprice, 0.75) AS p75
       |FROM lineitem""".stripMargin
+
 
   // ------------------------------------------------------------------- O33
   /** Deterministic top-20 (order + limit). */
@@ -339,9 +370,11 @@ object RelationalQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
   }
+
   val q15_sql: String =
     """SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
 
   // ----------------------------------------------------------- O22-O24 joins
   /** Multi-table FK join chain with broadcast dims: revenue per nation. */
@@ -360,6 +393,7 @@ object RelationalQueries {
            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
   }
+
   val q16_sql: String =
     """SELECT r_name, n_name, count(*) AS n_rows,
       |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -370,106 +404,6 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
-  // --------------------------------------------------- O34 batch analog
-  /** Hourly tumbling-window counts over the events table — the batch analog
-    * of the streaming pipeline in `graft.streaming` (timestamps rendered as
-    * strings for cross-engine value parity). */
-  val q17_window_events: Q = (s, d) => {
-    val e = Tables.events(s, d)
-    e.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
-              col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-      .orderBy(col("hour"), col("event_type"))
-  }
-  val q17_sql: String =
-    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-      |       count(*) AS n,
-      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
-
-  // --------------------------------------------------- window functions
-  /** Analytic windows: per-user ordering, rank and running sum (frame-order
-    * summation is identical across engines, so exact doubles match). */
-  val q18_window_funcs: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(s, d)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    e.select(col("user_id"), col("event_id"),
-        row_number().over(w).cast("long").as("rn"),
-        sum(col("value").cast("decimal(18,4)")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double").as("running_value"))
-      .orderBy(col("user_id"), col("rn"))
-  }
-  val q18_sql: String =
-    """SELECT user_id, event_id,
-      |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-      |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-      |FROM events ORDER BY user_id, rn""".stripMargin
-
-  // ------------------------------------------- sessionization (batch windows)
-  /** Gap-based sessionization as pure window functions — the batch/SQL
-    * analog of `graft.streaming.Streaming.sessionize`: a session breaks
-    * after 30 idle minutes; session ids are per-user cumulative sums of the
-    * break flag. */
-  val q32_sessions: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(s, d)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapMs = 30 * 60 * 1000L
-    val flagged = e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull ||
-          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id",
-        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flagged.groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-           dsum(col("value")).as("total_value"))
-      .orderBy(col("user_id"), col("session_id"))
-  }
-  val q32_sql: String =
-    """WITH flagged AS (
-      |  SELECT user_id, event_id, value, ts,
-      |         CASE WHEN lag(ts) OVER w IS NULL
-      |                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-      |              THEN 1 ELSE 0 END AS is_new
-      |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |sessions AS (
-      |  SELECT user_id, value, ts,
-      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      |  FROM flagged)
-      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-      |       count(*) AS n_events,
-      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-      |FROM sessions GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin
-
-  // --------------------------------------------------------- top-N per group
-  /** Per-group top-3 (rank-and-filter window pattern). */
-  val q33_topn_per_group: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val o = Tables.orders(s, d)
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).cast("long").as("rank"))
-      .where(col("rank") <= 3)
-      .orderBy(col("o_orderpriority"), col("rank"))
-  }
-  val q33_sql: String =
-    """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
-      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-      |         row_number() OVER (PARTITION BY o_orderpriority
-      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
-      |  FROM orders)
-      |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin
 
   // ------------------------------------------------------------------ rollup
   /** Hierarchical subtotals via ROLLUP (region → nation → grand total). */
@@ -483,6 +417,7 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
+
   val q34_sql: String =
     """SELECT r_name, n_name, count(*) AS n_customers,
       |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
@@ -491,6 +426,7 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
 
   // ------------------------------------------------------------ JSON columns
   /** Semi-structured props: extract a JSON field, aggregate by it — the
@@ -507,12 +443,14 @@ object RelationalQueries {
            max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
   }
+
   val q36_sql: String =
     """SELECT event_type, count(*) AS n,
       |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
       |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
 
   // ----------------------------------------------------- filter + aggregate
   /** Pure predicate pushdown path (TPC-H Q6 shape): range filters reach the
@@ -524,11 +462,13 @@ object RelationalQueries {
       .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
            count(lit(1)).as("n"))
   }
+
   val q37_sql: String =
     """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       |       count(*) AS n
       |FROM lineitem
       |WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07""".stripMargin
+
 
   // ------------------------------------------------------------- semi / anti
   /** Left-semi join: customers with at least one urgent order — EXISTS
@@ -542,12 +482,14 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
   }
+
   val q38_sql: String =
     """SELECT c_mktsegment, count(*) AS n_customers
       |FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders
       |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
 
   /** Left-anti join: customers with no orders at all (NOT EXISTS). */
   val q39_anti_join: Q = (s, d) => {
@@ -558,11 +500,13 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_mktsegment"))
   }
+
   val q39_sql: String =
     """SELECT c_mktsegment, count(*) AS n_customers
       |FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
 
   // ------------------------------------------------------------- outer join
   /** Left-outer join with null-aware aggregation: every nation, including
@@ -576,11 +520,13 @@ object RelationalQueries {
            dsum(coalesce(col("s_acctbal"), lit(0.0))).as("sum_acctbal"))
       .orderBy(col("n_name"))
   }
+
   val q40_sql: String =
     """SELECT n_name, count(s_suppkey) AS n_suppliers,
       |       CAST(sum(CAST(coalesce(s_acctbal, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
       |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
 
   // ---------------------------------------------------------------- set ops
   /** Set operations: nations that appear as customer homes, supplier homes,
@@ -594,6 +540,7 @@ object RelationalQueries {
     both.union(custOnly)
       .orderBy(col("src"), col("nk"))
   }
+
   val q41_sql: String =
     """SELECT 'both' AS src, nk FROM (
       |  SELECT c_nationkey AS nk FROM customer
@@ -603,6 +550,7 @@ object RelationalQueries {
       |  SELECT DISTINCT c_nationkey AS nk FROM customer
       |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
       |ORDER BY src, nk""".stripMargin
+
 
   // -------------------------------------------------------- scalar subquery
   /** Orders above the global average price, counted per priority — the
@@ -618,11 +566,13 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_above_avg"))
       .orderBy(col("o_orderpriority"))
   }
+
   val q42_sql: String =
     """SELECT o_orderpriority, count(*) AS n_above_avg
       |FROM orders
       |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
 
   // -------------------------------------------------------------------- cube
   /** CUBE over (status, priority): all four grouping combinations. */
@@ -632,11 +582,13 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
+
   val q43_sql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
 
   // ------------------------------------------------------------------- pivot
   /** Pivot order status into columns per priority (fixed value list keeps
@@ -653,12 +605,14 @@ object RelationalQueries {
         col("P").cast("long").as("n_p"))
       .orderBy(col("o_orderpriority"))
   }
+
   val q44_sql: String =
     """SELECT o_orderpriority,
       |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
       |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
       |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
 
   // ----------------------------------------------------- ordered aggregation
   /** Deterministic collection aggregate: sorted region names per nation
@@ -672,11 +626,13 @@ object RelationalQueries {
            count(lit(1)).as("n_nations"))
       .orderBy(col("r_name"))
   }
+
   val q45_sql: String =
     """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
       |       count(*) AS n_nations
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
 
   // ----------------------------------------------------------- grouping sets
   /** Explicit GROUPING SETS — independent subtotals by status and by
@@ -689,11 +645,13 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
+
   val q46_sql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
 
   // ------------------------------------------------------------- date funcs
   /** Calendar aggregation: monthly order revenue (date_trunc + format). */
@@ -703,11 +661,13 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
       .orderBy(col("month"))
   }
+
   val q47_sql: String =
     """SELECT strftime(o_orderdate, '%Y-%m') AS month,
       |       count(*) AS n_orders,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
 
   // -------------------------------------------------------------- word count
   /** The classic distributed word count (explode → groupBy), over part
@@ -721,11 +681,13 @@ object RelationalQueries {
       .orderBy(col("n").desc, col("word"))
       .limit(20)
   }
+
   val q48_sql: String =
     """SELECT word, count(*) AS n FROM (
       |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
       |WHERE word <> '' GROUP BY word
       |ORDER BY n DESC, word LIMIT 20""".stripMargin
+
 
   // ------------------------------------------------------------- as-of join
   /** Attribution as-of join: every click annotated with the user's most
@@ -743,12 +705,14 @@ object RelationalQueries {
       .select(col("user_id"), col("click_id"), col("view_id"))
       .orderBy(col("user_id"), col("click_id"))
   }
+
   val q49_sql: String =
     """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
       |FROM (SELECT * FROM events WHERE event_type = 'click') c
       |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
       |  ON c.user_id = v.user_id AND v.ts <= c.ts
       |ORDER BY c.user_id, click_id""".stripMargin
+
 
   /** Forward as-of: every view annotated with the user's NEAREST FOLLOWING
     * purchase — [[graft.operators.AsOfJoin]]'s same one-shuffle sweep run
@@ -766,12 +730,14 @@ object RelationalQueries {
       .select(col("user_id"), col("view_id"), col("purchase_id"))
       .orderBy(col("user_id"), col("view_id"))
   }
+
   val q81_sql: String =
     """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
       |FROM (SELECT * FROM events WHERE event_type = 'view') v
       |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON v.user_id = p.user_id AND p.ts >= v.ts
       |ORDER BY v.user_id, view_id""".stripMargin
+
 
   // ------------------------------------------------------------- range join
   /** Bounded time-range self-join: per error event, how many clicks the
@@ -792,6 +758,7 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_recent_clicks"))
       .orderBy(col("err_id"))
   }
+
   val q50_sql: String =
     """SELECT e.event_id AS err_id, count(*) AS n_recent_clicks
       |FROM (SELECT * FROM events WHERE event_type = 'error') e
@@ -800,89 +767,6 @@ object RelationalQueries {
       | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
       |GROUP BY err_id ORDER BY err_id""".stripMargin
 
-  // --------------------------------------- correlated scalar subquery (Q17)
-  /** TPC-H Q17 shape: revenue from small-quantity lines of one brand, where
-    * "small" is per-part (quantity < 20% of that part's average) — the
-    * correlated scalar subquery. Spark-first decorrelation: the per-part
-    * caps are ONE map-side-combined groupBy over lineitem, then an equi-join
-    * back — no per-row re-aggregation, no nested-loop. The brand filter
-    * broadcasts (bounded dim side). */
-  val q57_small_qty_revenue: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    val pt = Tables.part(s, d)
-    val caps = li.groupBy(col("l_partkey"))
-      .agg(((dsum(col("l_quantity")) / count(lit(1))) * 0.2).as("qty_cap"))
-    li.join(broadcast(pt.where(col("p_brand") === "Brand#19")
-          .select(col("p_partkey").as("l_partkey"))), Seq("l_partkey"))
-      .join(caps, Seq("l_partkey"))
-      .where(col("l_quantity") < col("qty_cap"))
-      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
-           count(lit(1)).as("n_lines"))
-  }
-  val q57_sql: String =
-    """WITH caps AS (
-      |  SELECT l_partkey,
-      |         (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) * 0.2 AS qty_cap
-      |  FROM lineitem GROUP BY l_partkey)
-      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
-      |       count(*) AS n_lines
-      |FROM lineitem
-      |JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#19'
-      |JOIN caps USING (l_partkey)
-      |WHERE l_quantity < qty_cap""".stripMargin
-
-  // ------------------------------------------------- IN/HAVING subquery (Q18)
-  /** TPC-H Q18 shape: orders whose total line quantity exceeds a threshold
-    * (`o_orderkey IN (… GROUP BY … HAVING …)`). Spark-first: the HAVING
-    * aggregate joins back to orders on its own key — at scale both sides
-    * shuffle once on orderkey and AQE picks broadcast when the filtered
-    * aggregate is small. */
-  val q58_big_orders: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    val o = Tables.orders(s, d)
-    val big = li.groupBy(col("l_orderkey"))
-      .agg(dsum(col("l_quantity")).as("sum_qty"))
-      .where(col("sum_qty") > 250.0)
-    o.join(big, o("o_orderkey") === big("l_orderkey"))
-      .select(col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
-      .orderBy(col("o_orderkey"))
-  }
-  val q58_sql: String =
-    """SELECT o_orderkey, o_totalprice, sum_qty
-      |FROM orders
-      |JOIN (SELECT l_orderkey,
-      |             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-      |      FROM lineitem GROUP BY l_orderkey
-      |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0) big
-      |  ON o_orderkey = big.l_orderkey
-      |ORDER BY o_orderkey""".stripMargin
-
-  // ------------------------------------------- self-join EXISTS top-k (Q21)
-  /** TPC-H Q21 shape: suppliers whose returned ('R') lines sit in
-    * multi-supplier orders — a self-join EXISTS reduced to a left-semi join
-    * (orderkey equality + suppkey inequality residual), then a top-10.
-    * The semi join shuffles on orderkey only; no pair materialization. */
-  val q59_supplier_returns: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    val returned = li.where(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val others = li.select(col("l_orderkey").as("o_key"), col("l_suppkey").as("other_supp"))
-    returned.join(others,
-        col("l_orderkey") === col("o_key") && col("l_suppkey") =!= col("other_supp"),
-        "left_semi")
-      .groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("n_lines"))
-      .orderBy(col("n_lines").desc, col("l_suppkey"))
-      .limit(10)
-  }
-  val q59_sql: String =
-    """SELECT l_suppkey, count(*) AS n_lines
-      |FROM lineitem l1
-      |WHERE l_returnflag = 'R'
-      |  AND EXISTS (SELECT 1 FROM lineitem l2
-      |              WHERE l2.l_orderkey = l1.l_orderkey
-      |                AND l2.l_suppkey <> l1.l_suppkey)
-      |GROUP BY l_suppkey ORDER BY n_lines DESC, l_suppkey LIMIT 10""".stripMargin
 
   // ----------------------------------------------------------- salted join
   /** [[graft.operators.Skew.saltedJoin]] exercised end-to-end against the
@@ -898,6 +782,7 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("flag_id"))
   }
+
   val q60_sql: String =
     """WITH dim AS (
       |  SELECT l_returnflag, row_number() OVER (ORDER BY l_returnflag ASC NULLS FIRST) AS flag_id
@@ -907,659 +792,6 @@ object RelationalQueries {
       |FROM lineitem JOIN dim USING (l_returnflag)
       |GROUP BY flag_id, l_returnflag ORDER BY flag_id""".stripMargin
 
-  // ------------------------------------------------ EXISTS date window (Q4)
-  /** TPC-H Q4 shape: order-priority counts for a quarter's orders having at
-    * least one line shipped after the order date — `EXISTS` reduced to a
-    * left-semi join (orderkey equality + date residual). The date filter
-    * prunes orders BEFORE the join (pushed to the scan); the semi join
-    * shuffles on orderkey only and never materializes matched pairs. */
-  val q62_order_priority: Q = (s, d) => {
-    val o = Tables.orders(s, d)
-      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-             col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
-    o.join(li,
-        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
-        "left_semi")
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("order_count"))
-      .orderBy(col("o_orderpriority"))
-  }
-  val q62_sql: String =
-    """SELECT o_orderpriority, count(*) AS order_count
-      |FROM orders o
-      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-      |  AND o_orderdate <  TIMESTAMP '1996-07-01'
-      |  AND EXISTS (SELECT 1 FROM lineitem l
-      |              WHERE l.l_orderkey = o.o_orderkey
-      |                AND l.l_shipdate > o.o_orderdate)
-      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-
-  // --------------------------------- left-outer count distribution (Q13)
-  /** TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
-    * zero-order customers — the left outer join whose unmatched side must
-    * count as 0, then a second (tiny) aggregation over the counts. Both
-    * aggregations are map-side combined; the join shuffles on custkey. */
-  val q63_custdist: Q = (s, d) => {
-    val c = Tables.customer(s, d).select(col("c_custkey"))
-    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"))
-    c.join(o, col("c_custkey") === col("o_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
-      .groupBy(col("c_count"))
-      .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
-  }
-  val q63_sql: String =
-    """SELECT c_count, count(*) AS custdist
-      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
-      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-      |      GROUP BY c_custkey) cc
-      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
-
-  // ------------------------------------------- correlated min (Q2 shape)
-  /** TPC-H Q2 shape: for each small part, the supplier(s) offering its
-    * MINIMUM price — the correlated `= (SELECT min(…) …)` subquery,
-    * decorrelated Spark-first into one groupBy over the fact table plus an
-    * equi-join back on the same key (one shuffle, reused by AQE). The part
-    * filter and the supplier→nation lookups broadcast (bounded dims).
-    * `min` is order-independent, so double equality is cross-engine exact. */
-  val q64_min_cost_supplier: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-    val mn = li.groupBy(col("l_partkey")).agg(min(col("l_extendedprice")).as("min_price"))
-    li.join(mn, Seq("l_partkey"))
-      .where(col("l_extendedprice") === col("min_price"))
-      .join(broadcast(Tables.part(s, d).where(col("p_size") < 15)
-        .select(col("p_partkey"), col("p_name"))), col("p_partkey") === col("l_partkey"))
-      .join(broadcast(Tables.supplier(s, d)
-        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
-        col("s_suppkey") === col("l_suppkey"))
-      .join(broadcast(Tables.nation(s, d)
-        .select(col("n_nationkey"), col("n_name"))),
-        col("n_nationkey") === col("s_nationkey"))
-      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"), col("min_price"))
-      .distinct()
-      .orderBy(col("p_partkey"), col("s_name"), col("n_name"))
-  }
-  val q64_sql: String =
-    """WITH mn AS (SELECT l_partkey, min(l_extendedprice) AS min_price
-      |            FROM lineitem GROUP BY l_partkey)
-      |SELECT DISTINCT p_partkey, p_name, s_name, n_name, min_price
-      |FROM lineitem
-      |JOIN mn USING (l_partkey)
-      |JOIN part ON p_partkey = l_partkey AND p_size < 15
-      |JOIN supplier ON s_suppkey = l_suppkey
-      |JOIN nation ON n_nationkey = s_nationkey
-      |WHERE l_extendedprice = min_price
-      |ORDER BY p_partkey, s_name, n_name""".stripMargin
-
-  // ------------------------------------------- shipping priority (Q3)
-  /** TPC-H Q3 shape: top-10 unshipped-revenue orders for one market
-    * segment. The two fact tables join on orderkey (single co-keyed
-    * shuffle, AQE may broadcast the date-pruned orders side); the segment
-    * filter prunes customers before their join. Revenue accumulates in
-    * DECIMAL(18,6) for cross-engine exactness; ties break on orderkey. */
-  val q66_shipping_priority: Q = (s, d) => {
-    val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey"))
-    val o = Tables.orders(s, d)
-      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
-    val li = Tables.lineitem(s, d)
-      .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
-      .select(col("l_orderkey"), col("revenue"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-        col("o_orderpriority"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
-      .limit(10)
-  }
-  val q66_sql: String =
-    """SELECT l_orderkey,
-      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-      |       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-      |       o_orderpriority
-      |FROM customer
-      |JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON l_orderkey = o_orderkey
-      |WHERE c_mktsegment = 'BUILDING'
-      |  AND o_orderdate < TIMESTAMP '1998-01-01'
-      |  AND l_shipdate > TIMESTAMP '1998-01-01'
-      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
-
-  // --------------------------------------- local supplier volume (Q5)
-  /** TPC-H Q5 shape: revenue by nation where customer and supplier share
-    * the nation, restricted to one region. Every dimension (nation, region,
-    * supplier, customer) broadcasts; lineitem⋈orders is the only big join.
-    * The c_nationkey = s_nationkey restriction rides the join condition —
-    * no extra shuffle. */
-  val q67_local_supplier_volume: Q = (s, d) => {
-    val r = Tables.region(s, d).where(col("r_name") === "ASIA")
-    val n = Tables.nation(s, d)
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"), col("n_name"))
-    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
-    val o = Tables.orders(s, d)
-      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
-    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(c, col("o_custkey") === col("c_custkey") &&
-               col("c_nationkey") === col("s_nationkey"))
-      .groupBy(col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
-  }
-  val q67_sql: String =
-    """SELECT n_name,
-      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-      |FROM customer
-      |JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON l_orderkey = o_orderkey
-      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-      |JOIN nation ON s_nationkey = n_nationkey
-      |JOIN region ON n_regionkey = r_regionkey
-      |WHERE r_name = 'ASIA'
-      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
-      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
-      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
-
-  // ------------------------------------------- returned items (Q10)
-  /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
-    * quarter. Orders date-pruned at the scan; the returnflag filter prunes
-    * lineitem before its join; nation broadcasts. Group-by keys include the
-    * (unaggregated, exact) c_acctbal passthrough. */
-  val q68_returned_items: Q = (s, d) => {
-    val c = Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
-    val o = Tables.orders(s, d)
-      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-             col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
-      .orderBy(col("revenue").desc, col("c_custkey"))
-      .limit(20)
-  }
-  val q68_sql: String =
-    """SELECT c_custkey, c_name, c_acctbal, n_name,
-      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-      |FROM customer
-      |JOIN orders ON c_custkey = o_custkey
-      |JOIN lineitem ON l_orderkey = o_orderkey
-      |JOIN nation ON c_nationkey = n_nationkey
-      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
-      |  AND l_returnflag = 'R'
-      |GROUP BY c_custkey, c_name, c_acctbal, n_name
-      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
-
-  // --------------------------------------- conditional counts (Q12)
-  /** TPC-H Q12 shape (shipmode → linestatus; the testdata carries no
-    * shipmode column): per line status, how many late-shipped lines belong
-    * to high- vs low-priority orders — the two-armed conditional aggregate.
-    * One orderkey join, one 2-group aggregation, both map-side partial. */
-  val q69_late_lines_priority: Q = (s, d) => {
-    val o = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
-    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .groupBy(col("l_linestatus"))
-      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-           sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
-      .orderBy(col("l_linestatus"))
-  }
-  val q69_sql: String =
-    """SELECT l_linestatus,
-      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
-      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
-
-  // ------------------------------------------- promo revenue (Q14)
-  /** TPC-H Q14 shape: promo revenue share — a global ratio of two
-    * conditional sums over one month of lineitem joined to part. Part
-    * broadcasts (join key only + type flag); numerator and denominator
-    * accumulate in DECIMAL and divide once, same operation order both
-    * engines. */
-  val q70_promo_revenue: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
-             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-    val pt = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
-    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-      .agg(((dsum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)), 6) * 100.0) /
-            dsum(disc, 6)).as("promo_revenue_pct"),
-           count(lit(1)).as("n_lines"))
-  }
-  val q70_sql: String =
-    """SELECT (CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-      |                          THEN l_extendedprice * (1.0 - l_discount)
-      |                          ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) * 100.0)
-      |       / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct,
-      |       count(*) AS n_lines
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
-      |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin
-
-  // --------------------------------- disjunctive predicates (Q19)
-  /** TPC-H Q19 shape: revenue under an OR of three brand/size/quantity
-    * envelopes. The part-key equality stays the single join condition —
-    * the disjunction is a post-join filter, so the join remains a plain
-    * (broadcastable) equi-join rather than a theta join; the common
-    * `p_size >= 1` conjunct is pushed to the part scan. */
-  val q71_brand_envelopes: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-    val pt = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
-    val env =
-      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
-        col("l_quantity").between(1, 11)) ||
-      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
-        col("l_quantity").between(10, 20)) ||
-      (col("p_brand") === "Brand#25" && col("p_size").between(1, 15) &&
-        col("l_quantity").between(20, 30))
-    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-      .where(env)
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
-           count(lit(1)).as("n_lines"))
-  }
-  val q71_sql: String =
-    """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-      |       count(*) AS n_lines
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
-      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-      |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
-
-  // ------------------------------- supplier-count distribution (Q16)
-  /** TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
-    * non-excluded parts, using lineitem as the part↔supplier fact (the
-    * testdata has no partsupp). Negative-balance suppliers are excluded by
-    * an anti join BEFORE the distinct count; the (partkey, suppkey) pairs
-    * are deduped map-side by the countDistinct partial aggregation. */
-  val q72_supplier_dist: Q = (s, d) => {
-    val ps = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-    val bad = Tables.supplier(s, d).where(col("s_acctbal") < 0)
-      .select(col("s_suppkey"))
-    val pt = Tables.part(s, d)
-      .where(col("p_brand") =!= "Brand#19" && col("p_size").isin(1, 9, 19, 29, 49))
-      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
-    ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
-  }
-  val q72_sql: String =
-    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
-      |FROM lineitem
-      |JOIN part ON p_partkey = l_partkey
-      |WHERE p_brand <> 'Brand#19'
-      |  AND p_size IN (1, 9, 19, 29, 49)
-      |  AND NOT EXISTS (SELECT 1 FROM supplier
-      |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
-      |GROUP BY p_brand, p_type, p_size
-      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
-
-  // ----------------------------------- dormant rich customers (Q22)
-  /** TPC-H Q22 shape: customers with above-average positive balances and
-    * NO orders, per nation — a scalar aggregate subquery feeding a filter,
-    * then an anti join. The scalar average computes once (decimal-exact,
-    * identical op order both engines) and broadcasts into the comparison;
-    * the anti join ships only custkeys. */
-  val q73_dormant_customers: Q = (s, d) => {
-    val c = Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
-    val avgBal = c.where(col("c_acctbal") > 0.0)
-      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("a"))
-    val rich = c.join(broadcast(avgBal)).where(col("c_acctbal") > col("a"))
-    rich.join(Tables.orders(s, d).select(col("o_custkey")),
-        col("c_custkey") === col("o_custkey"), "left_anti")
-      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
-      .orderBy(col("n_name"))
-  }
-  val q73_sql: String =
-    """WITH a AS (
-      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS a
-      |  FROM customer WHERE c_acctbal > 0.0)
-      |SELECT n_name, count(*) AS numcust,
-      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
-      |FROM customer
-      |JOIN nation ON c_nationkey = n_nationkey
-      |CROSS JOIN a
-      |WHERE c_acctbal > a.a
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-      |GROUP BY n_name ORDER BY n_name""".stripMargin
-
-  // ------------------------------------------------- salted aggregation
-  /** [[graft.operators.Skew.saltedAgg]] end-to-end against the oracle a
-    * PLAIN groupBy would use: the two-phase (key, salt) partial → key merge
-    * decomposition must be algebraically invisible. Counts merge as sums;
-    * the double sum stays in DECIMAL through BOTH phases (re-association is
-    * exact), surfacing as DOUBLE only at the end. l_returnflag has 3
-    * distinct values over the whole fact table — exactly the hot-key shape
-    * where one reducer would otherwise take the entire skew. */
-  val q76_salted_agg: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    graft.operators.Skew.saltedAgg(li, Seq("l_returnflag"), 16,
-        partial = Seq(count(lit(1)).as("__n"),
-          sum(col("l_quantity").cast("decimal(18,4)")).as("__q")),
-        merge = Seq(sum(col("__n")).as("n"),
-          sum(col("__q")).cast("double").as("sum_qty")))
-      .orderBy(col("l_returnflag"))
-  }
-  val q76_sql: String =
-    """SELECT l_returnflag, count(*) AS n,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-
-  // --------------------------------------------- analytic window battery
-  /** The full analytic-window surface in one query: lag/lead offsets,
-    * ntile bucketing, percent_rank and cume_dist — all over one
-    * (user, time) window, so Spark evaluates them in a single Window node
-    * after one hash-partition shuffle. The unique (ts, event_id) ordering
-    * makes every function deterministic; percent_rank's
-    * (rank-1)/(n-1) double division is the same expression both engines. */
-  val q77_window_analytics: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(s, d)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    e.select(col("user_id"), col("event_id"),
-        lag(col("event_id"), 1).over(w).as("prev_id"),
-        lead(col("event_id"), 1).over(w).as("next_id"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
-      .orderBy(col("user_id"), col("event_id"))
-  }
-  val q77_sql: String =
-    """SELECT user_id, event_id,
-      |       lag(event_id, 1) OVER w AS prev_id,
-      |       lead(event_id, 1) OVER w AS next_id,
-      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-      |       percent_rank() OVER w AS pct_rank,
-      |       cume_dist() OVER w AS cume
-      |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      |ORDER BY user_id, event_id""".stripMargin
-
-  // --------------------------------------------- market share ratio (Q8)
-  /** TPC-H Q8 shape: one region-restricted nation's share of yearly
-    * revenue — a ratio of a CONDITIONAL sum to the total, per group. Both
-    * sums ride the same aggregation (one pass); numerator and denominator
-    * accumulate in DECIMAL and divide once per row. Supplier/nation/region
-    * broadcast; the orders join is the only co-keyed shuffle. */
-  val q82_market_share: Q = (s, d) => {
-    val n = Tables.nation(s, d)
-      .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey"), col("n_name"))
-    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
-    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left")
-      .groupBy(year(col("o_orderdate")).as("o_year"))
-      .agg((dsum(when(col("n_name") === "NATION_2", disc).otherwise(lit(0.0)), 6) /
-            dsum(disc, 6)).as("mkt_share"),
-           count(lit(1)).as("n_lines"))
-      .orderBy(col("o_year"))
-  }
-  val q82_sql: String =
-    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-      |       CAST(sum(CAST(CASE WHEN n_name = 'NATION_2'
-      |                          THEN l_extendedprice * (1.0 - l_discount)
-      |                          ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
-      |       / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share,
-      |       count(*) AS n_lines
-      |FROM lineitem
-      |JOIN orders ON l_orderkey = o_orderkey
-      |JOIN supplier ON l_suppkey = s_suppkey
-      |LEFT JOIN (SELECT n_nationkey, n_name FROM nation
-      |           JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA') nn
-      |  ON s_nationkey = nn.n_nationkey
-      |GROUP BY 1 ORDER BY o_year""".stripMargin
-
-  // ------------------------------------------- important stock (Q11)
-  /** TPC-H Q11 shape: per-part inventory value exceeding a FRACTION OF THE
-    * GLOBAL total — a grouped aggregate filtered against a scalar
-    * aggregate of the same fact. The scalar computes once and broadcasts
-    * into the HAVING comparison (no re-scan: AQE reuses the exchange). */
-  val q83_important_parts: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
-    val value = col("l_extendedprice") * col("l_quantity")
-    val perPart = li.groupBy(col("l_partkey")).agg(dsum(value, 2).as("part_value"))
-    val total = li.agg((dsum(value, 2) * 0.001).as("threshold"))
-    perPart.join(broadcast(total))
-      .where(col("part_value") > col("threshold"))
-      .select(col("l_partkey"), col("part_value"))
-      .orderBy(col("part_value").desc, col("l_partkey"))
-  }
-  val q83_sql: String =
-    """WITH t AS (
-      |  SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 0.001 AS threshold
-      |  FROM lineitem)
-      |SELECT l_partkey,
-      |       CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
-      |FROM lineitem CROSS JOIN t
-      |GROUP BY l_partkey, threshold
-      |HAVING CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS DOUBLE) > threshold
-      |ORDER BY part_value DESC, l_partkey""".stripMargin
-
-  // --------------------------------------------- top supplier (Q15)
-  /** TPC-H Q15 shape: the supplier(s) achieving MAXIMUM quarterly revenue —
-    * argmax via a scalar subquery over the same grouped aggregate (the
-    * classic view + max pattern). The revenue aggregate computes once; the
-    * 1-row max broadcasts back for the equality filter. `max` is
-    * order-independent, so the double equality is cross-engine exact. */
-  val q84_top_supplier: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
-    val revenue = li.groupBy(col("l_suppkey"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("total_revenue"))
-    val best = revenue.agg(max(col("total_revenue")).as("best"))
-    revenue.join(broadcast(best))
-      .where(col("total_revenue") === col("best"))
-      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
-        col("s_suppkey") === col("l_suppkey"))
-      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-      .orderBy(col("s_suppkey"))
-  }
-  val q84_sql: String =
-    """WITH revenue AS (
-      |  SELECT l_suppkey,
-      |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
-      |  FROM lineitem
-      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      |    AND l_shipdate <  TIMESTAMP '1996-04-01'
-      |  GROUP BY l_suppkey)
-      |SELECT s_suppkey, s_name, total_revenue
-      |FROM revenue
-      |JOIN supplier ON s_suppkey = l_suppkey
-      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-      |ORDER BY s_suppkey""".stripMargin
-
-  // --------------------------------------------- forecast revenue (Q6)
-  /** TPC-H Q6 shape: a pure scan-side aggregate — every predicate (date
-    * window, discount band, quantity cap) pushes to the parquet reader, no
-    * join anywhere; the canonical "is pushdown working" probe. */
-  val q86_forecast_revenue: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    li.where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
-             col("l_discount").between(0.05, 0.07) &&
-             col("l_quantity") < 24.0)
-      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
-           count(lit(1)).as("n_lines"))
-  }
-  val q86_sql: String =
-    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-      |       count(*) AS n_lines
-      |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
-      |  AND l_discount BETWEEN 0.05 AND 0.07
-      |  AND l_quantity < 24.0""".stripMargin
-
-  // --------------------------------------------- volume shipping (Q7)
-  /** TPC-H Q7 shape: trade volume between two specific nations in BOTH
-    * directions — the two-sided dimension condition `(supp=A AND cust=B)
-    * OR (supp=B AND cust=A)` evaluated after broadcast nation lookups on
-    * each side, grouped by the (supp_nation, cust_nation, year) pair. */
-  val q87_volume_shipping: Q = (s, d) => {
-    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
-    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation"))
-    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
-        col("l_extendedprice"), col("l_discount"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
-      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-      .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).as("l_year"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
-      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-  }
-  val q87_sql: String =
-    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-      |       CAST(year(l_shipdate) AS INT) AS l_year,
-      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-      |FROM lineitem
-      |JOIN orders ON l_orderkey = o_orderkey
-      |JOIN supplier ON l_suppkey = s_suppkey
-      |JOIN nation sn ON s_nationkey = sn.n_nationkey
-      |JOIN customer ON o_custkey = c_custkey
-      |JOIN nation cn ON c_nationkey = cn.n_nationkey
-      |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-      |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
-      |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin
-
-  // ------------------------------------------------ product profit (Q9)
-  /** TPC-H Q9 shape: profit per nation per year over a part-name
-    * substring filter. The testdata has no partsupp cost, so cost is
-    * proxied by `0.6 × p_retailprice × l_quantity` — the SHAPE (computed
-    * measure joining three dims, LIKE-filtered part, two-level grouping)
-    * is what the query certifies. */
-  val q88_product_profit: Q = (s, d) => {
-    val pt = Tables.part(s, d).where(col("p_name").contains("a"))
-      .select(col("p_partkey"), col("p_retailprice"))
-    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
-    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
-    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-      lit(0.6) * col("p_retailprice") * col("l_quantity")
-    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(dsum(amount, 6).as("sum_profit"))
-      .orderBy(col("nation"), col("o_year").desc)
-  }
-  val q88_sql: String =
-    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-      |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-      |                     - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
-      |FROM lineitem
-      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
-      |JOIN supplier ON l_suppkey = s_suppkey
-      |JOIN nation ON s_nationkey = n_nationkey
-      |JOIN orders ON l_orderkey = o_orderkey
-      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
-
-  // ------------------------------------------- excess suppliers (Q20)
-  /** TPC-H Q20 shape: the nested-IN chain — suppliers of small parts whose
-    * shipped volume for that part exceeds a threshold. Decorrelated
-    * Spark-first: per (part, supplier) shipped quantity in the window,
-    * threshold = half the part's total, semi-join the qualifying pairs
-    * down to suppliers. Everything ships only keys after the first
-    * aggregate. */
-  val q89_excess_suppliers: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-             col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-    val perPair = li.groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(dsum(col("l_quantity")).as("pair_qty"))
-    val perPart = li.groupBy(col("l_partkey"))
-      .agg((dsum(col("l_quantity")) * 0.5).as("half_qty"))
-    val smallParts = Tables.part(s, d).where(col("p_size") < 10)
-      .select(col("p_partkey"))
-    val qualifying = perPair
-      .join(perPart, Seq("l_partkey"))
-      .where(col("pair_qty") > col("half_qty"))
-      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
-      .select(col("l_suppkey")).distinct()
-    Tables.supplier(s, d)
-      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
-      .select(col("s_suppkey"), col("s_name"))
-      .orderBy(col("s_suppkey"))
-  }
-  val q89_sql: String =
-    """WITH win AS (
-      |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
-      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      |    AND l_shipdate <  TIMESTAMP '1997-01-01'),
-      |pair AS (
-      |  SELECT l_partkey, l_suppkey,
-      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS pair_qty
-      |  FROM win GROUP BY 1, 2),
-      |half AS (
-      |  SELECT l_partkey,
-      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 0.5 AS half_qty
-      |  FROM win GROUP BY 1)
-      |SELECT s_suppkey, s_name
-      |FROM supplier
-      |WHERE s_suppkey IN (
-      |  SELECT l_suppkey FROM pair
-      |  JOIN half USING (l_partkey)
-      |  JOIN part ON p_partkey = l_partkey AND p_size < 10
-      |  WHERE pair_qty > half_qty)
-      |ORDER BY s_suppkey""".stripMargin
 
   // ------------------------------------------- format round-trips
   /** JSON-lines sink → scan round-trip: write the documents table as JSON
@@ -1586,6 +818,7 @@ object RelationalQueries {
         sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("text_checksum"))
       .orderBy(col("lang"))
   }
+
   val q93_sql: String =
     """SELECT lang, count(*) AS n_docs,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -1593,6 +826,7 @@ object RelationalQueries {
       |       min(doc_id) AS min_id, max(doc_id) AS max_id,
       |       CAST(sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_checksum
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
 
   /** ORC sink → scan round-trip, same contract as [[q93_json_roundtrip]]
     * but for the columnar interchange format — and deliberately including
@@ -1614,6 +848,7 @@ object RelationalQueries {
         max(col("l_orderkey")).as("max_order"))
       .orderBy(col("l_returnflag"), col("ship_year"))
   }
+
   val q94_sql: String =
     """SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
       |       count(*) AS n_lines,
@@ -1621,6 +856,7 @@ object RelationalQueries {
       |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_revenue,
       |       min(l_orderkey) AS min_order, max(l_orderkey) AS max_order
       |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, ship_year""".stripMargin
+
 
   /** SCD type-2 merge ([[graft.operators.Scd2]]): a versioned customer
     * dimension (some keys carrying closed history rows) absorbs a change
@@ -1653,6 +889,7 @@ object RelationalQueries {
     graft.operators.Scd2.merge(dim, changes, "c_custkey")
       .orderBy(col("c_custkey"), col("valid_from"))
   }
+
   val q96_sql: String =
     """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
       |dim AS (
@@ -1679,6 +916,7 @@ object RelationalQueries {
       |  SELECT c_custkey, c_name, c_acctbal, eff, NULL FROM chg)
       |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin
 
+
   /** Z-order layout as data skipping ([[graft.functions.ZOrder]]): tile
     * lineitem points (x = partkey mod 1024, y = suppkey mod 1024) into 64
     * files two ways — by Morton-key prefix vs by a linear x-only sort —
@@ -1688,8 +926,10 @@ object RelationalQueries {
     * assignment is a pure key prefix (no window, no global sort — at
     * write time the same key feeds `repartitionByRange`). The oracle
     * recomputes the identical interleave from the same constants. */
-  private val ZBits = 10
-  private val ZFileShift = 14
+  private[queries] val ZBits = 10
+
+  private[queries] val ZFileShift = 14
+
   val q97_zorder_skipping: Q = (s, d) => {
     import graft.functions.ZOrder
     val pts = Tables.lineitem(s, d).select(
@@ -1712,6 +952,7 @@ object RelationalQueries {
       .unionByName(layoutStats(shiftrightunsigned(col("x").cast("long"), 4), "linear"))
       .orderBy(col("layout"))
   }
+
   val q97_sql: String = {
     val z = (0 until ZBits).map(i =>
       s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))")
@@ -1734,6 +975,7 @@ object RelationalQueries {
        |ORDER BY layout""".stripMargin
   }
 
+
   /** Table reconciliation ([[graft.operators.Diff]]): snapshot v2 of
     * customer (deterministic deletes / balance updates / inserts) diffed
     * against v1 — one full-outer key join + one count, classifying every
@@ -1753,6 +995,7 @@ object RelationalQueries {
     graft.operators.Diff.summary(v1, v2, "c_custkey")
       .orderBy(col("change_type"))
   }
+
   val q100_sql: String =
     """WITH v1 AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer),
       |v2 AS (
@@ -1773,6 +1016,7 @@ object RelationalQueries {
       |  FROM v1 l FULL OUTER JOIN v2 r ON l.c_custkey = r.c_custkey)
       |SELECT change_type, count(*) AS n_keys
       |FROM classified GROUP BY change_type ORDER BY change_type""".stripMargin
+
 
   /** Column profiling: null count / distinct count / min / max per
     * profiled column, as one multi-aggregate pass unpivoted to a row per
@@ -1801,6 +1045,7 @@ object RelationalQueries {
         col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
       .orderBy(col("column_name"))
   }
+
   val q101_sql: String = {
     val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
     cols.map(cn =>
@@ -1812,6 +1057,7 @@ object RelationalQueries {
          |FROM customer""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
+
 
   /** Hive-style partitioned write → partition-pruned scan round-trip:
     * lineitem lands partitioned by `l_returnflag`, and the read-back
@@ -1836,6 +1082,7 @@ object RelationalQueries {
         max(col("l_orderkey")).as("max_order"))
       .orderBy(col("l_linestatus"))
   }
+
   val q104_sql: String =
     """SELECT l_linestatus, count(*) AS n_lines,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -1844,65 +1091,6 @@ object RelationalQueries {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
-  // ----------------------------------------------------- bloom prefilter
-  /** Revenue by return flag for lines from one nation's suppliers, with the
-    * fact side pruned by an explicit broadcast Bloom filter BEFORE the
-    * exact semi join ([[BloomPrefilter.semiJoinWithBloom]]). The bloom has
-    * no false negatives and the trailing exact join removes false
-    * positives, so the result is value-identical to the plain semi join —
-    * which is exactly what the oracle runs. At scale this is the pattern
-    * for pruning a 100 TB fact scan against a key set computed in another
-    * job, where Spark's own runtime bloom injection can't reach. */
-  val q109_bloom_prefilter: Q = (s, d) => {
-    val supp = Tables.supplier(s, d)
-      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
-      .filter(col("n_name") === "NATION_3") // present at every test SF
-      .select(col("s_suppkey"))
-    BloomPrefilter.semiJoinWithBloom(
-        Tables.lineitem(s, d), "l_suppkey", supp, "s_suppkey",
-        expectedItems = 1000L, fpp = 0.03)
-      .groupBy(col("l_returnflag"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
-           count(lit(1)).as("n_lines"))
-      .orderBy(col("l_returnflag"))
-  }
-  val q109_sql: String =
-    """SELECT l_returnflag,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-      |       count(*) AS n_lines
-      |FROM lineitem
-      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
-      |                    JOIN nation ON s_nationkey = n_nationkey
-      |                    WHERE n_name = 'NATION_3')
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
-
-  // ------------------------------------------------------------- funnel
-  /** Per-user ordered funnel (view → click → purchase) over `events` —
-    * [[graft.operators.Funnel.depth]]'s single-shuffle greedy fold. The
-    * oracle computes the same funnel the relational way (stage-by-stage
-    * `min(ts) > prev` chaining with left joins); greedy earliest-first
-    * matching is provably the same function, so the two must hash-match. */
-  val q111_funnel: Q = (s, d) =>
-    graft.operators.Funnel.depth(
-        Tables.events(s, d), "user_id", "event_type", "ts",
-        Seq("view", "click", "purchase"))
-      .orderBy(col("user_id"))
-  val q111_sql: String =
-    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
-      |     c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
-      |           WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
-      |     p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
-      |           WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
-      |     base AS (SELECT DISTINCT user_id FROM events
-      |              WHERE event_type IN ('view', 'click', 'purchase'))
-      |SELECT b.user_id,
-      |       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
-      |                 WHEN c.user_id IS NOT NULL THEN 2
-      |                 WHEN v.user_id IS NOT NULL THEN 1
-      |                 ELSE 0 END AS BIGINT) AS funnel_depth
-      |FROM base b LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-      |ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------- bucketed join
   /** Bucketed-table pair for [[q157_bucketed_join]], memoized per dataset
@@ -1912,10 +1100,11 @@ object RelationalQueries {
     * shuffle-free AND sort-free. Table names carry a dir hash so sf0.001
     * tests and sf0.01/0.1 runs never collide in the shared session
     * catalog. */
-  private val bucketed =
+  private[queries] val bucketed =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def bucketedPair(s: SparkSession, d: String): (String, String) =
+
+  private[queries] def bucketedPair(s: SparkSession, d: String): (String, String) =
     bucketed.computeIfAbsent(d, { _ =>
       val h = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
       val li = s"li_bkt_$h"
@@ -1941,6 +1130,7 @@ object RelationalQueries {
       (li, ord)
     })
 
+
   /** Co-located big⋈big join via BUCKETED tables — the 100 TB fact⋈fact
     * shape: both sides pre-bucketed on the join key, so the SortMergeJoin
     * reads buckets pairwise with NO shuffle on either side
@@ -1963,11 +1153,13 @@ object RelationalQueries {
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
+
   val q157_sql: String =
     """SELECT o_orderpriority, count(*)::BIGINT AS n_lines,
       |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
 
   // ----------------------------------------------- round 7: maintenance/OLS
   /** Small-file compaction round-trip — [[graft.io.Compact]]: the
@@ -1985,247 +1177,11 @@ object RelationalQueries {
         col("lang"), col("source"))
       .orderBy(col("doc_id"))
   }
+
   val q174_sql: String =
     """SELECT doc_id, md5(text) AS text_md5, lang, source
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Per-priority revenue trend — [[graft.operators.GroupRegression]]:
-    * closed-form OLS of fixed-point order totals over a month index, per
-    * order priority, in ONE partial-aggregated pass. The five sufficient
-    * statistics are decimal(38,0) integers on both engines; only the
-    * final slope/intercept divides run in IEEE doubles (same operation
-    * order), so the fit hash-matches exactly. */
-  val q175_priority_trend: Q = (s, d) => {
-    val o = Tables.orders(s, d).select(col("o_orderpriority"),
-      ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
-        .cast("long").as("x"),
-      round(col("o_totalprice") * 10000).cast("long").as("y"))
-    graft.operators.GroupRegression.fit(o, "o_orderpriority", "x", "y")
-      .orderBy(col("o_orderpriority"))
-  }
-  val q175_sql: String =
-    """WITH t AS (SELECT o_orderpriority,
-      |    ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1)::BIGINT AS x,
-      |    CAST(round(o_totalprice * 10000) AS BIGINT) AS y
-      |  FROM orders),
-      |a AS (SELECT o_orderpriority, count(*)::HUGEINT AS n,
-      |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
-      |    sum(x::HUGEINT * y::HUGEINT) AS sxy, sum(x::HUGEINT * x::HUGEINT) AS sxx
-      |  FROM t GROUP BY 1),
-      |b AS (SELECT o_orderpriority, n, sx, sy,
-      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM a)
-      |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
-      |  CASE WHEN den = 0 THEN NULL
-      |       ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
-      |  CASE WHEN den = 0 THEN NULL
-      |       ELSE (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
-      |             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept
-      |FROM b ORDER BY o_orderpriority""".stripMargin
-
-  // ------------------------------------------- round 7: incremental refresh
-  /** Incremental view maintenance — [[graft.operators.Incremental]]: the
-    * per-(source, lang) rollup is materialized once over the base (80% of
-    * the corpus), then refreshed from a weighted changelog — inserts (the
-    * remaining 20%, weight +1) and retractions (every 97th base doc,
-    * weight −1) — WITHOUT rescanning the base: the refresh
-    * partial-aggregates only the delta and merges two |groups|-bounded
-    * frames. At 100 TB this is the difference between a per-batch
-    * delta-sized job and a daily full-table recompute; the oracle replays
-    * the equivalent full recompute, certifying the maintained view equals
-    * it exactly (including retraction arithmetic). */
-  val q193_incremental_agg: Q = (s, d) => {
-    import graft.operators.Incremental
-    val doc = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-    val base = doc.where(col("doc_id") % 10 < 8)
-    val state = Incremental.partial(base, Seq("source", "lang"), lit(1L),
-      Seq("tot_chars" -> col("n_chars")))
-    val changes = doc.where(col("doc_id") % 10 >= 8).withColumn("w", lit(1L))
-      .unionByName(base.where(col("doc_id") % 97 === 0).withColumn("w", lit(-1L)))
-    val deltaPartial = Incremental.partial(changes, Seq("source", "lang"),
-      col("w"), Seq("tot_chars" -> col("n_chars")))
-    Incremental.merge(Seq(state, deltaPartial), Seq("source", "lang"))
-      .orderBy(col("source"), col("lang"))
-  }
-  val q193_sql: String =
-    """SELECT source, lang, count(*)::BIGINT AS n_rows,
-      |       sum(n_chars)::BIGINT AS tot_chars
-      |FROM documents
-      |WHERE (doc_id % 10 < 8 AND doc_id % 97 <> 0) OR doc_id % 10 >= 8
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  /** Per-source exact top-5 by length — [[graft.operators.TopK]]: the
-    * map-side-combinable top-k AGGREGATE, the 100 TB alternative to q33's
-    * window form. `row_number() OVER (PARTITION BY …)` shuffles and sorts
-    * every corpus row; the aggregator's partial combine keeps ≤ k pairs
-    * per group per map task, so the exchange carries |groups|·k bounded
-    * buffers. Exact (top-k is distributive), deterministic via the
-    * (score DESC, id ASC) tie-break; the oracle replays the window form —
-    * the two formulations must agree row-for-row. */
-  val q197_topk_agg: Q = (s, d) =>
-    graft.operators.TopK.topKByGroup(
-      Tables.documents(s, d).select(col("source"), col("n_chars"), col("doc_id")),
-      "source", "n_chars", "doc_id", 5)
-      .orderBy(col("source"), col("rank"))
-  val q197_sql: String =
-    """SELECT source, rank, doc_id, n_chars FROM (
-      |  SELECT source, doc_id, n_chars,
-      |         row_number() OVER (PARTITION BY source
-      |           ORDER BY n_chars DESC, doc_id)::BIGINT AS rank
-      |  FROM documents) WHERE rank <= 5
-      |ORDER BY source, rank""".stripMargin
-
-  /** HITS hubs-and-authorities over the customer→supplier purchase graph,
-    * two fixed-point rounds — the directed-graph complement of PageRank
-    * (q129): authority(supplier) = Σ weight·hub(customer) over purchase
-    * edges, hub = Σ weight·authority, each round sum-normalized to 1e6 in
-    * EXACT integer arithmetic (decimal(38,0) partial sums, integral `div`
-    * — no libm, no float drift; DuckDB replays in HUGEINT). Per round:
-    * one edge⋈score hash join + one map-side-combined aggregate; the edge
-    * list is built once and localCheckpoint'ed, score frames are bounded
-    * by the entity counts. The oracle unrolls both rounds as CTEs. */
-  val q199_hits: Q = (s, d) => {
-    val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-      .groupBy(col("c"), col("p"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("w"))
-      .localCheckpoint(true)
-    def normalize(raw: DataFrame, key: String, rawCol: String): DataFrame = {
-      val tot = raw.agg(sum(col(rawCol)).cast("decimal(38,0)").as("TOT"))
-      raw.crossJoin(broadcast(tot))
-        .select(col(key), expr(s"($rawCol * 1000000) div TOT").as("score"))
-    }
-    val a1 = normalize(
-      e.groupBy(col("p"))
-        .agg((sum(col("w")) * lit(1000000L)).cast("decimal(38,0)").as("raw")),
-      "p", "raw").localCheckpoint(true)
-    val h1 = normalize(
-      e.join(a1, Seq("p"))
-        .groupBy(col("c"))
-        .agg(sum(col("w") * col("score")).cast("decimal(38,0)").as("raw")),
-      "c", "raw").localCheckpoint(true)
-    val a2 = normalize(
-      e.join(h1, Seq("c"))
-        .groupBy(col("p"))
-        .agg(sum(col("w") * col("score")).cast("decimal(38,0)").as("raw")),
-      "p", "raw")
-    a1.select(col("p"), col("score").as("auth1_fp"))
-      .join(a2.select(col("p"), col("score").as("auth2_fp")), Seq("p"))
-      .select(col("p").as("suppkey"), col("auth1_fp"), col("auth2_fp"))
-      .orderBy(col("suppkey"))
-  }
-  val q199_sql: String =
-    """WITH e AS (SELECT o_custkey AS c, l_suppkey AS p, count(*)::HUGEINT AS w
-      |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      |           GROUP BY 1, 2),
-      |a1r AS (SELECT p, sum(w) * 1000000 AS raw FROM e GROUP BY 1),
-      |s1 AS (SELECT sum(raw) AS tot FROM a1r),
-      |a1 AS (SELECT p, (raw * 1000000) // tot AS score FROM a1r, s1),
-      |h1r AS (SELECT c, sum(e.w * a1.score) AS raw
-      |        FROM e JOIN a1 USING (p) GROUP BY 1),
-      |hh1 AS (SELECT sum(raw) AS tot FROM h1r),
-      |h1 AS (SELECT c, (raw * 1000000) // tot AS score FROM h1r, hh1),
-      |a2r AS (SELECT p, sum(e.w * h1.score) AS raw
-      |        FROM e JOIN h1 USING (c) GROUP BY 1),
-      |s2 AS (SELECT sum(raw) AS tot FROM a2r),
-      |a2 AS (SELECT p, (raw * 1000000) // tot AS score FROM a2r, s2)
-      |SELECT a1.p AS suppkey, a1.score::BIGINT AS auth1_fp,
-      |       a2.score::BIGINT AS auth2_fp
-      |FROM a1 JOIN a2 USING (p) ORDER BY suppkey""".stripMargin
-
-  // --------------------------------------- round 7: time-series + evolution
-  /** Keyed gap-fill — [[graft.operators.Impute]]: every 5th reading is
-    * nulled out, then carried forward (LOCF) and backward within each
-    * user's timeline. Two frame-bounded window passes partitioned on
-    * user_id sharing ONE (key, order) sort shuffle — no join, no
-    * self-union, codegen throughout; leading/trailing gaps stay null.
-    * The (ts, event_id) ordering is total, so fills are deterministic
-    * and the oracle replays them with IGNORE NULLS window functions. */
-  val q201_locf_fill: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
-      col("ts"),
-      when(col("event_id") % 5 === 0, lit(null).cast("double"))
-        .otherwise(col("value")).as("v"))
-    graft.operators.Impute.fill(ev, "user_id", Seq(col("ts"), col("event_id")), "v")
-      .select(col("event_id"), col("user_id"), col("v"), col("v_ffill"),
-        col("v_bfill"))
-      .orderBy(col("event_id"))
-  }
-  val q201_sql: String =
-    """WITH e AS (SELECT event_id, user_id, ts,
-      |             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
-      |           FROM events)
-      |SELECT event_id, user_id, v,
-      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
-      |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id
-      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
-      |FROM e ORDER BY event_id""".stripMargin
-
-  /** Per-user integer EWMA — [[graft.operators.Ewma]]: the ordered
-    * value-recursive fold `sₜ = (sₜ₋₁ + xₜ) div 2` that NO window
-    * function can express, folded in one constant-memory sorted-run scan
-    * (repartition by user + sortWithinPartitions + mapPartitions with
-    * key-change reset — no per-key buffer, unbounded history). All
-    * integer, so the oracle's O(n²)-per-user prefix list_reduce replay
-    * hash-matches exactly. */
-  val q202_ewma_fixed: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("user_id"),
-      unix_millis(col("ts")).as("tsm"), col("event_id"),
-      round(abs(col("value")) * 10000).cast("long").as("x"))
-    graft.operators.Ewma.halfLife(ev, "user_id", "tsm", "event_id", "x")
-      .orderBy(col("event_id"))
-  }
-  val q202_sql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm,
-      |             CAST(round(abs(value) * 10000) AS BIGINT) AS x
-      |           FROM events),
-      |g AS (SELECT user_id,
-      |        list(x ORDER BY tsm, event_id) AS xs,
-      |        list(event_id ORDER BY tsm, event_id) AS ids
-      |      FROM e GROUP BY 1),
-      |u AS (SELECT user_id, unnest(ids) AS event_id, unnest(xs) AS x,
-      |             unnest(list_transform(range(1, len(xs) + 1),
-      |               i -> list_reduce(xs[1:i], (a, b) -> (a + b) // 2))) AS ewma
-      |      FROM g)
-      |SELECT user_id, event_id, x, ewma FROM u ORDER BY event_id""".stripMargin
-
-  /** First-order Markov transition matrix of the event stream: per-user
-    * lag pairs (one keyed window sort), then a map-side-combined count
-    * per (prev, next) — the transition frame is bounded by |event
-    * types|², so the probability normalization (integral fixed point,
-    * window over the BOUNDED counts frame) never touches corpus-sized
-    * data again. */
-  val q203_markov_transitions: Q = (s, d) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .where(col("prev_type").isNotNull)
-      .select(col("prev_type"), col("event_type").as("next_type"))
-    val counts = pairs.groupBy(col("prev_type"), col("next_type"))
-      .agg(count(lit(1)).as("n"))
-    counts
-      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
-      .withColumn("prob_fp", expr("(n * 1000000) div tot"))
-      .drop("tot")
-      .orderBy(col("prev_type"), col("next_type"))
-  }
-  val q203_sql: String =
-    """WITH p AS (SELECT user_id, event_type,
-      |             lag(event_type) OVER (PARTITION BY user_id
-      |               ORDER BY ts, event_id) AS prev_type
-      |           FROM events),
-      |c AS (SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
-      |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-      |t AS (SELECT prev_type, sum(n)::HUGEINT AS tot FROM c GROUP BY 1)
-      |SELECT c.prev_type, c.next_type, c.n,
-      |       ((c.n * 1000000) // t.tot)::BIGINT AS prob_fp
-      |FROM c JOIN t USING (prev_type) ORDER BY prev_type, next_type""".stripMargin
 
   /** Schema-evolution read: two parquet generations (v2 adds `lang`)
     * merged by `mergeSchema` into one relation, absent columns
@@ -2246,1470 +1202,15 @@ object RelationalQueries {
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id"))
   }
+
   val q204_sql: String =
     """SELECT doc_id, source,
       |       CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Regular-grid resample + gap-fill — [[graft.operators.Resample]]
-    * densifies each user's timeline onto an hourly grid (map-side-
-    * combined bucket agg → |keys|-bounded span frame → narrow
-    * budget-guarded `sequence` explode → keyed left join), then
-    * [[graft.operators.Impute]] carries the bucket sums across empty
-    * ticks. Grid arithmetic is epoch-millis Longs throughout, so the
-    * oracle regenerates the identical grid with `range()` — no
-    * timestamp-zone semantics in the compared output. */
-  val q205_resample_grid: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("user_id"),
-      unix_millis(col("ts")).as("tsm"),
-      round(abs(col("value")) * 10000).cast("long").as("x"))
-    val grid = graft.operators.Resample.toGrid(ev, "user_id", col("tsm"),
-      3600000L, Seq("n_obs" -> count(lit(1)), "x_sum" -> sum(col("x"))))
-      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
-      // the window passes + the dump's range sort otherwise re-evaluate the
-      // explode⋈buckets diamond per consumer (measured 6.8 s → 1.5 s at
-      // sf0.1 with the materialized grid — the q121 fan-out lesson)
-      .localCheckpoint(true)
-    graft.operators.Impute.fill(grid, "user_id", Seq(col("tick_ms")), "x_sum")
-      .orderBy(col("user_id"), col("tick_ms"))
-  }
-  val q205_sql: String =
-    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm,
-      |             CAST(round(abs(value) * 10000) AS BIGINT) AS x
-      |           FROM events),
-      |b AS (SELECT user_id, tsm - tsm % 3600000 AS tick_ms,
-      |        count(*)::BIGINT AS n_obs, sum(x)::BIGINT AS x_sum
-      |      FROM e GROUP BY 1, 2),
-      |sp AS (SELECT user_id, min(tick_ms) AS t0, max(tick_ms) AS t1
-      |       FROM b GROUP BY 1),
-      |g AS (SELECT user_id, unnest(range(t0, t1 + 1, 3600000)) AS tick_ms
-      |      FROM sp),
-      |j AS (SELECT g.user_id, g.tick_ms,
-      |        coalesce(b.n_obs, 0)::BIGINT AS n_obs, b.x_sum
-      |      FROM g LEFT JOIN b USING (user_id, tick_ms))
-      |SELECT user_id, tick_ms, n_obs, x_sum,
-      |  last_value(x_sum IGNORE NULLS) OVER (PARTITION BY user_id
-      |    ORDER BY tick_ms
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x_sum_ffill,
-      |  first_value(x_sum IGNORE NULLS) OVER (PARTITION BY user_id
-      |    ORDER BY tick_ms
-      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS x_sum_bfill
-      |FROM j ORDER BY user_id, tick_ms""".stripMargin
-
-  /** Per-user CUSUM drift detection — [[graft.operators.Cusum]]: Page's
-    * one-sided cumulative-sum statistic `sₜ = max(0, sₜ₋₁ + xₜ − k)`
-    * against reference level k = 5000 fixed-point, alarming above
-    * h = 30000 — the ordered value-recursive fold (same [[graft.operators.KeyedFold]]
-    * sorted-run shape as q202: one keyed sort shuffle, one constant-
-    * memory partition scan, unbounded per-key history). All-integer, so
-    * the oracle's prefix `list_reduce` replay (seeded with a prepended 0)
-    * hash-matches exactly. */
-  val q207_cusum_drift: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("user_id"),
-      unix_millis(col("ts")).as("tsm"), col("event_id"),
-      round(abs(col("value")) * 10000).cast("long").as("x"))
-    graft.operators.Cusum.drift(ev, "user_id", "tsm", "event_id", "x",
-      k = 5000L, h = 30000L)
-      .orderBy(col("event_id"))
-  }
-  val q207_sql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm,
-      |             CAST(round(abs(value) * 10000) AS BIGINT) AS x
-      |           FROM events),
-      |g AS (SELECT user_id,
-      |        list(x ORDER BY tsm, event_id) AS xs,
-      |        list(event_id ORDER BY tsm, event_id) AS ids
-      |      FROM e GROUP BY 1),
-      |u AS (SELECT user_id, unnest(ids) AS event_id, unnest(xs) AS x,
-      |             unnest(list_transform(range(1, len(xs) + 1),
-      |               i -> list_reduce(list_prepend(0::BIGINT, xs[1:i]),
-      |                      (a, b) -> greatest(0, a + b - 5000)))) AS cusum
-      |      FROM g)
-      |SELECT user_id, event_id, x, cusum, cusum > 30000 AS alarm
-      |FROM u ORDER BY event_id""".stripMargin
-
-  /** Ordered event-pattern matching (MATCH_RECOGNIZE-style): count
-    * non-overlapping greedy completions of the subsequence pattern
-    * view → click → purchase per user, via a 3-state DFA folded over each
-    * user's timeline by [[graft.operators.KeyedFold]]. The automaton
-    * state and the completion count pack into ONE long
-    * (`completions·10 + stage`), so the whole state machine is the same
-    * constant-memory sorted-run scan as q202/q207 — per-key history
-    * unbounded, no collect_list, no window — and the oracle replays the
-    * encoded transition table with a prefix `list_reduce`. The
-    * pattern-matching primitive sessionized funnels can't express (a
-    * funnel counts stage reach; this counts DISJOINT completions).
-    *
-    * Oracle note: the transition is written ARITHMETICALLY
-    * (boolean-cast deltas: +1 on an advance, +8 = (c+1)·10 − (10c+2) on
-    * a completion) because DuckDB 1.0.0 mis-evaluates a CASE expression
-    * inside a nested list_transform∘list_reduce lambda at vectorization
-    * boundaries (verified: the CASE form diverges from a single-user
-    * replay of the SAME SQL at prefix-workload ~1k elements; the
-    * arithmetic form matches an independent Python fold on all rows). */
-  val q210_pattern_dfa: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("user_id"),
-      unix_millis(col("ts")).as("tsm"), col("event_id"),
-      when(col("event_type") === "view", 1L)
-        .when(col("event_type") === "click", 2L)
-        .when(col("event_type") === "purchase", 3L)
-        .otherwise(0L).as("x"))
-    graft.operators.PatternDfa.fold(ev, "user_id", "tsm", "event_id", "x")
-      .withColumn("completions", expr("dfa div 10"))
-      .withColumn("stage", col("dfa") % 10)
-      .orderBy(col("event_id"))
-  }
-  val q210_sql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm,
-      |             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-      |               WHEN 'purchase' THEN 3 ELSE 0 END::BIGINT AS x
-      |           FROM events),
-      |g AS (SELECT user_id,
-      |        list(x ORDER BY tsm, event_id) AS xs,
-      |        list(event_id ORDER BY tsm, event_id) AS ids
-      |      FROM e GROUP BY 1),
-      |u AS (SELECT user_id, unnest(ids) AS event_id, unnest(xs) AS x,
-      |             unnest(list_transform(range(1, len(xs) + 1),
-      |               i -> list_reduce(list_prepend(0::BIGINT, xs[1:i]),
-      |                      (a, b) -> a
-      |                        + ((a % 10 = 0 AND b = 1)
-      |                           OR (a % 10 = 1 AND b = 2))::BIGINT
-      |                        + (a % 10 = 2 AND b = 3)::BIGINT * 8))) AS dfa
-      |      FROM g)
-      |SELECT user_id, event_id, x, dfa,
-      |       (dfa // 10)::BIGINT AS completions, dfa % 10 AS stage
-      |FROM u ORDER BY event_id""".stripMargin
-
-  /** One-pass Pearson correlation matrix — [[graft.operators.Correlate]]:
-    * all 6 pairs of the four lineitem measures from a single
-    * map-side-combined sufficient-statistics aggregate (decimal-exact
-    * integer sums; r² + sign instead of r, so no sqrt and the only float
-    * step is one exact-int-to-double divide — hash-identical on any
-    * engine). */
-  val q213_corr_matrix: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select(
-      round(col("l_quantity") * 100).cast("long").as("qty"),
-      round(col("l_extendedprice") * 100).cast("long").as("price"),
-      round(col("l_discount") * 100).cast("long").as("disc"),
-      round(col("l_tax") * 100).cast("long").as("tax"))
-    graft.operators.Correlate.matrix(li, Seq("qty", "price", "disc", "tax"))
-      .orderBy(col("col_a"), col("col_b"))
-  }
-  val q213_sql: String = {
-    val cols = Seq("qty", "price", "disc", "tax")
-    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
-      yield (cols(i), cols(j))
-    val sums = cols.map(c =>
-      s"sum($c::HUGEINT) AS s_$c, sum($c::HUGEINT * $c::HUGEINT) AS ss_$c")
-      .mkString(", ")
-    val crossSums = pairs.map { case (a, b) =>
-      s"sum($a::HUGEINT * $b::HUGEINT) AS sp_${a}_$b" }.mkString(", ")
-    val rows = pairs.map { case (a, b) =>
-      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
-         |  sign(n * sp_${a}_$b - s_$a * s_$b)::BIGINT AS sign,
-         |  CASE WHEN n * ss_$a - s_$a * s_$a = 0
-         |         OR n * ss_$b - s_$b * s_$b = 0 THEN NULL
-         |       ELSE (CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
-         |             * CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE))
-         |            / (CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
-         |               * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)) END AS r2
-         |FROM a""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH t AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
-       |             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
-       |             CAST(round(l_discount * 100) AS BIGINT) AS disc,
-       |             CAST(round(l_tax * 100) AS BIGINT) AS tax
-       |           FROM lineitem),
-       |a AS (SELECT count(*)::HUGEINT AS n, $sums, $crossSums FROM t)
-       |SELECT * FROM ($rows) ORDER BY col_a, col_b""".stripMargin
-  }
-
-  /** Exact per-group weighted median —
-    * [[graft.operators.WeightedMedian]]: the quantity-weighted median
-    * line price per return flag. Cumulative weights ride the
-    * range-partitioned prefix sum (no per-group single-task window);
-    * totals are a |groups|-bounded broadcast; the median is one filter +
-    * min. The robust weighted center `percentile()` can't express. */
-  val q216_weighted_median: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
-      round(col("l_extendedprice") * 100).cast("long").as("price"),
-      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("line_id"),
-      round(col("l_quantity")).cast("long").as("qty"))
-    graft.operators.WeightedMedian.lower(li, "l_returnflag", "price",
-      "line_id", "qty")
-      .orderBy(col("l_returnflag"))
-  }
-  val q216_sql: String =
-    """WITH t AS (SELECT l_returnflag,
-      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-      |    (l_orderkey * 10 + l_linenumber)::BIGINT AS id,
-      |    CAST(round(l_quantity) AS BIGINT) AS w
-      |  FROM lineitem),
-      |c AS (SELECT l_returnflag, v, w,
-      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v, id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
-      |    sum(w) OVER (PARTITION BY l_returnflag) AS wt
-      |  FROM t)
-      |SELECT l_returnflag, CAST(wt AS BIGINT) AS w_total,
-      |       min(v) AS median
-      |FROM c WHERE 2 * cumw >= wt GROUP BY l_returnflag, wt
-      |ORDER BY l_returnflag""".stripMargin
-
-  /** Recency-decayed engagement score: per-user sum of event values
-    * halved per week of age at the corpus snapshot instant — exponential
-    * time decay in EXACT integer arithmetic (the decay is a power-of-two
-    * integral division, so no float accumulation and the oracle
-    * hash-matches). Shape: one bounded max-snapshot aggregate broadcast
-    * under the scan, then a single map-side-combined per-user sum — the
-    * recency weighting needs NO ordered state, unlike q202's recurrence,
-    * because the decay depends only on each row's own age. */
-  val q217_decayed_engagement: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("user_id"),
-      unix_millis(col("ts")).as("tsm"),
-      round(abs(col("value")) * 10000).cast("long").as("x"))
-    val tmax = ev.agg(max(col("tsm")).as("tmax"))
-    ev.join(broadcast(tmax))
-      .withColumn("u", least(expr("(tmax - tsm) div 604800000"), lit(40L)))
-      .withColumn("dx", expr("x div cast(pow(2, u) as bigint)"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("dx")).as("decayed"), count(lit(1)).as("n_events"))
-      .orderBy(col("user_id"))
-  }
-  val q217_sql: String =
-    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm,
-      |             CAST(round(abs(value) * 10000) AS BIGINT) AS x
-      |           FROM events),
-      |m AS (SELECT max(tsm) AS tmax FROM e),
-      |d AS (SELECT user_id,
-      |        x // CAST(2 ** least((tmax - tsm) // 604800000, 40) AS BIGINT)
-      |          AS dx
-      |      FROM e, m)
-      |SELECT user_id, sum(dx)::BIGINT AS decayed,
-      |       count(*)::BIGINT AS n_events
-      |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin
-
-  /** Last-touch attribution: every purchase is credited to the user's
-    * most recent view within a 30-minute lookback. ONE keyed window pass
-    * (the same (user, tsm, event_id) sort class as q201/q203 — at 100 TB
-    * the cost is that single keyed sort shuffle): the last view's
-    * (tsm, id) carry forward in two IGNORE-NULLS window columns over a
-    * ROWS frame on the TOTAL order — deliberately not a RANGE frame,
-    * whose tsm-only ordering would make intra-tie attribution
-    * nondeterministic — and the lookback is a row-local comparison
-    * afterwards. */
-  val q220_attribution: Q = (s, d) => {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("tsm"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
-        col("event_id"), col("event_type"))
-      .withColumn("lv_tsm",
-        last(when(col("event_type") === "view", col("tsm")),
-          ignoreNulls = true).over(w))
-      .withColumn("lv_id",
-        last(when(col("event_type") === "view", col("event_id")),
-          ignoreNulls = true).over(w))
-      .where(col("event_type") === "purchase")
-      .withColumn("attributed",
-        col("lv_tsm").isNotNull && col("lv_tsm") >= col("tsm") - 1800000L)
-      .select(col("user_id"), col("event_id"),
-        when(col("attributed"), col("lv_id")).as("view_id"),
-        col("attributed"))
-      .orderBy(col("event_id"))
-  }
-  val q220_sql: String =
-    """WITH e AS (SELECT user_id, event_id, event_type,
-      |             epoch_ms(ts) AS tsm FROM events),
-      |c AS (SELECT user_id, event_id, event_type, tsm,
-      |  last_value(CASE WHEN event_type = 'view' THEN tsm END IGNORE NULLS)
-      |    OVER (PARTITION BY user_id ORDER BY tsm, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv_tsm,
-      |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
-      |    OVER (PARTITION BY user_id ORDER BY tsm, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv_id
-      |  FROM e)
-      |SELECT user_id, event_id,
-      |  CASE WHEN lv_tsm IS NOT NULL AND lv_tsm >= tsm - 1800000
-      |       THEN lv_id END AS view_id,
-      |  (lv_tsm IS NOT NULL AND lv_tsm >= tsm - 1800000) AS attributed
-      |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
-
-  /** Weekly retention cohorts: users grouped by first-seen week, counted
-    * distinct per week offset — the durable-engagement matrix. Shape:
-    * one per-user min aggregate (map-side combined), one hash join back
-    * on user_id (both sides partition on the key; the cohort frame is
-    * |users|-sized, NOT broadcast — users scale with the corpus), then a
-    * count-distinct over the |weeks|²-bounded cohort grid. */
-  val q221_retention_cohorts: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), unix_millis(col("ts")).as("tsm"))
-    val first = ev.groupBy(col("user_id")).agg(min(col("tsm")).as("t0"))
-    ev.join(first, Seq("user_id"))
-      .select(expr("t0 div 604800000").as("cohort_week"),
-        expr("(tsm - t0) div 604800000").as("week_offset"),
-        col("user_id"))
-      .groupBy(col("cohort_week"), col("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("cohort_week"), col("week_offset"))
-  }
-  val q221_sql: String =
-    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm FROM events),
-      |f AS (SELECT user_id, min(tsm) AS t0 FROM e GROUP BY 1)
-      |SELECT t0 // 604800000 AS cohort_week,
-      |       (tsm - t0) // 604800000 AS week_offset,
-      |       count(DISTINCT e.user_id)::BIGINT AS n_users
-      |FROM e JOIN f USING (user_id)
-      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
-
-  /** Benford first-digit audit of the line prices — the classic
-    * fabricated-data / unit-mixup detector: observed leading-digit shares
-    * against Benford's law, as signed fixed-point deviations (ppm). The
-    * expected shares are precomputed integer constants (log10(1+1/d)·10⁶)
-    * so the whole audit — one map-side-combined 9-row aggregate plus
-    * row-local arithmetic — is libm-free and hash-exact. */
-  val q222_benford: Q = (s, d) => {
-    val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
-      66947L, 57992L, 51153L, 45757L)
-    val bmap = benford.zipWithIndex
-      .map { case (p, i) => (i + 1).toString -> p }
-    val li = Tables.lineitem(s, d)
-      .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
-      .where(col("v") > 0)
-      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
-    val counts = li.groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
-    val total = counts.agg(sum(col("n_d")).as("n"))
-    val exp = bmap.foldLeft(lit(0L)) { case (acc, (ds, p)) =>
-      when(col("digit") === ds.toLong, lit(p)).otherwise(acc) }
-    counts.join(broadcast(total))
-      .withColumn("share_fp", expr("(n_d * 1000000) div n"))
-      .withColumn("benford_fp", exp)
-      .withColumn("dev_fp", col("share_fp") - col("benford_fp"))
-      .select(col("digit"), col("n_d"), col("share_fp"), col("benford_fp"),
-        col("dev_fp"))
-      .orderBy(col("digit"))
-  }
-  val q222_sql: String =
-    """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
-      |           FROM lineitem
-      |           WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
-      |dg AS (SELECT CAST(substr(v::VARCHAR, 1, 1) AS BIGINT) AS digit FROM v),
-      |c AS (SELECT digit, count(*)::BIGINT AS n_d FROM dg GROUP BY 1),
-      |t AS (SELECT sum(n_d)::BIGINT AS n FROM c),
-      |b AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
-      |        (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
-      |        (9, 45757)) AS bb(digit, p))
-      |SELECT c.digit, n_d, (n_d * 1000000) // n AS share_fp,
-      |       p::BIGINT AS benford_fp,
-      |       (n_d * 1000000) // n - p AS dev_fp
-      |FROM c JOIN b ON b.digit = c.digit, t ORDER BY c.digit""".stripMargin
-
-  /** Winsorized robust stats: per return flag, clip line prices to the
-    * group's exact lower 5th/95th percentiles, then report the clipped sum
-    * and clip counts — the outlier-robust revenue summary a mean/stddev
-    * pair misrepresents under heavy tails. Shape: group ranks ride the
-    * range-partitioned prefix sum ([[graft.operators.RunningTotal]] with a
-    * 4-group hint — never a per-group single-task window); group totals
-    * and both thresholds are |groups|-bounded broadcasts; the clip itself
-    * is row-local and the final sum is map-side combined. The lower-
-    * percentile threshold is `min(v | rank >= ceil(q·n))`, kept in integer
-    * arithmetic (`100·rank >= q·n`) so the oracle hash-matches. */
-  val q224_winsorized_stats: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
-      round(col("l_extendedprice") * 100).cast("long").as("price"),
-      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("line_id"))
-      .withColumn("one", lit(1L))
-    val ranked = graft.operators.RunningTotal.grouped(li, "l_returnflag",
-        Seq("price", "line_id"), "one", "rnk", groupCountHint = Some(8L))
-      .localCheckpoint(true) // consumers: totals + 2 thresholds + clip scan
-    val totals = ranked.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"))
-    val withN = ranked.join(broadcast(totals), Seq("l_returnflag"))
-    def thr(pct: Int, name: String) = withN
-      .where(col("rnk") * 100 >= col("n") * pct)
-      .groupBy(col("l_returnflag")).agg(min(col("price")).as(name))
-    withN
-      .join(broadcast(thr(5, "lo")), Seq("l_returnflag"))
-      .join(broadcast(thr(95, "hi")), Seq("l_returnflag"))
-      .withColumn("clipped", greatest(col("lo"), least(col("hi"), col("price"))))
-      .groupBy(col("l_returnflag"))
-      .agg(max(col("n")).as("n"), max(col("lo")).as("lo"),
-        max(col("hi")).as("hi"),
-        sum(col("clipped")).as("winsorized_sum"),
-        sum(when(col("price") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
-        sum(when(col("price") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"))
-      .orderBy(col("l_returnflag"))
-  }
-  val q224_sql: String =
-    """WITH t AS (SELECT l_returnflag,
-      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
-      |    (l_orderkey * 10 + l_linenumber)::BIGINT AS line_id
-      |  FROM lineitem),
-      |r AS (SELECT l_returnflag, price,
-      |    row_number() OVER (PARTITION BY l_returnflag
-      |      ORDER BY price, line_id) AS rnk,
-      |    count(*) OVER (PARTITION BY l_returnflag) AS n
-      |  FROM t),
-      |lo AS (SELECT l_returnflag, min(price) AS lo FROM r
-      |       WHERE rnk * 100 >= n * 5 GROUP BY 1),
-      |hi AS (SELECT l_returnflag, min(price) AS hi FROM r
-      |       WHERE rnk * 100 >= n * 95 GROUP BY 1)
-      |SELECT r.l_returnflag, CAST(max(n) AS BIGINT) AS n,
-      |       max(lo) AS lo, max(hi) AS hi,
-      |       CAST(sum(greatest(lo, least(hi, price))) AS BIGINT)
-      |         AS winsorized_sum,
-      |       CAST(sum(CASE WHEN price < lo THEN 1 ELSE 0 END) AS BIGINT)
-      |         AS n_clip_lo,
-      |       CAST(sum(CASE WHEN price > hi THEN 1 ELSE 0 END) AS BIGINT)
-      |         AS n_clip_hi
-      |FROM r JOIN lo USING (l_returnflag) JOIN hi USING (l_returnflag)
-      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
-
-  /** Key-skew audit: the Gini coefficient of the per-join-key row-count
-    * distribution — the one-number answer to "will this key skew a
-    * shuffle?" that drives the salted-join / AQE-skew decision
-    * ([[graft.operators.Skew]]). Shape: one map-side-combined count per
-    * key; the |keys|-sized counts frame (localCheckpoint'ed — two
-    * consumers) is ranked by the range-partitioned prefix sum (constant
-    * group, hint 1 — NO single-task global window even though the rank is
-    * global); the Gini and the top-1 %-key share reduce to exact integer
-    * sums (decimal-accumulated) with ONE IEEE division each, so the
-    * output hash-matches the oracle's window replay. */
-  val q225_key_skew_gini: Q = (s, d) => {
-    val counts = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("x"))
-      .withColumn("g", lit(0))
-      .withColumn("one", lit(1L))
-      .localCheckpoint(true) // consumers: rank pass + n-keys agg
-    val n = counts.agg(count(lit(1)).as("n_keys"))
-    val ranked = graft.operators.RunningTotal.grouped(counts, "g",
-      Seq("x", "l_orderkey"), "one", "rnk", groupCountHint = Some(1L))
-    val sums = ranked.agg(
-      sum(col("rnk").cast("decimal(38,0)") * col("x")).as("s"),
-      sum(col("x").cast("decimal(38,0)")).as("t"))
-    ranked.join(broadcast(n))
-      .where(col("rnk") * 100 > col("n_keys") * 99)
-      .agg(sum(col("x")).as("top1"))
-      .crossJoin(broadcast(sums)) // 1x1: broadcast nested loop
-      .crossJoin(broadcast(n))
-      .select(col("n_keys"), col("t").cast("long").as("total_rows"),
-        ((lit(2).cast("decimal(38,0)") * col("s")
-          - (col("n_keys") + 1) * col("t")).cast("double")
-          / (col("n_keys").cast("decimal(38,0)") * col("t")).cast("double"))
-          .as("gini"),
-        col("top1"))
-      .withColumn("top1_share_ppm", expr("top1 * 1000000 div total_rows"))
-      .drop("top1")
-  }
-  val q225_sql: String =
-    """WITH c AS (SELECT l_orderkey, count(*)::BIGINT AS x FROM lineitem
-      |           GROUP BY 1),
-      |r AS (SELECT x, row_number() OVER (ORDER BY x, l_orderkey) AS rnk,
-      |             count(*) OVER () AS n_keys FROM c),
-      |a AS (SELECT max(n_keys)::BIGINT AS n_keys,
-      |             sum(rnk::HUGEINT * x) AS s, sum(x::HUGEINT) AS t,
-      |             sum(CASE WHEN rnk * 100 > n_keys * 99 THEN x END) AS top1
-      |      FROM r)
-      |SELECT n_keys, CAST(t AS BIGINT) AS total_rows,
-      |       CAST(2 * s - (n_keys + 1) * t AS DOUBLE)
-      |         / CAST(n_keys::HUGEINT * t AS DOUBLE) AS gini,
-      |       CAST(top1 * 1000000 // t AS BIGINT) AS top1_share_ppm
-      |FROM a""".stripMargin
-
-  /** Exact RE-AGGREGABLE distinct counts via 64-bit-word bitmaps: daily
-    * distinct users, then WEEKLY distinct computed from the daily word
-    * frame alone — never rescanning the raw events. This is the
-    * pre-aggregated-cube shape that makes exact distinct viable at
-    * 100 TB: the event scan happens once, producing |days|·|users|/64
-    * bitmap words via ONE map-side-combined `bit_or` (a day's word merges
-    * inside each task before the shuffle); every coarser rollup
-    * (week, month, all-time) is a `bit_or` over words — associative,
-    * idempotent, and tiny. `sum_daily_distinct` vs `weekly_distinct`
-    * quantifies the cross-day dedup a naive sum would overcount. */
-  val q226_bitmap_distinct: Q = (s, d) => {
-    val words = Tables.events(s, d)
-      .select(expr("unix_millis(ts) div 86400000").as("day"),
-        expr("user_id div 64").as("word"),
-        expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
-      .groupBy(col("day"), col("word")).agg(expr("bit_or(bit)").as("bits"))
-      .localCheckpoint(true) // consumers: daily counts + weekly re-merge
-    val daily = words
-      .groupBy(col("day"))
-      .agg(sum(expr("bit_count(bits)")).cast("long").as("day_distinct"))
-    val weekly = words
-      .groupBy(expr("day div 7").as("week"), col("word"))
-      .agg(expr("bit_or(bits)").as("bits"))
-      .groupBy(col("week"))
-      .agg(sum(expr("bit_count(bits)")).cast("long").as("weekly_distinct"))
-    daily.groupBy(expr("day div 7").as("week"))
-      .agg(count(lit(1)).as("n_days"),
-        sum(col("day_distinct")).as("sum_daily_distinct"))
-      .join(weekly, Seq("week"))
-      .orderBy(col("week"))
-  }
-  val q226_sql: String =
-    """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id
-      |           FROM events),
-      |dd AS (SELECT day, count(DISTINCT user_id)::BIGINT AS day_distinct
-      |       FROM e GROUP BY 1),
-      |wd AS (SELECT day // 7 AS week,
-      |              count(DISTINCT user_id)::BIGINT AS weekly_distinct
-      |       FROM e GROUP BY 1)
-      |SELECT week, count(*)::BIGINT AS n_days,
-      |       sum(day_distinct)::BIGINT AS sum_daily_distinct,
-      |       max(weekly_distinct) AS weekly_distinct
-      |FROM dd JOIN wd ON dd.day // 7 = wd.week
-      |GROUP BY week ORDER BY week""".stripMargin
-
-  /** Co-visitation pairs: directed (event_type → later event_type) counts
-    * for the next 3 events of the same user within a 30-minute lookahead
-    * — the co-occurrence signal item-to-item recommenders train on. ONE
-    * keyed window pass in the (user, tsm, event_id) sort class shared
-    * with q220/q201 (three `lead` columns collapse into a single physical
-    * window), a row-local time gate, then a map-side-combined count over
-    * the |types|²-bounded pair domain. No self-join — the naive
-    * events⋈events formulation shuffles the corpus twice and explodes on
-    * hot users; the lead form is linear with bounded fan-out 3. */
-  val q228_covisitation: Q = (s, d) => {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("tsm"), col("event_id"))
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
-        col("event_id"), col("event_type"))
-    val pairs = (1 to 3).map { k =>
-      ev.withColumn("b", lead(col("event_type"), k).over(w))
-        .withColumn("b_tsm", lead(col("tsm"), k).over(w))
-        .where(col("b").isNotNull && col("b_tsm") <= col("tsm") + 1800000L)
-        .select(col("event_type").as("a"), col("b"))
-    }.reduce(_ unionAll _)
-    pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("a"), col("b"))
-  }
-  val q228_sql: String =
-    """WITH e AS (SELECT user_id, event_id, event_type,
-      |             epoch_ms(ts) AS tsm FROM events),
-      |l AS (SELECT event_type AS a, tsm,
-      |        lead(event_type, 1) OVER w AS b1, lead(tsm, 1) OVER w AS t1,
-      |        lead(event_type, 2) OVER w AS b2, lead(tsm, 2) OVER w AS t2,
-      |        lead(event_type, 3) OVER w AS b3, lead(tsm, 3) OVER w AS t3
-      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
-      |p AS (SELECT a, b1 AS b FROM l WHERE b1 IS NOT NULL AND t1 <= tsm + 1800000
-      |      UNION ALL
-      |      SELECT a, b2 FROM l WHERE b2 IS NOT NULL AND t2 <= tsm + 1800000
-      |      UNION ALL
-      |      SELECT a, b3 FROM l WHERE b3 IS NOT NULL AND t3 <= tsm + 1800000)
-      |SELECT a, b, count(*)::BIGINT AS n_pairs FROM p
-      |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
-
-  /** Local clustering coefficient over the part CO-PURCHASE graph (parts
-    * linked when bought in the same order) — the neighborhood-density
-    * signal behind "customers also bought" quality checks. Edge
-    * generation is an equi-join on the order key with per-order fan-out
-    * bounded by order size (≤ 7 lines), never all-pairs;
-    * [[graft.operators.Triangles.perNode]] then counts each node's
-    * triangles with degree-oriented wedges (out-degree O(√m) — a hub
-    * part contributes no wedges from its own adjacency). The coefficient
-    * is exact fixed-point: 2·tri·10⁶ div deg·(deg−1). */
-  val q230_clustering_coeff: Q = (s, d) => {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("pa"), col("b.p").as("pb"))
-    graft.operators.Triangles.perNode(pairs, "pa", "pb")
-      .select(col("node"), col("deg"), col("n_tri"),
-        when(col("deg") >= 2,
-          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))")).as("coeff_ppm"))
-      .orderBy(col("node"))
-  }
-  val q230_sql: String =
-    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-      |            FROM lineitem),
-      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
-      |      JOIN op b ON a.o = b.o AND a.p < b.p),
-      |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-      |      FROM e e1 JOIN e e2 ON e2.u = e1.v
-      |                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-      |tn AS (SELECT node, count(*)::BIGINT AS n_tri FROM (
-      |         SELECT a AS node FROM t UNION ALL SELECT b FROM t
-      |         UNION ALL SELECT c FROM t) GROUP BY 1),
-      |d AS (SELECT node, count(*)::BIGINT AS deg FROM (
-      |        SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
-      |SELECT d.node, deg, coalesce(n_tri, 0) AS n_tri,
-      |       CASE WHEN deg >= 2
-      |            THEN (2 * coalesce(n_tri, 0) * 1000000) // (deg * (deg - 1))
-      |       END AS coeff_ppm
-      |FROM d LEFT JOIN tn ON d.node = tn.node ORDER BY d.node""".stripMargin
-
-  /** CDC log apply: the events table as an upsert/delete change log on
-    * (user, event_type) — negative values are tombstones — reduced to
-    * the final snapshot with ONE map-side-combined `max(struct)`
-    * aggregate. This deliberately replaces the classic
-    * `row_number() = 1` window (which shuffles the ENTIRE log into
-    * per-key sorted tasks): the struct max combines partially inside
-    * each map task, so the shuffle carries |keys| rows, not |log| rows —
-    * at a 100 TB change log that is the difference between a merge that
-    * finishes and one that doesn't. (tsm, event_id) is unique per key,
-    * so the lexicographic struct order is total and deterministic. */
-  val q231_cdc_apply: Q = (s, d) => {
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("tsm"), col("event_id"),
-        round(col("value") * 10000).cast("long").as("v"))
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(max(struct(col("tsm"), col("event_id"), col("v"))).as("m"))
-      .select(col("user_id"), col("event_type"),
-        col("m.tsm").as("last_tsm"), col("m.event_id").as("last_event_id"),
-        col("m.v").as("last_value"))
-      .where(col("last_value") >= 0)
-      .orderBy(col("user_id"), col("event_type"))
-  }
-  val q231_sql: String =
-    """WITH l AS (SELECT user_id, event_type, epoch_ms(ts) AS tsm, event_id,
-      |             CAST(round(value * 10000) AS BIGINT) AS v FROM events),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-      |        ORDER BY tsm DESC, event_id DESC) AS rn FROM l)
-      |SELECT user_id, event_type, tsm AS last_tsm,
-      |       event_id AS last_event_id, v AS last_value
-      |FROM r WHERE rn = 1 AND v >= 0
-      |ORDER BY user_id, event_type""".stripMargin
-
-  /** JOIN-SIZE ESTIMATION from Count-Min sketches (the AMS/CMS inner
-    * product of Cormode & Muthukrishnan, J.Alg 2005): the self-join size
-    * Σₖ cₖ² of lineitem on part key — the number the optimizer needs
-    * BEFORE running a join to predict skew blow-up — estimated as
-    * min over the d hash rows of Σⱼ counter², and compared against the
-    * exact answer. Shape: ONE corpus scan exploding each key into its d
-    * row-buckets (row-local), one map-side-combined count per (row,
-    * bucket) — d·w cells of state, the planning-time sketch a 100 TB
-    * optimizer would maintain per column — then bounded re-aggregation.
-    * The estimate is exact integer arithmetic end to end (a guaranteed
-    * OVERestimate: row sums only collide upward), so it hash-matches. */
-  val q235_join_size_cms: Q = (s, d) => {
-    val depth = 3
-    val width = 512
-    val keys = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
-      .localCheckpoint(true) // consumers: sketch build + exact groupBy
-    val ib = (0 until depth).map { i =>
-      struct(lit(i).as("i"),
-        graft.llm.Sketch.cmsBucket(i, col("k"), width).as("b"))
-    }
-    val est = keys
-      .select(explode(array(ib: _*)).as("ib"))
-      .select(col("ib.i").as("i"), col("ib.b").as("b"))
-      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col("i")).agg(sum(col("c") * col("c")).as("e"))
-      .agg(min(col("e")).as("cms_join_size"))
-    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * col("c")).as("exact_join_size"))
-    exact.crossJoin(broadcast(est)) // 1 row x 1 row
-      .withColumn("ratio_ppm",
-        expr("cms_join_size * 1000000 div exact_join_size"))
-  }
-  val q235_sql: String =
-    """WITH k AS (SELECT l_partkey AS k FROM lineitem),
-      |b AS (SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
-      |          || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 512 AS b
-      |      FROM k, (SELECT unnest(range(3)) AS i) d),
-      |c AS (SELECT i, b, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
-      |e AS (SELECT i, sum(c * c)::BIGINT AS e FROM c GROUP BY 1),
-      |est AS (SELECT min(e)::BIGINT AS cms_join_size FROM e),
-      |ex AS (SELECT sum(c * c)::BIGINT AS exact_join_size FROM (
-      |         SELECT count(*)::BIGINT AS c FROM k GROUP BY k))
-      |SELECT exact_join_size, cms_join_size,
-      |       cms_join_size * 1000000 // exact_join_size AS ratio_ppm
-      |FROM ex, est""".stripMargin
-
-  /** FREQUENT ITEMSETS (Apriori levels 1–3) over (user, day) event-type
-    * baskets with RELATIVE minimum support (15 % / 7 % / 2.5 % of
-    * baskets — absolute thresholds would stop scaling with the corpus).
-    * The Apriori shapes that survive 100 TB: candidate generation is a
-    * basket-keyed self-join (fan-out bounded by basket size squared,
-    * row-local per basket — never item×item across baskets), level-k
-    * candidates are pruned by ALL their level-(k−1) subsets via
-    * broadcast semi-joins against the bounded frequent frames, and every
-    * support count is map-side combined. The basket count rides one
-    * 1-row broadcast; threshold compares stay in integer arithmetic
-    * (supp·1000 ≥ baskets·pct). */
-  val q237_frequent_itemsets: Q = (s, d) => {
-    val b = Tables.events(s, d)
-      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
-        col("event_type"))
-      .distinct()
-      .localCheckpoint(true) // consumers: basket count + L1 + pair gen ×2
-    val nb = b.select(col("user_id"), col("day")).distinct()
-      .agg(count(lit(1)).as("nb"))
-    val s1 = b.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
-      .crossJoin(broadcast(nb))
-    val f1 = s1.where(col("supp") * 1000 >= col("nb") * 150)
-      .localCheckpoint(true) // consumers: output + two prune joins
-    val f1keys = broadcast(f1.select(col("event_type")))
-    val pairsInst = b.as("a").join(b.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day")
-          && col("a.event_type") < col("b.event_type"))
-      .select(col("a.user_id"), col("a.day"),
-        col("a.event_type").as("ia"), col("b.event_type").as("ib"))
-      .join(f1keys.withColumnRenamed("event_type", "ia"), Seq("ia"), "left_semi")
-      .join(f1keys.withColumnRenamed("event_type", "ib"), Seq("ib"), "left_semi")
-      .localCheckpoint(true) // consumers: pair counts + triple gen
-    val f2 = pairsInst.groupBy(col("ia"), col("ib"))
-      .agg(count(lit(1)).as("supp"))
-      .crossJoin(broadcast(nb))
-      .where(col("supp") * 1000 >= col("nb") * 70)
-      .localCheckpoint(true) // consumers: output + three prune joins
-    val f2keys = broadcast(f2.select(col("ia"), col("ib")))
-    val f3 = pairsInst.join(f2keys, Seq("ia", "ib"), "left_semi").as("p")
-      .join(b.as("c"),
-        col("p.user_id") === col("c.user_id") && col("p.day") === col("c.day")
-          && col("p.ib") < col("c.event_type"))
-      .select(col("p.ia").as("ia"), col("p.ib").as("ib"),
-        col("c.event_type").as("ic"))
-      .join(f2keys.toDF("ia", "ic"), Seq("ia", "ic"), "left_semi")
-      .join(f2keys.toDF("ib", "ic"), Seq("ib", "ic"), "left_semi")
-      .groupBy(col("ia"), col("ib"), col("ic"))
-      .agg(count(lit(1)).as("supp"))
-      .crossJoin(broadcast(nb))
-      .where(col("supp") * 1000 >= col("nb") * 25)
-    f1.select(lit(1L).as("level"), col("event_type").as("item_a"),
-        lit(null).cast("string").as("item_b"),
-        lit(null).cast("string").as("item_c"), col("supp"))
-      .unionByName(f2.select(lit(2L).as("level"), col("ia").as("item_a"),
-        col("ib").as("item_b"), lit(null).cast("string").as("item_c"),
-        col("supp")))
-      .unionByName(f3.select(lit(3L).as("level"), col("ia").as("item_a"),
-        col("ib").as("item_b"), col("ic").as("item_c"), col("supp")))
-      .orderBy(col("level"), col("item_a"), col("item_b"), col("item_c"))
-  }
-  val q237_sql: String =
-    """WITH b AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day,
-      |             event_type FROM events),
-      |nb AS (SELECT count(*)::BIGINT AS nb FROM (
-      |         SELECT DISTINCT user_id, day FROM b)),
-      |f1 AS (SELECT event_type, count(*)::BIGINT AS supp FROM b GROUP BY 1
-      |       HAVING count(*) * 1000 >= (SELECT nb * 150 FROM nb)),
-      |pi AS (SELECT a.user_id, a.day, a.event_type AS ia, c.event_type AS ib
-      |       FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
-      |                        AND a.event_type < c.event_type
-      |       WHERE a.event_type IN (SELECT event_type FROM f1)
-      |         AND c.event_type IN (SELECT event_type FROM f1)),
-      |f2 AS (SELECT ia, ib, count(*)::BIGINT AS supp FROM pi GROUP BY 1, 2
-      |       HAVING count(*) * 1000 >= (SELECT nb * 70 FROM nb)),
-      |f3 AS (SELECT p.ia, p.ib, c.event_type AS ic, count(*)::BIGINT AS supp
-      |       FROM pi p JOIN b c ON p.user_id = c.user_id AND p.day = c.day
-      |                         AND p.ib < c.event_type
-      |       WHERE EXISTS (SELECT 1 FROM f2 WHERE f2.ia = p.ia AND f2.ib = p.ib)
-      |         AND EXISTS (SELECT 1 FROM f2
-      |                     WHERE f2.ia = p.ia AND f2.ib = c.event_type)
-      |         AND EXISTS (SELECT 1 FROM f2
-      |                     WHERE f2.ia = p.ib AND f2.ib = c.event_type)
-      |       GROUP BY 1, 2, 3
-      |       HAVING count(*) * 1000 >= (SELECT nb * 25 FROM nb))
-      |SELECT 1::BIGINT AS level, event_type AS item_a,
-      |       NULL::VARCHAR AS item_b, NULL::VARCHAR AS item_c, supp FROM f1
-      |UNION ALL
-      |SELECT 2, ia, ib, NULL, supp FROM f2
-      |UNION ALL
-      |SELECT 3, ia, ib, ic, supp FROM f3
-      |ORDER BY level, item_a, item_b, item_c""".stripMargin
-
-  /** DEGREE ASSORTATIVITY (Newman 2002) of the part co-purchase graph:
-    * the Pearson correlation of endpoint degrees over (symmetrized)
-    * edges — positive means hubs buy with hubs, the one-number mixing
-    * diagnostic for any similarity/interaction graph. Shape: the same
-    * bounded-fan-out edge generation as q230, two keyed degree attaches,
-    * then ONE map-side-combined sufficient-stats aggregate; the
-    * correlation leaves integer arithmetic only in the final IEEE
-    * division (symmetry makes the x/y moments equal, so r reduces to a
-    * ratio of two exact integers; the raw moment sums are surfaced for
-    * the hash check, and the final algebra runs in DECIMAL(38,0) /
-    * HUGEINT because n·sxy and sx² pass 2^63 on graphs with ~10⁶ edges
-    * and hub degrees in the thousands). */
-  val q238_degree_assortativity: Q = (s, d) => {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-      .localCheckpoint(true) // consumers: degree agg + two attaches
-    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // symmetrization folded into the aggregate (each edge contributes
-    // (du,dv) AND (dv,du)): one pass, no self-union re-execution
-    val st = e
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-      .agg(count(lit(1)).as("n_edges"),
-        sum(col("du") + col("dv")).as("sx"),
-        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"),
-        sum(col("du") * col("dv") * 2).as("sxy"))
-    // final algebra in DECIMAL(38,0): n·sxy and sx² pass 2^63 once edge
-    // counts reach ~10^6 with hub degrees in the thousands
-    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    st.select(col("n_edges"),
-        ((dec(col("n_edges")) * 2 * col("sxy") - dec(col("sx")) * col("sx"))
-          .cast("double")
-          / (dec(col("n_edges")) * 2 * col("sxx") - dec(col("sx")) * col("sx"))
-          .cast("double")).as("assortativity"),
-        col("sx"), col("sxx"), col("sxy"))
-  }
-  val q238_sql: String =
-    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-      |            FROM lineitem),
-      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
-      |      JOIN op b ON a.o = b.o AND a.p < b.p),
-      |dg AS (SELECT node, count(*)::BIGINT AS deg FROM (
-      |         SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
-      |st AS (SELECT count(*)::BIGINT AS n_edges,
-      |              sum(du.deg + dv.deg)::BIGINT AS sx,
-      |              sum(du.deg * du.deg + dv.deg * dv.deg)::BIGINT AS sxx,
-      |              sum(du.deg * dv.deg * 2)::BIGINT AS sxy
-      |       FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v)
-      |SELECT n_edges,
-      |       CAST(n_edges::HUGEINT * 2 * sxy - sx::HUGEINT * sx AS DOUBLE)
-      |         / CAST(n_edges::HUGEINT * 2 * sxx - sx::HUGEINT * sx AS DOUBLE)
-      |         AS assortativity,
-      |       sx, sxx, sxy
-      |FROM st""".stripMargin
-
-  /** BITMAP RETENTION: week-over-week retained users computed as
-    * popcount(weekₙ AND weekₙ₊₁) over the same 64-bit-word user bitmaps
-    * as q226 — the INTERSECTION query that bitmap indexes answer without
-    * touching raw data: one word-keyed equi-join between consecutive
-    * weeks' word frames (|users|/64 rows per week, not |events|), a
-    * bitwise AND, a popcount sum. Complements q221's count-distinct
-    * cohort matrix with the re-aggregable exact form — any week pair, no
-    * event rescan. */
-  val q242_bitmap_retention: Q = (s, d) => {
-    val words = Tables.events(s, d)
-      .select(expr("unix_millis(ts) div 86400000 div 7").as("week"),
-        expr("user_id div 64").as("word"),
-        expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
-      .groupBy(col("week"), col("word")).agg(expr("bit_or(bit)").as("bits"))
-      .localCheckpoint(true) // consumers: active counts + pair self-join
-    val act = words.groupBy(col("week"))
-      .agg(sum(expr("bit_count(bits)")).cast("long").as("active"))
-    val ret = words.as("a").join(words.as("b"),
-        col("a.word") === col("b.word") && col("b.week") === col("a.week") + 1)
-      .select(col("a.week").as("week"),
-        col("a.bits").bitwiseAND(col("b.bits")).as("band"))
-      .groupBy(col("week"))
-      .agg(sum(expr("bit_count(band)")).cast("long").as("retained"))
-    ret
-      .join(act, Seq("week"))
-      .join(act.select((col("week") - 1).as("week"),
-        col("active").as("active_next")), Seq("week"))
-      .select(col("week"), (col("week") + 1).as("next_week"),
-        col("active").as("active_week"), col("active_next"),
-        col("retained"))
-      .withColumn("retained_ppm", expr("retained * 1000000 div active_week"))
-      .orderBy(col("week"))
-  }
-  val q242_sql: String =
-    """WITH u AS (SELECT DISTINCT epoch_ms(ts) // 86400000 // 7 AS week,
-      |             user_id FROM events),
-      |a AS (SELECT week, count(*)::BIGINT AS active FROM u GROUP BY 1),
-      |r AS (SELECT x.week, count(*)::BIGINT AS retained
-      |      FROM u x JOIN u y ON y.user_id = x.user_id
-      |                       AND y.week = x.week + 1
-      |      GROUP BY 1)
-      |SELECT r.week, r.week + 1 AS next_week, a1.active AS active_week,
-      |       a2.active AS active_next, retained,
-      |       retained * 1000000 // a1.active AS retained_ppm
-      |FROM r JOIN a a1 ON a1.week = r.week
-      |       JOIN a a2 ON a2.week = r.week + 1
-      |ORDER BY r.week""".stripMargin
-
-  /** ENTRY PATHS: the first three event types of every (user, day) visit
-    * as a ">"-joined path, counted across visits — the landing-flow
-    * sankey feed. The "first 3" come from [[graft.operators.TopK]]'s
-    * map-side-combinable aggregate (score = −tsm, id tie-break — NO
-    * per-visit window sort of the corpus; the shuffle carries 3-entry
-    * buffers per visit), the types come back via one event-id-keyed
-    * join, and the path assembly is a bounded pivot. Output is at most
-    * |types|³ rows. */
-  val q243_entry_paths: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
-        unix_millis(col("ts")).as("tsm"), col("event_id"), col("event_type"))
-      .withColumn("visit",
-        col("user_id") * 1000000L + col("day") % 1000000L)
-      .localCheckpoint(true) // consumers: top-3 agg + type join-back
-    val top3 = graft.operators.TopK.topKByGroup(
-      ev.withColumn("negt", -col("tsm")), "visit", "negt", "event_id", 3)
-    top3
-      .join(ev.select(col("event_id"), col("event_type")), Seq("event_id"))
-      .groupBy(col("visit"))
-      .agg(max(when(col("rank") === 1, col("event_type"))).as("s1"),
-        max(when(col("rank") === 2, col("event_type"))).as("s2"),
-        max(when(col("rank") === 3, col("event_type"))).as("s3"))
-      .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
-      .groupBy(col("path")).agg(count(lit(1)).as("n_visits"))
-      .orderBy(col("n_visits").desc, col("path"))
-  }
-  val q243_sql: String =
-    """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
-      |             epoch_ms(ts) AS tsm, event_id, event_type FROM events),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
-      |        ORDER BY tsm, event_id) AS rn FROM e),
-      |p AS (SELECT user_id, day,
-      |        max(CASE WHEN rn = 1 THEN event_type END) AS s1,
-      |        max(CASE WHEN rn = 2 THEN event_type END) AS s2,
-      |        max(CASE WHEN rn = 3 THEN event_type END) AS s3
-      |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
-      |SELECT concat_ws('>', s1, s2, s3) AS path,
-      |       count(*)::BIGINT AS n_visits
-      |FROM p GROUP BY 1 ORDER BY n_visits DESC, path""".stripMargin
-
-  /** Exact PERCENTILE BANDS (p50/p95/p99) of the event value per type —
-    * the latency-SLA report shape. One range-partitioned rank pass
-    * ([[graft.operators.RunningTotal]], |types| hint — no per-type
-    * single-task window even though every event of a type must be
-    * ranked), one |types|-bounded totals broadcast, and each band is a
-    * filtered min with the same integer threshold rule as q224
-    * (lower percentile: min v with 100·rank ≥ pct·n). `percentile()`
-    * interpolates in float; this is the exact integral form that
-    * hash-matches at any scale. */
-  val q244_percentile_bands: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("event_type"),
-      round(col("value") * 10000).cast("long").as("v"),
-      col("event_id").cast("long").as("event_id"))
-      .withColumn("one", lit(1L))
-    val ranked = graft.operators.RunningTotal.grouped(ev, "event_type",
-        Seq("v", "event_id"), "one", "rnk", groupCountHint = Some(64L))
-      .localCheckpoint(true) // consumers: totals + three band mins
-    val totals = ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val withN = ranked.join(broadcast(totals), Seq("event_type"))
-    def band(pct: Int, name: String) = withN
-      .where(col("rnk") * 100 >= col("n") * pct)
-      .groupBy(col("event_type")).agg(min(col("v")).as(name))
-    totals
-      .join(band(50, "p50"), Seq("event_type"))
-      .join(band(95, "p95"), Seq("event_type"))
-      .join(band(99, "p99"), Seq("event_type"))
-      .orderBy(col("event_type"))
-  }
-  val q244_sql: String =
-    """WITH t AS (SELECT event_type,
-      |    CAST(round(value * 10000) AS BIGINT) AS v, event_id FROM events),
-      |r AS (SELECT event_type, v,
-      |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id)
-      |      AS rnk,
-      |    count(*) OVER (PARTITION BY event_type) AS n FROM t),
-      |n AS (SELECT event_type, max(n)::BIGINT AS n FROM r GROUP BY 1),
-      |p50 AS (SELECT event_type, min(v) AS p50 FROM r
-      |        WHERE rnk * 100 >= n * 50 GROUP BY 1),
-      |p95 AS (SELECT event_type, min(v) AS p95 FROM r
-      |        WHERE rnk * 100 >= n * 95 GROUP BY 1),
-      |p99 AS (SELECT event_type, min(v) AS p99 FROM r
-      |        WHERE rnk * 100 >= n * 99 GROUP BY 1)
-      |SELECT event_type, n, p50, p95, p99
-      |FROM n JOIN p50 USING (event_type) JOIN p95 USING (event_type)
-      |       JOIN p99 USING (event_type)
-      |ORDER BY event_type""".stripMargin
-
-  /** MAX CONCURRENCY per event type — each event opens a 30-minute
-    * interval; the peak number of simultaneously-open intervals and the
-    * first instant it is reached. The classic ops metric, computed as
-    * the +1/−1 boundary sweep: one corpus-sized delta frame (two
-    * row-local rows per event), ONE range-partitioned prefix sum over
-    * (t, delta, event_id) — ends sort BEFORE starts at the same instant
-    * (half-open intervals), and no per-type single-task window — then a
-    * |types|-bounded peak broadcast and a struct-min for the first peak
-    * instant. The same sweep prices concurrent-connection licensing,
-    * peak session load, and room-booking overlap at any scale. */
-  val q245_max_concurrency: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(col("event_type"),
-      unix_millis(col("ts")).as("tsm"), col("event_id").cast("long").as("event_id"))
-    val deltas = ev.select(col("event_type"), col("tsm").as("t"),
-        lit(1L).as("delta"), col("event_id"))
-      .unionAll(ev.select(col("event_type"),
-        (col("tsm") + 1800000L).as("t"), lit(-1L).as("delta"),
-        col("event_id")))
-    val swept = graft.operators.RunningTotal.grouped(deltas, "event_type",
-        Seq("t", "delta", "event_id"), "delta", "conc",
-        groupCountHint = Some(64L))
-      .localCheckpoint(true) // consumers: peak agg + first-peak-instant
-    val peak = swept.groupBy(col("event_type"))
-      .agg(max(col("conc")).as("peak"))
-    swept.join(broadcast(peak),
-        Seq("event_type"))
-      .where(col("conc") === col("peak"))
-      .groupBy(col("event_type"))
-      .agg(max(col("peak")).as("peak"), min(col("t")).as("t_at_peak"))
-      .orderBy(col("event_type"))
-  }
-  val q245_sql: String =
-    """WITH e AS (SELECT event_type, epoch_ms(ts) AS tsm, event_id
-      |           FROM events),
-      |d AS (SELECT event_type, tsm AS t, 1 AS delta, event_id FROM e
-      |      UNION ALL
-      |      SELECT event_type, tsm + 1800000, -1, event_id FROM e),
-      |c AS (SELECT event_type, t,
-      |        sum(delta) OVER (PARTITION BY event_type
-      |          ORDER BY t, delta, event_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
-      |      FROM d),
-      |p AS (SELECT event_type, max(conc)::BIGINT AS peak FROM c GROUP BY 1)
-      |SELECT c.event_type, max(peak) AS peak,
-      |       min(t) AS t_at_peak
-      |FROM c JOIN p ON p.event_type = c.event_type AND c.conc = p.peak
-      |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin
-
-  /** NEGATIVE SAMPLING for link prediction over the co-purchase graph:
-    * for every node, k deterministic hash-picked candidate partners,
-    * ANTI-JOINED against the true edge set, top-3 kept by probe index —
-    * the contrastive-training data prep step (each positive edge needs
-    * non-edges, and at 100 TB they must come from hashing, not from
-    * materializing the complement graph). Shapes: candidate generation
-    * is row-local (k probes per node off a broadcast 1-row max-key), the
-    * reject step is one keyed LEFT ANTI join against canonical edges,
-    * and the keep-3 is [[graft.operators.TopK]]'s map-side-combined
-    * aggregate (score = −probe index) — no window. md5-probe hashing
-    * makes the sample replayable in the oracle. */
-  val q247_negative_sampling: Q = (s, d) => {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-      .localCheckpoint(true) // consumers: node set + anti-join target
-    val nodes = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node"))).distinct()
-    val maxP = e.agg(greatest(max(col("u")), max(col("v"))).as("maxp"))
-    val probes = nodes.crossJoin(broadcast(maxP))
-      .select(col("node"), explode(expr("sequence(0, 5)")).as("j"),
-        col("maxp"))
-      .withColumn("cand",
-        expr("1 + cast(conv(substr(md5(cast(node as string) || '|' " +
-          "|| cast(j as string)), 1, 8), 16, 10) as long) % maxp"))
-      .where(col("cand") =!= col("node"))
-      .select(col("node"), col("j"), col("cand"))
-    val canon = probes
-      .withColumn("cu", least(col("node"), col("cand")))
-      .withColumn("cv", greatest(col("node"), col("cand")))
-    val nonEdges = canon.join(
-        e.select(col("u").as("cu"), col("v").as("cv")),
-        Seq("cu", "cv"), "left_anti")
-      .select(col("node"), col("j"), col("cand"))
-    graft.operators.TopK.topKByGroup(
-        nonEdges.withColumn("negj", -col("j")), "node", "negj", "cand", 3)
-      .select(col("node"), col("rank"), col("cand").as("negative"))
-      .orderBy(col("node"), col("rank"))
-  }
-  val q247_sql: String =
-    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-      |            FROM lineitem),
-      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
-      |      JOIN op b ON a.o = b.o AND a.p < b.p),
-      |n AS (SELECT DISTINCT node FROM (
-      |        SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
-      |mx AS (SELECT greatest(max(u), max(v)) AS maxp FROM e),
-      |pr AS (SELECT node, j,
-      |         1 + ('0x' || substr(md5(CAST(node AS VARCHAR) || '|'
-      |             || CAST(j AS VARCHAR)), 1, 8))::BIGINT % maxp AS cand
-      |       FROM n, (SELECT unnest(range(0, 6)) AS j), mx),
-      |ne AS (SELECT node, j, cand FROM pr
-      |       WHERE cand <> node
-      |         AND NOT EXISTS (SELECT 1 FROM e
-      |               WHERE e.u = least(node, cand)
-      |                 AND e.v = greatest(node, cand))),
-      |r AS (SELECT node, cand,
-      |        row_number() OVER (PARTITION BY node ORDER BY j) AS rank
-      |      FROM ne)
-      |SELECT node, rank::BIGINT AS rank, cand AS negative FROM r
-      |WHERE rank <= 3 ORDER BY node, rank""".stripMargin
-
-  /** ASSOCIATION RULES from the frequent pairs (q237's level 2): both
-    * directions of every frequent pair scored with CONFIDENCE
-    * (supp(ab)/supp(a)) and LIFT (supp(ab)·n / (supp(a)·supp(b))) in
-    * exact fixed-point ppm — the actionable "viewers also signed up"
-    * deliverable. Everything runs on the |items|²-bounded frequent
-    * frames from the one corpus-scanned support pass; margins attach by
-    * broadcast. Integer div keeps the scores hash-exact. */
-  val q248_association_rules: Q = (s, d) => {
-    val b = Tables.events(s, d)
-      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
-        col("event_type"))
-      .distinct()
-      .localCheckpoint(true) // consumers: basket count + item supp + pairs
-    val nb = b.select(col("user_id"), col("day")).distinct()
-      .agg(count(lit(1)).as("nb"))
-    val items = b.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
-    val pairs = b.as("x").join(b.as("y"),
-        col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day")
-          && col("x.event_type") < col("y.event_type"))
-      .groupBy(col("x.event_type").as("ia"), col("y.event_type").as("ib"))
-      .agg(count(lit(1)).as("s_ab"))
-      .crossJoin(broadcast(nb))
-      .where(col("s_ab") * 1000 >= col("nb") * 70)
-    val rules = pairs.select(col("ia").as("ante"), col("ib").as("cons"),
-        col("s_ab"), col("nb"))
-      .unionAll(pairs.select(col("ib").as("ante"), col("ia").as("cons"),
-        col("s_ab"), col("nb")))
-    rules
-      .join(broadcast(items.select(col("event_type").as("ante"),
-        col("supp").as("s_a"))), Seq("ante"))
-      .join(broadcast(items.select(col("event_type").as("cons"),
-        col("supp").as("s_c"))), Seq("cons"))
-      .select(col("ante"), col("cons"), col("s_ab"),
-        expr("s_ab * 1000000 div s_a").as("conf_ppm"),
-        expr("s_ab * nb * 1000000 div (s_a * s_c)").as("lift_ppm"))
-      .orderBy(col("ante"), col("cons"))
-  }
-  val q248_sql: String =
-    """WITH b AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day,
-      |             event_type FROM events),
-      |nb AS (SELECT count(*)::BIGINT AS nb FROM (
-      |         SELECT DISTINCT user_id, day FROM b)),
-      |it AS (SELECT event_type, count(*)::BIGINT AS supp FROM b GROUP BY 1),
-      |pr AS (SELECT x.event_type AS ia, y.event_type AS ib,
-      |              count(*)::BIGINT AS s_ab
-      |       FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
-      |                        AND x.event_type < y.event_type
-      |       GROUP BY 1, 2
-      |       HAVING count(*) * 1000 >= (SELECT nb * 70 FROM nb)),
-      |ru AS (SELECT ia AS ante, ib AS cons, s_ab FROM pr
-      |       UNION ALL
-      |       SELECT ib, ia, s_ab FROM pr)
-      |SELECT ante, cons, s_ab,
-      |       s_ab * 1000000 // a.supp AS conf_ppm,
-      |       s_ab * (SELECT nb FROM nb) * 1000000 // (a.supp * c.supp)
-      |         AS lift_ppm
-      |FROM ru JOIN it a ON a.event_type = ru.ante
-      |        JOIN it c ON c.event_type = ru.cons
-      |ORDER BY ante, cons""".stripMargin
-
-  /** REVENUE CONCENTRATION (the 80/20 audit): the share of total revenue
-    * held by the top 1 % and top 10 % of orders — the Pareto-curve
-    * points a billing or abuse team reads before the Gini (q225 gives
-    * the one-number form for key COUNTS; this is the money version with
-    * explicit curve points). Shape: per-order revenue is one map-side
-    * combined aggregate; the global DESC rank rides the
-    * range-partitioned prefix sum on the NEGATED revenue (constant
-    * group, hint 1 — no single-task window); shares are integer ppm
-    * against a 1-row broadcast total. */
-  val q252_pareto_share: Q = (s, d) => {
-    val rev = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
-      .withColumn("g", lit(0))
-      .withColumn("one", lit(1L))
-      .withColumn("nrev", -col("rev"))
-      .localCheckpoint(true) // consumers: rank pass + totals
-    val totals = rev.agg(count(lit(1)).as("n_orders"),
-      sum(col("rev")).as("total_rev"))
-    val ranked = graft.operators.RunningTotal.grouped(rev, "g",
-      Seq("nrev", "l_orderkey"), "one", "rnk", groupCountHint = Some(1L))
-    ranked.crossJoin(broadcast(totals))
-      .agg(max(col("n_orders")).as("n_orders"),
-        max(col("total_rev")).as("total_rev"),
-        sum(when(col("rnk") * 100 <= col("n_orders"), col("rev"))
-          .otherwise(0L)).as("top1_rev"),
-        sum(when(col("rnk") * 10 <= col("n_orders"), col("rev"))
-          .otherwise(0L)).as("top10_rev"))
-      .select(col("n_orders"), col("total_rev"),
-        expr("top1_rev * 1000000 div total_rev").as("top1_share_ppm"),
-        expr("top10_rev * 1000000 div total_rev").as("top10_share_ppm"))
-  }
-  val q252_sql: String =
-    """WITH r AS (SELECT l_orderkey,
-      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rev
-      |  FROM lineitem GROUP BY 1),
-      |k AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, l_orderkey)
-      |        AS rnk, count(*) OVER () AS n FROM r)
-      |SELECT max(n)::BIGINT AS n_orders, sum(rev)::BIGINT AS total_rev,
-      |       CAST(sum(CASE WHEN rnk * 100 <= n THEN rev ELSE 0 END)
-      |            * 1000000 // sum(rev) AS BIGINT) AS top1_share_ppm,
-      |       CAST(sum(CASE WHEN rnk * 10 <= n THEN rev ELSE 0 END)
-      |            * 1000000 // sum(rev) AS BIGINT) AS top10_share_ppm
-      |FROM k""".stripMargin
-
-  /** COMMON-NEIGHBOR link prediction over the co-purchase graph: for
-    * every non-adjacent part pair sharing at least one neighbor, the
-    * common-neighbor count and neighborhood-Jaccard score
-    * (common / (d_a + d_b − common)) — the positive-candidate scorer
-    * that complements q247's negatives. Shapes: pairs are generated AT
-    * the shared pivot (fan-out deg², with a max-degree pivot cap — a
-    * celebrity hub predicts nothing and would dominate the pair count),
-    * counted map-side, degrees attach by two keyed joins, and true
-    * edges leave via ONE keyed anti-join. Top 20 by (jaccard, pair) is
-    * deterministic. Cost is bounded O(Σ min(deg, c)²) — unlike triangle
-    * counting, common-neighbor pairs need EVERY pivot, so degree
-    * orientation cannot prune; instead each pivot's candidate fan-out is
-    * capped TWICE: a max-degree pivot cap (a celebrity hub predicts
-    * nothing) and a per-pivot candidate SHORTLIST of the c
-    * smallest-id neighbors (deterministic row_number rank, replayed
-    * verbatim in the oracle), so pair generation is ≤ c²/2 per pivot no
-    * matter how the degree mass is distributed. At 100 TB c is the
-    * recall/cost knob, and the shuffle carries map-combined pair counts,
-    * never raw wedges. */
-  /** RESOURCE-ALLOCATION link index over the co-purchase graph — the
-    * degree-weighted sibling of q253's raw common-neighbor count: each
-    * shared pivot w contributes 1/deg(w), so a hub that everyone shares
-    * is discounted and a rare shared neighbor dominates (the RA index
-    * outperforms plain counts on product graphs). Closes the q241
-    * numbering gap noted in the round-7 verdict. Shapes: identical
-    * bounded fan-out as q253 — pivot-degree cap + per-pivot c=32
-    * smallest-id shortlist (rank window shuffles on the join key, no
-    * extra exchange), contributions as integer ppb (1e9 div deg —
-    * exact on both engines, no float drift), summed map-side; true
-    * edges leave via one broadcast anti-join. Top 20 by (ra, pair) is
-    * deterministic. */
-  val q241_resource_allocation: Q = (s, d) => {
-    val maxPivotDeg = 500L
-    val shortlistC = 32
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-      .localCheckpoint(true) // consumers: adjacency + anti-join
-    val adj = e.select(col("u").as("n"), col("v").as("nb"))
-      .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
-    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val pivots = adj.join(deg.where(col("deg") <= maxPivotDeg), Seq("n"))
-    val short = pivots.withColumn("rk",
-        row_number().over(Window.partitionBy(col("n")).orderBy(col("nb"))))
-      .where(col("rk") <= shortlistC).drop("rk")
-    val pairs = short.as("x").join(short.as("y"),
-        col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
-      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
-      .agg(sum(expr("1000000000 div x.deg")).as("ra_ppb"),
-        count(lit(1)).as("n_common"))
-    pairs
-      .join(broadcast(e.select(col("u").as("a"), col("v").as("b"))),
-        Seq("a", "b"), "left_anti")
-      .select(col("a"), col("b"), col("n_common"), col("ra_ppb"))
-      .orderBy(col("ra_ppb").desc, col("a"), col("b"))
-      .limit(20)
-  }
-  val q241_sql: String =
-    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-      |            FROM lineitem),
-      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
-      |      JOIN op b ON a.o = b.o AND a.p < b.p),
-      |adj AS (SELECT u AS n, v AS nb FROM e
-      |        UNION ALL SELECT v, u FROM e),
-      |dg AS (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
-      |pv AS (SELECT adj.n, adj.nb, dg.deg FROM adj JOIN dg ON dg.n = adj.n
-      |       WHERE dg.deg <= 500),
-      |sh AS (SELECT n, nb, deg FROM pv
-      |       QUALIFY row_number() OVER (PARTITION BY n ORDER BY nb) <= 32),
-      |pr AS (SELECT x.nb AS a, y.nb AS b,
-      |              sum(1000000000 // x.deg)::BIGINT AS ra_ppb,
-      |              count(*)::BIGINT AS n_common
-      |       FROM sh x JOIN sh y ON x.n = y.n AND x.nb < y.nb
-      |       GROUP BY 1, 2)
-      |SELECT a, b, n_common, ra_ppb FROM pr
-      |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = pr.a AND e.v = pr.b)
-      |ORDER BY ra_ppb DESC, a, b LIMIT 20""".stripMargin
-
-  val q253_common_neighbors: Q = (s, d) => {
-    val maxPivotDeg = 500L
-    val shortlistC = 32
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-      .localCheckpoint(true) // consumers: adjacency + degrees + anti-join
-    val adj = e.select(col("u").as("n"), col("v").as("nb"))
-      .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
-    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true) // consumers: pivot cap + two attaches
-    val pivots = adj.join(
-      deg.where(col("deg") <= maxPivotDeg).select(col("n")), Seq("n"),
-      "left_semi")
-    // per-pivot shortlist: the window shuffle is keyed on the SAME column
-    // (n) the self-join below needs, so the rank pass adds no extra
-    // exchange — the sorted-by-n partitioning is reused by the join.
-    val short = pivots.withColumn("rk",
-        row_number().over(Window.partitionBy(col("n")).orderBy(col("nb"))))
-      .where(col("rk") <= shortlistC).drop("rk")
-    val pairs = short.as("x").join(short.as("y"),
-        col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
-      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
-      .agg(count(lit(1)).as("common"))
-    // the pair frame is the big side (≤ c²/2 per pivot); the edge list and
-    // the degree table are both node/edge-scale — broadcast them so the
-    // three attaches stay map-side (no re-shuffle of the pair frame).
-    val scored = pairs
-      .join(broadcast(e.select(col("u").as("a"), col("v").as("b"))),
-        Seq("a", "b"), "left_anti")
-      .join(broadcast(deg.select(col("n").as("a"), col("deg").as("da"))),
-        Seq("a"))
-      .join(broadcast(deg.select(col("n").as("b"), col("deg").as("db"))),
-        Seq("b"))
-      .withColumn("jaccard_ppm",
-        expr("common * 1000000 div (da + db - common)"))
-    scored.select(col("a"), col("b"), col("common"), col("da"), col("db"),
-        col("jaccard_ppm"))
-      .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
-      .limit(20)
-  }
-  val q253_sql: String =
-    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-      |            FROM lineitem),
-      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
-      |      JOIN op b ON a.o = b.o AND a.p < b.p),
-      |adj AS (SELECT u AS n, v AS nb FROM e
-      |        UNION ALL SELECT v, u FROM e),
-      |dg AS (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
-      |pv AS (SELECT adj.n, adj.nb FROM adj JOIN dg ON dg.n = adj.n
-      |       WHERE dg.deg <= 500),
-      |sh AS (SELECT n, nb FROM pv
-      |       QUALIFY row_number() OVER (PARTITION BY n ORDER BY nb) <= 32),
-      |pr AS (SELECT x.nb AS a, y.nb AS b, count(*)::BIGINT AS common
-      |       FROM sh x JOIN sh y ON x.n = y.n AND x.nb < y.nb
-      |       GROUP BY 1, 2),
-      |ne AS (SELECT pr.* FROM pr WHERE NOT EXISTS (
-      |         SELECT 1 FROM e WHERE e.u = pr.a AND e.v = pr.b))
-      |SELECT a, b, common, da.deg AS da, db.deg AS db,
-      |       common * 1000000 // (da.deg + db.deg - common) AS jaccard_ppm
-      |FROM ne JOIN dg da ON da.n = ne.a JOIN dg db ON db.n = ne.b
-      |ORDER BY jaccard_ppm DESC, a, b LIMIT 20""".stripMargin
-
-  /** CONVERSION LATENCY bands: per user, the delay from FIRST view to
-    * the first purchase AFTER it, summarized as exact p50/p95 over
-    * converting users — the product-funnel health number. Shapes: both
-    * firsts are conditional min aggregates in ONE map-side-combined
-    * pass (no window, no self-join — `min(CASE)` per user); the band
-    * thresholds ride the global prefix-sum rank (constant group,
-    * hint 1) under the same integer rule as q244. */
-  val q254_conversion_latency: Q = (s, d) => {
-    val firsts = Tables.events(s, d)
-      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
-        col("event_type"))
-      .groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "view", col("tsm"))).as("tv"))
-    val lat = Tables.events(s, d)
-      .select(col("user_id"), unix_millis(col("ts")).as("tsm"),
-        col("event_type"))
-      .join(firsts, Seq("user_id"))
-      .where(col("event_type") === "purchase" && col("tsm") >= col("tv"))
-      .groupBy(col("user_id"))
-      .agg((min(col("tsm")) - max(col("tv"))).as("latency_ms"))
-      .withColumn("g", lit(0)).withColumn("one", lit(1L))
-      .localCheckpoint(true) // consumers: rank pass + count
-    val n = lat.agg(count(lit(1)).as("n_converted"))
-    val ranked = graft.operators.RunningTotal.grouped(lat, "g",
-      Seq("latency_ms", "user_id"), "one", "rnk", groupCountHint = Some(1L))
-    def band(pct: Int, name: String) = ranked.crossJoin(broadcast(n))
-      .where(col("rnk") * 100 >= col("n_converted") * pct)
-      .agg(min(col("latency_ms")).as(name))
-    n.crossJoin(broadcast(band(50, "p50_ms")))
-      .crossJoin(broadcast(band(95, "p95_ms")))
-  }
-  val q254_sql: String =
-    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm, event_type
-      |           FROM events),
-      |f AS (SELECT user_id,
-      |        min(CASE WHEN event_type = 'view' THEN tsm END) AS tv
-      |      FROM e GROUP BY 1),
-      |l AS (SELECT e.user_id, min(tsm) - max(tv) AS latency_ms
-      |      FROM e JOIN f USING (user_id)
-      |      WHERE event_type = 'purchase' AND tsm >= tv
-      |      GROUP BY 1),
-      |k AS (SELECT latency_ms,
-      |        row_number() OVER (ORDER BY latency_ms, user_id) AS rnk,
-      |        count(*) OVER () AS n FROM l)
-      |SELECT max(n)::BIGINT AS n_converted,
-      |       min(CASE WHEN rnk * 100 >= n * 50 THEN latency_ms END) AS p50_ms,
-      |       min(CASE WHEN rnk * 100 >= n * 95 THEN latency_ms END) AS p95_ms
-      |FROM k""".stripMargin
-
-  /** Weighted shortest paths — [[graft.operators.Bfs.sssp]]: three
-    * Bellman–Ford relaxation rounds over the part co-purchase graph with
-    * a SIMILARITY DISTANCE weight (`w = max(1, 1e6 div common)` — parts
-    * that co-occur in many orders sit close), from the `p_partkey % 100`
-    * seed set. The (min, +) semiring upgrade of q206's hop BFS: "how far
-    * is every part from the seed catalog, counting weak ties as long
-    * edges" — the substitution-radius / related-item-distance shape.
-    * Per round: one hash join + one map-side-combined min aggregate,
-    * distance frames localCheckpoint'ed (the q129/q206 iterative
-    * discipline); the oracle unrolls all three rounds as CTEs. Edge
-    * weights stay BIGINT on both engines — min() never widens, and the
-    * relax addition is row arithmetic, not an aggregate, so no HUGEINT
-    * divergence is possible. */
-  val q255_weighted_sssp: Q = (s, d) => {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("c"))
-      .select(col("u"), col("v"),
-        greatest(lit(1L), expr("1000000 div c")).as("w"))
-    val seeds = Tables.part(s, d)
-      .where(col("p_partkey") % 100 === 0).select(col("p_partkey"))
-    graft.operators.Bfs.sssp(e, "u", "v", "w", seeds, rounds = 3)
-      .orderBy(col("node"))
-  }
-  val q255_sql: String =
-    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-      |            FROM lineitem),
-      |e0 AS (SELECT a.p AS u, b.p AS v, count(*)::BIGINT AS c
-      |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-      |e AS (SELECT u, v, greatest(1, 1000000 // c) AS w FROM e0
-      |      UNION ALL SELECT v, u, greatest(1, 1000000 // c) FROM e0),
-      |d0 AS (SELECT p_partkey AS node, 0::BIGINT AS dist FROM part
-      |       WHERE p_partkey % 100 = 0),
-      |d1 AS (SELECT node, min(dist) AS dist FROM (
-      |         SELECT * FROM d0 UNION ALL
-      |         SELECT e.v, d0.dist + e.w FROM d0 JOIN e ON e.u = d0.node)
-      |       GROUP BY 1),
-      |d2 AS (SELECT node, min(dist) AS dist FROM (
-      |         SELECT * FROM d1 UNION ALL
-      |         SELECT e.v, d1.dist + e.w FROM d1 JOIN e ON e.u = d1.node)
-      |       GROUP BY 1),
-      |d3 AS (SELECT node, min(dist) AS dist FROM (
-      |         SELECT * FROM d2 UNION ALL
-      |         SELECT e.v, d2.dist + e.w FROM d2 JOIN e ON e.u = d2.node)
-      |       GROUP BY 1)
-      |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
 
   val defs: Map[String, Q] = Map(
-    "q255_weighted_sssp" -> q255_weighted_sssp,
-    "q252_pareto_share" -> q252_pareto_share,
-    "q241_resource_allocation" -> q241_resource_allocation,
-    "q253_common_neighbors" -> q253_common_neighbors,
-    "q254_conversion_latency" -> q254_conversion_latency,
-    "q247_negative_sampling" -> q247_negative_sampling,
-    "q248_association_rules" -> q248_association_rules,
-    "q244_percentile_bands" -> q244_percentile_bands,
-    "q245_max_concurrency" -> q245_max_concurrency,
-    "q242_bitmap_retention" -> q242_bitmap_retention,
-    "q243_entry_paths" -> q243_entry_paths,
-    "q237_frequent_itemsets" -> q237_frequent_itemsets,
-    "q238_degree_assortativity" -> q238_degree_assortativity,
-    "q235_join_size_cms" -> q235_join_size_cms,
-    "q230_clustering_coeff" -> q230_clustering_coeff,
-    "q231_cdc_apply" -> q231_cdc_apply,
-    "q226_bitmap_distinct" -> q226_bitmap_distinct,
-    "q228_covisitation" -> q228_covisitation,
-    "q224_winsorized_stats" -> q224_winsorized_stats,
-    "q225_key_skew_gini" -> q225_key_skew_gini,
-    "q220_attribution" -> q220_attribution,
-    "q221_retention_cohorts" -> q221_retention_cohorts,
-    "q222_benford" -> q222_benford,
-    "q216_weighted_median" -> q216_weighted_median,
-    "q217_decayed_engagement" -> q217_decayed_engagement,
-    "q213_corr_matrix" -> q213_corr_matrix,
-    "q210_pattern_dfa" -> q210_pattern_dfa,
-    "q205_resample_grid" -> q205_resample_grid,
-    "q207_cusum_drift" -> q207_cusum_drift,
-    "q201_locf_fill" -> q201_locf_fill,
-    "q202_ewma_fixed" -> q202_ewma_fixed,
-    "q203_markov_transitions" -> q203_markov_transitions,
     "q204_schema_evolution" -> q204_schema_evolution,
-    "q193_incremental_agg" -> q193_incremental_agg,
-    "q197_topk_agg" -> q197_topk_agg,
-    "q199_hits" -> q199_hits,
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
     "q03_derived" -> q03_derived,
@@ -3727,10 +1228,6 @@ object RelationalQueries {
     "q14_exact_quantiles" -> q14_exact_quantiles,
     "q15_top20" -> q15_top20,
     "q16_join_multi" -> q16_join_multi,
-    "q17_window_events" -> q17_window_events,
-    "q18_window_funcs" -> q18_window_funcs,
-    "q32_sessions" -> q32_sessions,
-    "q33_topn_per_group" -> q33_topn_per_group,
     "q34_rollup" -> q34_rollup,
     "q36_json_props" -> q36_json_props,
     "q37_filtered_agg" -> q37_filtered_agg,
@@ -3747,31 +1244,8 @@ object RelationalQueries {
     "q48_word_count" -> q48_word_count,
     "q49_asof_attribution" -> q49_asof_attribution,
     "q50_range_join" -> q50_range_join,
-    "q57_small_qty_revenue" -> q57_small_qty_revenue,
-    "q58_big_orders" -> q58_big_orders,
-    "q59_supplier_returns" -> q59_supplier_returns,
     "q60_salted_join" -> q60_salted_join,
-    "q62_order_priority" -> q62_order_priority,
-    "q63_custdist" -> q63_custdist,
-    "q64_min_cost_supplier" -> q64_min_cost_supplier,
-    "q66_shipping_priority" -> q66_shipping_priority,
-    "q67_local_supplier_volume" -> q67_local_supplier_volume,
-    "q68_returned_items" -> q68_returned_items,
-    "q69_late_lines_priority" -> q69_late_lines_priority,
-    "q70_promo_revenue" -> q70_promo_revenue,
-    "q71_brand_envelopes" -> q71_brand_envelopes,
-    "q72_supplier_dist" -> q72_supplier_dist,
-    "q73_dormant_customers" -> q73_dormant_customers,
-    "q76_salted_agg" -> q76_salted_agg,
-    "q77_window_analytics" -> q77_window_analytics,
     "q81_asof_forward" -> q81_asof_forward,
-    "q82_market_share" -> q82_market_share,
-    "q83_important_parts" -> q83_important_parts,
-    "q84_top_supplier" -> q84_top_supplier,
-    "q86_forecast_revenue" -> q86_forecast_revenue,
-    "q87_volume_shipping" -> q87_volume_shipping,
-    "q88_product_profit" -> q88_product_profit,
-    "q89_excess_suppliers" -> q89_excess_suppliers,
     "q93_json_roundtrip" -> q93_json_roundtrip,
     "q94_orc_roundtrip" -> q94_orc_roundtrip,
     "q96_scd2_merge" -> q96_scd2_merge,
@@ -3779,11 +1253,8 @@ object RelationalQueries {
     "q100_table_diff" -> q100_table_diff,
     "q101_profile" -> q101_profile,
     "q104_partitioned_scan" -> q104_partitioned_scan,
-    "q109_bloom_prefilter" -> q109_bloom_prefilter,
-    "q111_funnel" -> q111_funnel,
     "q157_bucketed_join" -> q157_bucketed_join,
-    "q174_compaction" -> q174_compaction,
-    "q175_priority_trend" -> q175_priority_trend)
+    "q174_compaction" -> q174_compaction)
 
   val oracles: Map[String, String] = Map(
     "q01_summary" -> q01_sql,
@@ -3803,10 +1274,6 @@ object RelationalQueries {
     "q14_exact_quantiles" -> q14_sql,
     "q15_top20" -> q15_sql,
     "q16_join_multi" -> q16_sql,
-    "q17_window_events" -> q17_sql,
-    "q18_window_funcs" -> q18_sql,
-    "q32_sessions" -> q32_sql,
-    "q33_topn_per_group" -> q33_sql,
     "q34_rollup" -> q34_sql,
     "q36_json_props" -> q36_sql,
     "q37_filtered_agg" -> q37_sql,
@@ -3823,31 +1290,8 @@ object RelationalQueries {
     "q48_word_count" -> q48_sql,
     "q49_asof_attribution" -> q49_sql,
     "q50_range_join" -> q50_sql,
-    "q57_small_qty_revenue" -> q57_sql,
-    "q58_big_orders" -> q58_sql,
-    "q59_supplier_returns" -> q59_sql,
     "q60_salted_join" -> q60_sql,
-    "q62_order_priority" -> q62_sql,
-    "q63_custdist" -> q63_sql,
-    "q64_min_cost_supplier" -> q64_sql,
-    "q66_shipping_priority" -> q66_sql,
-    "q67_local_supplier_volume" -> q67_sql,
-    "q68_returned_items" -> q68_sql,
-    "q69_late_lines_priority" -> q69_sql,
-    "q70_promo_revenue" -> q70_sql,
-    "q71_brand_envelopes" -> q71_sql,
-    "q72_supplier_dist" -> q72_sql,
-    "q73_dormant_customers" -> q73_sql,
-    "q76_salted_agg" -> q76_sql,
-    "q77_window_analytics" -> q77_sql,
     "q81_asof_forward" -> q81_sql,
-    "q82_market_share" -> q82_sql,
-    "q83_important_parts" -> q83_sql,
-    "q84_top_supplier" -> q84_sql,
-    "q86_forecast_revenue" -> q86_sql,
-    "q87_volume_shipping" -> q87_sql,
-    "q88_product_profit" -> q88_sql,
-    "q89_excess_suppliers" -> q89_sql,
     "q93_json_roundtrip" -> q93_sql,
     "q94_orc_roundtrip" -> q94_sql,
     "q96_scd2_merge" -> q96_sql,
@@ -3855,45 +1299,7 @@ object RelationalQueries {
     "q100_table_diff" -> q100_sql,
     "q101_profile" -> q101_sql,
     "q104_partitioned_scan" -> q104_sql,
-    "q109_bloom_prefilter" -> q109_sql,
-    "q111_funnel" -> q111_sql,
     "q157_bucketed_join" -> q157_sql,
     "q174_compaction" -> q174_sql,
-    "q175_priority_trend" -> q175_sql,
-    "q193_incremental_agg" -> q193_sql,
-    "q197_topk_agg" -> q197_sql,
-    "q199_hits" -> q199_sql,
-    "q201_locf_fill" -> q201_sql,
-    "q202_ewma_fixed" -> q202_sql,
-    "q203_markov_transitions" -> q203_sql,
-    "q204_schema_evolution" -> q204_sql,
-    "q205_resample_grid" -> q205_sql,
-    "q207_cusum_drift" -> q207_sql,
-    "q210_pattern_dfa" -> q210_sql,
-    "q213_corr_matrix" -> q213_sql,
-    "q216_weighted_median" -> q216_sql,
-    "q217_decayed_engagement" -> q217_sql,
-    "q220_attribution" -> q220_sql,
-    "q221_retention_cohorts" -> q221_sql,
-    "q222_benford" -> q222_sql,
-    "q224_winsorized_stats" -> q224_sql,
-    "q225_key_skew_gini" -> q225_sql,
-    "q226_bitmap_distinct" -> q226_sql,
-    "q228_covisitation" -> q228_sql,
-    "q230_clustering_coeff" -> q230_sql,
-    "q231_cdc_apply" -> q231_sql,
-    "q235_join_size_cms" -> q235_sql,
-    "q237_frequent_itemsets" -> q237_sql,
-    "q238_degree_assortativity" -> q238_sql,
-    "q242_bitmap_retention" -> q242_sql,
-    "q243_entry_paths" -> q243_sql,
-    "q244_percentile_bands" -> q244_sql,
-    "q252_pareto_share" -> q252_sql,
-    "q241_resource_allocation" -> q241_sql,
-    "q253_common_neighbors" -> q253_sql,
-    "q254_conversion_latency" -> q254_sql,
-    "q247_negative_sampling" -> q247_sql,
-    "q248_association_rules" -> q248_sql,
-    "q245_max_concurrency" -> q245_sql,
-    "q255_weighted_sssp" -> q255_sql)
+    "q204_schema_evolution" -> q204_sql)
 }

@@ -1,0 +1,521 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions._
+import graft.io.Tables
+import graft.operators.BloomPrefilter
+import graft.transform.Star
+
+import graft.llm.{AllPairs, Bpe, CmsAgg, Curation, Dedup, Hll, Importance, Ivf, Multimodal, Pq, Quantize, RandomProjection, RollingHash, Sampling, SemDedup, SetJoin, Similarity, Sketch, TextAnalysis}
+import graft.queries.RelationalQueries._
+import graft.queries.LlmQueries._
+
+/** probabilistic sketches (Bloom, bitmap, CMS, HLL, KMV) — split from the monolithic query registry
+  * (round-8 maintainability); shared oracle-SQL helpers stay in the
+  * origin object(s) (RelationalQueries / LlmQueries) with
+  * package-private visibility. Same contract as every registry:
+  * each `defs` entry has a DuckDB `oracles` twin with identical
+  * column names and deterministic ordering. */
+object SketchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ----------------------------------------------------- bloom prefilter
+  /** Revenue by return flag for lines from one nation's suppliers, with the
+    * fact side pruned by an explicit broadcast Bloom filter BEFORE the
+    * exact semi join ([[BloomPrefilter.semiJoinWithBloom]]). The bloom has
+    * no false negatives and the trailing exact join removes false
+    * positives, so the result is value-identical to the plain semi join —
+    * which is exactly what the oracle runs. At scale this is the pattern
+    * for pruning a 100 TB fact scan against a key set computed in another
+    * job, where Spark's own runtime bloom injection can't reach. */
+  val q109_bloom_prefilter: Q = (s, d) => {
+    val supp = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3") // present at every test SF
+      .select(col("s_suppkey"))
+    BloomPrefilter.semiJoinWithBloom(
+        Tables.lineitem(s, d), "l_suppkey", supp, "s_suppkey",
+        expectedItems = 1000L, fpp = 0.03)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q109_sql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+      |                    JOIN nation ON s_nationkey = n_nationkey
+      |                    WHERE n_name = 'NATION_3')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+
+  /** Exact RE-AGGREGABLE distinct counts via 64-bit-word bitmaps: daily
+    * distinct users, then WEEKLY distinct computed from the daily word
+    * frame alone — never rescanning the raw events. This is the
+    * pre-aggregated-cube shape that makes exact distinct viable at
+    * 100 TB: the event scan happens once, producing |days|·|users|/64
+    * bitmap words via ONE map-side-combined `bit_or` (a day's word merges
+    * inside each task before the shuffle); every coarser rollup
+    * (week, month, all-time) is a `bit_or` over words — associative,
+    * idempotent, and tiny. `sum_daily_distinct` vs `weekly_distinct`
+    * quantifies the cross-day dedup a naive sum would overcount. */
+  val q226_bitmap_distinct: Q = (s, d) => {
+    val words = Tables.events(s, d)
+      .select(expr("unix_millis(ts) div 86400000").as("day"),
+        expr("user_id div 64").as("word"),
+        expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+      .groupBy(col("day"), col("word")).agg(expr("bit_or(bit)").as("bits"))
+      .localCheckpoint(true) // consumers: daily counts + weekly re-merge
+    val daily = words
+      .groupBy(col("day"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("day_distinct"))
+    val weekly = words
+      .groupBy(expr("day div 7").as("week"), col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+      .groupBy(col("week"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("weekly_distinct"))
+    daily.groupBy(expr("day div 7").as("week"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day_distinct")).as("sum_daily_distinct"))
+      .join(weekly, Seq("week"))
+      .orderBy(col("week"))
+  }
+
+  val q226_sql: String =
+    """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id
+      |           FROM events),
+      |dd AS (SELECT day, count(DISTINCT user_id)::BIGINT AS day_distinct
+      |       FROM e GROUP BY 1),
+      |wd AS (SELECT day // 7 AS week,
+      |              count(DISTINCT user_id)::BIGINT AS weekly_distinct
+      |       FROM e GROUP BY 1)
+      |SELECT week, count(*)::BIGINT AS n_days,
+      |       sum(day_distinct)::BIGINT AS sum_daily_distinct,
+      |       max(weekly_distinct) AS weekly_distinct
+      |FROM dd JOIN wd ON dd.day // 7 = wd.week
+      |GROUP BY week ORDER BY week""".stripMargin
+
+
+  /** JOIN-SIZE ESTIMATION from Count-Min sketches (the AMS/CMS inner
+    * product of Cormode & Muthukrishnan, J.Alg 2005): the self-join size
+    * Σₖ cₖ² of lineitem on part key — the number the optimizer needs
+    * BEFORE running a join to predict skew blow-up — estimated as
+    * min over the d hash rows of Σⱼ counter², and compared against the
+    * exact answer. Shape: ONE corpus scan exploding each key into its d
+    * row-buckets (row-local), one map-side-combined count per (row,
+    * bucket) — d·w cells of state, the planning-time sketch a 100 TB
+    * optimizer would maintain per column — then bounded re-aggregation.
+    * The estimate is exact integer arithmetic end to end (a guaranteed
+    * OVERestimate: row sums only collide upward), so it hash-matches. */
+  val q235_join_size_cms: Q = (s, d) => {
+    val depth = 3
+    val width = 512
+    val keys = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
+      .localCheckpoint(true) // consumers: sketch build + exact groupBy
+    val ib = (0 until depth).map { i =>
+      struct(lit(i).as("i"),
+        graft.llm.Sketch.cmsBucket(i, col("k"), width).as("b"))
+    }
+    val est = keys
+      .select(explode(array(ib: _*)).as("ib"))
+      .select(col("ib.i").as("i"), col("ib.b").as("b"))
+      .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("i")).agg(sum(col("c") * col("c")).as("e"))
+      .agg(min(col("e")).as("cms_join_size"))
+    val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_join_size"))
+    exact.crossJoin(broadcast(est)) // 1 row x 1 row
+      .withColumn("ratio_ppm",
+        expr("cms_join_size * 1000000 div exact_join_size"))
+  }
+
+  val q235_sql: String =
+    """WITH k AS (SELECT l_partkey AS k FROM lineitem),
+      |b AS (SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
+      |          || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 512 AS b
+      |      FROM k, (SELECT unnest(range(3)) AS i) d),
+      |c AS (SELECT i, b, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+      |e AS (SELECT i, sum(c * c)::BIGINT AS e FROM c GROUP BY 1),
+      |est AS (SELECT min(e)::BIGINT AS cms_join_size FROM e),
+      |ex AS (SELECT sum(c * c)::BIGINT AS exact_join_size FROM (
+      |         SELECT count(*)::BIGINT AS c FROM k GROUP BY k))
+      |SELECT exact_join_size, cms_join_size,
+      |       cms_join_size * 1000000 // exact_join_size AS ratio_ppm
+      |FROM ex, est""".stripMargin
+
+
+  /** BITMAP RETENTION: week-over-week retained users computed as
+    * popcount(weekₙ AND weekₙ₊₁) over the same 64-bit-word user bitmaps
+    * as q226 — the INTERSECTION query that bitmap indexes answer without
+    * touching raw data: one word-keyed equi-join between consecutive
+    * weeks' word frames (|users|/64 rows per week, not |events|), a
+    * bitwise AND, a popcount sum. Complements q221's count-distinct
+    * cohort matrix with the re-aggregable exact form — any week pair, no
+    * event rescan. */
+  val q242_bitmap_retention: Q = (s, d) => {
+    val words = Tables.events(s, d)
+      .select(expr("unix_millis(ts) div 86400000 div 7").as("week"),
+        expr("user_id div 64").as("word"),
+        expr("shiftleft(1L, cast(user_id % 64 as int))").as("bit"))
+      .groupBy(col("week"), col("word")).agg(expr("bit_or(bit)").as("bits"))
+      .localCheckpoint(true) // consumers: active counts + pair self-join
+    val act = words.groupBy(col("week"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("active"))
+    val ret = words.as("a").join(words.as("b"),
+        col("a.word") === col("b.word") && col("b.week") === col("a.week") + 1)
+      .select(col("a.week").as("week"),
+        col("a.bits").bitwiseAND(col("b.bits")).as("band"))
+      .groupBy(col("week"))
+      .agg(sum(expr("bit_count(band)")).cast("long").as("retained"))
+    ret
+      .join(act, Seq("week"))
+      .join(act.select((col("week") - 1).as("week"),
+        col("active").as("active_next")), Seq("week"))
+      .select(col("week"), (col("week") + 1).as("next_week"),
+        col("active").as("active_week"), col("active_next"),
+        col("retained"))
+      .withColumn("retained_ppm", expr("retained * 1000000 div active_week"))
+      .orderBy(col("week"))
+  }
+
+  val q242_sql: String =
+    """WITH u AS (SELECT DISTINCT epoch_ms(ts) // 86400000 // 7 AS week,
+      |             user_id FROM events),
+      |a AS (SELECT week, count(*)::BIGINT AS active FROM u GROUP BY 1),
+      |r AS (SELECT x.week, count(*)::BIGINT AS retained
+      |      FROM u x JOIN u y ON y.user_id = x.user_id
+      |                       AND y.week = x.week + 1
+      |      GROUP BY 1)
+      |SELECT r.week, r.week + 1 AS next_week, a1.active AS active_week,
+      |       a2.active AS active_next, retained,
+      |       retained * 1000000 // a1.active AS retained_ppm
+      |FROM r JOIN a a1 ON a1.week = r.week
+      |       JOIN a a2 ON a2.week = r.week + 1
+      |ORDER BY r.week""".stripMargin
+
+
+  /** Count-Min heavy hitters over `lineitem.l_partkey`. The sketch is built
+    * in ONE pass by [[graft.llm.CmsAgg]] (partial-aggregated typed
+    * Aggregator; 4×2048 longs of constant state per partition), then the
+    * exact top-20 keys are annotated with the sketch's estimate, read as a
+    * codegen'd `element_at` over the counter array shipped as a single
+    * broadcast literal. The oracle recomputes every bucket counter AND the
+    * min-of-d read in SQL with the same md5 hash family, so the estimates
+    * themselves are hash-checked — certified `est >= exact` semantics, not
+    * a rows-only smoke check. At 100 TB the exact groupBy side goes away
+    * and candidates come from the sketch; here it doubles as the oracle. */
+  val q107_cms_heavy_hitters: Q = (s, d) => {
+    import s.implicits._
+    val depth = CmsParams._1; val width = CmsParams._2
+    val li = Tables.lineitem(s, d)
+    val sketch = li.select(col("l_partkey").cast("string")).as[String]
+      .select(new CmsAgg(depth, width).toColumn).head()
+    li.groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("cms_est", Sketch.cmsEstimate(sketch, depth, width, col("key")))
+      .orderBy(col("exact_cnt").desc, col("key"))
+      .limit(20)
+  }
+
+  val q107_sql: String = {
+    val (depth, width) = CmsParams
+    s"""WITH keys AS (SELECT l_partkey AS key, count(*) AS exact_cnt FROM lineitem GROUP BY 1),
+       |     idx AS (SELECT unnest(range($depth)) AS i),
+       |     hashed AS (SELECT k.key, k.exact_cnt, i.i,
+       |                ('0x' || substr(md5(CAST(i.i AS VARCHAR) || '|' || CAST(k.key AS VARCHAR)), 1, 8))::BIGINT % $width AS bucket
+       |                FROM keys k CROSS JOIN idx i),
+       |     buckets AS (SELECT i, bucket, CAST(sum(exact_cnt) AS BIGINT) AS total FROM hashed GROUP BY 1, 2),
+       |     est AS (SELECT h.key, min(b.total) AS cms_est FROM hashed h JOIN buckets b USING (i, bucket) GROUP BY 1)
+       |SELECT k.key, k.exact_cnt, e.cms_est
+       |FROM keys k JOIN est e USING (key)
+       |ORDER BY k.exact_cnt DESC, k.key LIMIT 20""".stripMargin
+  }
+
+
+  /** HyperLogLog distinct count of `orders.o_custkey` (m=256 registers),
+    * exact-arithmetic variant: the register sum is carried as the INTEGER
+    * S = Σ 2^(25-M_j), so the raw HLL estimate is one double division
+    * `numerator / S` — identical IEEE op on both engines, hence a full
+    * hash-exact oracle for an approximate-count operator. Output also
+    * carries the exact distinct (for error inspection) and the
+    * zero-register count V (what linear-counting correction would key on).
+    * The Spark side here uses the Column/groupBy register form;
+    * [[graft.llm.HllAgg]] (one-pass, constant-state, the 100 TB shape) is
+    * certified equal to it register-for-register in `SketchSpec`. */
+  val q108_hll_distinct: Q = (s, d) => {
+    val m = HllM
+    val bits = Hll.rhoBits(m)
+    val od = Tables.orders(s, d)
+    val jr = od.select(Hll.jCol(col("o_custkey"), m).as("j"),
+                       Hll.rhoCol(col("o_custkey"), m).as("rho"))
+    val regs = s.range(m).select(col("id").as("j"))
+      .join(jr.groupBy("j").agg(max("rho").as("mx")), Seq("j"), "left")
+      .select(coalesce(col("mx"), lit(0)).cast("int").as("m"))
+    val aggd = regs.agg(
+      expr(s"CAST(sum(shiftleft(CAST(1 AS BIGINT), ${bits + 1} - m)) AS BIGINT)").as("s"),
+      sum(when(col("m") === 0, 1L).otherwise(0L)).as("zero_registers"))
+    val exact = od.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    exact.crossJoin(aggd) // 1 row x 1 row: broadcast nested loop, not a CartesianProduct
+      .select(col("exact_distinct"),
+        (lit(Hll.numerator(m)) / col("s")).as("hll_estimate"),
+        col("zero_registers"))
+  }
+
+  val q108_sql: String = {
+    val m = HllM
+    val bits = Hll.rhoBits(m)
+    s"""WITH h AS (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS hv FROM orders),
+       |     jr AS (SELECT hv % $m AS j,
+       |                   CASE WHEN instr(lpad(bin(hv // $m), $bits, '0'), '1') = 0 THEN ${bits + 1}
+       |                        ELSE instr(lpad(bin(hv // $m), $bits, '0'), '1') END AS rho
+       |            FROM h),
+       |     regs AS (SELECT CAST(coalesce(max(jr.rho), 0) AS INTEGER) AS m
+       |              FROM (SELECT unnest(range($m)) AS j) sp LEFT JOIN jr ON sp.j = jr.j GROUP BY sp.j),
+       |     agg AS (SELECT CAST(sum(1::BIGINT << (${bits + 1} - m)) AS BIGINT) AS s,
+       |                    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
+       |             FROM regs)
+       |SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct,
+       |       CAST(${Hll.numerator(m)} AS DOUBLE) / s AS hll_estimate,
+       |       zero_registers
+       |FROM agg""".stripMargin
+  }
+
+
+  /** KMV sketch set-operation estimates — [[graft.operators.Kmv]]:
+    * union-cardinality and Jaccard for every source pair from k = 64
+    * minimum md5-hash values per source — the sketch form of q189's
+    * exact vocabulary overlap: k·|sources| retained values instead of a
+    * |vocab|-sized join per pair, with content-defined (order-
+    * independent, engine-independent) randomness and integral fixed-point
+    * estimators, so the ESTIMATES hash-match the SQL replay. */
+  val q215_kmv_overlap: Q = (s, d) => {
+    val toks = Tables.documents(s, d).select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val sk = graft.operators.Kmv.sketch(toks, "source", "tok", k = 64)
+    graft.operators.Kmv.pairEstimates(sk, "source", k = 64)
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("n_union_est"), col("jaccard_est_fp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q215_sql: String =
+    """WITH toks AS (SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+      |           x -> x <> '')) AS tok
+      |  FROM documents),
+      |hs AS (SELECT DISTINCT source,
+      |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+      |sk AS (SELECT source, h FROM (
+      |         SELECT source, h,
+      |           row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      |         FROM hs) WHERE r <= 64),
+      |sides AS (
+      |  SELECT s.source AS ga, g.source AS gb, s.h, 1 AS in_a, 0 AS in_b
+      |  FROM sk s JOIN (SELECT DISTINCT source FROM sk) g ON s.source < g.source
+      |  UNION ALL
+      |  SELECT g.source AS ga, s.source AS gb, s.h, 0 AS in_a, 1 AS in_b
+      |  FROM sk s JOIN (SELECT DISTINCT source FROM sk) g ON g.source < s.source),
+      |m AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+      |      FROM sides GROUP BY 1, 2, 3),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+      |       FROM m),
+      |agg AS (SELECT ga, gb, count(*)::BIGINT AS m, max(h) AS t,
+      |          sum(in_a * in_b)::BIGINT AS n_both
+      |        FROM rk WHERE r <= 64 GROUP BY 1, 2)
+      |SELECT ga AS src_a, gb AS src_b,
+      |  (CASE WHEN m < 64 THEN m
+      |        ELSE (63 * 4294967296) // greatest(t, 1) END)::BIGINT AS n_union_est,
+      |  ((n_both * 1000000) // m)::BIGINT AS jaccard_est_fp
+      |FROM agg ORDER BY src_a, src_b""".stripMargin
+
+
+  /** HLL sketch ROLLUP — weekly distinct-user estimates computed by
+    * merging per-day HyperLogLog registers, never rescanning raw events:
+    * the mergeable-sketch property ([[graft.llm.Hll]]) that turns a
+    * 100 TB distinct-count cube into one scan plus register-wise `max`
+    * rollups (associative and idempotent, so days → weeks → months all
+    * reuse the same daily frame, exactly like q226's exact bitmaps but
+    * with O(m) state per group instead of O(|users|/64)). The register
+    * merge, densified grid (weeks × m via a broadcast nested loop, both
+    * sides bounded), and estimate arithmetic are all replayed by the
+    * oracle — the ESTIMATES hash-match, not just "close enough". */
+  val q227_hll_rollup: Q = (s, d) => {
+    val m = HllM
+    val bits = Hll.rhoBits(m)
+    val ev = Tables.events(s, d)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+    val dailyRegs = ev
+      .select(col("day"), Hll.jCol(col("user_id"), m).as("j"),
+        Hll.rhoCol(col("user_id"), m).as("rho"))
+      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("rho"))
+    val weekRegs = dailyRegs
+      .groupBy(expr("day div 7").as("week"), col("j"))
+      .agg(max(col("rho")).as("mx"))
+    val grid = weekRegs.select(col("week")).distinct()
+      .join(broadcast(s.range(m).select(col("id").as("j"))))
+    val aggd = grid.join(weekRegs, Seq("week", "j"), "left")
+      .select(col("week"), coalesce(col("mx"), lit(0)).cast("int").as("mreg"))
+      .groupBy(col("week"))
+      .agg(expr(s"CAST(sum(shiftleft(CAST(1 AS BIGINT), ${bits + 1} - mreg)) AS BIGINT)").as("s"),
+        sum(when(col("mreg") === 0, 1L).otherwise(0L)).as("zero_registers"))
+    val exact = ev.groupBy(expr("day div 7").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact.join(aggd, Seq("week"))
+      .select(col("week"), col("exact_distinct"),
+        (lit(Hll.numerator(m)) / col("s")).as("hll_estimate"),
+        col("zero_registers"))
+      .orderBy(col("week"))
+  }
+
+  val q227_sql: String = {
+    val m = HllM
+    val bits = Hll.rhoBits(m)
+    s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id,
+       |             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |           FROM events),
+       |jr AS (SELECT day // 7 AS week, hv % $m AS j,
+       |          CASE WHEN instr(lpad(bin(hv // $m), $bits, '0'), '1') = 0 THEN ${bits + 1}
+       |               ELSE instr(lpad(bin(hv // $m), $bits, '0'), '1') END AS rho
+       |       FROM e),
+       |wr AS (SELECT week, j, max(rho) AS mx FROM jr GROUP BY 1, 2),
+       |grid AS (SELECT w.week, sp.j
+       |         FROM (SELECT DISTINCT week FROM wr) w,
+       |              (SELECT unnest(range($m)) AS j) sp),
+       |regs AS (SELECT grid.week, CAST(coalesce(wr.mx, 0) AS INTEGER) AS m
+       |         FROM grid LEFT JOIN wr ON grid.week = wr.week AND grid.j = wr.j),
+       |agg AS (SELECT week,
+       |          CAST(sum(1::BIGINT << (${bits + 1} - m)) AS BIGINT) AS s,
+       |          CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
+       |        FROM regs GROUP BY 1),
+       |ex AS (SELECT day // 7 AS week,
+       |         count(DISTINCT user_id)::BIGINT AS exact_distinct
+       |       FROM e GROUP BY 1)
+       |SELECT ex.week, exact_distinct,
+       |       CAST(${Hll.numerator(m)} AS DOUBLE) / s AS hll_estimate,
+       |       zero_registers
+       |FROM ex JOIN agg USING (week) ORDER BY week""".stripMargin
+  }
+
+
+  /** HLL INTERSECTION by inclusion–exclusion — |A∩B| ≈ |A| + |B| − |A∪B|
+    * with the union estimate read from register-wise max of the two
+    * sketches: the set-algebra layer over q227's mergeable registers
+    * that answers week-over-week retention (compare q242's exact bitmap
+    * answer, surfaced alongside) from O(m) state per week instead of
+    * O(|users|/64). Shape: one corpus scan into per-week registers, a
+    * dense week×m grid (broadcast nested loop over bounded sides), one
+    * register equi-join between consecutive weeks, and three estimate
+    * divisions whose inputs are exact integers — so even the
+    * inclusion–exclusion DOUBLE arithmetic is order-fixed and
+    * hash-matches the oracle replay. */
+  val q251_hll_intersection: Q = (s, d) => {
+    val m = HllM
+    val bits = Hll.rhoBits(m)
+    val ev = Tables.events(s, d)
+      .select(expr("unix_millis(ts) div 86400000 div 7").as("week"),
+        col("user_id"))
+    val weekRegs = ev
+      .select(col("week"), Hll.jCol(col("user_id"), m).as("j"),
+        Hll.rhoCol(col("user_id"), m).as("rho"))
+      .groupBy(col("week"), col("j")).agg(max(col("rho")).as("mx"))
+    val grid = weekRegs.select(col("week")).distinct()
+      .join(broadcast(s.range(m).select(col("id").as("j"))))
+    val dense = grid.join(weekRegs, Seq("week", "j"), "left")
+      .select(col("week"), col("j"),
+        coalesce(col("mx"), lit(0)).cast("int").as("mreg"))
+      .localCheckpoint(true) // consumers: pair join (both sides)
+    val pair = dense.as("a").join(dense.as("b"),
+        col("a.j") === col("b.j") && col("b.week") === col("a.week") + 1)
+      .select(col("a.week").as("week"), col("a.mreg").as("ma"),
+        col("b.mreg").as("mb"))
+    val agg = pair.groupBy(col("week")).agg(
+      expr(s"CAST(sum(shiftleft(CAST(1 AS BIGINT), ${bits + 1} - ma)) AS BIGINT)").as("sa"),
+      expr(s"CAST(sum(shiftleft(CAST(1 AS BIGINT), ${bits + 1} - mb)) AS BIGINT)").as("sb"),
+      expr(s"CAST(sum(shiftleft(CAST(1 AS BIGINT), ${bits + 1} - greatest(ma, mb))) AS BIGINT)").as("su"))
+    val exact = ev.as("x").join(ev.as("y"),
+        col("x.user_id") === col("y.user_id")
+          && col("y.week") === col("x.week") + 1)
+      .select(col("x.week").as("week"), col("x.user_id").as("user_id"))
+      .distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("exact_retained"))
+    val num = Hll.numerator(m)
+    exact.join(agg, Seq("week"))
+      .select(col("week"), (col("week") + 1).as("next_week"),
+        col("exact_retained"),
+        (lit(num) / col("sa")).as("hll_a"),
+        (lit(num) / col("sb")).as("hll_b"),
+        (lit(num) / col("su")).as("hll_union"),
+        (lit(num) / col("sa") + lit(num) / col("sb")
+          - lit(num) / col("su")).as("hll_intersection"))
+      .orderBy(col("week"))
+  }
+
+  val q251_sql: String = {
+    val m = HllM
+    val bits = Hll.rhoBits(m)
+    val num = Hll.numerator(m)
+    s"""WITH e AS (SELECT epoch_ms(ts) // 86400000 // 7 AS week, user_id,
+       |             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+       |           FROM events),
+       |jr AS (SELECT week, hv % $m AS j,
+       |          CASE WHEN instr(lpad(bin(hv // $m), $bits, '0'), '1') = 0 THEN ${bits + 1}
+       |               ELSE instr(lpad(bin(hv // $m), $bits, '0'), '1') END AS rho
+       |       FROM e),
+       |wr AS (SELECT week, j, max(rho) AS mx FROM jr GROUP BY 1, 2),
+       |grid AS (SELECT w.week, sp.j
+       |         FROM (SELECT DISTINCT week FROM wr) w,
+       |              (SELECT unnest(range($m)) AS j) sp),
+       |dn AS (SELECT grid.week, grid.j, CAST(coalesce(wr.mx, 0) AS INTEGER) AS mreg
+       |       FROM grid LEFT JOIN wr ON grid.week = wr.week AND grid.j = wr.j),
+       |pr AS (SELECT a.week, a.mreg AS ma, b.mreg AS mb
+       |       FROM dn a JOIN dn b ON a.j = b.j AND b.week = a.week + 1),
+       |ag AS (SELECT week,
+       |         CAST(sum(1::BIGINT << (${bits + 1} - ma)) AS BIGINT) AS sa,
+       |         CAST(sum(1::BIGINT << (${bits + 1} - mb)) AS BIGINT) AS sb,
+       |         CAST(sum(1::BIGINT << (${bits + 1} - greatest(ma, mb))) AS BIGINT) AS su
+       |       FROM pr GROUP BY 1),
+       |ex AS (SELECT x.week, count(DISTINCT x.user_id)::BIGINT AS exact_retained
+       |       FROM e x JOIN e y ON y.user_id = x.user_id
+       |                        AND y.week = x.week + 1
+       |       GROUP BY 1)
+       |SELECT ex.week, ex.week + 1 AS next_week, exact_retained,
+       |       CAST($num AS DOUBLE) / sa AS hll_a,
+       |       CAST($num AS DOUBLE) / sb AS hll_b,
+       |       CAST($num AS DOUBLE) / su AS hll_union,
+       |       CAST($num AS DOUBLE) / sa + CAST($num AS DOUBLE) / sb
+       |         - CAST($num AS DOUBLE) / su AS hll_intersection
+       |FROM ex JOIN ag USING (week) ORDER BY ex.week""".stripMargin
+  }
+
+
+  val defs: Map[String, Q] = Map(
+    "q242_bitmap_retention" -> q242_bitmap_retention,
+    "q235_join_size_cms" -> q235_join_size_cms,
+    "q226_bitmap_distinct" -> q226_bitmap_distinct,
+    "q109_bloom_prefilter" -> q109_bloom_prefilter,
+    "q251_hll_intersection" -> q251_hll_intersection,
+    "q227_hll_rollup" -> q227_hll_rollup,
+    "q215_kmv_overlap" -> q215_kmv_overlap,
+    "q107_cms_heavy_hitters" -> q107_cms_heavy_hitters,
+    "q108_hll_distinct" -> q108_hll_distinct)
+
+  val oracles: Map[String, String] = Map(
+    "q109_bloom_prefilter" -> q109_sql,
+    "q226_bitmap_distinct" -> q226_sql,
+    "q235_join_size_cms" -> q235_sql,
+    "q242_bitmap_retention" -> q242_sql,
+    "q251_hll_intersection" -> q251_sql,
+    "q227_hll_rollup" -> q227_sql,
+    "q107_cms_heavy_hitters" -> q107_sql,
+    "q108_hll_distinct" -> q108_sql,
+    "q215_kmv_overlap" -> q215_sql)
+}

@@ -598,7 +598,7 @@ object StreamingQueries {
 
   /** q114's oracle verbatim — the streaming gate must reproduce the batch
     * contamination audit exactly. */
-  val q117_sql: String = graft.queries.LlmQueries.oracles("q114_contamination")
+  val q117_sql: String = graft.queries.CurationQueries.oracles("q114_contamination")
 
   /** Streaming MinHash-LSH near-dup candidate generation, oracle-checked
     * against q23's batch SQL: the corpus replays as four doc_id-range
@@ -694,7 +694,7 @@ object StreamingQueries {
 
   /** q136's oracle verbatim — the streaming gate must reproduce the batch
     * classifier inference exactly. */
-  val q139_sql: String = graft.queries.LlmQueries.oracles("q136_quality_classifier")
+  val q139_sql: String = graft.queries.CurationQueries.oracles("q136_quality_classifier")
 
   /** Streaming SimHash near-dup certification — the ninth streaming cert:
     * fingerprints and band keys are computed ROW-LOCALLY per arriving doc
@@ -1317,7 +1317,7 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
   /** Same oracle as the batch fold — the certification IS the equality. */
-  val q218_sql: String = RelationalQueries.q210_sql
+  val q218_sql: String = AnalyticsQueries.q210_sql
 
   /** Stateful streaming last-touch attribution — the twentieth streaming
     * cert: [[Streaming.lastTouchAttribution]] carries each user's latest
@@ -1361,7 +1361,7 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
   /** Same oracle as the batch window query. */
-  val q229_sql: String = RelationalQueries.q220_sql
+  val q229_sql: String = AnalyticsQueries.q220_sql
 
   /** Stateful streaming co-visitation — the twenty-first streaming cert:
     * [[Streaming.covisitPairs]] carries a ring of each user's last 3
@@ -1410,7 +1410,7 @@ object StreamingQueries {
       .orderBy(col("a"), col("b"))
   }
   /** Same oracle as the batch lead-window query. */
-  val q232_sql: String = RelationalQueries.q228_sql
+  val q232_sql: String = GraphQueries.q228_sql
 
   /** Stateful streaming HyperLogLog — the twenty-second streaming cert:
     * [[Streaming.hllSketch]] keeps ONE m-byte register array per week in
@@ -1534,7 +1534,7 @@ object StreamingQueries {
         expr("cms_join_size * 1000000 div exact_join_size"))
   }
   /** Same oracle as the batch sketch estimate. */
-  val q239_sql: String = RelationalQueries.q235_sql
+  val q239_sql: String = SketchQueries.q235_sql
 
   /** Stateful streaming max-concurrency — the twenty-fourth streaming
     * cert: [[Streaming.concurrencyPeak]] sweeps the same +1/−1 interval
@@ -1586,7 +1586,7 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
   /** Same oracle as the batch sweep. */
-  val q246_sql: String = RelationalQueries.q245_sql
+  val q246_sql: String = AnalyticsQueries.q245_sql
 
   val defs: Map[String, Q] = Map(
     "q246_stream_concurrency" -> q246_stream_concurrency,

@@ -125,7 +125,7 @@ class PlanGuaranteesSpec extends SparkSpec {
   // per-group sort — fine at sf0.01, a straggler factory on a billion-row
   // group.
   test("priority sampling plans with WindowGroupLimit (rank filter pushed down)") {
-    val plan = graft.queries.LlmQueries.defs("q125_priority_sample")(spark, sfDir)
+    val plan = graft.queries.CurationQueries.defs("q125_priority_sample")(spark, sfDir)
       .queryExecution.executedPlan.toString()
     assert(plan.contains("WindowGroupLimit"),
       s"q125 lost the group-limit pushdown (full per-group sort at scale):\n$plan")

@@ -35,7 +35,7 @@ class ScanPruningSpec extends SparkSpec {
   }
 
   test("q62 (EXISTS date window): the quarter filter reaches the orders scan") {
-    val scan = scanOf(queries.RelationalQueries.q62_order_priority(spark, sfDir), "orders")
+    val scan = scanOf(queries.TpchQueries.q62_order_priority(spark, sfDir), "orders")
     val pushed = scan.metadata.getOrElse("PushedFilters", "")
     assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
       pushed.contains("LessThan(o_orderdate"),
@@ -55,7 +55,7 @@ class ScanPruningSpec extends SparkSpec {
   }
 
   test("q86 (TPC-H Q6): all four predicates push to the lineitem scan") {
-    val scan = scanOf(queries.RelationalQueries.q86_forecast_revenue(spark, sfDir), "lineitem")
+    val scan = scanOf(queries.TpchQueries.q86_forecast_revenue(spark, sfDir), "lineitem")
     val pushed = scan.metadata.getOrElse("PushedFilters", "")
     Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
         "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
@@ -67,7 +67,7 @@ class ScanPruningSpec extends SparkSpec {
   }
 
   test("q79 (curation): the widened documents scan reads only doc_id and text") {
-    val scan = scanOf(queries.LlmQueries.q79_curation_pipeline(spark, sfDir), "documents")
+    val scan = scanOf(queries.CurationQueries.q79_curation_pipeline(spark, sfDir), "documents")
     val read = scan.requiredSchema.fieldNames.toSet
     assert(read == Set("doc_id", "text"),
       s"documents scan reads $read — lang/source/len columns should be pruned")
