@@ -194,6 +194,37 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema)).toDF("id", "feature")
   }
 
+  /** Byte-CLASS histogram per payload over the head `maxBytes` bytes —
+    * class = high nibble (16 classes), the cheap content-type profile a
+    * media ingest uses to spot mislabeled/corrupt payloads (text clusters
+    * in 0x2–0x7, compressed media is near-uniform) without any codec.
+    * Same batched `mapPartitions` shape as [[frameFeatures]]: one 16-cell
+    * array per row, fan-out executor-side, all counts integer-exact for
+    * the hex-nibble SQL oracle. Output: (id, cls, n), absent classes
+    * omitted. */
+  def byteClassCounts(df: DataFrame, idCol: String, payloadCol: String,
+                      maxBytes: Int): DataFrame = {
+    require(maxBytes > 0, s"byteClassCounts: maxBytes must be positive, got $maxBytes")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cls", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
+    projected.mapPartitions { rows =>
+      // per-partition codec setup happens here in a real deployment
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val counts = new Array[Long](16)
+        val n = math.min(bytes.length, maxBytes)
+        var i = 0
+        while (i < n) { counts((bytes(i) & 0xf0) >> 4) += 1; i += 1 }
+        (0 until 16).iterator.filter(c => counts(c) > 0)
+          .map(c => Row(id, c.toLong, counts(c)))
+      }
+    }(RowEncoder.encoderFor(outSchema)).toDF("id", "cls", "n")
+  }
+
   /** A REAL decoder behind the injection seam — proof the [[Decoder]]
     * contract works beyond [[StubDecoder]] without native codecs: a
     * pure-JVM RIFF/WAVE PCM-16 parser (chunk walk, little-endian

@@ -37,4 +37,22 @@ object Ewma {
       init = x => checked(x),
       step = (s, x) => (s + checked(x)) / 2)
   }
+
+  /** Holt double-exponential (trend-adjusted) smoothing, α = β = ½ integer
+    * fixed point: `l₀ = x₀, b₀ = 0; lₜ = (lₜ₋₁ + bₜ₋₁ + xₜ) div 2;
+    * bₜ = (bₜ₋₁ + lₜ − lₜ₋₁) div 2`. Level AND trend ride [[KeyedFold.fold2]]'s
+    * two-long sorted-run state — the recurrence a window can't express and
+    * a collect_list can't hold at 100 TB. Unlike [[halfLife]], negatives
+    * are LEGAL here (a falling series has negative trend): JVM `/` and
+    * DuckDB `//` both truncate toward zero (verified −3/2 = −1 on both),
+    * so the oracle replay is exact without a sign restriction.
+    * Output: (key, id, x, level, trend). */
+  def holt(df: DataFrame, key: String, orderCol: String, tieCol: String,
+           xCol: String): DataFrame =
+    KeyedFold.fold2(df, key, orderCol, tieCol, xCol, "level", "trend")(
+      init = x => (x, 0L),
+      step = { case ((l, b), x) =>
+        val l1 = (l + b + x) / 2
+        (l1, (b + l1 - l) / 2)
+      })
 }

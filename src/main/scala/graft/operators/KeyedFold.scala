@@ -50,4 +50,37 @@ object KeyedFold {
       Encoders.scalaLong, Encoders.scalaLong))
       .toDF(key, tieCol, xCol, outName)
   }
+
+  /** [[fold]] with TWO longs of carried state (outA, outB) — the shape a
+    * coupled recurrence (level + trend, mean + variance) needs. Same
+    * sorted-run contract: one partition scan, O(1) state, key-contiguous
+    * layout from repartition + sortWithinPartitions. */
+  def fold2(df: DataFrame, key: String, orderCol: String, tieCol: String,
+            xCol: String, outA: String, outB: String)
+           (init: Long => (Long, Long),
+            step: ((Long, Long), Long) => (Long, Long)): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val prepared = df.select(col(key).cast("long").as("k"),
+      col(orderCol).cast("long").as("o"),
+      col(tieCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("o"), col("id"))
+      .as[(Long, Long, Long, Long)]
+    prepared.mapPartitions { iter =>
+      var curKey = Long.MinValue
+      var a = 0L
+      var b = 0L
+      var first = true
+      iter.map { case (k, _, id, x) =>
+        if (first || k != curKey) {
+          curKey = k; val s0 = init(x); a = s0._1; b = s0._2; first = false
+        } else { val s1 = step((a, b), x); a = s1._1; b = s1._2 }
+        (k, id, x, a, b)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(key, tieCol, xCol, outA, outB)
+  }
 }

@@ -69,4 +69,38 @@ object Kmv {
           .as("n_union_est"),
         expr("(both * 1000000) div m").as("jaccard_est_fp"))
   }
+
+  /** Directional SET-DIFFERENCE estimates per group pair — the third
+    * estimator the merged k-set supports and HLL fundamentally cannot
+    * give without inclusion-exclusion error stacking: among the k
+    * smallest union hashes, the a-only/b-only fractions are unbiased
+    * samples of |A∖B|/|A∪B| and |B∖A|/|A∪B|, so
+    * `diff_ab_est = n_union_est · only_a div m` (integral, replayable).
+    * Same bounded plan as [[pairEstimates]]: all work on the |groups|·k
+    * sketch frame. Output: (ga, gb, n_union_est, diff_ab_est,
+    * diff_ba_est). */
+  def differenceEstimates(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val a = sk.select(col(groupCol).as("ga"), col("h"))
+    val b = sk.select(col(groupCol).as("gb"), col("h"))
+    val merged = a.join(b.select(col("gb")).distinct(), col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionByName(
+        b.join(a.select(col("ga")).distinct(), col("ga") < col("gb"))
+          .select(col("ga"), col("gb"), col("h"), lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val ranked = merged.withColumn("r", row_number().over(w))
+      .where(col("r") <= k)
+    ranked.groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("m"), max(col("h")).as("t"),
+        sum(col("in_a") * (lit(1L) - col("in_b"))).as("only_a"),
+        sum(col("in_b") * (lit(1L) - col("in_a"))).as("only_b"))
+      .withColumn("n_union_est",
+        when(col("m") < k, col("m"))
+          .otherwise(expr(s"((${k - 1}) * 4294967296) div greatest(t, 1)")))
+      .select(col("ga"), col("gb"), col("n_union_est"),
+        expr("(n_union_est * only_a) div m").as("diff_ab_est"),
+        expr("(n_union_est * only_b) div m").as("diff_ba_est"))
+  }
 }

@@ -1323,7 +1323,96 @@ object AnalyticsQueries {
       |FROM k""".stripMargin
 
 
+  /** HOLT trend-adjusted smoothing per user — [[graft.operators.Ewma.holt]]:
+    * the coupled (level, trend) integer recurrence through the two-long
+    * sorted-run fold ([[graft.operators.KeyedFold.fold2]]); q202's EWMA
+    * can only track a level, this also carries the slope — the
+    * short-horizon forecast primitive. Raw SIGNED values (×10⁴ fixed
+    * point) deliberately exercise the negative-trend path: JVM `/` and
+    * DuckDB `//` both truncate toward zero, so the oracle's
+    * list-of-lists `list_reduce` replay is hash-exact. One shuffle
+    * (repartition by user) + one partition scan, O(1) state per key. */
+  val q257_holt_trend: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("tsm"), col("event_id"),
+      round(col("value") * 10000).cast("long").as("x"))
+    graft.operators.Ewma.holt(ev, "user_id", "tsm", "event_id", "x")
+      .orderBy(col("event_id"))
+  }
+
+  val q257_sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tsm,
+      |             CAST(round(value * 10000) AS BIGINT) AS x FROM events),
+      |g AS (SELECT user_id, list(x ORDER BY tsm, event_id) AS xs,
+      |        list(event_id ORDER BY tsm, event_id) AS ids
+      |      FROM e GROUP BY 1),
+      |u AS (SELECT user_id, unnest(ids) AS event_id, unnest(xs) AS x,
+      |        unnest(list_transform(range(1, len(xs) + 1),
+      |          i -> list_reduce(
+      |            list_transform(xs[1:i], v -> [v, 0::BIGINT]),
+      |            (a, b) -> [(a[1] + a[2] + b[1]) // 2,
+      |                       (a[2] + (a[1] + a[2] + b[1]) // 2 - a[1]) // 2])))
+      |          AS st
+      |      FROM g)
+      |SELECT user_id, event_id, x, st[1] AS level, st[2] AS trend
+      |FROM u ORDER BY event_id""".stripMargin
+
+  /** RFM customer segmentation — recency / frequency / monetary quintile
+    * scores from THREE range-partitioned prefix-sum rank passes over the
+    * |customers|-sized aggregate frame (constant group, hint 1 — the
+    * q244/q252 integer rule; never a full-orders sort), buckets by the
+    * engine-independent `((rank−1)·5 div n)+1` rule rather than ntile.
+    * Output is the 5×5×5 segment matrix with exact cent-sum monetary
+    * totals — bounded to ≤125 rows no matter the corpus. */
+  val q258_rfm_segments: Q = (s, d) => {
+    val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(datediff(max(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("mon"))
+      .withColumn("g", lit(0)).withColumn("one", lit(1L))
+      .withColumn("nrec", -col("rec"))
+      .withColumn("nfreq", -col("freq"))
+      .withColumn("nmon", -col("mon"))
+      .localCheckpoint(true) // consumers: three rank passes + total
+    val n = cust.agg(count(lit(1)).as("n"))
+    val r1 = graft.operators.RunningTotal.grouped(cust, "g",
+      Seq("nrec", "o_custkey"), "one", "rn_r", groupCountHint = Some(1L))
+    val r2 = graft.operators.RunningTotal.grouped(r1, "g",
+      Seq("nfreq", "o_custkey"), "one", "rn_f", groupCountHint = Some(1L))
+    val r3 = graft.operators.RunningTotal.grouped(r2, "g",
+      Seq("nmon", "o_custkey"), "one", "rn_m", groupCountHint = Some(1L))
+    r3.crossJoin(broadcast(n))
+      .select(expr("(rn_r - 1) * 5 div n + 1").as("r_score"),
+        expr("(rn_f - 1) * 5 div n + 1").as("f_score"),
+        expr("(rn_m - 1) * 5 div n + 1").as("m_score"),
+        col("mon"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("mon")).as("mon_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val q258_sql: String =
+    """WITH c AS (SELECT o_custkey,
+      |    (max(o_orderdate)::DATE - DATE '1970-01-01')::BIGINT AS rec,
+      |    count(*)::BIGINT AS freq,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS mon
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT count(*)::BIGINT AS n FROM c),
+      |r AS (SELECT o_custkey, mon,
+      |        row_number() OVER (ORDER BY rec DESC, o_custkey) AS rn_r,
+      |        row_number() OVER (ORDER BY freq DESC, o_custkey) AS rn_f,
+      |        row_number() OVER (ORDER BY mon DESC, o_custkey) AS rn_m
+      |      FROM c)
+      |SELECT (rn_r - 1) * 5 // n + 1 AS r_score,
+      |       (rn_f - 1) * 5 // n + 1 AS f_score,
+      |       (rn_m - 1) * 5 // n + 1 AS m_score,
+      |       count(*)::BIGINT AS n_customers, sum(mon)::BIGINT AS mon_cents
+      |FROM r, t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q257_holt_trend" -> q257_holt_trend,
+    "q258_rfm_segments" -> q258_rfm_segments,
     "q252_pareto_share" -> q252_pareto_share,
     "q254_conversion_latency" -> q254_conversion_latency,
     "q248_association_rules" -> q248_association_rules,
@@ -1358,6 +1447,8 @@ object AnalyticsQueries {
     "q175_priority_trend" -> q175_priority_trend)
 
   val oracles: Map[String, String] = Map(
+    "q257_holt_trend" -> q257_sql,
+    "q258_rfm_segments" -> q258_sql,
     "q17_window_events" -> q17_sql,
     "q18_window_funcs" -> q18_sql,
     "q32_sessions" -> q32_sql,

@@ -793,7 +793,52 @@ object AnnQueries {
        |ORDER BY vec_id""".stripMargin
 
 
+  /** IVF CELL-QUALITY audit — the index-health check a production ANN
+    * service runs before trusting a partitioning: per cell, population
+    * and the integer-quantized mean/min cosine to the assigned centroid
+    * (q187's ×10⁶ rounding idiom, so the report hash-matches). A
+    * starving or low-cohesion cell means re-fit. Plan: the codegen
+    * NearestCell assignment (zero shuffle over the corpus), ONE broadcast
+    * centroid re-attach for the score, one map-side-combined aggregate —
+    * ≤ k output rows regardless of corpus size. */
+  val q262_ivf_cell_quality: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val dim = graft.io.Stats.embeddingDim(s, d)
+    val centroids = Ivf.fit(emb, 8, 0, dim)
+    Ivf.assign(emb, centroids, dim)
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("q", round(Similarity.cosine(col("embedding"),
+        col("centroid"), dim) * 1000000).cast("long"))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(q) div count(1)").as("mean_cos_fp"),
+        min(col("q")).as("min_cos_fp"))
+      .orderBy(col("cell"))
+  }
+
+  val q262_sql: String =
+    s"""WITH cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         list_transform(embedding, x -> x::DOUBLE) AS centroid
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |asg0 AS (
+       |  SELECT e.vec_id, c.cell, ${sqlCosine("e.embedding", "c.centroid")} AS s
+       |  FROM embeddings e, cents c),
+       |assigned AS (
+       |  SELECT vec_id, cell, s FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY s DESC, cell) AS rn
+       |    FROM asg0)
+       |  WHERE rn = 1),
+       |qq AS (SELECT cell, CAST(round(s * 1000000) AS BIGINT) AS q
+       |       FROM assigned)
+       |SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n_vectors,
+       |       (sum(q) // count(*))::BIGINT AS mean_cos_fp,
+       |       min(q)::BIGINT AS min_cos_fp
+       |FROM qq GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q262_ivf_cell_quality" -> q262_ivf_cell_quality,
     "q187_knn_density" -> q187_knn_density,
     "q183_knn_mutual" -> q183_knn_mutual,
     "q26_topk_bruteforce" -> q26_topk_bruteforce,
@@ -816,6 +861,7 @@ object AnnQueries {
     "q166_source_similarity" -> q166_source_similarity)
 
   val oracles: Map[String, String] = Map(
+    "q262_ivf_cell_quality" -> q262_sql,
     "q26_topk_bruteforce" -> q26_sql,
     "q27_topk_ivf" -> q27_sql,
     "q28_embedding_neardup" -> q28_sql,

@@ -1661,7 +1661,45 @@ object CurationQueries {
       |FROM wm JOIN chi USING (source) ORDER BY source""".stripMargin
 
 
+  /** EXACT-DEDUP STORAGE-SAVINGS report per source — the capacity-planning
+    * number a dedup rollout decision needs BEFORE running it: per source,
+    * how many docs and how many characters a keeper-per-hash-group policy
+    * removes, as exact counts and integer-ppm shares. ONE hash-groupBy on
+    * (source, md5(text)) — identical texts share a length, so the whole
+    * report reduces to arithmetic on the (n, len) group frame; map-side
+    * combined, no self-join, no text ever shuffled. */
+  val q260_dedup_savings: Q = (s, d) => {
+    val g = Tables.documents(s, d)
+      .select(col("source"), md5(col("text")).as("h"),
+        col("n_chars").cast("long").as("len"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n"), max(col("len")).as("len"))
+    g.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("n") - 1).as("n_removable"),
+        sum(col("n") * col("len")).as("total_chars"),
+        sum((col("n") - 1) * col("len")).as("chars_saved"))
+      .select(col("source"), col("n_docs"), col("n_removable"),
+        col("total_chars"), col("chars_saved"),
+        expr("chars_saved * 1000000 div total_chars").as("savings_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q260_sql: String =
+    """WITH g AS (SELECT source, md5(text) AS h, count(*)::BIGINT AS n,
+      |             max(n_chars)::BIGINT AS len
+      |           FROM documents GROUP BY 1, 2),
+      |a AS (SELECT source, sum(n)::BIGINT AS n_docs,
+      |        sum(n - 1)::BIGINT AS n_removable,
+      |        sum(n * len)::BIGINT AS total_chars,
+      |        sum((n - 1) * len)::BIGINT AS chars_saved
+      |      FROM g GROUP BY 1)
+      |SELECT source, n_docs, n_removable, total_chars, chars_saved,
+      |       chars_saved * 1000000 // total_chars AS savings_ppm
+      |FROM a ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q260_dedup_savings" -> q260_dedup_savings,
     "q233_curation_v10" -> q233_curation_v10,
     "q219_curation_v9" -> q219_curation_v9,
     "q214_equidepth_hist" -> q214_equidepth_hist,
@@ -1705,6 +1743,7 @@ object CurationQueries {
     "q182_subset_prune" -> q182_subset_prune)
 
   val oracles: Map[String, String] = Map(
+    "q260_dedup_savings" -> q260_sql,
     "q233_curation_v10" -> q233_sql,
     "q79_curation_pipeline" -> q79_sql,
     "q54_hash_sampling" -> q54_sql,

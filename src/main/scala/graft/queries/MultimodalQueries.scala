@@ -168,13 +168,42 @@ object MultimodalQueries {
       |FROM w ORDER BY id, win_idx""".stripMargin
 
 
+  /** Corpus-wide BYTE-CLASS histogram — [[Multimodal.byteClassCounts]]:
+    * per payload, high-nibble class counts over the head 64 bytes (the
+    * codec-free content-type profile), rolled up to ≤16 corpus rows by
+    * one map-side-combined aggregate. The oracle replays the nibble read
+    * directly off `hex(encode(text))` — the first hex char of a byte IS
+    * its class — so the whole stage is hash-exact. */
+  val q263_byte_classes: Q = (s, d) => {
+    val doc = Tables.widen(Tables.documents(s, d))
+    val withPayload = Multimodal.withPayload(doc, "text", "doc_id")
+    Multimodal.byteClassCounts(withPayload, "doc_id", "payload", maxBytes = 64)
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_payloads"), sum(col("n")).as("n_bytes"))
+      .orderBy(col("cls"))
+  }
+
+  val q263_sql: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+      |i AS (SELECT doc_id, p,
+      |        unnest(range(1, least(octet_length(p), 64) + 1)) AS i
+      |      FROM b),
+      |x AS (SELECT doc_id,
+      |        ('0x' || substr(hex(p), 2 * i - 1, 1))::BIGINT AS cls
+      |      FROM i),
+      |pc AS (SELECT cls, doc_id, count(*)::BIGINT AS n FROM x GROUP BY 1, 2)
+      |SELECT cls, count(*)::BIGINT AS n_payloads, sum(n)::BIGINT AS n_bytes
+      |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q263_byte_classes" -> q263_byte_classes,
     "q250_image_dhash" -> q250_image_dhash,
     "q240_audio_energy" -> q240_audio_energy,
     "q29_multimodal_features" -> q29_multimodal_features,
     "q78_frame_features" -> q78_frame_features)
 
   val oracles: Map[String, String] = Map(
+    "q263_byte_classes" -> q263_sql,
     "q250_image_dhash" -> q250_sql,
     "q240_audio_energy" -> q240_sql,
     "q29_multimodal_features" -> q29_sql,

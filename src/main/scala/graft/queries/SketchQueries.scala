@@ -497,7 +497,61 @@ object SketchQueries {
   }
 
 
+  /** KMV directional SET-DIFFERENCE estimates per source pair —
+    * [[graft.operators.Kmv.differenceEstimates]]: among the k smallest
+    * union hashes, the a-only / b-only fractions are unbiased samples of
+    * the difference shares, so `|A∖B| ≈ n_union_est · only_a div m` in
+    * exact integer arithmetic (content-defined md5 order — replayable).
+    * Completes q215's union/Jaccard algebra with the estimator HLL
+    * inclusion-exclusion can't give without error stacking; all work
+    * stays on the |sources|·k sketch frame. */
+  val q259_kmv_difference: Q = (s, d) => {
+    val toks = Tables.documents(s, d).select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val sk = graft.operators.Kmv.sketch(toks, "source", "tok", k = 64)
+    graft.operators.Kmv.differenceEstimates(sk, "source", k = 64)
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("n_union_est"), col("diff_ab_est"), col("diff_ba_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q259_sql: String =
+    """WITH toks AS (SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+      |           x -> x <> '')) AS tok
+      |  FROM documents),
+      |hs AS (SELECT DISTINCT source,
+      |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+      |sk AS (SELECT source, h FROM (
+      |         SELECT source, h,
+      |           row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      |         FROM hs) WHERE r <= 64),
+      |sides AS (
+      |  SELECT s.source AS ga, g.source AS gb, s.h, 1 AS in_a, 0 AS in_b
+      |  FROM sk s JOIN (SELECT DISTINCT source FROM sk) g ON s.source < g.source
+      |  UNION ALL
+      |  SELECT g.source AS ga, s.source AS gb, s.h, 0 AS in_a, 1 AS in_b
+      |  FROM sk s JOIN (SELECT DISTINCT source FROM sk) g ON g.source < s.source),
+      |m AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b
+      |      FROM sides GROUP BY 1, 2, 3),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+      |       FROM m),
+      |agg AS (SELECT ga, gb, count(*)::BIGINT AS m, max(h) AS t,
+      |          sum(in_a * (1 - in_b))::BIGINT AS only_a,
+      |          sum(in_b * (1 - in_a))::BIGINT AS only_b
+      |        FROM rk WHERE r <= 64 GROUP BY 1, 2),
+      |est AS (SELECT ga, gb, only_a, only_b, m,
+      |          (CASE WHEN m < 64 THEN m
+      |                ELSE (63 * 4294967296) // greatest(t, 1) END)::BIGINT
+      |            AS n_union_est
+      |        FROM agg)
+      |SELECT ga AS src_a, gb AS src_b, n_union_est,
+      |  ((n_union_est * only_a) // m)::BIGINT AS diff_ab_est,
+      |  ((n_union_est * only_b) // m)::BIGINT AS diff_ba_est
+      |FROM est ORDER BY src_a, src_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q259_kmv_difference" -> q259_kmv_difference,
     "q242_bitmap_retention" -> q242_bitmap_retention,
     "q235_join_size_cms" -> q235_join_size_cms,
     "q226_bitmap_distinct" -> q226_bitmap_distinct,
@@ -509,6 +563,7 @@ object SketchQueries {
     "q108_hll_distinct" -> q108_hll_distinct)
 
   val oracles: Map[String, String] = Map(
+    "q259_kmv_difference" -> q259_sql,
     "q109_bloom_prefilter" -> q109_sql,
     "q226_bitmap_distinct" -> q226_sql,
     "q235_join_size_cms" -> q235_sql,

@@ -1588,7 +1588,69 @@ object StreamingQueries {
   /** Same oracle as the batch sweep. */
   val q246_sql: String = AnalyticsQueries.q245_sql
 
+  /** The twenty-fifth streaming certification — a LIVE per-source KMV
+    * distinct-token sketch ([[Streaming.kmvSketch]]): ≤ 64 longs of state
+    * per source maintained across micro-batches by a commutative,
+    * idempotent k-min-set merge, so the final (m, t) registers — and the
+    * integral estimate `(k−1)·2³² div t` — must equal the batch KMV
+    * ([[graft.operators.Kmv]], q215/q259's sketch) exactly, which is what
+    * the oracle replays. The streaming form of the sketch algebra family:
+    * union-mergeable state, live cardinality readout per batch. */
+  val q264_stream_kmv: Q = (s, d) => {
+    import s.implicits._
+    val k = 64
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        graft.operators.Kmv.hash32(col("tok")).as("h"))
+    val srcDir = stageOrderedBy(toks, d, "docsKmvOrdered4", 4,
+      Seq(col("doc_id"), col("h")))
+    val ckpt = Stage.ckpt()
+    val name = "q264_kmv_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(toks.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.KmvObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.kmvSketch(arrivals, k)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .groupBy(col("source"))
+      .agg(max(struct(col("seen"), col("m"), col("t"))).as("f"))
+      .select(col("source"), col("f.seen").as("n_obs"),
+        when(col("f.m") < k, col("f.m"))
+          .otherwise(expr(s"((${k - 1}) * 4294967296) div greatest(f.t, 1)"))
+          .as("n_distinct_est"))
+      .orderBy(col("source"))
+  }
+  val q264_sql: String =
+    """WITH toks AS (SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\W+'),
+      |           x -> x <> '')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT source, count(*)::BIGINT AS n_obs FROM toks GROUP BY 1),
+      |hs AS (SELECT DISTINCT source,
+      |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+      |r AS (SELECT source, h,
+      |        row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM hs),
+      |sk AS (SELECT source, count(*)::BIGINT AS m, max(h) AS t
+      |       FROM r WHERE r <= 64 GROUP BY 1)
+      |SELECT source, n_obs,
+      |  (CASE WHEN m < 64 THEN m
+      |        ELSE (63 * 4294967296) // greatest(t, 1) END)::BIGINT
+      |    AS n_distinct_est
+      |FROM cnt JOIN sk USING (source) ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q264_stream_kmv" -> q264_stream_kmv,
     "q246_stream_concurrency" -> q246_stream_concurrency,
     "q239_stream_cms" -> q239_stream_cms,
     "q234_stream_hll" -> q234_stream_hll,
@@ -1615,6 +1677,7 @@ object StreamingQueries {
     "q178_stream_sliding" -> q178_stream_sliding)
 
   val oracles: Map[String, String] = Map(
+    "q264_stream_kmv" -> q264_sql,
     "q65_stream_sessions" -> q65_sql,
     "q74_stream_windows" -> q74_sql,
     "q75_stream_dedup" -> q75_sql,

@@ -540,6 +540,46 @@ object Streaming {
       }
   }
 
+  case class KmvObs(source: String, h: Long)
+  case class KmvBatchOut(source: String, seen: Long, m: Long, t: Long)
+
+  /** Stateful streaming KMV (k-minimum-values) distinct-cardinality sketch
+    * per key: state is the k smallest DISTINCT element hashes seen so far
+    * (≤ k longs per key, independent of stream length), merged per batch
+    * and emitted as (m = retained count, t = k-th minimum) — the numbers
+    * the estimator `(k−1)·2³² div t` reads. The k-min set is a
+    * commutative, idempotent merge (set union then truncate), so
+    * micro-batch boundaries can't change the final sketch — the
+    * certification takes each key's last batch (max `seen`) and must
+    * hash-match the batch KMV ([[graft.operators.Kmv]]) exactly. The live
+    * form of q215/q259's sketch algebra. */
+  def kmvSketch(arrivals: Dataset[KmvObs], k: Int): Dataset[KmvBatchOut] = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[(Array[Long], Long), KmvBatchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, it: Iterator[KmvObs],
+         state: GroupState[(Array[Long], Long)]) =>
+          val (st, seen0) = state.getOption.getOrElse((Array.empty[Long], 0L))
+          val buf = scala.collection.mutable.TreeSet.empty[Long]
+          buf ++= st
+          var seen = seen0
+          it.foreach { o =>
+            seen += 1L
+            if (!buf.contains(o.h)) {
+              if (buf.size < k) buf += o.h
+              else if (o.h < buf.last) { buf -= buf.last; buf += o.h }
+            }
+          }
+          val arr = buf.toArray // ascending
+          state.update((arr, seen))
+          Iterator.single(KmvBatchOut(source, seen, arr.length.toLong,
+            if (arr.isEmpty) 0L else arr.last))
+      }
+  }
+
   case class CmsObs(i: Long, b: Long)
   case class CmsBatchOut(i: Long, seen: Long, e: Long)
 

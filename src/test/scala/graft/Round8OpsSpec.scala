@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Multimodal
+import graft.operators.{Ewma, Kmv}
+
+/** Unit coverage for the round-8 operators: the two-long Holt fold, KMV
+  * difference estimates, and the byte-class histogram stage. */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("holt: level tracks a constant series exactly, trend settles to zero") {
+    val df = Seq((1L, 1L, 1L, 100L), (1L, 2L, 2L, 100L), (1L, 3L, 3L, 100L),
+      (1L, 4L, 4L, 100L)).toDF("k", "o", "id", "x")
+    val out = Ewma.holt(df, "k", "o", "id", "x")
+      .orderBy(col("id")).collect()
+    // l0=100,b0=0; each step l=(100+0+100)/2=100, b=(0+0)/2=0 — fixed point
+    assert(out.map(_.getAs[Long]("level")).toSeq == Seq(100L, 100L, 100L, 100L))
+    assert(out.map(_.getAs[Long]("trend")).toSeq == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("holt: negative trend on a falling series, truncating division") {
+    val df = Seq((1L, 1L, 1L, 100L), (1L, 2L, 2L, 0L), (1L, 3L, 3L, -100L))
+      .toDF("k", "o", "id", "x")
+    val out = Ewma.holt(df, "k", "o", "id", "x").orderBy(col("id")).collect()
+    // step2: l=(100+0+0)/2=50, b=(0+50-100)/2=-25 (trunc toward zero)
+    // step3: l=(50-25-100)/2=-37 (trunc: -75/2=-37), b=(-25-37-50)/2=-56
+    assert(out(1).getAs[Long]("level") == 50L)
+    assert(out(1).getAs[Long]("trend") == -25L)
+    assert(out(2).getAs[Long]("level") == -37L)
+    assert(out(2).getAs[Long]("trend") == -56L)
+  }
+
+  test("holt: state resets across keys in one sorted partition run") {
+    val df = Seq((1L, 1L, 1L, 40L), (1L, 2L, 2L, 80L),
+      (2L, 1L, 3L, 10L)).toDF("k", "o", "id", "x")
+    val out = Ewma.holt(df, "k", "o", "id", "x")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("level"), r.getAs[Long]("trend"))).toMap
+    assert(out(3L) == ((10L, 0L))) // fresh init, not contaminated by key 1
+    assert(out(2L) == ((60L, 10L))) // l=(40+0+80)/2=60, b=(0+20)/2=10
+  }
+
+  test("kmv differenceEstimates: disjoint sets -> diff ≈ own cardinality, subset -> zero") {
+    // group 1: e0..e99; group 2: e0..e99 (identical); group 3: f0..f99 (disjoint)
+    val rows = (0 until 100).flatMap(i =>
+      Seq(("g1", s"e$i"), ("g2", s"e$i"), ("g3", s"f$i")))
+    val df = rows.toDF("g", "e")
+    val sk = Kmv.sketch(df, "g", "e", 16)
+    val est = Kmv.differenceEstimates(sk, "g", 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("diff_ab_est"), r.getAs[Long]("diff_ba_est"))).toMap
+    val (d12a, d12b) = est(("g1", "g2"))
+    assert(d12a == 0L && d12b == 0L) // identical sets: no difference
+    val (d13a, d13b) = est(("g1", "g3"))
+    assert(d13a > 50L && d13b > 50L) // disjoint: both directions large
+  }
+
+  test("byteClassCounts: nibble classes over the head bytes, cap respected") {
+    // 0x00, 0x10, 0x1F, 0xFF -> classes 0, 1, 1, 15
+    val payload = Array[Byte](0x00, 0x10, 0x1f, 0xff.toByte)
+    val df = Seq((7L, payload)).toDF("id", "p")
+    val got = Multimodal.byteClassCounts(df, "id", "p", maxBytes = 64)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 2L, 15L -> 1L))
+    val capped = Multimodal.byteClassCounts(df, "id", "p", maxBytes = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(capped == Map(0L -> 1L, 1L -> 1L)) // only first 2 bytes counted
+  }
+}
