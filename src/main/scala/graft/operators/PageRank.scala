@@ -94,4 +94,48 @@ object PageRank {
     }
     r
   }
+
+  /** WEIGHTED fixed-point PageRank: each out-edge carries `r·w div Σw`
+    * of its source's rank instead of the uniform `r div deg` — the
+    * strength-aware variant a co-purchase / citation graph wants (a
+    * 100-count edge should pull 100× a singleton). Same per-round shape
+    * as [[ranksFp]]: ONE hash join (rank ⋈ weighted edges on src) + ONE
+    * map-side-combined sum, rank frames localCheckpoint'ed. Weights must
+    * be POSITIVE (raise_error-guarded, the Bfs.sssp rule) and bounded so
+    * `scale · w` stays under 2⁶³ — fine for count-valued weights.
+    * Dangling mass evaporates (callers wanting redistribution: q143's
+    * [[ranksFp]] flag shows the shape). Returns (id, r_fp). */
+  def ranksFpWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                      wCol: String, iters: Int,
+                      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(scale >= 1000000L, s"scale must be >= 10^6 (got $scale)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      when(col(wCol).cast("long") <= 0, raise_error(concat(
+          lit("ranksFpWeighted: edge weights must be positive, got "),
+          col(wCol).cast("string"))))
+        .otherwise(col(wCol).cast("long")).as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "PageRank over an empty graph")
+    val init = scale / n
+    val base = (init * 15L) / 100L
+    val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val ed = e.join(sw, Seq("src")).localCheckpoint(true)
+    var r = nodes.select(col("id"), lit(init).as("r_fp"))
+    for (_ <- 1 to iters) {
+      val s = ed.join(r, col("src") === col("id"))
+        .select(col("dst"), expr("(r_fp * w) div sw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes.join(s, nodes("id") === s("dst"), "left")
+        .select(nodes("id"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r_fp"))
+        .localCheckpoint(true)
+    }
+    r
+  }
 }

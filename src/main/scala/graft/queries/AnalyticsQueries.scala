@@ -1410,7 +1410,51 @@ object AnalyticsQueries {
       |       count(*)::BIGINT AS n_customers, sum(mon)::BIGINT AS mon_cents
       |FROM r, t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** BURSTINESS (Fano factor) of per-user inter-event gaps — the
+    * traffic-shape audit that separates steady heartbeats (Fano → 0)
+    * from bursty sessions (Fano ≫ mean): per user, var/mean of the gap
+    * series as ONE keyed lag-window pass + one map-side-combined moment
+    * aggregate. Per-row gap² fits a long, but the moment SUMS ride
+    * DECIMAL(38,0)/HUGEINT (the q238 overflow rule) and the final ratio
+    * is one IEEE division of two exactly-represented integers — so the
+    * double hash-matches. */
+  val q266_burstiness: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsm"), col("event_id"))
+    val gaps = Tables.events(s, d).select(col("user_id"),
+        unix_millis(col("ts")).as("tsm"), col("event_id"))
+      .withColumn("prev", lag(col("tsm"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("user_id"), (col("tsm") - col("prev")).as("g"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"),
+        sum(dec(col("g")) * col("g")).as("sgg"))
+      .where(col("n_gaps") >= 2 && col("sg") > 0)
+      .select(col("user_id"), col("n_gaps"),
+        expr("sg div n_gaps").as("mean_gap_ms"),
+        ((dec(col("n_gaps")) * col("sgg") - dec(col("sg")) * col("sg"))
+          .cast("double")
+          / (dec(col("n_gaps")) * col("sg")).cast("double")).as("fano"))
+      .orderBy(col("user_id"))
+  }
+
+  val q266_sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm, event_id
+      |           FROM events),
+      |g AS (SELECT user_id, tsm - lag(tsm) OVER (PARTITION BY user_id
+      |        ORDER BY tsm, event_id) AS g FROM e),
+      |a AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+      |        sum(g)::BIGINT AS sg, sum(g::HUGEINT * g) AS sgg
+      |      FROM g WHERE g IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_ms,
+      |       CAST(n_gaps::HUGEINT * sgg - sg::HUGEINT * sg AS DOUBLE)
+      |         / CAST(n_gaps::HUGEINT * sg AS DOUBLE) AS fano
+      |FROM a WHERE n_gaps >= 2 AND sg > 0 ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q266_burstiness" -> q266_burstiness,
     "q257_holt_trend" -> q257_holt_trend,
     "q258_rfm_segments" -> q258_rfm_segments,
     "q252_pareto_share" -> q252_pareto_share,
@@ -1447,6 +1491,7 @@ object AnalyticsQueries {
     "q175_priority_trend" -> q175_priority_trend)
 
   val oracles: Map[String, String] = Map(
+    "q266_burstiness" -> q266_sql,
     "q257_holt_trend" -> q257_sql,
     "q258_rfm_segments" -> q258_sql,
     "q17_window_events" -> q17_sql,

@@ -779,7 +779,56 @@ object GraphQueries {
   }
 
 
+  /** WEIGHTED PageRank over the co-purchase graph —
+    * [[graft.operators.PageRank.ranksFpWeighted]]: edge weight = the
+    * co-purchase count, so a part that co-occurs with a neighbor in 100
+    * orders pulls 100× the rank of a one-off pairing; q129/q143's
+    * uniform split can't express that. Three power-iteration rounds,
+    * each ONE hash join + ONE map-side-combined sum on integral fixed
+    * point; the oracle unrolls all three rounds as generated CTEs (the
+    * q129 discipline) with the identical `r·w div Σw` contribution, so
+    * every rank hash-matches. */
+  val q267_weighted_pagerank: Q = (s, d) => {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e0 = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+    graft.operators.PageRank.ranksFpWeighted(e, "u", "v", "w", iters = 3)
+      .orderBy(col("id"))
+  }
+
+  private def wprRound(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""s$i AS (SELECT ew.v AS id, sum(d.r_fp * ew.w // ew.sw)::BIGINT AS s
+       |        FROM $prev d JOIN ew ON ew.u = d.id GROUP BY 1),
+       |r$i AS (SELECT nodes.id,
+       |          ((1000000000000 // n) * 15 // 100
+       |           + 85 * coalesce(s.s, 0) // 100)::BIGINT AS r_fp
+       |        FROM nodes CROSS JOIN cnt LEFT JOIN s$i s ON s.id = nodes.id)""".stripMargin
+  }
+
+  val q267_sql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem),
+       |e0 AS (SELECT a.p AS u, b.p AS v, count(*)::BIGINT AS w
+       |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |e AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+       |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+       |cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |sw AS (SELECT u, sum(w)::BIGINT AS sw FROM e GROUP BY 1),
+       |ew AS (SELECT e.u, e.v, e.w, sw.sw FROM e JOIN sw USING (u)),
+       |r0 AS (SELECT id, (1000000000000 // n)::BIGINT AS r_fp
+       |       FROM nodes CROSS JOIN cnt),
+       |${wprRound(1)},
+       |${wprRound(2)},
+       |${wprRound(3)}
+       |SELECT id, r_fp FROM r3 ORDER BY id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q267_weighted_pagerank" -> q267_weighted_pagerank,
     "q255_weighted_sssp" -> q255_weighted_sssp,
     "q241_resource_allocation" -> q241_resource_allocation,
     "q253_common_neighbors" -> q253_common_neighbors,
@@ -797,6 +846,7 @@ object GraphQueries {
     "q177_neardup_triangles" -> q177_neardup_triangles)
 
   val oracles: Map[String, String] = Map(
+    "q267_weighted_pagerank" -> q267_sql,
     "q199_hits" -> q199_sql,
     "q228_covisitation" -> q228_sql,
     "q230_clustering_coeff" -> q230_sql,

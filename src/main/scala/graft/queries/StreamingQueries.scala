@@ -1649,7 +1649,97 @@ object StreamingQueries {
       |    AS n_distinct_est
       |FROM cnt JOIN sk USING (source) ORDER BY source""".stripMargin
 
+  /** The twenty-sixth streaming certification — LIVE Holt trend-adjusted
+    * smoothing ([[Streaming.holtTrend]]): q257's coupled (level, trend)
+    * integer recurrence carried across micro-batch boundaries with two
+    * longs of state per key, certified row-for-row against the same
+    * list-of-lists `list_reduce` oracle as the batch fold. The
+    * always-on forecasting sentinel: no history rescan, |keys|-bounded
+    * state, signed inputs under verified truncating division. */
+  val q265_stream_holt: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      round(col("value") * 10000).cast("long").as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsTsSignedOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q265_holt_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.KeyedObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.holtTrend(arrivals)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_id"), col("x"), col("level"),
+        col("trend"))
+      .orderBy(col("event_id"))
+  }
+  /** Identical recurrence, identical staged order → q257's batch oracle. */
+  val q265_sql: String = AnalyticsQueries.q257_sql
+
+  /** The twenty-seventh streaming certification — LIVE weighted-priority
+    * top-3 sampling per nation ([[Streaming.priorityTopK]]): q125's A-ES
+    * weighted-without-replacement sample maintained across micro-batches
+    * with 2k longs of state per key (the winners, never the population).
+    * The top-k-by-total-order merge is commutative and idempotent, so
+    * the final sample equals the batch window's under any batch split —
+    * certified against q125's own oracle. */
+  val q268_stream_priority_sample: Q = (s, d) => {
+    import s.implicits._
+    val c = Tables.customer(s, d).where(col("c_acctbal") > 0)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("w_fp"))
+      .withColumn("priority_fp",
+        graft.llm.Sampling.priorityFp(col("c_custkey"), col("w_fp")))
+      .select(col("c_nationkey"), col("c_custkey"), col("priority_fp"))
+    val srcDir = stageOrderedBy(c, d, "customerPriOrdered4", 4,
+      Seq(col("c_custkey")))
+    val ckpt = Stage.ckpt()
+    val name = "q268_pri_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(c.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.PriObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.priorityTopK(arrivals, 3)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    // last batch per nation via ONE window over the (bounded: k rows per
+    // nation per batch) memory table — a self-join would conflict on the
+    // memory sink's attributes
+    s.table(name)
+      .withColumn("mx",
+        max(col("seen")).over(Window.partitionBy(col("c_nationkey"))))
+      .where(col("seen") === col("mx"))
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"),
+        col("priority_fp"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+  /** Same winners, same total order → q125's batch oracle verbatim. */
+  val q268_sql: String = CurationQueries.q125_sql
+
   val defs: Map[String, Q] = Map(
+    "q268_stream_priority_sample" -> q268_stream_priority_sample,
+    "q265_stream_holt" -> q265_stream_holt,
     "q264_stream_kmv" -> q264_stream_kmv,
     "q246_stream_concurrency" -> q246_stream_concurrency,
     "q239_stream_cms" -> q239_stream_cms,
@@ -1677,6 +1767,8 @@ object StreamingQueries {
     "q178_stream_sliding" -> q178_stream_sliding)
 
   val oracles: Map[String, String] = Map(
+    "q268_stream_priority_sample" -> q268_sql,
+    "q265_stream_holt" -> q265_sql,
     "q264_stream_kmv" -> q264_sql,
     "q65_stream_sessions" -> q65_sql,
     "q74_stream_windows" -> q74_sql,

@@ -308,6 +308,40 @@ object Streaming {
       }
   }
 
+  case class HoltOut(user_id: Long, event_id: Long, x: Long, level: Long,
+                     trend: Long)
+
+  /** Stateful streaming HOLT smoothing — the streaming form of
+    * [[graft.operators.Ewma.holt]]: the coupled (level, trend) integer
+    * recurrence carried ACROSS micro-batch boundaries with TWO longs of
+    * state per key (the q208 EWMA certification shape, doubled — exactly
+    * the state a window/fold can't carry live). Signed inputs are legal;
+    * JVM truncating division matches the batch fold and the DuckDB
+    * replay. Under event-time-ordered replay the stream output equals
+    * the batch fold row-for-row — what the certification hash-checks. */
+  def holtTrend(arrivals: Dataset[KeyedObs]): Dataset[HoltOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), HoltOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[KeyedObs],
+         state: GroupState[(Long, Long)]) =>
+          var init = state.getOption.isDefined
+          var l = 0L
+          var b = 0L
+          if (init) { val s0 = state.get; l = s0._1; b = s0._2 }
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltOut]
+          it.toSeq.sortBy(o => (o.tsm, o.event_id)).foreach { o =>
+            if (!init) { l = o.x; b = 0L; init = true }
+            else { val l1 = (l + b + o.x) / 2; b = (b + l1 - l) / 2; l = l1 }
+            out += HoltOut(userId, o.event_id, o.x, l, b)
+          }
+          if (init) state.update((l, b))
+          out.iterator
+      }
+  }
+
   case class CusumOut(user_id: Long, event_id: Long, x: Long, cusum: Long,
                       alarm: Boolean)
 
@@ -537,6 +571,43 @@ object Streaming {
           }
           state.update((regs, seen))
           Iterator.single(HllBatchOut(week, seen, s, zeros))
+      }
+  }
+
+  case class PriObs(c_nationkey: Long, c_custkey: Long, priority_fp: Long)
+  case class PriOut(c_nationkey: Long, seen: Long, rk: Long, c_custkey: Long,
+                    priority_fp: Long)
+
+  /** Stateful streaming weighted-priority TOP-K sample per key — the live
+    * form of q125's A-ES weighted-without-replacement sampler: state is
+    * the current k winners per key ((priority, id) pairs, 2k longs — never
+    * the population), merged per batch by the same (priority desc, id asc)
+    * total order the batch window uses. The top-k-by-total-order merge is
+    * commutative and idempotent, so micro-batch boundaries can't change
+    * the final sample: the certification takes each key's last batch and
+    * must hash-match the batch sampler exactly. The always-on "keep a fair
+    * weighted sample of an unbounded stream" shape. */
+  def priorityTopK(arrivals: Dataset[PriObs], k: Int): Dataset[PriOut] = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.c_nationkey)
+      .flatMapGroupsWithState[(Array[Long], Array[Long], Long), PriOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (nation: Long, it: Iterator[PriObs],
+         state: GroupState[(Array[Long], Array[Long], Long)]) =>
+          val (pri0, ids0, seen0) = state.getOption
+            .getOrElse((Array.empty[Long], Array.empty[Long], 0L))
+          var seen = seen0
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var i = 0
+          while (i < pri0.length) { buf += ((pri0(i), ids0(i))); i += 1 }
+          it.foreach { o => seen += 1L; buf += ((o.priority_fp, o.c_custkey)) }
+          val top = buf.sortBy { case (p, id) => (-p, id) }.take(k)
+          state.update((top.map(_._1).toArray, top.map(_._2).toArray, seen))
+          top.iterator.zipWithIndex.map { case ((p, id), j) =>
+            PriOut(nation, seen, (j + 1).toLong, id, p)
+          }
       }
   }
 
