@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One (band, bucket-key, doc) arrival — top-level so the encoder's
@@ -38,6 +39,47 @@ object Dedup {
   def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every `k`-token gram, slide
+    * a `w`-hash window, keep each window's MINIMUM hash; the distinct
+    * kept hashes are the document's fingerprints. Guarantees: any shared
+    * token run of length ≥ k + w − 1 between two documents shares at
+    * least one fingerprint (the detection floor), while only ~2/(w+1) of
+    * the grams are retained — the storage/recall dial plagiarism and
+    * near-dup pipelines tune.
+    *
+    * Plan shape, all per-document keyed windows (never corpus-global):
+    * one posexplode, one lead-window pass to build grams, one
+    * ROWS-frame min window over the hash sequence, one distinct. The
+    * hash is the md5-derived 32-bit value ([[graft.operators.Kmv.hash32]]),
+    * so the whole stage replays exactly in SQL. Output: (idCol, h),
+    * unordered, one row per distinct fingerprint; documents shorter than
+    * k + w − 1 tokens emit nothing (no full window exists). */
+  def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing needs k,w >= 1 (got $k,$w)")
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val tk = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val gramCols = col("tok") +: (1 until k).map(j =>
+      lead(col("tok"), j).over(byPos))
+    // window expressions are projected first (one physical window pass),
+    // then filtered: a WHERE can't hold a window function directly
+    val kg = tk
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", gramCols: _*).as("kg"),
+        lead(col("tok"), k - 1).over(byPos).as("__last"))
+      .where(col("__last").isNotNull)
+      .select(col(idCol), col("pos"),
+        graft.operators.Kmv.hash32(col("kg")).as("h"))
+    val mins = kg
+      .withColumn("m", min(col("h")).over(
+        byPos.rowsBetween(Window.currentRow, w - 1)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .where(col("pos") <= col("n") - w) // only full w-hash windows
+    mins.select(col(idCol), col("m").as("h")).distinct()
+  }
 
   /** N-gram NOVELTY attribution (first-occurrence credit): every distinct
     * word `n`-gram in the corpus is owned by the smallest doc_id that

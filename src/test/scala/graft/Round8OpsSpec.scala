@@ -57,6 +57,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(d13a > 50L && d13b > 50L) // disjoint: both directions large
   }
 
+  test("winnowing: shared token run >= k+w-1 guarantees a shared fingerprint") {
+    // docs 1 and 2 share a 7-token run (> k+w-1 = 6); doc 3 is disjoint
+    val common = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two $common three"),
+      (2L, s"$common nine ten eleven twelve"),
+      (3L, "completely different words about storage engines and planners")
+    ).toDF("doc_id", "text")
+    val fp = graft.llm.Dedup.winnowingFingerprints(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "SWA guarantee violated: 7-token shared run produced no shared fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+  }
+
+  test("winnowing: short documents (no full window) emit nothing") {
+    val docs = Seq((1L, "too few tokens here")).toDF("doc_id", "text")
+    assert(graft.llm.Dedup.winnowingFingerprints(docs, "text", "doc_id")
+      .count() == 0L)
+  }
+
   test("byteClassCounts: nibble classes over the head bytes, cap respected") {
     // 0x00, 0x10, 0x1F, 0xFF -> classes 0, 1, 1, 15
     val payload = Array[Byte](0x00, 0x10, 0x1f, 0xff.toByte)
