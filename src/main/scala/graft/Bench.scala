@@ -59,7 +59,11 @@ object Bench {
     // lets Catalyst prune every unreferenced projection, so a select-heavy
     // query would be timed as a bare scan. toRdd evaluates the declared
     // output columns exactly as a sink would consume them.
+    // optional comma-separated name-prefix filter (local iteration only;
+    // the driver invokes with no args and times the full suite)
+    val only: Option[Seq[String]] = args.headOption.map(_.split(",").toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // streaming certification queries stage fresh temp data and run a full
     // multi-micro-batch streaming job per INVOCATION — their cost is
     // staging I/O, not plan execution, so min-of-N reps would re-pay the

@@ -21,7 +21,7 @@ object SparkEntry {
     RelationalQueries.defs ++ TpchQueries.defs ++ AnalyticsQueries.defs ++
       GraphQueries.defs ++ SketchQueries.defs ++ LlmQueries.defs ++
       AnnQueries.defs ++ CurationQueries.defs ++ MultimodalQueries.defs ++
-      StreamingQueries.defs
+      InfoQueries.defs ++ StreamingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       AnalyticsQueries.oracles ++ GraphQueries.oracles ++
       SketchQueries.oracles ++ LlmQueries.oracles ++ AnnQueries.oracles ++
       CurationQueries.oracles ++ MultimodalQueries.oracles ++
-      StreamingQueries.oracles
+      InfoQueries.oracles ++ StreamingQueries.oracles
 }

@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Ilog2
+import graft.io.Tables
+import graft.llm.TextAnalysis
+
+/** Information-theoretic scoring over `documents`, certified via the
+  * libm-free fixed-point log2 primitive ([[graft.functions.Ilog2]]):
+  * per-source token entropy, chi-square feature selection, an in-engine
+  * Naive Bayes language classifier (train + classify + confusion), and
+  * fixed-point bigram cross-entropy (the log-domain form of perplexity —
+  * q132/q141 score fluency as rationals; this family scores it in
+  * bits/token, which is what loss curves and data-quality dashboards
+  * actually plot).
+  *
+  * Every logarithm is [[Ilog2]]'s 16-step shift-and-square fold in 16-bit
+  * fixed point — pure 64-bit integer arithmetic, so the DuckDB oracle
+  * replays it EXACTLY ([[Ilog2.sqlReplay]]) and every score hash-matches.
+  * No IEEE transcendentals anywhere.
+  *
+  * Scale notes (100 TB): entropy/chi2/NB aggregates are all keyed by
+  * (label, token) — content-bounded vocabulary cardinality, never corpus
+  * row counts; the selected-feature vocabulary and the trained weight
+  * table are bounded by 8 x |labels| and broadcast, so classification is
+  * map-side after one explode. `sum(c * ilog2(c))` stays inside BIGINT
+  * until ~2x10^12 tokens per group (N . 63 . 2^16 < 2^63); past that,
+  * accumulate the product in DECIMAL(38,0) like q226/q238.
+  */
+object InfoQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val il: Column => Column = Ilog2.ilog2
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** Token stream with labels: (doc_id, lang, source, tok), one row per
+    * occurrence. The family's single scan shape. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+
+  private val tokCte: String =
+    """tk AS (SELECT doc_id, lang, source,
+      |         unnest(list_filter(string_split_regex(lower(text), '\W+'),
+      |                            x -> x <> '')) AS tok
+      |       FROM documents)""".stripMargin
+
+  // ---- q271: per-source unigram token entropy ---------------------------
+
+  /** Per-source Shannon entropy of the unigram token distribution, in
+    * 16-bit fixed-point bits/token: H = log2 N − (Σ c·log2 c)/N, every
+    * log the [[Ilog2]] integer fold. Low entropy flags templated /
+    * repetitive sources (the Gopher-style quality signal, but in actual
+    * bits). Shapes: one explode, one (source, tok) count, one per-source
+    * aggregate — vocabulary-bounded throughout. */
+  val q271_entropy: Q = (s, d) => {
+    val c = docTokens(s, d).groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("vocab"),
+        sum(col("c") * il(col("c"))).as("s_fp"))
+      .select(col("source"), col("n_tok"), col("vocab"),
+        (il(col("n_tok")) - expr("s_fp div n_tok")).as("entropy_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q271_sql: String =
+    s"""WITH $tokCte,
+      |c AS (SELECT source, tok, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+      |a AS (SELECT source, sum(c)::BIGINT AS n_tok, count(*)::BIGINT AS vocab,
+      |        sum(c * ${Ilog2.sqlReplay("c")})::BIGINT AS s_fp
+      |      FROM c GROUP BY 1)
+      |SELECT source, n_tok, vocab,
+      |       (${Ilog2.sqlReplay("n_tok")} - s_fp // n_tok)::BIGINT AS entropy_fp
+      |FROM a ORDER BY source""".stripMargin
+
+  // ---- q272: chi-square feature selection (label = lang) ----------------
+
+  /** Full per-(lang, token) chi-square table over DOC-LEVEL presence.
+    * 2x2 contingency per cell: a = in-lang docs containing the token,
+    * margins Dl (in-lang docs), Dt (docs containing token), N. The zero
+    * cells (token absent from a language) are generated explicitly via
+    * the bounded langs x candidate-tokens grid — absence is evidence
+    * too. Numerator/denominator in DECIMAL(38,0) (N·(ad−bc)² passes 2^63
+    * at ~10^4 docs); one integral division to ppm. */
+  private def chi2Table(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dp = docTokens(s, d).select(col("lang"), col("doc_id"), col("tok"))
+      .distinct()
+      .localCheckpoint(true) // consumers: a-counts + candidate df counts
+    val n = docs.agg(count(lit(1)).as("n"))
+    val dl = docs.groupBy(col("lang")).agg(count(lit(1)).as("d_l"))
+    val cand = dp.groupBy(col("tok")).agg(count(lit(1)).as("d_t"))
+      .join(broadcast(n), expr("d_t >= 5") && col("d_t") < col("n"))
+    val a = dp.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("a"))
+    broadcast(dl).crossJoin(broadcast(cand)) // |langs| x |vocab|: bounded
+      .join(a, Seq("lang", "tok"), "left").na.fill(0L, Seq("a"))
+      .withColumn("adbc",
+        dec(col("a")) * dec(col("n") - col("d_l") - col("d_t") + col("a"))
+          - dec(col("d_l") - col("a")) * dec(col("d_t") - col("a")))
+      .withColumn("num", dec(col("n")) * col("adbc") * col("adbc") * lit(1000000L))
+      .withColumn("den", dec(col("d_l")) * dec(col("n") - col("d_l"))
+        * dec(col("d_t")) * dec(col("n") - col("d_t")))
+      .select(col("lang"), col("tok"), col("a"), col("d_t"),
+        expr("num div den").as("chi2_ppm"))
+  }
+
+  /** Top-8 tokens per language by chi-square association with that
+    * language — the feature-selection step ahead of any lightweight
+    * quality/language classifier. Deterministic tie-break (score desc,
+    * token asc); the window partitions by language over the
+    * vocabulary-bounded chi-square table, never corpus rows. */
+  val q272_chi2_features: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("chi2_ppm").desc, col("tok").asc)
+    chi2Table(s, d).withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 8)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("tok"),
+        col("chi2_ppm"), col("a"), col("d_t"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  // The oracle's flat rendering of the same 2x2 algebra.
+  private val chi2FlatCtes: String =
+    s"""$tokCte,
+      |dp AS (SELECT DISTINCT lang, doc_id, tok FROM tk),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |dl AS (SELECT lang, count(*)::BIGINT AS d_l FROM documents GROUP BY 1),
+      |cand AS (SELECT tok, count(*)::BIGINT AS d_t FROM dp GROUP BY 1
+      |         HAVING count(*) >= 5 AND count(*) < (SELECT n FROM nn)),
+      |ac AS (SELECT lang, tok, count(*)::BIGINT AS a FROM dp GROUP BY 1, 2),
+      |x2 AS (SELECT dl.lang, cand.tok, coalesce(ac.a, 0)::BIGINT AS a,
+      |         cand.d_t, dl.d_l, (SELECT n FROM nn) AS n
+      |       FROM dl CROSS JOIN cand
+      |       LEFT JOIN ac ON ac.lang = dl.lang AND ac.tok = cand.tok),
+      |x3 AS (SELECT lang, tok, a, d_t,
+      |         (n::HUGEINT
+      |            * (a::HUGEINT * (n - d_l - d_t + a) - (d_l - a)::HUGEINT * (d_t - a))
+      |            * (a::HUGEINT * (n - d_l - d_t + a) - (d_l - a)::HUGEINT * (d_t - a))
+      |            * 1000000
+      |          // (d_l::HUGEINT * (n - d_l) * d_t * (n - d_t)))::BIGINT
+      |           AS chi2_ppm
+      |       FROM x2)""".stripMargin
+
+  val q272_sql: String =
+    s"""WITH $chi2FlatCtes
+      |SELECT lang, rank, tok, chi2_ppm, a, d_t FROM (
+      |  SELECT lang, tok, chi2_ppm, a, d_t,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY chi2_ppm DESC, tok ASC)::BIGINT AS rank
+      |  FROM x3)
+      |WHERE rank <= 8 ORDER BY lang, rank""".stripMargin
+
+  /** Union of each language's top-8 chi-square tokens: the selected
+    * vocabulary V' (bounded by 8 x |langs|, broadcastable). */
+  private def selectedVocab(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("chi2_ppm").desc, col("tok").asc)
+    chi2Table(s, d).withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 8).select(col("tok")).distinct()
+  }
+
+  private val vocabCte: String =
+    """sel AS (SELECT DISTINCT tok FROM (
+      |  SELECT lang, tok,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY chi2_ppm DESC, tok ASC) AS rank
+      |  FROM x3) WHERE rank <= 8)""".stripMargin
+
+  // ---- q273 / q274: Naive Bayes language classifier ---------------------
+
+  /** Multinomial Naive Bayes TRAINING over the chi-square-selected
+    * vocabulary: per (lang, token) Laplace log-likelihood
+    * w = log2(c+1) − log2(T_l + |V'|) and per-lang log-prior, all in
+    * [[Ilog2]] fixed point — the in-engine "train a cheap quality /
+    * language classifier on the corpus itself" step (fastText-style
+    * pipelines do exactly this shape; here the whole fit is two
+    * vocabulary-bounded aggregates and the model is certified). Zero
+    * counts are materialized via the langs x V' grid so the classifier
+    * has a weight for every (lang, token) cell. */
+  val q273_nb_train: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val vocab = selectedVocab(s, d).localCheckpoint(true) // 3 consumers
+    val vSize = vocab.agg(count(lit(1)).as("v_sel"))
+    val occ = docTokens(s, d).join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c_occ"))
+    val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("d_l"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val grid = broadcast(langs).crossJoin(broadcast(vocab))
+      .join(occ, Seq("lang", "tok"), "left").na.fill(0L, Seq("c_occ"))
+      .localCheckpoint(true) // consumers: t_lang agg + final weight rows
+    val tl = grid.groupBy(col("lang")).agg(sum(col("c_occ")).as("t_lang"))
+    grid.join(broadcast(tl), Seq("lang"))
+      .crossJoin(broadcast(vSize)).crossJoin(broadcast(n))
+      .select(col("lang"), col("tok"), col("c_occ"), col("t_lang"),
+        col("v_sel"),
+        (il(col("c_occ") + 1) - il(col("t_lang") + col("v_sel"))).as("w_fp"),
+        (il(col("d_l")) - il(col("n"))).as("prior_fp"))
+      .orderBy(col("lang"), col("tok"))
+  }
+
+  /** Shared NB-model CTEs on top of the chi2 selection: occurrence
+    * counts over V', per-lang totals, fixed-point weights and priors. */
+  private val nbCtes: String =
+    s"""$chi2FlatCtes,
+      |$vocabCte,
+      |vs AS (SELECT count(*)::BIGINT AS v_sel FROM sel),
+      |occ AS (SELECT lang, tok, count(*)::BIGINT AS c_occ
+      |        FROM tk JOIN sel USING (tok) GROUP BY 1, 2),
+      |grid AS (SELECT dl.lang, dl.d_l, sel.tok,
+      |           coalesce(occ.c_occ, 0)::BIGINT AS c_occ
+      |         FROM dl CROSS JOIN sel
+      |         LEFT JOIN occ ON occ.lang = dl.lang AND occ.tok = sel.tok),
+      |tl AS (SELECT lang, sum(c_occ)::BIGINT AS t_lang FROM grid GROUP BY 1),
+      |model AS (SELECT g.lang, g.tok, g.c_occ, tl.t_lang,
+      |            (SELECT v_sel FROM vs) AS v_sel,
+      |            (${Ilog2.sqlReplay("(g.c_occ + 1)")}
+      |             - ${Ilog2.sqlReplay("(tl.t_lang + (SELECT v_sel FROM vs))")})::BIGINT AS w_fp,
+      |            (${Ilog2.sqlReplay("g.d_l")}
+      |             - ${Ilog2.sqlReplay("(SELECT n FROM nn)")})::BIGINT AS prior_fp
+      |          FROM grid g JOIN tl USING (lang))""".stripMargin
+
+  val q273_sql: String =
+    s"""WITH $nbCtes
+      |SELECT lang, tok, c_occ, t_lang, v_sel, w_fp, prior_fp
+      |FROM model ORDER BY lang, tok""".stripMargin
+
+  /** Naive Bayes CLASSIFICATION + confusion matrix: every document is
+    * scored against every language (score = prior + Σ count·weight over
+    * its selected-vocabulary tokens) and assigned the argmax (ties →
+    * lexicographically smallest lang, via one map-side-combinable
+    * min(struct(−score, lang)) aggregate — no window). Output is the
+    * (true lang, predicted lang, n_docs) confusion matrix. The model is
+    * broadcast, so at scale this is one explode + map-side joins + two
+    * keyed aggregates over corpus rows. */
+  val q274_nb_confusion: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val model = q273_nb_train(s, d)
+      .select(col("lang").as("pred_lang"), col("tok"), col("w_fp"),
+        col("prior_fp"))
+      .localCheckpoint(true) // consumers: weight join + prior list + vocab
+    val vocab = model.select(col("tok")).distinct() // = V', from the model
+    val priors = model.select(col("pred_lang"), col("prior_fp")).distinct()
+    val dt = docTokens(s, d).join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n_t"))
+    val contrib = dt.join(broadcast(model), Seq("tok"))
+      .groupBy(col("doc_id"), col("pred_lang"))
+      .agg(sum(col("n_t") * col("w_fp")).as("tok_fp"))
+    val scores = docs.select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(priors)) // |docs| x |langs|: the score grid
+      .join(contrib, Seq("doc_id", "pred_lang"), "left")
+      .na.fill(0L, Seq("tok_fp"))
+      .select(col("doc_id"), col("lang"),
+        struct((-(col("prior_fp") + col("tok_fp"))).as("neg"),
+          col("pred_lang").as("p")).as("cand"))
+    scores.groupBy(col("doc_id"), col("lang"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("lang"), col("best.p").as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val q274_sql: String =
+    s"""WITH $nbCtes,
+      |pri AS (SELECT DISTINCT lang AS pred_lang, prior_fp FROM model),
+      |dtc AS (SELECT doc_id, tok, count(*)::BIGINT AS n_t
+      |        FROM tk JOIN sel USING (tok) GROUP BY 1, 2),
+      |contrib AS (SELECT dtc.doc_id, m.lang AS pred_lang,
+      |              sum(dtc.n_t * m.w_fp)::BIGINT AS tok_fp
+      |            FROM dtc JOIN model m USING (tok) GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id, d.lang, pri.pred_lang,
+      |         (pri.prior_fp + coalesce(contrib.tok_fp, 0))::BIGINT AS score
+      |       FROM documents d CROSS JOIN pri
+      |       LEFT JOIN contrib ON contrib.doc_id = d.doc_id
+      |                        AND contrib.pred_lang = pri.pred_lang),
+      |best AS (SELECT doc_id, lang, pred_lang FROM sc
+      |         QUALIFY row_number() OVER (PARTITION BY doc_id
+      |                                    ORDER BY score DESC, pred_lang ASC) = 1)
+      |SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+      |FROM best GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+
+  // ---- q275: fixed-point bigram cross-entropy ---------------------------
+
+  /** Per-document bigram cross-entropy under the corpus-wide Laplace
+    * bigram LM, in 16-bit fixed-point bits/bigram — the log-domain
+    * perplexity score (perplexity = 2^(avg_nll/65536)) that q132/q141's
+    * rational fluency scores deliberately avoided. Every bigram costs
+    * NLL = log2(c(u·)+V) − log2(c(u,v)+1) ≥ 0, summed per doc and
+    * averaged by integral division. The [[Ilog2]] fold runs at MODEL
+    * granularity (distinct corpus bigrams — vocabulary², content-bounded),
+    * not per corpus row; documents join the model on (u,v) and aggregate.
+    * Documents with fewer than two tokens have no bigrams and emit
+    * nothing. */
+  val q275_bigram_xent: Q = (s, d) => {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tk = Tables.documents(s, d).select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "u")))
+    val bg = tk.withColumn("v", lead(col("u"), 1).over(byPos))
+      .where(col("v").isNotNull)
+      .select(col("doc_id"), col("u"), col("v"))
+      .localCheckpoint(true) // consumers: cb, cu, per-doc join
+    val cb = bg.groupBy(col("u"), col("v")).agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val vsz = tk.select(col("u")).distinct().agg(count(lit(1)).as("vv"))
+    val model = cb.join(cu, Seq("u")).crossJoin(broadcast(vsz))
+      .select(col("u"), col("v"),
+        (il(col("cu") + col("vv")) - il(col("cb") + 1)).as("nll_fp"))
+    bg.join(model, Seq("u", "v"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_fp")).as("nll_total_fp"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_total_fp"),
+        expr("nll_total_fp div n_bigrams").as("avg_nll_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q275_sql: String =
+    s"""WITH tk0 AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\W+'),
+      |                x -> x <> '') AS ws
+      |  FROM documents),
+      |tk AS (SELECT doc_id, unnest(ws) AS u,
+      |         unnest(range(1, len(ws) + 1)) AS pos FROM tk0),
+      |bg AS (SELECT doc_id, u, v FROM (
+      |         SELECT doc_id, u, lead(u, 1) OVER (PARTITION BY doc_id
+      |                                            ORDER BY pos) AS v
+      |         FROM tk) WHERE v IS NOT NULL),
+      |cb AS (SELECT u, v, count(*)::BIGINT AS cb FROM bg GROUP BY 1, 2),
+      |cu AS (SELECT u, count(*)::BIGINT AS cu FROM bg GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT u)::BIGINT AS vv FROM tk),
+      |model AS (SELECT cb.u, cb.v,
+      |            (${Ilog2.sqlReplay("(cu.cu + (SELECT vv FROM vv))")}
+      |             - ${Ilog2.sqlReplay("(cb.cb + 1)")})::BIGINT AS nll_fp
+      |          FROM cb JOIN cu USING (u))
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |       sum(nll_fp)::BIGINT AS nll_total_fp,
+      |       (sum(nll_fp) // count(*))::BIGINT AS avg_nll_fp
+      |FROM bg JOIN model USING (u, v)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q271_entropy" -> q271_entropy,
+    "q272_chi2_features" -> q272_chi2_features,
+    "q273_nb_train" -> q273_nb_train,
+    "q274_nb_confusion" -> q274_nb_confusion,
+    "q275_bigram_xent" -> q275_bigram_xent)
+
+  val oracles: Map[String, String] = Map(
+    "q271_entropy" -> q271_sql,
+    "q272_chi2_features" -> q272_sql,
+    "q273_nb_train" -> q273_sql,
+    "q274_nb_confusion" -> q274_sql,
+    "q275_bigram_xent" -> q275_sql)
+}

@@ -79,6 +79,28 @@ class Round8OpsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("ilog2: exact at powers of two, close to log2 elsewhere, monotone") {
+    import graft.functions.Ilog2.impl
+    for (k <- 0 to 62) assert(impl(1L << k) == k.toLong * 65536)
+    val vals = (1L to 2000L) ++ Seq(123456789L, (1L << 40) + 12345L, Long.MaxValue)
+    for (v <- vals) {
+      val got = impl(v) / 65536.0
+      val want = math.log(v.toDouble) / math.log(2.0)
+      assert(math.abs(got - want) < 1e-4, s"ilog2($v): $got vs $want")
+    }
+    // monotone non-decreasing (truncation never inverts order)
+    assert(vals.sorted.map(impl).sliding(2).forall(p => p.head <= p.last))
+    intercept[IllegalArgumentException](impl(0L))
+  }
+
+  test("ilog2: native expression matches impl through codegen") {
+    val df = Seq(1L, 2L, 3L, 1000L, 65537L, Long.MaxValue).toDF("x")
+    val got = df.select(graft.functions.Ilog2.ilog2(col("x")).as("l"))
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(
+      Array(1L, 2L, 3L, 1000L, 65537L, Long.MaxValue).map(graft.functions.Ilog2.impl)))
+  }
+
   test("byteClassCounts: nibble classes over the head bytes, cap respected") {
     // 0x00, 0x10, 0x1F, 0xFF -> classes 0, 1, 1, 15
     val payload = Array[Byte](0x00, 0x10, 0x1f, 0xff.toByte)
