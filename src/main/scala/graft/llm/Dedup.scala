@@ -128,6 +128,29 @@ object Dedup {
         explode(TextAnalysis.shinglesFromTokens(col("toks"))).as("shingle"))
       .distinct()
 
+  /** WEIGHTED near-dup elements: each (doc, token) with occurrence count
+    * c is replicated `min(bitLength(c), cap)` times as elements
+    * "tok~1".."tok~r" — LOG-BUCKETED term weights, so a document that
+    * repeats a term 100x genuinely differs from one mentioning it once,
+    * while the element relation grows logarithmically in counts (capped),
+    * never linearly. Plain SET machinery downstream ([[minhashSignatures]]
+    * → [[lshCandidatePairs]] → [[ngramJaccard]]) then computes exactly the
+    * weighted Jaccard of the bucketed weight vectors:
+    * Σ min(r_a, r_b) / Σ max(r_a, r_b) — the standard reduction of
+    * weighted-minhash to set-minhash by element replication (integer
+    * weights), with the log bucketing keeping replication bounded. */
+  def weightedShingles(df: DataFrame, textCol: String, idCol: String,
+                       cap: Int = 4): DataFrame = {
+    require(cap >= 1, s"weightedShingles needs cap >= 1 (got $cap)")
+    graft.io.Tables.widen(df)
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(1), least(length(bin(col("c"))), lit(cap)))).as("j"))
+      .select(col("doc_id"), concat_ws("~", col("tok"), col("j")).as("shingle"))
+  }
+
   /** MinHash signatures: k independent min-hashes computed as k aggregate
     * expressions in ONE groupBy over the (doc, shingle) relation — a single
     * shuffle regardless of k, with map-side partial mins. Hash s of a

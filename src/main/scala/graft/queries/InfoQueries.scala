@@ -80,14 +80,13 @@ object InfoQueries {
 
   // ---- q272: chi-square feature selection (label = lang) ----------------
 
-  /** Full per-(lang, token) chi-square table over DOC-LEVEL presence.
-    * 2x2 contingency per cell: a = in-lang docs containing the token,
-    * margins Dl (in-lang docs), Dt (docs containing token), N. The zero
-    * cells (token absent from a language) are generated explicitly via
-    * the bounded langs x candidate-tokens grid — absence is evidence
-    * too. Numerator/denominator in DECIMAL(38,0) (N·(ad−bc)² passes 2^63
-    * at ~10^4 docs); one integral division to ppm. */
-  private def chi2Table(s: SparkSession, d: String): DataFrame = {
+  /** Per-(lang, token) 2x2 contingency grid over DOC-LEVEL presence:
+    * a = in-lang docs containing the token, with margins d_l (in-lang
+    * docs), d_t (docs containing token), n. Zero cells (token absent
+    * from a language) are generated explicitly via the bounded langs x
+    * candidate-tokens grid — absence is evidence too. Candidate floor
+    * df >= 5 and df < n keeps every margin strictly positive. */
+  private def contingency(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val dp = docTokens(s, d).select(col("lang"), col("doc_id"), col("tok"))
       .distinct()
@@ -99,6 +98,13 @@ object InfoQueries {
     val a = dp.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("a"))
     broadcast(dl).crossJoin(broadcast(cand)) // |langs| x |vocab|: bounded
       .join(a, Seq("lang", "tok"), "left").na.fill(0L, Seq("a"))
+  }
+
+  /** Chi-square scores over [[contingency]]. Numerator/denominator in
+    * DECIMAL(38,0) (N·(ad−bc)² passes 2^63 at ~10^4 docs); one integral
+    * division to ppm. */
+  private def chi2Table(s: SparkSession, d: String): DataFrame =
+    contingency(s, d)
       .withColumn("adbc",
         dec(col("a")) * dec(col("n") - col("d_l") - col("d_t") + col("a"))
           - dec(col("d_l") - col("a")) * dec(col("d_t") - col("a")))
@@ -107,7 +113,6 @@ object InfoQueries {
         * dec(col("d_t")) * dec(col("n") - col("d_t")))
       .select(col("lang"), col("tok"), col("a"), col("d_t"),
         expr("num div den").as("chi2_ppm"))
-  }
 
   /** Top-8 tokens per language by chi-square association with that
     * language — the feature-selection step ahead of any lightweight
@@ -154,6 +159,59 @@ object InfoQueries {
       |                            ORDER BY chi2_ppm DESC, tok ASC)::BIGINT AS rank
       |  FROM x3)
       |WHERE rank <= 8 ORDER BY lang, rank""".stripMargin
+
+  // ---- q276: mutual-information feature ranking -------------------------
+
+  /** Top-8 tokens per language by MUTUAL INFORMATION with language
+    * membership — the other canonical feature-selection statistic (chi2
+    * measures deviation-from-independence strength; MI measures the bits
+    * of label information a token carries, which is what a
+    * classifier-budget decision actually wants). Same [[contingency]]
+    * grid; each of the four cells contributes c·(log2(n·c) −
+    * log2(row·col)) in [[Ilog2]] fixed point (empty cells contribute 0,
+    * the x·log x limit), summed and divided by n → MI in 2^16-scaled
+    * bits. The truncation-noise floor is clamped at 0 before the
+    * division so Spark's truncating `div` and DuckDB's flooring `//`
+    * cannot disagree on a negative near-zero sum. */
+  val q276_mi_features: Q = (s, d) => {
+    def term(c: Column, row: Column, colm: Column): Column =
+      when(c > 0, c * (il(col("n") * c) - il(row * colm))).otherwise(lit(0L))
+    val withSum = contingency(s, d)
+      .withColumn("mi_sum", greatest(lit(0L),
+        term(col("a"), col("d_l"), col("d_t"))
+          + term(col("d_l") - col("a"), col("d_l"), col("n") - col("d_t"))
+          + term(col("d_t") - col("a"), col("n") - col("d_l"), col("d_t"))
+          + term(col("n") - col("d_l") - col("d_t") + col("a"),
+              col("n") - col("d_l"), col("n") - col("d_t"))))
+      .withColumn("mi_fp", expr("mi_sum div n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mi_fp").desc, col("tok").asc)
+    withSum.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 8)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("tok"),
+        col("mi_fp"), col("a"), col("d_t"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q276_sql: String = {
+    def t(c: String, row: String, colm: String): String =
+      s"""CASE WHEN $c > 0 THEN ($c) * (${Ilog2.sqlReplay(s"(n * ($c))")}
+         | - ${Ilog2.sqlReplay(s"(($row) * ($colm))")}) ELSE 0 END""".stripMargin
+    s"""WITH $chi2FlatCtes,
+      |mi AS (SELECT lang, tok, a, d_t,
+      |         (greatest(0, ${t("a", "d_l", "d_t")}
+      |            + ${t("d_l - a", "d_l", "n - d_t")}
+      |            + ${t("d_t - a", "n - d_l", "d_t")}
+      |            + ${t("n - d_l - d_t + a", "n - d_l", "n - d_t")})
+      |          // n)::BIGINT AS mi_fp
+      |       FROM x2)
+      |SELECT lang, rank, tok, mi_fp, a, d_t FROM (
+      |  SELECT lang, tok, mi_fp, a, d_t,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY mi_fp DESC, tok ASC)::BIGINT AS rank
+      |  FROM mi)
+      |WHERE rank <= 8 ORDER BY lang, rank""".stripMargin
+  }
 
   /** Union of each language's top-8 chi-square tokens: the selected
     * vocabulary V' (bounded by 8 x |langs|, broadcastable). */
@@ -205,7 +263,7 @@ object InfoQueries {
 
   /** Shared NB-model CTEs on top of the chi2 selection: occurrence
     * counts over V', per-lang totals, fixed-point weights and priors. */
-  private val nbCtes: String =
+  private[queries] val nbCtes: String =
     s"""$chi2FlatCtes,
       |$vocabCte,
       |vs AS (SELECT count(*)::BIGINT AS v_sel FROM sel),
@@ -342,9 +400,30 @@ object InfoQueries {
       |FROM bg JOIN model USING (u, v)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bounded driver collect of the trained NB model — |V'| x |langs|
+    * rows (8 x |langs| tokens by construction), the same gate-config
+    * collect budget as q173's vocabulary. Returns (langs sorted asc,
+    * aligned priors, token -> per-lang weights aligned to langs) for
+    * literal inlining into a stateless streaming classifier. */
+  private[queries] def nbModelLiteral(s: SparkSession, d: String)
+      : (Seq[String], Seq[Long], Map[String, Seq[Long]]) = {
+    val rows = q273_nb_train(s, d)
+      .select(col("lang"), col("tok"), col("w_fp"), col("prior_fp"))
+      .collect()
+    val langs = rows.map(_.getString(0)).distinct.sorted.toSeq
+    val priors = langs.map(l =>
+      rows.find(_.getString(0) == l).get.getLong(3))
+    val weights = rows.groupBy(_.getString(1)).map { case (tok, rs) =>
+      // the langs x V' grid guarantees every (lang, tok) cell exists
+      tok -> langs.map(l => rs.find(_.getString(0) == l).get.getLong(2))
+    }
+    (langs, priors, weights.toMap)
+  }
+
   val defs: Map[String, Q] = Map(
     "q271_entropy" -> q271_entropy,
     "q272_chi2_features" -> q272_chi2_features,
+    "q276_mi_features" -> q276_mi_features,
     "q273_nb_train" -> q273_nb_train,
     "q274_nb_confusion" -> q274_nb_confusion,
     "q275_bigram_xent" -> q275_bigram_xent)
@@ -352,6 +431,7 @@ object InfoQueries {
   val oracles: Map[String, String] = Map(
     "q271_entropy" -> q271_sql,
     "q272_chi2_features" -> q272_sql,
+    "q276_mi_features" -> q276_sql,
     "q273_nb_train" -> q273_sql,
     "q274_nb_confusion" -> q274_sql,
     "q275_bigram_xent" -> q275_sql)

@@ -550,7 +550,56 @@ object SketchQueries {
       |  ((n_union_est * only_b) // m)::BIGINT AS diff_ba_est
       |FROM est ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------------------- weighted MinHash
+  /** WEIGHTED MinHash near-dup — [[Dedup.weightedShingles]]: term
+    * occurrences are log-bucketed into replicated elements
+    * ("tok~1".."tok~r", r = min(bitLength(count), 4)), then the plain
+    * set pipeline (q24's signatures → LSH bands → candidate pairs →
+    * exact verify) computes the WEIGHTED Jaccard Σmin(r_a,r_b) /
+    * Σmax(r_a,r_b) — the repetition-aware near-dup tier that set
+    * Jaccard is blind to (a doc saying "spam" once and one saying it
+    * 500 times are set-identical). Same scale shape as q24: one
+    * groupBy over (doc, token), bounded element fan-out, bucket join
+    * never all-pairs, verification over candidates only. The final
+    * IEEE division of two exact ints is bit-identical cross-engine. */
+  val q277_weighted_minhash: Q = (s, d) => {
+    // deliberately UNCACHED like q24: AQE's ReusedExchange dedupes the
+    // element relation's two consumers at runtime
+    val el = Dedup.weightedShingles(Tables.documents(s, d), "text", "doc_id")
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(el, LshK), LshBands, LshK / LshBands)
+    Dedup.ngramJaccard(el, pairs)
+      .withColumnRenamed("jaccard", "w_jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val weightedShCtes: String =
+    """tk AS (SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '\W+'),
+      |                            x -> x <> '')) AS tok
+      |       FROM documents),
+      |cnt AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+      |sh AS (SELECT doc_id, tok || '~' || i AS shingle
+      |       FROM cnt, UNNEST(range(1, least(length(bin(c)), 4) + 1)) t(i))""".stripMargin
+
+  val q277_sql: String =
+    s"""WITH ${lshCtesFrom(weightedShCtes, LshK, LshBands)},
+       |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+       |          FROM pairs p
+       |          JOIN sh a ON a.doc_id = p.doc_a
+       |          JOIN sh b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+       |          GROUP BY p.doc_a, p.doc_b)
+       |SELECT i.doc_a, i.doc_b,
+       |       i.n_inter::DOUBLE / (sa.set_size + sb.set_size - i.n_inter)
+       |         AS w_jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q277_weighted_minhash" -> q277_weighted_minhash,
     "q259_kmv_difference" -> q259_kmv_difference,
     "q242_bitmap_retention" -> q242_bitmap_retention,
     "q235_join_size_cms" -> q235_join_size_cms,
@@ -563,6 +612,7 @@ object SketchQueries {
     "q108_hll_distinct" -> q108_hll_distinct)
 
   val oracles: Map[String, String] = Map(
+    "q277_weighted_minhash" -> q277_sql,
     "q259_kmv_difference" -> q259_sql,
     "q109_bloom_prefilter" -> q109_sql,
     "q226_bitmap_distinct" -> q226_sql,

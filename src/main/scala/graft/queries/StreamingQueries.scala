@@ -1737,7 +1737,68 @@ object StreamingQueries {
   /** Same winners, same total order → q125's batch oracle verbatim. */
   val q268_sql: String = CurationQueries.q125_sql
 
+  /** The twenty-eighth streaming certification — the trained Naive Bayes
+    * language classifier DEPLOYED on the document ingest stream
+    * ([[graft.llm.NaiveBayes.classifyLiteral]]): the model (q273's
+    * chi-square-selected vocabulary + Laplace fixed-point weights) is fit
+    * batch-side, collected under the bounded gate-config budget
+    * (|V'| x |langs| rows), inlined as literal map/array columns, and
+    * every arriving document is scored ROW-LOCALLY — no aggregate, no
+    * state, no shuffle (the q173 stateless-gate shape). Streamed
+    * per-document predictions must hash-match the batch scoring chain's
+    * argmax (q274's `sc`/`best` CTEs) including the −score/label
+    * tie-break. */
+  val q278_stream_nb: Q = (s, d) => {
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val (langs, priors, weights) = InfoQueries.nbModelLiteral(s, d)
+    val (srcDir, _, _) = Stage.memo(d, "docslang4") { dir =>
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(dir)
+      (0L, 0L)
+    }
+    val ckpt = Stage.ckpt()
+    val name = "q278_nb_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = graft.llm.NaiveBayes
+        .classifyLiteral(stream, "text", "doc_id", langs, priors, weights,
+          passCols = Seq("lang"))
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("score_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q278_sql: String =
+    s"""WITH ${InfoQueries.nbCtes},
+      |pri AS (SELECT DISTINCT lang AS pred_lang, prior_fp FROM model),
+      |dtc AS (SELECT doc_id, tok, count(*)::BIGINT AS n_t
+      |        FROM tk JOIN sel USING (tok) GROUP BY 1, 2),
+      |contrib AS (SELECT dtc.doc_id, m.lang AS pred_lang,
+      |              sum(dtc.n_t * m.w_fp)::BIGINT AS tok_fp
+      |            FROM dtc JOIN model m USING (tok) GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id, d.lang, pri.pred_lang,
+      |         (pri.prior_fp + coalesce(contrib.tok_fp, 0))::BIGINT AS score
+      |       FROM documents d CROSS JOIN pri
+      |       LEFT JOIN contrib ON contrib.doc_id = d.doc_id
+      |                        AND contrib.pred_lang = pri.pred_lang)
+      |SELECT doc_id, lang, pred_lang, score AS score_fp FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY score DESC, pred_lang ASC) = 1
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q278_stream_nb" -> q278_stream_nb,
     "q268_stream_priority_sample" -> q268_stream_priority_sample,
     "q265_stream_holt" -> q265_stream_holt,
     "q264_stream_kmv" -> q264_stream_kmv,
@@ -1767,6 +1828,7 @@ object StreamingQueries {
     "q178_stream_sliding" -> q178_stream_sliding)
 
   val oracles: Map[String, String] = Map(
+    "q278_stream_nb" -> q278_sql,
     "q268_stream_priority_sample" -> q268_sql,
     "q265_stream_holt" -> q265_sql,
     "q264_stream_kmv" -> q264_sql,

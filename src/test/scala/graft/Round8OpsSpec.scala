@@ -101,6 +101,33 @@ class Round8OpsSpec extends SparkSpec {
       Array(1L, 2L, 3L, 1000L, 65537L, Long.MaxValue).map(graft.functions.Ilog2.impl)))
   }
 
+  test("weightedShingles: log-bucketed replication separates repetition levels") {
+    // doc 1 says "spam" once, doc 2 says it 9 times -> r = 1 vs min(bitlen(9)=4, 4)
+    val docs = Seq((1L, "spam ham eggs"), (2L, Seq.fill(9)("spam").mkString(" ") + " ham eggs"))
+      .toDF("doc_id", "text")
+    val el = graft.llm.Dedup.weightedShingles(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val d1 = el.filter(_._1 == 1L).map(_._2).toSet
+    val d2 = el.filter(_._1 == 2L).map(_._2).toSet
+    assert(d1 == Set("spam~1", "ham~1", "eggs~1"))
+    assert(d2 == Set("spam~1", "spam~2", "spam~3", "spam~4", "ham~1", "eggs~1"))
+    // weighted Jaccard = min-sum / max-sum = 3/6; set Jaccard would be 1.0
+    assert((d1 intersect d2).size == 3 && (d1 union d2).size == 6)
+  }
+
+  test("NaiveBayes.classifyLiteral: argmax with smallest-label tie-break") {
+    val docs = Seq((1L, "aa bb"), (2L, "cc"), (3L, "zz zz")).toDF("doc_id", "text")
+    val labels = Seq("de", "en")
+    val priors = Seq(-10L, -10L) // equal priors: doc 3 (no vocab hits) ties -> "de"
+    val weights = Map("aa" -> Seq(-1L, -5L), "bb" -> Seq(-1L, -5L), "cc" -> Seq(-7L, -2L))
+    val got = graft.llm.NaiveBayes
+      .classifyLiteral(docs, "text", "doc_id", labels, priors, weights)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got(0) == ((1L, "de", -12L))) // -10-2 vs -10-10
+    assert(got(1) == ((2L, "en", -12L))) // -17 vs -12
+    assert(got(2) == ((3L, "de", -10L))) // tie -> lexicographically smallest
+  }
+
   test("byteClassCounts: nibble classes over the head bytes, cap respected") {
     // 0x00, 0x10, 0x1F, 0xFF -> classes 0, 1, 1, 15
     val payload = Array[Byte](0x00, 0x10, 0x1f, 0xff.toByte)
