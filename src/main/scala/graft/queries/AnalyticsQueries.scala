@@ -1357,6 +1357,151 @@ object AnalyticsQueries {
       |SELECT user_id, event_id, x, st[1] AS level, st[2] AS trend
       |FROM u ORDER BY event_id""".stripMargin
 
+  /** HOLT–WINTERS seasonal smoothing of daily per-event-type counts —
+    * [[graft.operators.Ewma.holtWinters]] with weekly seasonality
+    * (m = 7): the triple (level, trend, seasonal-slot) integer
+    * recurrence over the sorted-run fold, m + 2 longs of state per key
+    * no matter the series length. q257's Holt deseasonalizes nothing;
+    * this subtracts the slot updated exactly m steps ago — the state a
+    * window cannot see (it depends on the previous OUTPUT m steps back,
+    * not the previous input). The oracle replays the full recurrence as
+    * a `list_reduce` over (m+3)-long state lists with the slot update
+    * done by a positional `list_transform` — identical truncating
+    * division on both engines (verified −3 // 2 = −1 in DuckDB). Series
+    * are daily counts, so the pre-fold aggregate bounds the fold input
+    * to |types| × |days| rows. */
+  val q279_holt_winters: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Ewma.holtWinters(daily, "event_type", "day", "x", m = 7)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q279_sql: String = {
+    // state list (1-based): [l, b, t, s1..s7]; slot for step t' = a[3]+1
+    // is j = a[3] % 7 at position a[4 + j]. No let-bindings in DuckDB
+    // lambdas, so l1 is inlined everywhere it appears.
+    val sp = "a[4 + (a[3] % 7)]"
+    val l1 = s"((a[1] + a[2] + (b[1] - $sp)) // 2)"
+    val b1 = s"((a[2] + $l1 - a[1]) // 2)"
+    val s1 = s"(($sp + (b[1] - $l1)) // 2)"
+    s"""WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |             count(*)::BIGINT AS x
+      |           FROM events GROUP BY 1, 2),
+      |g AS (SELECT event_type, list(x ORDER BY day) AS xs,
+      |        list(day ORDER BY day) AS ds
+      |      FROM e GROUP BY 1),
+      |u AS (SELECT event_type, unnest(ds) AS day, unnest(xs) AS x,
+      |        unnest(list_transform(range(1, len(xs) + 1),
+      |          i -> list_reduce(
+      |            list_transform(xs[1:i],
+      |              v -> [v, 0::BIGINT, 1::BIGINT, 0, 0, 0, 0, 0, 0, 0]),
+      |            (a, b) -> [$l1, $b1, a[3] + 1]
+      |                      || list_transform(range(7),
+      |                           k -> CASE WHEN k = a[3] % 7 THEN $s1
+      |                                     ELSE a[4 + k] END)))) AS st
+      |      FROM g),
+      |f AS (SELECT event_type, day, x,
+      |        st[1] AS level, st[2] AS trend,
+      |        st[4 + ((st[3] - 1) % 7)] AS seas
+      |      FROM u)
+      |SELECT event_type, day, x, level, trend, seas
+      |FROM f ORDER BY event_type, day""".stripMargin
+  }
+
+  /** MARKOV TRANSITION ENTROPY — the predictability audit of q203's
+    * transition matrix: per source event type, the Shannon entropy of
+    * the next-event distribution H(next | cur) in [[graft.functions.Ilog2]]
+    * 16-bit fixed point (certified bits, not rational proxies), plus a
+    * corpus row weighting the per-state entropies into the conditional
+    * entropy of the whole chain. Near-zero entropy = deterministic
+    * funnel; log2(|types|) = uniform noise. Shapes: one lag window over
+    * the (user, ts) sort class, one (prev, next) count —
+    * |types|²-bounded — then type-bounded aggregates; the il fold never
+    * touches corpus rows. */
+  val q280_transition_entropy: Q = (s, d) => {
+    val il: Column => Column = graft.functions.Ilog2.ilog2
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type")).agg(count(lit(1)).as("n"))
+    val perState = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("n_trans"), count(lit(1)).as("n_dest"),
+        sum(col("n") * il(col("n"))).as("s_fp"))
+      .select(col("prev_type"), col("n_trans"), col("n_dest"),
+        (il(col("n_trans")) - expr("s_fp div n_trans")).as("entropy_fp"))
+      .localCheckpoint(true) // consumers: per-state rows + chain rollup
+    val chain = perState
+      .agg(sum(col("n_trans")).as("n_trans"),
+        sum(col("n_dest")).as("n_dest"),
+        expr("sum(n_trans * entropy_fp) div sum(n_trans)").as("entropy_fp"))
+      .select(lit("__chain__").as("prev_type"), col("n_trans"),
+        col("n_dest"), col("entropy_fp"))
+    perState.unionByName(chain).orderBy(col("prev_type"))
+  }
+
+  val q280_sql: String = {
+    val il = graft.functions.Ilog2.sqlReplay _
+    s"""WITH p AS (SELECT user_id, event_type,
+      |             lag(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS prev_type
+      |           FROM events),
+      |c AS (SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |st AS (SELECT prev_type, sum(n)::BIGINT AS n_trans,
+      |         count(*)::BIGINT AS n_dest,
+      |         sum(n * ${il("n")})::BIGINT AS s_fp
+      |       FROM c GROUP BY 1),
+      |pe AS (SELECT prev_type, n_trans, n_dest,
+      |         (${il("n_trans")} - s_fp // n_trans)::BIGINT AS entropy_fp
+      |       FROM st)
+      |SELECT prev_type, n_trans, n_dest, entropy_fp FROM pe
+      |UNION ALL
+      |SELECT '__chain__', sum(n_trans)::BIGINT, sum(n_dest)::BIGINT,
+      |       (sum(n_trans * entropy_fp) // sum(n_trans))::BIGINT
+      |FROM pe
+      |ORDER BY prev_type""".stripMargin
+  }
+
+  /** THEIL T inequality index of per-customer revenue, in certified
+    * log2-based fixed point: T = Σ xᵢ·(log2(xᵢ·N) − log2(S)) div S
+    * (the x/μ ratio rewritten integer-only: x/μ = x·N/S), every log the
+    * [[graft.functions.Ilog2]] integer fold — the log-domain
+    * concentration audit next to q225's Gini and q252's Pareto shares
+    * (Theil is the decomposable one — it's the inequality measure that
+    * sums across subgroups). Zero-revenue rows contribute 0 (the
+    * x·log x limit). The product sum rides DECIMAL(38,0): xᵢ·Δlog
+    * reaches 2^63 at ~10^5 customers. Output is one bounded row. */
+  val q281_theil: Q = (s, d) => {
+    val il: Column => Column = graft.functions.Ilog2.ilog2
+    val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val tot = rev.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    rev.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_cust"), max(col("s")).as("total_cents"),
+        sum((col("x") * (il(col("x") * col("n")) - il(col("s"))))
+          .cast("decimal(38,0)")).as("tnum"))
+      .select(col("n_cust"), col("total_cents"),
+        expr("CAST(tnum div total_cents AS BIGINT)").as("theil_fp"))
+  }
+
+  val q281_sql: String = {
+    val il = graft.functions.Ilog2.sqlReplay _
+    s"""WITH rev AS (SELECT o_custkey,
+      |               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS x
+      |             FROM orders GROUP BY 1),
+      |t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM rev),
+      |c AS (SELECT rev.x, t.n, t.s FROM rev CROSS JOIN t)
+      |SELECT max(n)::BIGINT AS n_cust, max(s)::BIGINT AS total_cents,
+      |       (sum((x * (${il("(x * n)")} - ${il("s")}))::HUGEINT)
+      |        // max(s))::BIGINT AS theil_fp
+      |FROM c""".stripMargin
+  }
+
   /** RFM customer segmentation — recency / frequency / monetary quintile
     * scores from THREE range-partitioned prefix-sum rank passes over the
     * |customers|-sized aggregate frame (constant group, hint 1 — the
@@ -1456,6 +1601,9 @@ object AnalyticsQueries {
   val defs: Map[String, Q] = Map(
     "q266_burstiness" -> q266_burstiness,
     "q257_holt_trend" -> q257_holt_trend,
+    "q279_holt_winters" -> q279_holt_winters,
+    "q280_transition_entropy" -> q280_transition_entropy,
+    "q281_theil" -> q281_theil,
     "q258_rfm_segments" -> q258_rfm_segments,
     "q252_pareto_share" -> q252_pareto_share,
     "q254_conversion_latency" -> q254_conversion_latency,
@@ -1493,6 +1641,9 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q266_burstiness" -> q266_sql,
     "q257_holt_trend" -> q257_sql,
+    "q279_holt_winters" -> q279_sql,
+    "q280_transition_entropy" -> q280_sql,
+    "q281_theil" -> q281_sql,
     "q258_rfm_segments" -> q258_sql,
     "q17_window_events" -> q17_sql,
     "q18_window_funcs" -> q18_sql,

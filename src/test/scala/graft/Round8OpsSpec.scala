@@ -128,6 +128,37 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(2) == ((3L, "de", -10L))) // tie -> lexicographically smallest
   }
 
+  test("holtWinters: matches a reference fold, resets per key, tracks seasonality") {
+    val xs = Seq(10L, 20L, 10L, 20L, 10L, 20L, 10L, 20L)
+    val rows = xs.zipWithIndex.map { case (x, i) => ("a", i.toLong, x) } ++
+      Seq(("b", 0L, 100L), ("b", 1L, 50L))
+    val df = rows.toDF("k", "o", "x")
+    val got = graft.operators.Ewma.holtWinters(df, "k", "o", "x", m = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    // independent reference fold
+    def ref(series: Seq[Long], m: Int): Seq[(Long, Long, Long)] = {
+      var l = series.head; var b = 0L; val s = Array.fill(m)(0L)
+      (l, 0L, 0L) +: series.zipWithIndex.drop(1).map { case (x, i) =>
+        val j = i % m; val sp = s(j)
+        val l1 = (l + b + (x - sp)) / 2; val b1 = (b + l1 - l) / 2
+        val s1 = (sp + (x - l1)) / 2
+        l = l1; b = b1; s(j) = s1; (l1, b1, s1)
+      }
+    }
+    val wantA = ref(xs, 2)
+    got.filter(_._1 == "a").zip(wantA).foreach { case ((_, _, l, b, sv), (rl, rb, rs)) =>
+      assert((l, b, sv) == ((rl, rb, rs)))
+    }
+    val wantB = ref(Seq(100L, 50L), 2)
+    got.filter(_._1 == "b").zip(wantB).foreach { case ((_, _, l, b, sv), (rl, rb, rs)) =>
+      assert((l, b, sv) == ((rl, rb, rs)))
+    }
+    // alternating series: the two seasonal slots drift apart in sign
+    val lastSeas = got.filter(_._1 == "a").takeRight(2).map(_._5)
+    assert(lastSeas.exists(_ < 0) && lastSeas.exists(_ > 0))
+  }
+
   test("byteClassCounts: nibble classes over the head bytes, cap respected") {
     // 0x00, 0x10, 0x1F, 0xFF -> classes 0, 1, 1, 15
     val payload = Array[Byte](0x00, 0x10, 0x1f, 0xff.toByte)
