@@ -39,15 +39,24 @@ object InfoQueries {
 
   /** Token stream with labels: (doc_id, lang, source, tok), one row per
     * occurrence. The family's single scan shape. */
-  private def docTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+  private def docTokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
 
-  private val tokCte: String =
-    """tk AS (SELECT doc_id, lang, source,
-      |         unnest(list_filter(string_split_regex(lower(text), '\W+'),
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    docTokensOf(Tables.documents(s, d))
+
+  /** Everything downstream of the corpus scan is parameterized by the
+    * docs source (q282 trains on a hash split), so each CTE builder
+    * takes the source relation name; the plain vals keep the
+    * full-corpus default. */
+  private def tokCteOf(src: String): String =
+    s"""tk AS (SELECT doc_id, lang, source,
+      |         unnest(list_filter(string_split_regex(lower(text), '\\W+'),
       |                            x -> x <> '')) AS tok
-      |       FROM documents)""".stripMargin
+      |       FROM $src)""".stripMargin
+
+  private val tokCte: String = tokCteOf("documents")
 
   // ---- q271: per-source unigram token entropy ---------------------------
 
@@ -86,9 +95,8 @@ object InfoQueries {
     * from a language) are generated explicitly via the bounded langs x
     * candidate-tokens grid — absence is evidence too. Candidate floor
     * df >= 5 and df < n keeps every margin strictly positive. */
-  private def contingency(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val dp = docTokens(s, d).select(col("lang"), col("doc_id"), col("tok"))
+  private def contingencyOf(docs: DataFrame): DataFrame = {
+    val dp = docTokensOf(docs).select(col("lang"), col("doc_id"), col("tok"))
       .distinct()
       .localCheckpoint(true) // consumers: a-counts + candidate df counts
     val n = docs.agg(count(lit(1)).as("n"))
@@ -100,11 +108,14 @@ object InfoQueries {
       .join(a, Seq("lang", "tok"), "left").na.fill(0L, Seq("a"))
   }
 
+  private def contingency(s: SparkSession, d: String): DataFrame =
+    contingencyOf(Tables.documents(s, d))
+
   /** Chi-square scores over [[contingency]]. Numerator/denominator in
     * DECIMAL(38,0) (N·(ad−bc)² passes 2^63 at ~10^4 docs); one integral
     * division to ppm. */
-  private def chi2Table(s: SparkSession, d: String): DataFrame =
-    contingency(s, d)
+  private def chi2TableOf(docs: DataFrame): DataFrame =
+    contingencyOf(docs)
       .withColumn("adbc",
         dec(col("a")) * dec(col("n") - col("d_l") - col("d_t") + col("a"))
           - dec(col("d_l") - col("a")) * dec(col("d_t") - col("a")))
@@ -113,6 +124,9 @@ object InfoQueries {
         * dec(col("d_t")) * dec(col("n") - col("d_t")))
       .select(col("lang"), col("tok"), col("a"), col("d_t"),
         expr("num div den").as("chi2_ppm"))
+
+  private def chi2Table(s: SparkSession, d: String): DataFrame =
+    chi2TableOf(Tables.documents(s, d))
 
   /** Top-8 tokens per language by chi-square association with that
     * language — the feature-selection step ahead of any lightweight
@@ -130,11 +144,11 @@ object InfoQueries {
   }
 
   // The oracle's flat rendering of the same 2x2 algebra.
-  private val chi2FlatCtes: String =
-    s"""$tokCte,
+  private def chi2FlatCtesOf(src: String): String =
+    s"""${tokCteOf(src)},
       |dp AS (SELECT DISTINCT lang, doc_id, tok FROM tk),
-      |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
-      |dl AS (SELECT lang, count(*)::BIGINT AS d_l FROM documents GROUP BY 1),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM $src),
+      |dl AS (SELECT lang, count(*)::BIGINT AS d_l FROM $src GROUP BY 1),
       |cand AS (SELECT tok, count(*)::BIGINT AS d_t FROM dp GROUP BY 1
       |         HAVING count(*) >= 5 AND count(*) < (SELECT n FROM nn)),
       |ac AS (SELECT lang, tok, count(*)::BIGINT AS a FROM dp GROUP BY 1, 2),
@@ -150,6 +164,8 @@ object InfoQueries {
       |          // (d_l::HUGEINT * (n - d_l) * d_t * (n - d_t)))::BIGINT
       |           AS chi2_ppm
       |       FROM x2)""".stripMargin
+
+  private val chi2FlatCtes: String = chi2FlatCtesOf("documents")
 
   val q272_sql: String =
     s"""WITH $chi2FlatCtes
@@ -215,10 +231,10 @@ object InfoQueries {
 
   /** Union of each language's top-8 chi-square tokens: the selected
     * vocabulary V' (bounded by 8 x |langs|, broadcastable). */
-  private def selectedVocab(s: SparkSession, d: String): DataFrame = {
+  private def selectedVocabOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("chi2_ppm").desc, col("tok").asc)
-    chi2Table(s, d).withColumn("rank", row_number().over(w))
+    chi2TableOf(docs).withColumn("rank", row_number().over(w))
       .where(col("rank") <= 8).select(col("tok")).distinct()
   }
 
@@ -240,11 +256,10 @@ object InfoQueries {
     * vocabulary-bounded aggregates and the model is certified). Zero
     * counts are materialized via the langs x V' grid so the classifier
     * has a weight for every (lang, token) cell. */
-  val q273_nb_train: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val vocab = selectedVocab(s, d).localCheckpoint(true) // 3 consumers
+  private def nbTrainOf(docs: DataFrame): DataFrame = {
+    val vocab = selectedVocabOf(docs).localCheckpoint(true) // 3 consumers
     val vSize = vocab.agg(count(lit(1)).as("v_sel"))
-    val occ = docTokens(s, d).join(broadcast(vocab), Seq("tok"))
+    val occ = docTokensOf(docs).join(broadcast(vocab), Seq("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c_occ"))
     val langs = docs.groupBy(col("lang")).agg(count(lit(1)).as("d_l"))
     val n = docs.agg(count(lit(1)).as("n"))
@@ -261,10 +276,12 @@ object InfoQueries {
       .orderBy(col("lang"), col("tok"))
   }
 
+  val q273_nb_train: Q = (s, d) => nbTrainOf(Tables.documents(s, d))
+
   /** Shared NB-model CTEs on top of the chi2 selection: occurrence
     * counts over V', per-lang totals, fixed-point weights and priors. */
-  private[queries] val nbCtes: String =
-    s"""$chi2FlatCtes,
+  private[queries] def nbCtesOf(src: String): String =
+    s"""${chi2FlatCtesOf(src)},
       |$vocabCte,
       |vs AS (SELECT count(*)::BIGINT AS v_sel FROM sel),
       |occ AS (SELECT lang, tok, count(*)::BIGINT AS c_occ
@@ -282,6 +299,8 @@ object InfoQueries {
       |             - ${Ilog2.sqlReplay("(SELECT n FROM nn)")})::BIGINT AS prior_fp
       |          FROM grid g JOIN tl USING (lang))""".stripMargin
 
+  private[queries] val nbCtes: String = nbCtesOf("documents")
+
   val q273_sql: String =
     s"""WITH $nbCtes
       |SELECT lang, tok, c_occ, t_lang, v_sel, w_fp, prior_fp
@@ -295,15 +314,17 @@ object InfoQueries {
     * (true lang, predicted lang, n_docs) confusion matrix. The model is
     * broadcast, so at scale this is one explode + map-side joins + two
     * keyed aggregates over corpus rows. */
-  val q274_nb_confusion: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val model = q273_nb_train(s, d)
+  /** Confusion matrix of `trainedModel` (a [[nbTrainOf]] frame) evaluated
+    * over `docs` — q274 passes the full corpus for both; q282 trains on
+    * the hash-split and evaluates held-out. */
+  private def confusionOf(docs: DataFrame, trainedModel: DataFrame): DataFrame = {
+    val model = trainedModel
       .select(col("lang").as("pred_lang"), col("tok"), col("w_fp"),
         col("prior_fp"))
       .localCheckpoint(true) // consumers: weight join + prior list + vocab
     val vocab = model.select(col("tok")).distinct() // = V', from the model
     val priors = model.select(col("pred_lang"), col("prior_fp")).distinct()
-    val dt = docTokens(s, d).join(broadcast(vocab), Seq("tok"))
+    val dt = docTokensOf(docs).join(broadcast(vocab), Seq("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n_t"))
     val contrib = dt.join(broadcast(model), Seq("tok"))
       .groupBy(col("doc_id"), col("pred_lang"))
@@ -321,6 +342,11 @@ object InfoQueries {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val q274_nb_confusion: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    confusionOf(docs, nbTrainOf(docs))
   }
 
   val q274_sql: String =
@@ -341,6 +367,51 @@ object InfoQueries {
       |                                    ORDER BY score DESC, pred_lang ASC) = 1)
       |SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
       |FROM best GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+
+  // ---- q282: held-out Naive Bayes evaluation ----------------------------
+
+  /** HELD-OUT evaluation of the Naive Bayes classifier — the honest
+    * version of q274's train-on-everything confusion matrix: feature
+    * selection AND training run only on the 80% md5-hash doc split
+    * ([[graft.llm.Sampling.hashBucket]], the q211 split), the confusion
+    * matrix is computed on the 20% the model never saw. Same shapes as
+    * q273/q274 with the corpus scan filtered by the pure per-row hash
+    * predicate (no shuffle added; the split re-derives anywhere).
+    * Output: (lang, pred_lang, n_docs) over held-out docs only. */
+  val q282_nb_holdout: Q = (s, d) => {
+    val hb = graft.llm.Sampling.hashBucket(col("doc_id"), 100)
+    val docs = Tables.documents(s, d)
+    val train = docs.where(hb < 80)
+    val heldout = docs.where(hb >= 80)
+    confusionOf(heldout, nbTrainOf(train))
+  }
+
+  val q282_sql: String = {
+    val hb = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+    s"""WITH trdocs AS (SELECT * FROM documents WHERE $hb < 80),
+      |tedocs AS (SELECT * FROM documents WHERE $hb >= 80),
+      |${nbCtesOf("trdocs")},
+      |pri AS (SELECT DISTINCT lang AS pred_lang, prior_fp FROM model),
+      |tk2 AS (SELECT doc_id, lang,
+      |          unnest(list_filter(string_split_regex(lower(text), '\\W+'),
+      |                             x -> x <> '')) AS tok
+      |        FROM tedocs),
+      |dtc AS (SELECT doc_id, tok, count(*)::BIGINT AS n_t
+      |        FROM tk2 JOIN sel USING (tok) GROUP BY 1, 2),
+      |contrib AS (SELECT dtc.doc_id, m.lang AS pred_lang,
+      |              sum(dtc.n_t * m.w_fp)::BIGINT AS tok_fp
+      |            FROM dtc JOIN model m USING (tok) GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id, d.lang, pri.pred_lang,
+      |         (pri.prior_fp + coalesce(contrib.tok_fp, 0))::BIGINT AS score
+      |       FROM tedocs d CROSS JOIN pri
+      |       LEFT JOIN contrib ON contrib.doc_id = d.doc_id
+      |                        AND contrib.pred_lang = pri.pred_lang),
+      |best AS (SELECT doc_id, lang, pred_lang FROM sc
+      |         QUALIFY row_number() OVER (PARTITION BY doc_id
+      |                                    ORDER BY score DESC, pred_lang ASC) = 1)
+      |SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+      |FROM best GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+  }
 
   // ---- q275: fixed-point bigram cross-entropy ---------------------------
 
@@ -424,6 +495,7 @@ object InfoQueries {
     "q271_entropy" -> q271_entropy,
     "q272_chi2_features" -> q272_chi2_features,
     "q276_mi_features" -> q276_mi_features,
+    "q282_nb_holdout" -> q282_nb_holdout,
     "q273_nb_train" -> q273_nb_train,
     "q274_nb_confusion" -> q274_nb_confusion,
     "q275_bigram_xent" -> q275_bigram_xent)
@@ -432,6 +504,7 @@ object InfoQueries {
     "q271_entropy" -> q271_sql,
     "q272_chi2_features" -> q272_sql,
     "q276_mi_features" -> q276_sql,
+    "q282_nb_holdout" -> q282_sql,
     "q273_nb_train" -> q273_sql,
     "q274_nb_confusion" -> q274_sql,
     "q275_bigram_xent" -> q275_sql)
