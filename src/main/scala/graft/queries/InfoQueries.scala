@@ -317,7 +317,9 @@ object InfoQueries {
   /** Confusion matrix of `trainedModel` (a [[nbTrainOf]] frame) evaluated
     * over `docs` — q274 passes the full corpus for both; q282 trains on
     * the hash-split and evaluates held-out. */
-  private def confusionOf(docs: DataFrame, trainedModel: DataFrame): DataFrame = {
+  /** Per-document argmax predictions of `trainedModel` over `docs`:
+    * (doc_id, lang, pred_lang). */
+  private def predictionsOf(docs: DataFrame, trainedModel: DataFrame): DataFrame = {
     val model = trainedModel
       .select(col("lang").as("pred_lang"), col("tok"), col("w_fp"),
         col("prior_fp"))
@@ -338,11 +340,14 @@ object InfoQueries {
           col("pred_lang").as("p")).as("cand"))
     scores.groupBy(col("doc_id"), col("lang"))
       .agg(min(col("cand")).as("best"))
-      .select(col("lang"), col("best.p").as("pred_lang"))
+      .select(col("doc_id"), col("lang"), col("best.p").as("pred_lang"))
+  }
+
+  private def confusionOf(docs: DataFrame, trainedModel: DataFrame): DataFrame =
+    predictionsOf(docs, trainedModel)
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
-  }
 
   val q274_nb_confusion: Q = (s, d) => {
     val docs = Tables.documents(s, d)
@@ -425,9 +430,9 @@ object InfoQueries {
     * not per corpus row; documents join the model on (u,v) and aggregate.
     * Documents with fewer than two tokens have no bigrams and emit
     * nothing. */
-  val q275_bigram_xent: Q = (s, d) => {
+  private def xentOf(docs: DataFrame): DataFrame = {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tk = Tables.documents(s, d).select(col("doc_id"),
+    val tk = docs.select(col("doc_id"),
       posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "u")))
     val bg = tk.withColumn("v", lead(col("u"), 1).over(byPos))
       .where(col("v").isNotNull)
@@ -444,8 +449,10 @@ object InfoQueries {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_fp")).as("nll_total_fp"))
       .select(col("doc_id"), col("n_bigrams"), col("nll_total_fp"),
         expr("nll_total_fp div n_bigrams").as("avg_nll_fp"))
-      .orderBy(col("doc_id"))
   }
+
+  val q275_bigram_xent: Q = (s, d) =>
+    xentOf(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   val q275_sql: String =
     s"""WITH tk0 AS (SELECT doc_id,
@@ -470,6 +477,165 @@ object InfoQueries {
       |       (sum(nll_fp) // count(*))::BIGINT AS avg_nll_fp
       |FROM bg JOIN model USING (u, v)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- q283: curation v11 (info-theoretic release gate) -----------------
+
+  /** CURATION v11 — the release-gate composition over the round-8
+    * information-theoretic primitives, continuing the v1–v10 series:
+    * per source, (1) mean bigram cross-entropy of its documents under
+    * the corpus LM (q275's per-doc scores — high = the LM finds the
+    * source surprising, the fluency axis), (2) the source's token
+    * entropy (q271 — low = templated), and (3) the Naive Bayes
+    * language-misclassification share (q274's per-doc argmax — high =
+    * the source's language labels and content disagree). Admit requires
+    * entropy ≥ 4.2 bits (275000 fp) and mean cross-entropy < 5.03 bits
+    * (330000 fp). Documents with no bigrams are excluded from the mean
+    * (counted in n_docs, not n_scored). One bounded manifest row per
+    * source. */
+  val q283_curation_v11: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .localCheckpoint(true) // consumers: xent chain + NB chain + entropy
+    val perDoc = xentOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val xent = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scored"),
+        expr("sum(avg_nll_fp) div count(1)").as("mean_xent_fp"))
+    val ent = {
+      val c = docTokensOf(docs).groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      c.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tok"),
+          sum(col("c") * il(col("c"))).as("s_fp"))
+        .select(col("source"),
+          (il(col("n_tok")) - expr("s_fp div n_tok")).as("entropy_fp"))
+    }
+    val mis = predictionsOf(docs, nbTrainOf(docs))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_lang") =!= col("lang"), 1L).otherwise(0L)).as("n_mis"))
+      .withColumn("mis_ppm", expr("n_mis * 1000000 div n_docs"))
+    mis.join(xent, Seq("source")).join(ent, Seq("source"))
+      .withColumn("admit",
+        col("entropy_fp") >= 275000L && col("mean_xent_fp") < 330000L)
+      .select(col("source"), col("n_docs"), col("n_scored"),
+        col("mean_xent_fp"), col("entropy_fp"), col("mis_ppm"), col("admit"))
+      .orderBy(col("source"))
+  }
+
+  val q283_sql: String =
+    s"""WITH ${nbCtesOf("documents")},
+      |pri AS (SELECT DISTINCT lang AS pred_lang, prior_fp FROM model),
+      |dtc AS (SELECT doc_id, tok, count(*)::BIGINT AS n_t
+      |        FROM tk JOIN sel USING (tok) GROUP BY 1, 2),
+      |contrib AS (SELECT dtc.doc_id, m.lang AS pred_lang,
+      |              sum(dtc.n_t * m.w_fp)::BIGINT AS tok_fp
+      |            FROM dtc JOIN model m USING (tok) GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id, d.lang, d.source, pri.pred_lang,
+      |         (pri.prior_fp + coalesce(contrib.tok_fp, 0))::BIGINT AS score
+      |       FROM documents d CROSS JOIN pri
+      |       LEFT JOIN contrib ON contrib.doc_id = d.doc_id
+      |                        AND contrib.pred_lang = pri.pred_lang),
+      |best AS (SELECT doc_id, lang, source, pred_lang FROM sc
+      |         QUALIFY row_number() OVER (PARTITION BY doc_id
+      |                                    ORDER BY score DESC, pred_lang ASC) = 1),
+      |mis AS (SELECT source, count(*)::BIGINT AS n_docs,
+      |          sum(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END)::BIGINT AS n_mis
+      |        FROM best GROUP BY 1),
+      |tkp0 AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\W+'),
+      |                x -> x <> '') AS ws
+      |  FROM documents),
+      |tkp AS (SELECT doc_id, unnest(ws) AS u,
+      |          unnest(range(1, len(ws) + 1)) AS pos FROM tkp0),
+      |bg AS (SELECT doc_id, u, v FROM (
+      |         SELECT doc_id, u, lead(u, 1) OVER (PARTITION BY doc_id
+      |                                            ORDER BY pos) AS v
+      |         FROM tkp) WHERE v IS NOT NULL),
+      |cb AS (SELECT u, v, count(*)::BIGINT AS cb FROM bg GROUP BY 1, 2),
+      |cu AS (SELECT u, count(*)::BIGINT AS cu FROM bg GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT u)::BIGINT AS vv FROM tkp),
+      |bmodel AS (SELECT cb.u, cb.v,
+      |            (${Ilog2.sqlReplay("(cu.cu + (SELECT vv FROM vv))")}
+      |             - ${Ilog2.sqlReplay("(cb.cb + 1)")})::BIGINT AS nll_fp
+      |          FROM cb JOIN cu USING (u)),
+      |pd AS (SELECT bg.doc_id,
+      |         (sum(nll_fp) // count(*))::BIGINT AS avg_nll_fp
+      |       FROM bg JOIN bmodel USING (u, v) GROUP BY 1),
+      |xent AS (SELECT d.source, count(*)::BIGINT AS n_scored,
+      |           (sum(pd.avg_nll_fp) // count(*))::BIGINT AS mean_xent_fp
+      |         FROM pd JOIN documents d USING (doc_id) GROUP BY 1),
+      |ec AS (SELECT source, tok, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+      |ent AS (SELECT source,
+      |          (${Ilog2.sqlReplay("(sum(c)::BIGINT)")}
+      |           - sum(c * ${Ilog2.sqlReplay("c")})::BIGINT // sum(c)::BIGINT)::BIGINT
+      |            AS entropy_fp
+      |        FROM ec GROUP BY source)
+      |SELECT mis.source, mis.n_docs, xent.n_scored, xent.mean_xent_fp,
+      |       ent.entropy_fp,
+      |       (mis.n_mis * 1000000 // mis.n_docs)::BIGINT AS mis_ppm,
+      |       (ent.entropy_fp >= 275000 AND xent.mean_xent_fp < 330000) AS admit
+      |FROM mis JOIN xent USING (source) JOIN ent USING (source)
+      |ORDER BY source""".stripMargin
+
+  // ---- q285: Jensen–Shannon composition drift ---------------------------
+
+  /** Per-source JENSEN–SHANNON divergence between the source's language
+    * composition and the corpus-wide one, in [[Ilog2]] fixed-point bits —
+    * the information-theoretic completion of q184's TVD/chi-square drift
+    * battery (JSD is the symmetric, bounded-by-1-bit divergence that
+    * release dashboards actually plot). Integer-only via the counts
+    * rewrite: with a = in-source lang docs (total A) and b = corpus lang
+    * docs (total B), KL(P‖M) = Σ (a/A)·(log2(2aB) − log2(aB + bA)), so
+    * both KL arms are Σ count·Δil clamped at 0 (truncation noise) and
+    * integrally divided — no rationals ever materialize. Zero cells:
+    * a = 0 contributes nothing to the P arm and keeps the M mixture
+    * strictly positive in the Q arm. Grid is |sources| × |langs|,
+    * bounded. */
+  val q285_jsd_drift: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sl = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("a"))
+    val lg = docs.groupBy(col("lang")).agg(count(lit(1)).as("b"))
+    val sd = docs.groupBy(col("source")).agg(count(lit(1)).as("aa"))
+    val n = docs.agg(count(lit(1)).as("bb"))
+    val grid = broadcast(sd).crossJoin(broadcast(lg))
+      .join(sl, Seq("source", "lang"), "left").na.fill(0L, Seq("a"))
+      .crossJoin(broadcast(n))
+    val mix = col("a") * col("bb") + col("b") * col("aa") // aB + bA > 0
+    val t1 = when(col("a") > 0,
+      col("a") * (il(lit(2) * col("a") * col("bb")) - il(mix))).otherwise(lit(0L))
+    val t2 = col("b") * (il(lit(2) * col("b") * col("aa")) - il(mix))
+    grid.groupBy(col("source"))
+      .agg(max(col("aa")).as("n_docs"), max(col("bb")).as("n_total"),
+        sum(t1).as("s1"), sum(t2).as("s2"))
+      .select(col("source"), col("n_docs"),
+        expr("(greatest(0L, s1) div n_docs + greatest(0L, s2) div n_total) div 2")
+          .as("jsd_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q285_sql: String = {
+    val il = Ilog2.sqlReplay _
+    s"""WITH sl AS (SELECT source, lang, count(*)::BIGINT AS a
+      |            FROM documents GROUP BY 1, 2),
+      |lg AS (SELECT lang, count(*)::BIGINT AS b FROM documents GROUP BY 1),
+      |sd AS (SELECT source, count(*)::BIGINT AS aa FROM documents GROUP BY 1),
+      |nn AS (SELECT count(*)::BIGINT AS bb FROM documents),
+      |grid AS (SELECT sd.source, sd.aa, lg.lang, lg.b,
+      |           coalesce(sl.a, 0)::BIGINT AS a, (SELECT bb FROM nn) AS bb
+      |         FROM sd CROSS JOIN lg
+      |         LEFT JOIN sl ON sl.source = sd.source AND sl.lang = lg.lang),
+      |t AS (SELECT source, max(aa) AS n_docs, max(bb) AS n_total,
+      |        sum(CASE WHEN a > 0
+      |              THEN a * (${il("(2 * a * bb)")} - ${il("(a * bb + b * aa)")})
+      |              ELSE 0 END)::BIGINT AS s1,
+      |        sum(b * (${il("(2 * b * aa)")} - ${il("(a * bb + b * aa)")}))::BIGINT AS s2
+      |      FROM grid GROUP BY 1)
+      |SELECT source, n_docs::BIGINT AS n_docs,
+      |       ((greatest(0, s1) // n_docs + greatest(0, s2) // n_total) // 2)::BIGINT
+      |         AS jsd_fp
+      |FROM t ORDER BY source""".stripMargin
+  }
 
   /** Bounded driver collect of the trained NB model — |V'| x |langs|
     * rows (8 x |langs| tokens by construction), the same gate-config
@@ -496,6 +662,8 @@ object InfoQueries {
     "q272_chi2_features" -> q272_chi2_features,
     "q276_mi_features" -> q276_mi_features,
     "q282_nb_holdout" -> q282_nb_holdout,
+    "q285_jsd_drift" -> q285_jsd_drift,
+    "q283_curation_v11" -> q283_curation_v11,
     "q273_nb_train" -> q273_nb_train,
     "q274_nb_confusion" -> q274_nb_confusion,
     "q275_bigram_xent" -> q275_bigram_xent)
@@ -505,6 +673,8 @@ object InfoQueries {
     "q272_chi2_features" -> q272_sql,
     "q276_mi_features" -> q276_sql,
     "q282_nb_holdout" -> q282_sql,
+    "q285_jsd_drift" -> q285_sql,
+    "q283_curation_v11" -> q283_sql,
     "q273_nb_train" -> q273_sql,
     "q274_nb_confusion" -> q274_sql,
     "q275_bigram_xent" -> q275_sql)

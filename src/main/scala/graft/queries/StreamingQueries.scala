@@ -1797,7 +1797,48 @@ object StreamingQueries {
       |                           ORDER BY score DESC, pred_lang ASC) = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** The twenty-ninth streaming certification — LIVE Holt–Winters
+    * ([[Streaming.holtWintersStream]]): q279's weekly-seasonal triple
+    * recurrence maintained across micro-batch boundaries with m + 3
+    * longs of state per series (level, trend, step counter, 7-slot
+    * seasonal ring). The daily series is staged in day order
+    * (repartitionByRange + mtime sequencing), so the streamed fold
+    * replays the batch fold exactly — certified against q279's own
+    * list_reduce oracle verbatim. */
+  val q284_stream_hw: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val srcDir = stageOrderedBy(daily, d, "dailyTypeCounts4", 4,
+      Seq(col("day"), col("event_type")))
+    val ckpt = Stage.ckpt()
+    val name = "q284_hw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(daily.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val arrivals = stream.as[Streaming.HwObs]
+    withCertStatePartitions(s) {
+      val query = Streaming.holtWintersStream(arrivals, m = 7)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .select(col("event_type"), col("day"), col("x"), col("level"),
+        col("trend"), col("seas"))
+      .orderBy(col("event_type"), col("day"))
+  }
+  /** Identical recurrence, identical staged order → q279's batch oracle. */
+  val q284_sql: String = AnalyticsQueries.q279_sql
+
   val defs: Map[String, Q] = Map(
+    "q284_stream_hw" -> q284_stream_hw,
     "q278_stream_nb" -> q278_stream_nb,
     "q268_stream_priority_sample" -> q268_stream_priority_sample,
     "q265_stream_holt" -> q265_stream_holt,
@@ -1828,6 +1869,7 @@ object StreamingQueries {
     "q178_stream_sliding" -> q178_stream_sliding)
 
   val oracles: Map[String, String] = Map(
+    "q284_stream_hw" -> q284_sql,
     "q278_stream_nb" -> q278_sql,
     "q268_stream_priority_sample" -> q268_sql,
     "q265_stream_holt" -> q265_sql,

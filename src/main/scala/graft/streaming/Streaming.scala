@@ -342,6 +342,56 @@ object Streaming {
       }
   }
 
+  /** One (series, order, value) arrival for a string-keyed series. */
+  case class HwObs(event_type: String, day: Long, x: Long)
+  case class HwOut(event_type: String, day: Long, x: Long, level: Long,
+                   trend: Long, seas: Long)
+
+  /** Stateful streaming HOLT–WINTERS — the streaming form of
+    * [[graft.operators.Ewma.holtWinters]]: level, trend, AND the m
+    * seasonal slots carried across micro-batch boundaries with m + 3
+    * longs of state per key (the q265 Holt certification shape plus the
+    * seasonal ring — the largest per-key state machine in the suite
+    * after the priority-sample winner list, still O(m) no matter how
+    * long the series runs). Under order-staged replay the stream output
+    * equals the batch fold row-for-row. */
+  def holtWintersStream(arrivals: Dataset[HwObs], m: Int): Dataset[HwOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Long, Seq[Long]), HwOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[HwObs],
+         state: GroupState[(Long, Long, Long, Seq[Long])]) =>
+          var init = state.getOption.isDefined
+          var l = 0L; var b = 0L; var t = 0L
+          val seas = new Array[Long](m)
+          if (init) {
+            val s0 = state.get
+            l = s0._1; b = s0._2; t = s0._3
+            s0._4.copyToArray(seas)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[HwOut]
+          it.toSeq.sortBy(_.day).foreach { o =>
+            if (!init) {
+              l = o.x; b = 0L; t = 1L; init = true
+              out += HwOut(key, o.day, o.x, l, b, 0L)
+            } else {
+              t += 1
+              val j = ((t - 1) % m).toInt
+              val sp = seas(j)
+              val l1 = (l + b + (o.x - sp)) / 2
+              val b1 = (b + l1 - l) / 2
+              val s1 = (sp + (o.x - l1)) / 2
+              l = l1; b = b1; seas(j) = s1
+              out += HwOut(key, o.day, o.x, l1, b1, s1)
+            }
+          }
+          if (init) state.update((l, b, t, seas.toSeq))
+          out.iterator
+      }
+  }
+
   case class CusumOut(user_id: Long, event_id: Long, x: Long, cusum: Long,
                       alarm: Boolean)
 
