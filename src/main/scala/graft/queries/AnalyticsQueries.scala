@@ -1411,6 +1411,122 @@ object AnalyticsQueries {
       |FROM f ORDER BY event_type, day""".stripMargin
   }
 
+  /** Shared q286/q287 frame: the Holt–Winters output with the ONE-STEP-
+    * AHEAD forecast reconstructed by position windows — f_t = l_{t−1} +
+    * b_{t−1} + s̄, where s̄ is the seasonal slot value before this
+    * step's update, i.e. the seas emitted m POSITIONS ago (the fold
+    * indexes slots by observation position, so lag(seas, m) is exact
+    * even across calendar gaps; slots not yet updated lag to the init
+    * row's 0 or to null, both coalescing to the fold's 0). Residuals
+    * exist from position 2; the seasonal-naive baseline from position
+    * m+1. */
+  private def hwResiduals(s: SparkSession, d: String): DataFrame = {
+    val m = 7
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    graft.operators.Ewma.holtWinters(daily, "event_type", "day", "x", m)
+      .withColumn("pos", row_number().over(w))
+      .withColumn("f", lag(col("level"), 1).over(w) + lag(col("trend"), 1).over(w)
+        + coalesce(lag(col("seas"), m).over(w), lit(0L)))
+      .withColumn("resid", when(col("pos") >= 2, col("x") - col("f")))
+      .withColumn("naive_resid",
+        when(col("pos") >= m + 1, col("x") - lag(col("x"), m).over(w)))
+  }
+
+  /** Shared oracle CTEs: q279's fold replay + the same position
+    * windows. Ends in `r(event_type, day, x, pos, resid, naive_resid)`.
+    * Built by concatenation, NOT by interpolating into a stripMargin
+    * literal: q279's replay has continuation lines starting with `||`
+    * (list concat), and an outer stripMargin would eat one pipe. */
+  private def hwResidCtes: String = {
+    val base = q279_sql
+      .stripSuffix("\nFROM f ORDER BY event_type, day")
+      .stripSuffix("SELECT event_type, day, x, level, trend, seas")
+      .replaceFirst("(?s)^WITH ", "")
+    val tail =
+      """r AS (SELECT event_type, day, x, pos,
+        |        CASE WHEN pos >= 2 THEN x - f END AS resid,
+        |        CASE WHEN pos >= 8 THEN x - xlag END AS naive_resid
+        |      FROM (SELECT event_type, day, x,
+        |              row_number() OVER w AS pos,
+        |              lag(level, 1) OVER w + lag(trend, 1) OVER w
+        |                + coalesce(lag(seas, 7) OVER w, 0) AS f,
+        |              lag(x, 7) OVER w AS xlag
+        |            FROM f WINDOW w AS (PARTITION BY event_type ORDER BY day)))""".stripMargin
+    base + ",\n" + tail
+  }
+
+  /** FORECAST-SKILL evaluation (MASE form) — per event type, the
+    * Holt–Winters one-step-ahead absolute error against the
+    * seasonal-naive baseline (x_{t−m}), over the positions where both
+    * are defined: mase_ppm = Σ|e_hw|·10⁶ div Σ|e_naive| — below
+    * 1 000 000 means the smoother beats "same as last week", the
+    * standard skill bar (Hyndman's MASE, integral form). Composes the
+    * q279 fold; zero extra shuffles beyond its one repartition (the
+    * windows share the (type, day) sort). */
+  val q286_forecast_skill: Q = (s, d) => {
+    hwResiduals(s, d).where(col("pos") >= 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("resid"))).as("sae_hw"),
+        sum(abs(col("naive_resid"))).as("sae_naive"))
+      .withColumn("mase_ppm",
+        expr("sae_hw * 1000000 div greatest(1L, sae_naive)"))
+      .orderBy(col("event_type"))
+  }
+
+  val q286_sql: String = "WITH " + hwResidCtes + "\n" +
+    """SELECT event_type, count(*)::BIGINT AS n_eval,
+      |       sum(abs(resid))::BIGINT AS sae_hw,
+      |       sum(abs(naive_resid))::BIGINT AS sae_naive,
+      |       (sum(abs(resid)) * 1000000
+      |          // greatest(1, sum(abs(naive_resid))))::BIGINT AS mase_ppm
+      |FROM r WHERE pos >= 8
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** RESIDUAL ANOMALY FLAGS — the alerting tail of the forecasting
+    * pipeline: per event type, the exact MAD (lower median of |resid|,
+    * rank-picked with deterministic (|r|, day) ties) sets the robust
+    * scale, and days with |resid| > 3·MAD + 1 are flagged (the +1 keeps
+    * a zero-MAD series from flagging every nonzero residual). All rank
+    * passes ride the same per-type sort class; frames are
+    * |types|×|days|-bounded. */
+  val q287_anomaly_flags: Q = (s, d) => {
+    val resid = hwResiduals(s, d).where(col("pos") >= 2)
+      .select(col("event_type"), col("day"), col("x"), col("resid"))
+      .withColumn("ar", abs(col("resid")))
+      .localCheckpoint(true) // consumers: median rank pass + flag scan
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("ar"), col("day"))
+    val mad = resid
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .where(col("rn") * 2 >= col("n") + 1)
+      .groupBy(col("event_type")).agg(min(col("ar")).as("mad"))
+    resid.join(broadcast(mad), Seq("event_type"))
+      .where(col("ar") > col("mad") * 3 + 1)
+      .select(col("event_type"), col("day"), col("x"), col("resid"), col("mad"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q287_sql: String = "WITH " + hwResidCtes + ",\n" +
+    """res AS (SELECT event_type, day, x, resid, abs(resid) AS ar
+      |        FROM r WHERE pos >= 2),
+      |md AS (SELECT event_type, min(ar)::BIGINT AS mad FROM (
+      |         SELECT event_type, ar,
+      |                row_number() OVER (PARTITION BY event_type
+      |                                   ORDER BY ar, day) AS rn,
+      |                count(*) OVER (PARTITION BY event_type) AS n
+      |         FROM res)
+      |       WHERE rn * 2 >= n + 1 GROUP BY 1)
+      |SELECT res.event_type, res.day, res.x, res.resid, md.mad
+      |FROM res JOIN md USING (event_type)
+      |WHERE res.ar > md.mad * 3 + 1
+      |ORDER BY event_type, day""".stripMargin
+
   /** MARKOV TRANSITION ENTROPY — the predictability audit of q203's
     * transition matrix: per source event type, the Shannon entropy of
     * the next-event distribution H(next | cur) in [[graft.functions.Ilog2]]
@@ -1598,12 +1714,77 @@ object AnalyticsQueries {
       |         / CAST(n_gaps::HUGEINT * sg AS DOUBLE) AS fano
       |FROM a WHERE n_gaps >= 2 AND sg > 0 ORDER BY user_id""".stripMargin
 
+  /** AUTOCORRELATION (ACF at lags 1 and 7) of the daily count series
+    * per event type — the seasonality detector that justifies q279's
+    * m=7: r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², made integer-exact
+    * by clearing the mean's denominator — d_t = n·x_t − S is integral,
+    * and r_k is invariant under the common n² factor, so
+    * r_k_ppm = 10⁶·Σ d_t d_{t−k} div Σ d_t². Lags index OBSERVED
+    * positions (the fold convention q279/q286 use), not calendar days.
+    * One groupBy + windows on one (type, day) sort class; products ride
+    * DECIMAL(38,0)/HUGEINT (q238 overflow rule); constant series
+    * (denominator 0) are excluded on both sides. */
+  val q288_autocorrelation: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wt = Window.partitionBy(col("event_type"))
+    val w = wt.orderBy(col("day"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("sx", sum(col("x")).over(wt))
+      .withColumn("dv", col("n") * col("x") - col("sx"))
+      .withColumn("d1", lag(col("dv"), 1).over(w))
+      .withColumn("d7", lag(col("dv"), 7).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        sum(dec(col("dv")) * col("dv")).as("den"),
+        sum(dec(col("dv")) * col("d1")).as("num1"),
+        sum(dec(col("dv")) * col("d7")).as("num7"))
+      .where(col("den") > 0)
+      .select(col("event_type"), col("n_days"),
+        expr("(num1 * 1000000) div den").as("lag1_ppm"),
+        expr("(num7 * 1000000) div den").as("lag7_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q288_sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |         count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1, 2),
+      |ctr AS (
+      |  SELECT event_type, day,
+      |         count(*) OVER (PARTITION BY event_type) AS n,
+      |         count(*) OVER (PARTITION BY event_type) * x
+      |           - sum(x) OVER (PARTITION BY event_type) AS dv
+      |  FROM daily),
+      |dev AS (
+      |  SELECT event_type, n, dv,
+      |         lag(dv, 1) OVER w AS d1, lag(dv, 7) OVER w AS d7
+      |  FROM ctr WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |a AS (
+      |  SELECT event_type, max(n)::BIGINT AS n_days,
+      |         sum(dv::HUGEINT * dv) AS den,
+      |         sum(dv::HUGEINT * d1) AS num1,
+      |         sum(dv::HUGEINT * d7) AS num7
+      |  FROM dev GROUP BY 1)
+      |SELECT event_type, n_days,
+      |       ((num1 * 1000000) // den)::BIGINT AS lag1_ppm,
+      |       ((num7 * 1000000) // den)::BIGINT AS lag7_ppm
+      |FROM a WHERE den > 0 ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q288_autocorrelation" -> q288_autocorrelation,
     "q266_burstiness" -> q266_burstiness,
     "q257_holt_trend" -> q257_holt_trend,
     "q279_holt_winters" -> q279_holt_winters,
     "q280_transition_entropy" -> q280_transition_entropy,
     "q281_theil" -> q281_theil,
+    "q286_forecast_skill" -> q286_forecast_skill,
+    "q287_anomaly_flags" -> q287_anomaly_flags,
     "q258_rfm_segments" -> q258_rfm_segments,
     "q252_pareto_share" -> q252_pareto_share,
     "q254_conversion_latency" -> q254_conversion_latency,
@@ -1639,11 +1820,14 @@ object AnalyticsQueries {
     "q175_priority_trend" -> q175_priority_trend)
 
   val oracles: Map[String, String] = Map(
+    "q288_autocorrelation" -> q288_sql,
     "q266_burstiness" -> q266_sql,
     "q257_holt_trend" -> q257_sql,
     "q279_holt_winters" -> q279_sql,
     "q280_transition_entropy" -> q280_sql,
     "q281_theil" -> q281_sql,
+    "q286_forecast_skill" -> q286_sql,
+    "q287_anomaly_flags" -> q287_sql,
     "q258_rfm_segments" -> q258_sql,
     "q17_window_events" -> q17_sql,
     "q18_window_funcs" -> q18_sql,
