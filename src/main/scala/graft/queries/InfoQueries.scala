@@ -657,7 +657,76 @@ object InfoQueries {
     (langs, priors, weights.toMap)
   }
 
+  /** NDCG@10 RETRIEVAL-QUALITY AUDIT — the ranking-evaluation metric
+    * closing the retrieval loop: q110's rational-arithmetic BM25 top-10
+    * is scored against graded relevance (rel = number of DISTINCT query
+    * terms present, 0–4 — integral and SQL-derivable, no human labels),
+    * with the DCG discount 1/log2(i+1) rewritten through [[Ilog2]]:
+    * contribution = rel·65536·10⁶ div il(pos+1), so DCG, ideal DCG, and
+    * ndcg_ppm = DCG·10⁶ div IDCG are pure 64-bit integers the oracle
+    * replays exactly. Both rankings are distributed TakeOrdered top-10s
+    * (window row_number only over the 10 survivors — no global sort);
+    * the relevance frame is bounded by docs containing a query term. */
+  val q289_ndcg: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val terms = LlmQueries.Bm25Terms
+    val k = 10
+    val rel = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\W+")).as("term"))
+      .where(col("term") =!= "" && col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("rel"))
+    val gain = expr("(rel * 65536000000) div ilp")
+    val ranked = TextAnalysis.bm25TopK(docs, terms, k)
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+    val dcg = ranked.join(rel, Seq("doc_id"))
+      .withColumn("ilp", il(col("pos") + lit(1L)))
+      .agg(count(lit(1)).as("n_ranked"), sum(gain).as("dcg_fp"))
+    val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(k)
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+      .withColumn("ilp", il(col("pos") + lit(1L)))
+      .agg(sum(gain).as("idcg_fp"))
+    dcg.crossJoin(ideal)
+      .select(col("n_ranked"), col("dcg_fp"), col("idcg_fp"),
+        expr("(dcg_fp * 1000000) div idcg_fp").as("ndcg_ppm"))
+  }
+
+  val q289_sql: String = {
+    val terms = LlmQueries.Bm25Terms
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivotSum = terms
+      .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN score END), 0.0)")
+      .mkString(" + ")
+    val ilp = Ilog2.sqlReplay("(pos + 1)")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |                 (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |                  CAST(((s.n * 1000000) // df.df) * (22 * s.t * tf.tf) AS DOUBLE) /
+       |                  CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n AS DOUBLE) AS score
+       |           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |piv AS (SELECT doc_id, $pivotSum AS bm25 FROM scored GROUP BY doc_id),
+       |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+       |           FROM (SELECT doc_id, bm25 FROM piv ORDER BY bm25 DESC, doc_id LIMIT 10)),
+       |rel AS (SELECT doc_id, count(DISTINCT term)::BIGINT AS rel FROM tf GROUP BY 1),
+       |dcg AS (SELECT count(*)::BIGINT AS n_ranked,
+       |               sum((rel * 65536000000) // $ilp)::BIGINT AS dcg_fp
+       |        FROM ranked JOIN rel USING (doc_id)),
+       |ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+       |          FROM (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id LIMIT 10)),
+       |idcg AS (SELECT sum((rel * 65536000000) // $ilp)::BIGINT AS idcg_fp FROM ideal)
+       |SELECT n_ranked, dcg_fp, idcg_fp,
+       |       ((dcg_fp * 1000000) // idcg_fp)::BIGINT AS ndcg_ppm
+       |FROM dcg, idcg""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q289_ndcg" -> q289_ndcg,
     "q271_entropy" -> q271_entropy,
     "q272_chi2_features" -> q272_chi2_features,
     "q276_mi_features" -> q276_mi_features,
@@ -669,6 +738,7 @@ object InfoQueries {
     "q275_bigram_xent" -> q275_bigram_xent)
 
   val oracles: Map[String, String] = Map(
+    "q289_ndcg" -> q289_sql,
     "q271_entropy" -> q271_sql,
     "q272_chi2_features" -> q272_sql,
     "q276_mi_features" -> q276_sql,

@@ -1209,7 +1209,100 @@ object RelationalQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
 
+  /** DATA-QUALITY CONSTRAINT SUITE (Deequ-style) — the pre-publish
+    * contract check every warehouse load runs: referential integrity
+    * across all four star FKs (anti-join violation counts — semi/anti
+    * semantics, never a row-multiplying left join), primary-key
+    * uniqueness (one hash-groupBy per key: violations = Σ(c−1) over
+    * duplicate groups), not-null completeness, and value-range
+    * conformance, one bounded verdict row per constraint. Every check
+    * is a full-table aggregate with map-side combine; the two 1-row
+    * frames per FK check meet in a broadcast cross of singletons (the
+    * established bounded-crossJoin pattern). At 100 TB each check is
+    * one scan + (for FKs) one shuffle on the key — nothing quadratic,
+    * nothing collected. */
+  val q290_dq_suite: Q = (s, d) => {
+    val one = (df: DataFrame) => df.agg(count(lit(1)).as("total"))
+    def fk(name: String, child: DataFrame, ck: String,
+           parent: DataFrame, pk: String): DataFrame = {
+      val viol = child.join(parent, col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      one(child).crossJoin(viol)
+        .select(lit(name).as("check_name"), col("total"), col("violations"))
+    }
+    def pk(name: String, t: DataFrame, k: String): DataFrame =
+      t.groupBy(col(k)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("total"),
+          sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("violations"))
+        .select(lit(name).as("check_name"), col("total"), col("violations"))
+    def cond(name: String, t: DataFrame, ok: Column): DataFrame =
+      t.agg(count(lit(1)).as("total"),
+          sum(when(!ok, 1L).otherwise(0L)).as("violations"))
+        .select(lit(name).as("check_name"), col("total"), col("violations"))
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d); val p = Tables.part(s, d)
+    val su = Tables.supplier(s, d); val e = Tables.events(s, d)
+    Seq(
+      fk("fk_lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+      fk("fk_lineitem_part", li, "l_partkey", p, "p_partkey"),
+      fk("fk_lineitem_supplier", li, "l_suppkey", su, "s_suppkey"),
+      fk("fk_orders_customer", o, "o_custkey", c, "c_custkey"),
+      pk("pk_customer", c, "c_custkey"),
+      pk("pk_orders", o, "o_orderkey"),
+      pk("pk_part", p, "p_partkey"),
+      cond("notnull_events_user", e, col("user_id").isNotNull),
+      cond("range_lineitem_qty", li,
+        col("l_quantity") >= 1 && col("l_quantity") <= 50),
+      cond("range_lineitem_disc", li,
+        col("l_discount") >= 0 && col("l_discount") <= 0.1)
+    ).reduce(_.unionAll(_))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  val q290_sql: String =
+    """WITH checks AS (
+      |  SELECT 'fk_lineitem_orders' AS check_name,
+      |         (SELECT count(*) FROM lineitem)::BIGINT AS total,
+      |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS violations
+      |  UNION ALL SELECT 'fk_lineitem_part',
+      |         (SELECT count(*) FROM lineitem)::BIGINT,
+      |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))::BIGINT
+      |  UNION ALL SELECT 'fk_lineitem_supplier',
+      |         (SELECT count(*) FROM lineitem)::BIGINT,
+      |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+      |  UNION ALL SELECT 'fk_orders_customer',
+      |         (SELECT count(*) FROM orders)::BIGINT,
+      |         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+      |  UNION ALL SELECT 'pk_customer', (SELECT count(*) FROM customer)::BIGINT,
+      |         (SELECT coalesce(sum(c - 1), 0) FROM
+      |            (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+      |          WHERE c > 1)::BIGINT
+      |  UNION ALL SELECT 'pk_orders', (SELECT count(*) FROM orders)::BIGINT,
+      |         (SELECT coalesce(sum(c - 1), 0) FROM
+      |            (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+      |          WHERE c > 1)::BIGINT
+      |  UNION ALL SELECT 'pk_part', (SELECT count(*) FROM part)::BIGINT,
+      |         (SELECT coalesce(sum(c - 1), 0) FROM
+      |            (SELECT count(*) AS c FROM part GROUP BY p_partkey)
+      |          WHERE c > 1)::BIGINT
+      |  UNION ALL SELECT 'notnull_events_user', (SELECT count(*) FROM events)::BIGINT,
+      |         (SELECT count(*) FROM events WHERE user_id IS NULL)::BIGINT
+      |  UNION ALL SELECT 'range_lineitem_qty', (SELECT count(*) FROM lineitem)::BIGINT,
+      |         (SELECT count(*) FROM lineitem
+      |          WHERE NOT (l_quantity >= 1 AND l_quantity <= 50))::BIGINT
+      |  UNION ALL SELECT 'range_lineitem_disc', (SELECT count(*) FROM lineitem)::BIGINT,
+      |         (SELECT count(*) FROM lineitem
+      |          WHERE NOT (l_discount >= 0 AND l_discount <= 0.1))::BIGINT)
+      |SELECT check_name, total, violations, violations = 0 AS pass
+      |FROM checks ORDER BY check_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q290_dq_suite" -> q290_dq_suite,
     "q204_schema_evolution" -> q204_schema_evolution,
     "q01_summary" -> q01_summary,
     "q02_pricing_summary" -> q02_pricing_summary,
@@ -1257,6 +1350,7 @@ object RelationalQueries {
     "q174_compaction" -> q174_compaction)
 
   val oracles: Map[String, String] = Map(
+    "q290_dq_suite" -> q290_sql,
     "q01_summary" -> q01_sql,
     "q02_pricing_summary" -> q02_sql,
     "q03_derived" -> q03_sql,
