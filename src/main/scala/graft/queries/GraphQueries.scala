@@ -137,12 +137,10 @@ object GraphQueries {
     * part contributes no wedges from its own adjacency). The coefficient
     * is exact fixed-point: 2·tri·10⁶ div deg·(deg−1). */
   val q230_clustering_coeff: Q = (s, d) => {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("pa"), col("b.p").as("pb"))
-    graft.operators.Triangles.perNode(pairs, "pa", "pb")
+    // shared staged edge set (see [[CoPurchase]]); perNode canonicalizes +
+    // dedups internally, and the staged frame is already distinct
+    val pairs = CoPurchase.edges(s, d)
+    graft.operators.Triangles.perNode(pairs, "u", "v")
       .select(col("node"), col("deg"), col("n_tri"),
         when(col("deg") >= 2,
           expr("(2 * n_tri * 1000000) div (deg * (deg - 1))")).as("coeff_ppm"))
@@ -182,13 +180,9 @@ object GraphQueries {
     * HUGEINT because n·sxy and sx² pass 2^63 on graphs with ~10⁶ edges
     * and hub degrees in the thousands). */
   val q238_degree_assortativity: Q = (s, d) => {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-      .localCheckpoint(true) // consumers: degree agg + two attaches
+    // shared staged edge set: both consumers (degree agg + the stats
+    // attach) re-scan the staged parquet instead of re-running the build
+    val e = CoPurchase.edges(s, d)
     val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // symmetrization folded into the aggregate (each edge contributes
@@ -243,13 +237,9 @@ object GraphQueries {
     * aggregate (score = −probe index) — no window. md5-probe hashing
     * makes the sample replayable in the oracle. */
   val q247_negative_sampling: Q = (s, d) => {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-      .localCheckpoint(true) // consumers: node set + anti-join target
+    // shared staged edge set; consumers (node set + anti-join target)
+    // re-scan the staged parquet
+    val e = CoPurchase.edges(s, d)
     val nodes = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node"))).distinct()
     val maxP = e.agg(greatest(max(col("u")), max(col("v"))).as("maxp"))
@@ -332,13 +322,8 @@ object GraphQueries {
   val q241_resource_allocation: Q = (s, d) => {
     val maxPivotDeg = 500L
     val shortlistC = 32
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-      .localCheckpoint(true) // consumers: adjacency + anti-join
+    // shared staged edge set; consumers (adjacency + anti-join) re-scan
+    val e = CoPurchase.edges(s, d)
     val adj = e.select(col("u").as("n"), col("v").as("nb"))
       .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -384,13 +369,9 @@ object GraphQueries {
   val q253_common_neighbors: Q = (s, d) => {
     val maxPivotDeg = 500L
     val shortlistC = 32
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
-      .localCheckpoint(true) // consumers: adjacency + degrees + anti-join
+    // shared staged edge set; consumers (adjacency + degrees + anti-join)
+    // re-scan the staged parquet
+    val e = CoPurchase.edges(s, d)
     val adj = e.select(col("u").as("n"), col("v").as("nb"))
       .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -463,12 +444,8 @@ object GraphQueries {
     * relax addition is row arithmetic, not an aggregate, so no HUGEINT
     * divergence is possible. */
   val q255_weighted_sssp: Q = (s, d) => {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("c"))
+    // shared staged WEIGHTED edge set (c = shared-order count)
+    val e = CoPurchase.weightedEdges(s, d)
       .select(col("u"), col("v"),
         greatest(lit(1L), expr("1000000 div c")).as("w"))
     val seeds = Tables.part(s, d)
@@ -789,12 +766,9 @@ object GraphQueries {
     * q129 discipline) with the identical `r·w div Σw` contribution, so
     * every rank hash-matches. */
   val q267_weighted_pagerank: Q = (s, d) => {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e0 = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("w"))
+    // shared staged WEIGHTED edge set (c = shared-order count)
+    val e0 = CoPurchase.weightedEdges(s, d).select(col("u"), col("v"),
+      col("c").as("w"))
     val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
     graft.operators.PageRank.ranksFpWeighted(e, "u", "v", "w", iters = 3)
       .orderBy(col("id"))
