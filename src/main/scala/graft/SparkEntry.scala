@@ -20,15 +20,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ TpchQueries.defs ++ AnalyticsQueries.defs ++
       GraphQueries.defs ++ SketchQueries.defs ++ LlmQueries.defs ++
-      AnnQueries.defs ++ CurationQueries.defs ++ MultimodalQueries.defs ++
-      InfoQueries.defs ++ StreamingQueries.defs
+      TextMiningQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++
+      MultimodalQueries.defs ++ InfoQueries.defs ++ StreamingQueries.defs ++
+      StreamingCertQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TpchQueries.oracles ++
       AnalyticsQueries.oracles ++ GraphQueries.oracles ++
-      SketchQueries.oracles ++ LlmQueries.oracles ++ AnnQueries.oracles ++
+      SketchQueries.oracles ++ LlmQueries.oracles ++
+      TextMiningQueries.oracles ++ AnnQueries.oracles ++
       CurationQueries.oracles ++ MultimodalQueries.oracles ++
-      InfoQueries.oracles ++ StreamingQueries.oracles
+      InfoQueries.oracles ++ StreamingQueries.oracles ++
+      StreamingCertQueries.oracles
 }

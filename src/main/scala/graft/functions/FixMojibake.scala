@@ -79,6 +79,33 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("ilog2"),
+      new ExpressionInfo(classOf[Ilog2].getName, "ilog2"),
+      (children: Seq[Expression]) => Ilog2(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zorder"),
+      new ExpressionInfo(ZOrder.getClass.getName, "zorder"),
+      // bits is a plan-shape constant (it fixes the fold depth), so the
+      // SQL form requires a foldable int literal for argument 3. Built
+      // from raw Catalyst nodes (not via the Column API) because a
+      // Column→Expression bridge inside a function builder leaves an
+      // unevaluable ColumnNodeExpression in the plan.
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft, ShiftRightUnsigned}
+        import org.apache.spark.sql.types.LongType
+        val bits = children(2).eval().asInstanceOf[Number].intValue
+        require(bits > 0 && bits <= 31, s"zorder bits must be in [1,31] (got $bits)")
+        val xs = Cast(children(0), LongType)
+        val ys = Cast(children(1), LongType)
+        (0 until bits).foldLeft[Expression](Literal(0L)) { (acc, i) =>
+          BitwiseOr(BitwiseOr(acc,
+            ShiftLeft(BitwiseAnd(ShiftRightUnsigned(xs, Literal(i)), Literal(1L)),
+              Literal(2 * i))),
+            ShiftLeft(BitwiseAnd(ShiftRightUnsigned(ys, Literal(i)), Literal(1L)),
+              Literal(2 * i + 1)))
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("nearest_code"),
       new ExpressionInfo(classOf[graft.llm.NearestCodeL2].getName, "nearest_code"),
       // offset/subDim are plan-time constants baked into codegen, so the

@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
+  /** Max |labels|x|V'| cells a literal model may inline into the plan. */
+  val MaxLiteralCells = 8192
+
   /** Score + classify each row of `df`. `labels`, `priors` (aligned to
     * labels) and `weights` (token -> per-label weight array aligned to
     * labels) come from a bounded driver collect of the trained model.
@@ -34,6 +37,15 @@ object NaiveBayes {
       s"labels (${labels.size}) and priors (${priors.size}) must align")
     require(weights.values.forall(_.size == labels.size),
       "every weight vector must align with labels")
+    // literal-plan budget: the weight map is inlined into the plan as a
+    // typedLit, so |labels|x|V'| cells is plan SIZE, not data — a
+    // mis-parameterized vocabulary would silently build a megabyte-scale
+    // literal plan (and re-serialize it per task). Gate-sized models only.
+    require(labels.size * weights.size <= MaxLiteralCells,
+      s"classifyLiteral model has ${labels.size} labels x ${weights.size} " +
+        s"tokens = ${labels.size * weights.size} literal cells " +
+        s"(budget $MaxLiteralCells); shrink the vocabulary (df floor / " +
+        "top-k per label) or use the broadcast-join batch form (q274 shape)")
     val wlit = typedLit(weights)
     val plit = typedLit(priors)
     val llit = typedLit(labels)

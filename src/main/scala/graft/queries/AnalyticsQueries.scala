@@ -1776,7 +1776,40 @@ object AnalyticsQueries {
       |       ((num7 * 1000000) // den)::BIGINT AS lag7_ppm
       |FROM a WHERE den > 0 ORDER BY event_type""".stripMargin
 
+  /** COHORT RETENTION TRIANGLE — the product-analytics staple: users
+    * cohorted by the epoch week of their FIRST event, each cell
+    * (cohort_week, offset_weeks) counting distinct users still active
+    * that many weeks later. Shapes: one distinct (user, week) reduction,
+    * one user-keyed min aggregate, one user-keyed join back — the join
+    * and both aggregates share the user_id hash partitioning, so the
+    * exchange is reused across all three (no re-shuffle of the activity
+    * frame); the output grid is |weeks|²-bounded. No window, no per-user
+    * history materialization — the shape that survives a 100 TB events
+    * table where per-user event counts are unbounded. */
+  val q292_cohort_retention: Q = (s, d) => {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("week"))
+      .distinct()
+      .localCheckpoint(true) // consumers: cohort min + activity join
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("offset_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("offset_weeks"))
+  }
+
+  val q292_sql: String =
+    """WITH uw AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+      |            FROM events),
+      |c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+      |SELECT c.cohort_week, (uw.week - c.cohort_week)::BIGINT AS offset_weeks,
+      |       count(DISTINCT uw.user_id)::BIGINT AS n_users
+      |FROM uw JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q292_cohort_retention" -> q292_cohort_retention,
     "q288_autocorrelation" -> q288_autocorrelation,
     "q266_burstiness" -> q266_burstiness,
     "q257_holt_trend" -> q257_holt_trend,
@@ -1820,6 +1853,7 @@ object AnalyticsQueries {
     "q175_priority_trend" -> q175_priority_trend)
 
   val oracles: Map[String, String] = Map(
+    "q292_cohort_retention" -> q292_sql,
     "q288_autocorrelation" -> q288_sql,
     "q266_burstiness" -> q266_sql,
     "q257_holt_trend" -> q257_sql,

@@ -725,7 +725,133 @@ object InfoQueries {
        |FROM dcg, idcg""".stripMargin
   }
 
+  /** RETRIEVAL METRICS SUITE — the binary-relevance companions to q289's
+    * graded NDCG, over the same BM25 top-10 frame: reciprocal rank of the
+    * first relevant hit (MRR's single-query form), precision@10, and
+    * recall@10, all integral ppm. Relevance is binary: a doc is relevant
+    * iff it contains ≥ 3 of the 4 query terms (SQL-derivable, no labels).
+    * Shapes: one distributed TakeOrdered top-10 (row_number only over the
+    * 10 survivors), the relevance frame is term-filtered and bounded by
+    * docs containing a query term, and the two 1-row aggregates meet in a
+    * bounded crossJoin. */
+  val q291_retrieval_metrics: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val terms = LlmQueries.Bm25Terms
+    val rel = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\W+")).as("term"))
+      .where(col("term") =!= "" && col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("nterm"))
+      .where(col("nterm") >= 3)
+      .select(col("doc_id"))
+      .localCheckpoint(true) // consumers: top-k hit join + total count
+    val ranked = TextAnalysis.bm25TopK(docs, terms, 10)
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+    val hits = ranked.join(rel, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_rel_topk"), min(col("pos")).as("first_rel_pos"))
+    val tot = rel.agg(count(lit(1)).as("n_rel_total"))
+    hits.crossJoin(tot) // 1x1
+      .select(col("first_rel_pos"),
+        expr("1000000 div first_rel_pos").as("rr_ppm"),
+        col("n_rel_topk"),
+        (col("n_rel_topk") * lit(100000L)).as("p_at_10_ppm"),
+        col("n_rel_total"),
+        expr("n_rel_topk * 1000000 div n_rel_total").as("recall_at_10_ppm"))
+  }
+
+  val q291_sql: String = {
+    val terms = LlmQueries.Bm25Terms
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivotSum = terms
+      .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN score END), 0.0)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |                 (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |                  CAST(((s.n * 1000000) // df.df) * (22 * s.t * tf.tf) AS DOUBLE) /
+       |                  CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n AS DOUBLE) AS score
+       |           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |piv AS (SELECT doc_id, $pivotSum AS bm25 FROM scored GROUP BY doc_id),
+       |ranked AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+       |           FROM (SELECT doc_id, bm25 FROM piv ORDER BY bm25 DESC, doc_id LIMIT 10)),
+       |rel AS (SELECT doc_id FROM (
+       |          SELECT doc_id, count(DISTINCT term) AS nt FROM tf GROUP BY 1)
+       |        WHERE nt >= 3),
+       |h AS (SELECT count(*)::BIGINT AS n_rel_topk, min(pos)::BIGINT AS first_rel_pos
+       |      FROM ranked JOIN rel USING (doc_id)),
+       |t AS (SELECT count(*)::BIGINT AS n_rel_total FROM rel)
+       |SELECT first_rel_pos, (1000000 // first_rel_pos)::BIGINT AS rr_ppm,
+       |       n_rel_topk, (n_rel_topk * 100000)::BIGINT AS p_at_10_ppm,
+       |       n_rel_total,
+       |       (n_rel_topk * 1000000 // n_rel_total)::BIGINT AS recall_at_10_ppm
+       |FROM h, t""".stripMargin
+  }
+
+  /** SPEARMAN RANK CORRELATION between two per-source signals — unigram
+    * entropy (q271's certified fixed-point bits/token) and integral mean
+    * document length: "do verbose sources carry diverse vocabulary?", the
+    * one-number sanity check relating the two quality dashboards. Exact
+    * by construction: ranks are integers from deterministic (metric desc,
+    * source) orderings, means are integral `div`, and
+    * ρ_ppm = 10⁶ − 6·10⁶·Σd² div n(n²−1) is pure BIGINT. The global
+    * row_number windows run over the ALREADY-REDUCED |sources| frame
+    * (20 rows at every SF) — the documented reduced-frame exception to
+    * the no-global-window rule. */
+  val q293_rank_correlation: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val c = docs.select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val ent = c.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c") * il(col("c"))).as("s_fp"))
+      .select(col("source"),
+        (il(col("n_tok")) - expr("s_fp div n_tok")).as("entropy_fp"))
+    val len = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("sc"))
+      .select(col("source"), expr("sc div nd").as("mean_chars"))
+    val ranked = ent.join(len, Seq("source"))
+      .withColumn("r_e", row_number()
+        .over(Window.orderBy(col("entropy_fp").desc, col("source"))).cast("long"))
+      .withColumn("r_l", row_number()
+        .over(Window.orderBy(col("mean_chars").desc, col("source"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n_sources"),
+        sum((col("r_e") - col("r_l")) * (col("r_e") - col("r_l"))).as("sum_d2"))
+      .select(col("n_sources"), col("sum_d2"),
+        expr("1000000 - (6000000 * sum_d2) div (n_sources * (n_sources * n_sources - 1))")
+          .as("rho_ppm"))
+  }
+
+  val q293_sql: String =
+    s"""WITH $tokCte,
+      |c AS (SELECT source, tok, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+      |e AS (SELECT source, sum(c)::BIGINT AS n_tok,
+      |        sum(c * ${Ilog2.sqlReplay("c")})::BIGINT AS s_fp
+      |      FROM c GROUP BY 1),
+      |ent AS (SELECT source,
+      |          (${Ilog2.sqlReplay("n_tok")} - s_fp // n_tok)::BIGINT AS entropy_fp
+      |        FROM e),
+      |l AS (SELECT source,
+      |        (sum(n_chars) // count(*))::BIGINT AS mean_chars
+      |      FROM documents GROUP BY 1),
+      |r AS (SELECT ent.source,
+      |        row_number() OVER (ORDER BY entropy_fp DESC, ent.source) AS r_e,
+      |        row_number() OVER (ORDER BY mean_chars DESC, ent.source) AS r_l
+      |      FROM ent JOIN l ON l.source = ent.source)
+      |SELECT count(*)::BIGINT AS n_sources,
+      |       sum((r_e - r_l) * (r_e - r_l))::BIGINT AS sum_d2,
+      |       (1000000 - (6000000 * sum((r_e - r_l) * (r_e - r_l)))
+      |          // (count(*) * (count(*) * count(*) - 1)))::BIGINT AS rho_ppm
+      |FROM r""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q291_retrieval_metrics" -> q291_retrieval_metrics,
+    "q293_rank_correlation" -> q293_rank_correlation,
     "q289_ndcg" -> q289_ndcg,
     "q271_entropy" -> q271_entropy,
     "q272_chi2_features" -> q272_chi2_features,
@@ -738,6 +864,8 @@ object InfoQueries {
     "q275_bigram_xent" -> q275_bigram_xent)
 
   val oracles: Map[String, String] = Map(
+    "q291_retrieval_metrics" -> q291_sql,
+    "q293_rank_correlation" -> q293_sql,
     "q289_ndcg" -> q289_sql,
     "q271_entropy" -> q271_sql,
     "q272_chi2_features" -> q272_sql,

@@ -128,6 +128,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(2) == ((3L, "de", -10L))) // tie -> lexicographically smallest
   }
 
+  test("NaiveBayes.classifyLiteral: refuses an over-budget literal model") {
+    val docs = Seq((1L, "aa")).toDF("doc_id", "text")
+    val labels = Seq("de", "en", "fr", "es")
+    val priors = Seq(-1L, -1L, -1L, -1L)
+    // 4 labels x 2049 tokens = 8196 cells > MaxLiteralCells (8192): the
+    // guard must fire BEFORE a megabyte-scale literal plan is built
+    val big = (0 until 2049).map(i => s"t$i" -> Seq(-1L, -1L, -1L, -1L)).toMap
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.NaiveBayes.classifyLiteral(docs, "text", "doc_id", labels, priors, big)
+    }
+    assert(e.getMessage.contains("literal cells") &&
+      e.getMessage.contains("broadcast-join"))
+    // at the budget boundary it must still work
+    val ok = (0 until 2048).map(i => s"t$i" -> Seq(-1L, -1L, -1L, -1L)).toMap
+    assert(graft.llm.NaiveBayes
+      .classifyLiteral(docs, "text", "doc_id", labels, priors, ok).count() == 1L)
+  }
+
   test("holtWinters: matches a reference fold, resets per key, tracks seasonality") {
     val xs = Seq(10L, 20L, 10L, 20L, 10L, 20L, 10L, 20L)
     val rows = xs.zipWithIndex.map { case (x, i) => ("a", i.toLong, x) } ++

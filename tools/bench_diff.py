@@ -5,7 +5,11 @@ and flag real regressions, discounting load-corrupted runs.
 Usage: python3 tools/bench_diff.py BENCH_r03.json BENCH_r04.json [ratio]
 
 A query is flagged when new/old exceeds the ratio (default 1.5) AND the
-absolute delta exceeds 0.5 s (sub-second jitter is not a regression). Each
+absolute delta exceeds 0.5 s (sub-second jitter is not a regression).
+Additionally — round-9, closing the blind spot the round-8 verdict named
+(q230 drifted 1.40x/+2.8 s under the 1.5x gate) — a query whose time grows
+> 1.3x AND > 1 s is flagged as DRIFT even when it passes the main gate:
+large absolute movement on an expensive query is signal, not jitter. Each
 artifact's in-band load evidence (`load_before`, emitted by Bench since
 round 4) is printed first — numbers recorded above 1-min load ~1.5 are
 untrustworthy (see BASELINE.md's bench history), and the comparison says so
@@ -69,6 +73,8 @@ def main():
             flagged.append((name, a, b, "errored"))
         elif b / a > ratio and b - a > 0.5:
             flagged.append((name, a, b, f"{b / a:.1f}x slower"))
+        elif b / a > 1.3 and b - a > 1.0:
+            flagged.append((name, a, b, f"DRIFT {b / a:.2f}x (+{b - a:.1f}s)"))
 
     for name, a, b, why in flagged:
         print(f"REGRESSION {name}: {a:.2f}s -> {b:.2f}s ({why})")
