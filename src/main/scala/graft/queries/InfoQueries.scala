@@ -849,7 +849,61 @@ object InfoQueries {
       |          // (count(*) * (count(*) * count(*) - 1)))::BIGINT AS rho_ppm
       |FROM r""".stripMargin
 
+  /** PMI COLLOCATIONS — top-20 adjacent-token pairs by pointwise mutual
+    * information over the corpus bigram distribution, the phrase-mining
+    * primitive (tokenizer vocab candidates, multi-word entity seeds).
+    * PMI = log2(c_xy·B / (c_x·c_y)) with B = total bigrams, c_x / c_y
+    * the left/right marginals — both [[Ilog2]] folds, so the score is
+    * certified fixed-point bits and the oracle replays it exactly.
+    * c_xy ≥ 5 floors collision noise. Shapes: one bigram pass (the q275
+    * lead-window sort class), three vocabulary-bounded aggregates, keyed
+    * marginal joins, broadcast 1-row total, TakeOrdered top-20 — no
+    * global sort. c_xy·B stays in BIGINT below ~3·10⁹ bigrams; past
+    * that, widen to DECIMAL(38,0) like q226/q238. */
+  val q296_pmi_collocations: Q = (s, d) => {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tk = Tables.documents(s, d).select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "u")))
+    val bg = tk.withColumn("v", lead(col("u"), 1).over(byPos))
+      .where(col("v").isNotNull)
+      .select(col("u"), col("v"))
+      .localCheckpoint(true) // consumers: pair counts + two marginals + total
+    val cb = bg.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= 5)
+    val cu = bg.groupBy(col("u")).agg(count(lit(1)).as("c_x"))
+    val cv = bg.groupBy(col("v")).agg(count(lit(1)).as("c_y"))
+    val tot = bg.agg(count(lit(1)).as("bb"))
+    cb.join(cu, Seq("u")).join(cv, Seq("v")).crossJoin(broadcast(tot))
+      .select(col("u"), col("v"), col("c_xy"), col("c_x"), col("c_y"),
+        (il(col("c_xy") * col("bb")) - il(col("c_x") * col("c_y"))).as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  val q296_sql: String =
+    s"""WITH tk0 AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\W+'),
+      |                x -> x <> '') AS ws
+      |  FROM documents),
+      |tk AS (SELECT doc_id, unnest(ws) AS u,
+      |         unnest(range(1, len(ws) + 1)) AS pos FROM tk0),
+      |bg AS (SELECT u, v FROM (
+      |         SELECT u, lead(u, 1) OVER (PARTITION BY doc_id
+      |                                    ORDER BY pos) AS v
+      |         FROM tk) WHERE v IS NOT NULL),
+      |cb AS (SELECT u, v, count(*)::BIGINT AS c_xy FROM bg
+      |       GROUP BY 1, 2 HAVING count(*) >= 5),
+      |cu AS (SELECT u, count(*)::BIGINT AS c_x FROM bg GROUP BY 1),
+      |cv AS (SELECT v, count(*)::BIGINT AS c_y FROM bg GROUP BY 1),
+      |tt AS (SELECT count(*)::BIGINT AS bb FROM bg)
+      |SELECT cb.u, cb.v, c_xy, c_x, c_y,
+      |       (${Ilog2.sqlReplay("(c_xy * bb)")}
+      |        - ${Ilog2.sqlReplay("(c_x * c_y)")})::BIGINT AS pmi_fp
+      |FROM cb JOIN cu USING (u) JOIN cv USING (v) CROSS JOIN tt
+      |ORDER BY pmi_fp DESC, u, v LIMIT 20""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q296_pmi_collocations" -> q296_pmi_collocations,
     "q291_retrieval_metrics" -> q291_retrieval_metrics,
     "q293_rank_correlation" -> q293_rank_correlation,
     "q289_ndcg" -> q289_ndcg,
@@ -864,6 +918,7 @@ object InfoQueries {
     "q275_bigram_xent" -> q275_bigram_xent)
 
   val oracles: Map[String, String] = Map(
+    "q296_pmi_collocations" -> q296_sql,
     "q291_retrieval_metrics" -> q291_sql,
     "q293_rank_correlation" -> q293_sql,
     "q289_ndcg" -> q289_sql,

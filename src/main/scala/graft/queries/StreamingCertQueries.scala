@@ -542,7 +542,51 @@ object StreamingCertQueries {
   }
   /** Identical recurrence, identical staged order → q279's batch oracle. */
   val q284_sql: String = AnalyticsQueries.q279_sql
+  /** Stateful streaming cohort retention — the thirtieth streaming cert:
+    * [[Streaming.cohortRetention]] carries TWO longs per user (cohort
+    * week + 64-bit seen-offset bitmask) across micro-batch boundaries
+    * and emits each (cohort, offset) cell exactly once per user; the
+    * final batch count over the emitted cells must hash-match q292's
+    * batch `min(week)` + distinct-count oracle — certifying that the
+    * retention triangle, which in batch needs a corpus-wide distinct and
+    * a user-keyed min, collapses to bounded per-user state under
+    * event-time-ordered replay. The epoch week rides KeyedObs.x. */
+  val q295_stream_retention: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      expr("unix_millis(ts) div 604800000").as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsRetentionOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q295_ret_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = Streaming.cohortRetention(stream.as[Streaming.KeyedObs])
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    // cells are unique per user by construction, so count(*) per cell is
+    // the distinct-user count the batch oracle computes
+    s.table(name)
+      .groupBy(col("cohort_week"), col("offset_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("offset_weeks"))
+  }
+  /** Same oracle as the batch retention triangle. */
+  val q295_sql: String = AnalyticsQueries.q292_sql
+
   val defs: Map[String, Q] = Map(
+    "q295_stream_retention" -> q295_stream_retention,
     "q229_stream_attribution" -> q229_stream_attribution,
     "q232_stream_covisit" -> q232_stream_covisit,
     "q234_stream_hll" -> q234_stream_hll,
@@ -555,6 +599,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q295_stream_retention" -> q295_sql,
     "q229_stream_attribution" -> q229_sql,
     "q232_stream_covisit" -> q232_sql,
     "q234_stream_hll" -> q234_sql,

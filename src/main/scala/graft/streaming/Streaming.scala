@@ -543,6 +543,51 @@ object Streaming {
       }
   }
 
+  case class RetentionOut(cohort_week: Long, offset_weeks: Long)
+
+  /** Stateful streaming COHORT RETENTION — the streaming form of the
+    * batch retention triangle (q292): each user's state is exactly TWO
+    * longs (the cohort week = first week ever seen, plus a 64-bit
+    * seen-offset bitmask), and every (cohort, offset) cell is emitted
+    * exactly once per user, so a downstream count over the emitted pairs
+    * IS the distinct-user cell count — no per-user history, no distinct
+    * aggregation over the corpus. The unbounded-history property: state
+    * size is |users| × 2 longs no matter how many events arrive.
+    *
+    * Requires event-time-ordered replay (the certification's staged
+    * order): the first week seen must be the user's true minimum for the
+    * cohort assignment to match the batch `min(week)`. Offsets ≥ 64
+    * would need a wider mask and fail fast with a contract-naming error.
+    * The observed week rides [[KeyedObs]].x. */
+  def cohortRetention(arrivals: Dataset[KeyedObs]): Dataset[RetentionOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), RetentionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[KeyedObs], state: GroupState[(Long, Long)]) =>
+          var has = state.getOption.isDefined
+          var cw = 0L
+          var mask = 0L
+          state.getOption.foreach { case (c, m) => cw = c; mask = m }
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionOut]
+          it.toSeq.sortBy(o => (o.tsm, o.event_id)).foreach { o =>
+            if (!has) { cw = o.x; mask = 0L; has = true }
+            val off = o.x - cw
+            require(off >= 0 && off < 64,
+              s"cohortRetention: offset $off outside [0, 64) for user $userId " +
+                "— replay must be event-time-ordered and each user's activity " +
+                "must span < 64 weeks (widen the mask for longer horizons)")
+            if ((mask & (1L << off)) == 0L) {
+              mask |= 1L << off
+              out += RetentionOut(cw, off)
+            }
+          }
+          if (has) state.update((cw, mask))
+          out.iterator
+      }
+  }
+
   case class CovisitOut(a: Long, b: Long)
 
   /** Stateful streaming CO-VISITATION pairs — the streaming form of the

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streaming
+
+/** Round-9 operator tests. */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def obs(user: Long, tsm: Long, id: Long, week: Long) =
+    Streaming.KeyedObs(user, tsm, id, week)
+
+  // NOTE: the genuine multi-micro-batch (cross-boundary state) property is
+  // certified by q295_stream_retention's staged maxFilesPerTrigger=1 replay
+  // against the batch oracle; this unit test pins the per-user fold logic.
+  test("cohortRetention: first-seen week is the cohort, emits each cell once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.KeyedObs]
+    // micro-batch 1: user 1 starts week 10; user 2 starts week 11
+    mem.addData(obs(1, 100, 1, 10), obs(1, 101, 2, 10), obs(2, 102, 3, 11))
+    // later arrivals: user 1 returns weeks 11 and 13 (+ a repeat of 10 ->
+    // no emit); user 2 returns week 11 again (no emit) and week 12
+    mem.addData(obs(1, 200, 4, 11), obs(1, 201, 5, 13), obs(1, 202, 6, 10),
+      obs(2, 203, 7, 11), obs(2, 204, 8, 12))
+    val name = "ret_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Streaming.cohortRetention(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val cells = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("offset_weeks")))
+      .sorted.toSeq
+    assert(cells == Seq((10L, 0L), (10L, 1L), (10L, 3L), (11L, 0L), (11L, 1L)))
+  }
+
+  test("cohortRetention: rejects offsets outside the 64-week mask") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.KeyedObs]
+    mem.addData(obs(1, 100, 1, 10), obs(1, 101, 2, 80)) // offset 70 >= 64
+    val name = "ret_bad_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Streaming.cohortRetention(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("cohortRetention") ||
+      Option(e.getCause).exists(_.getMessage.contains("cohortRetention")))
+  }
+}
