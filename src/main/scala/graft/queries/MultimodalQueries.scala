@@ -195,7 +195,74 @@ object MultimodalQueries {
       |SELECT cls, count(*)::BIGINT AS n_payloads, sum(n)::BIGINT AS n_bytes
       |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** IMAGE NEAR-DUP CANDIDATES over the 56-bit dHash fingerprints (q250's
+    * stage): 7 bands of 8 bits — two fingerprints within Hamming distance
+    * 7 are guaranteed to agree on ≥ 1 whole band (pigeonhole), so the
+    * band-bucket self-join finds every such pair without an all-pairs
+    * scan; survivors are verified by the EXACT Hamming distance
+    * (bit_count of xor) and kept at ≤ 8. The image-dedup counterpart of
+    * text LSH: candidate generation is bucket-local (cap 1000 — the
+    * degenerate-payload guard), fingerprints attach back by two keyed
+    * joins, and every bit is replayed from payload bytes in the oracle,
+    * so the pair list is hash-exact, not approximate. */
+  val q297_dhash_neardup: Q = (s, d) => {
+    val doc = Tables.widen(Tables.documents(s, d))
+    val hashes = Multimodal.dHash(Multimodal.withPayload(doc, "text", "doc_id"),
+        "doc_id", "payload", resizeTo = 57)
+      .select(col("id").as("doc_id"), col("dhash"))
+      .localCheckpoint(true) // consumers: band buckets + two hash attaches
+    val bandCols = (0 until 7).map(b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), 8 * b).bitwiseAND(lit(255L)).as("bkey")))
+    val buckets = hashes
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("__bsz") <= 1000)
+      .drop("__bsz")
+    val pairs = buckets
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(buckets.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    pairs
+      .join(hashes.select(col("doc_id").as("doc_a"), col("dhash").as("ha")), Seq("doc_a"))
+      .join(hashes.select(col("doc_id").as("doc_b"), col("dhash").as("hb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .where(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q297_sql: String =
+    """WITH b AS (SELECT doc_id, encode(text) AS p,
+      |             octet_length(encode(text))::BIGINT AS n FROM documents),
+      |bits AS (SELECT doc_id,
+      |    list_sum(list_transform(range(1, 57), i -> CASE WHEN
+      |      (CASE WHEN i <= n THEN ('0x' || substr(hex(p), 2*i-1, 2))::BIGINT ELSE 0 END) >
+      |      (CASE WHEN i+1 <= n THEN ('0x' || substr(hex(p), 2*i+1, 2))::BIGINT ELSE 0 END)
+      |      THEN 1::HUGEINT << (i - 1) ELSE 0 END)) AS dhash
+      |  FROM b),
+      |h AS (SELECT doc_id, CAST(coalesce(dhash, 0) AS BIGINT) AS dhash FROM bits),
+      |bands AS (SELECT doc_id, band, (dhash >> (8 * band)) & 255 AS bkey
+      |          FROM h, (SELECT unnest(range(0, 7)) AS band)),
+      |bk AS (SELECT doc_id, band, bkey FROM (
+      |         SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands)
+      |       WHERE bsz <= 1000),
+      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM bk a JOIN bk b
+      |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      |SELECT p.doc_a, p.doc_b,
+      |       bit_count(xor(ha.dhash, hb.dhash))::BIGINT AS hamming
+      |FROM pairs p JOIN h ha ON ha.doc_id = p.doc_a
+      |             JOIN h hb ON hb.doc_id = p.doc_b
+      |WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q297_dhash_neardup" -> q297_dhash_neardup,
     "q263_byte_classes" -> q263_byte_classes,
     "q250_image_dhash" -> q250_image_dhash,
     "q240_audio_energy" -> q240_audio_energy,
@@ -203,6 +270,7 @@ object MultimodalQueries {
     "q78_frame_features" -> q78_frame_features)
 
   val oracles: Map[String, String] = Map(
+    "q297_dhash_neardup" -> q297_sql,
     "q263_byte_classes" -> q263_sql,
     "q250_image_dhash" -> q250_sql,
     "q240_audio_energy" -> q240_sql,
