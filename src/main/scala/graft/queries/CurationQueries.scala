@@ -1416,8 +1416,7 @@ object CurationQueries {
     * the pair frame is the bounded LSH candidate set, so the audit is two
     * row-local split assignments and one 1-row aggregate. */
   val q211_split_leakage: Q = (s, d) => {
-    val pairs = Dedup.dedupNearMinhash(
-      Tables.documents(s, d), "text", "doc_id", LshK, LshBands)
+    val pairs = DocLsh.pairs(s, d) // shared staged pipeline
     val doc = Tables.documents(s, d).select(col("doc_id"), col("source"))
     val withSplits = doc
       .withColumn("doc_split", Sampling.assignSplit(col("doc_id")))

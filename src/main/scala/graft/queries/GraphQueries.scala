@@ -33,13 +33,9 @@ object GraphQueries {
     * list is built once and localCheckpoint'ed, score frames are bounded
     * by the entity counts. The oracle unrolls both rounds as CTEs. */
   val q199_hits: Q = (s, d) => {
-    val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
-      .groupBy(col("c"), col("p"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("w"))
-      .localCheckpoint(true)
+    // shared staged purchase-edge build (see [[CoPurchase.purchaseEdges]])
+    val e = CoPurchase.purchaseEdges(s, d)
+      .select(col("c"), col("p"), col("w").cast("decimal(38,0)").as("w"))
     def normalize(raw: DataFrame, key: String, rawCol: String): DataFrame = {
       val tot = raw.agg(sum(col(rawCol)).cast("decimal(38,0)").as("TOT"))
       raw.crossJoin(broadcast(tot))
@@ -518,12 +514,9 @@ object GraphQueries {
     * result is hash-exact (see [[graft.operators.PageRank]] for the
     * fixed-point recurrence and the dangling-mass contract). */
   val q129_pagerank: Q = (s, d) => {
-    val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") + 1000000L).as("src"),
-        col("o_custkey").cast("long").as("dst"))
-      .distinct()
+    // staged purchase edges are already distinct (c, p) pairs
+    val e0 = CoPurchase.purchaseEdges(s, d)
+      .select((col("p") + 1000000L).as("src"), col("c").cast("long").as("dst"))
     // reversed pairs cannot collide with forward ones (disjoint id ranges),
     // so plain union IS the distinct undirected edge set
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -567,12 +560,9 @@ object GraphQueries {
     * `danglingRedistribute` flag on a graph where it matters (q129's
     * undirected graph has no dangling nodes by construction). */
   val q143_pagerank_dangling: Q = (s, d) => {
-    val edges = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") + 1000000L).as("src"),
-        col("o_custkey").cast("long").as("dst"))
-      .distinct()
+    // staged purchase edges are already distinct (c, p) pairs
+    val edges = CoPurchase.purchaseEdges(s, d)
+      .select((col("p") + 1000000L).as("src"), col("c").cast("long").as("dst"))
     graft.operators.PageRank.ranksFp(edges, "src", "dst", iters = 5,
         danglingRedistribute = true)
       .orderBy(col("id"))
@@ -616,8 +606,7 @@ object GraphQueries {
     * candidate graph is — the diagnostic that separates genuine dup
     * clusters from hash-collision noise before running CC. */
   val q177_neardup_triangles: Q = (s, d) => {
-    val pairs = Dedup.dedupNearMinhash(
-      Tables.documents(s, d), "text", "doc_id", LshK, LshBands)
+    val pairs = DocLsh.pairs(s, d) // shared staged pipeline
     graft.operators.Triangles.stats(pairs, "doc_a", "doc_b")
   }
 
@@ -649,8 +638,7 @@ object GraphQueries {
     * PageRank fixed-round discipline). Pendant collision edges peel away;
     * clique-ish dup clusters survive with their core degrees. */
   val q190_kcore: Q = (s, d) => {
-    val pairs = Dedup.dedupNearMinhash(
-      Tables.documents(s, d), "text", "doc_id", LshK, LshBands)
+    val pairs = DocLsh.pairs(s, d) // shared staged pipeline
     graft.operators.KCore.peel(pairs, "doc_a", "doc_b", 2, maxRounds = 6)
       .orderBy(col("node"))
   }
@@ -687,8 +675,7 @@ object GraphQueries {
     * The oracle unrolls the three rounds as materialized CTEs with the
     * identical `count DESC, label ASC` election. */
   val q195_lpa_communities: Q = (s, d) => {
-    val pairs = Dedup.dedupNearMinhash(
-      Tables.documents(s, d), "text", "doc_id", LshK, LshBands)
+    val pairs = DocLsh.pairs(s, d) // shared staged pipeline
     graft.operators.Lpa.communities(pairs, "doc_a", "doc_b", rounds = 3)
       .orderBy(col("node"))
   }
@@ -725,8 +712,7 @@ object GraphQueries {
     * oracle replays the rounds as three materialized CTEs over the same
     * LSH pair set. */
   val q206_bfs_hops: Q = (s, d) => {
-    val pairs = Dedup.dedupNearMinhash(
-      Tables.documents(s, d), "text", "doc_id", LshK, LshBands)
+    val pairs = DocLsh.pairs(s, d) // shared staged pipeline
     val seeds = Tables.documents(s, d)
       .where(col("doc_id") % 50 === 0).select(col("doc_id"))
     graft.operators.Bfs.hops(pairs, "doc_a", "doc_b", seeds, rounds = 3)

@@ -54,7 +54,7 @@ object TextMiningQueries {
     val sk = array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
     val cands = graft.operators.SortedNeighborhood.pairs(
       doc.select(col("doc_id"), sk.as("sk")), "doc_id", col("sk"), w = 5)
-    val shingled = Dedup.docShingles(doc, "text", "doc_id")
+    val shingled = DocLsh.shingles(s, d)
     Dedup.ngramJaccard(shingled, cands.select(col("doc_a"), col("doc_b")))
       .where(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -390,11 +390,9 @@ object TextMiningQueries {
     * by two keyed joins, the intersection is postings-keyed (never
     * all-pairs), and the output histogram is ≤ 11 rows. */
   val q294_minhash_calibration: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val shingled = Dedup.docShingles(docs, "text", "doc_id")
-    val sig = Dedup.minhashSignatures(shingled, LshK)
-      .localCheckpoint(true) // consumers: LSH banding + two estimate attaches
-    val pairs = Dedup.lshCandidatePairs(sig, LshBands, LshK / LshBands)
+    val shingled = DocLsh.shingles(s, d)
+    val sig = DocLsh.signatures(s, d) // staged: banding + two attaches re-scan
+    val pairs = DocLsh.pairs(s, d)
     val sigA = sig.select(col("doc_id").as("doc_a") +:
       (0 until LshK).map(i => col(s"h$i").as(s"ha$i")): _*)
     val sigB = sig.select(col("doc_id").as("doc_b") +:
