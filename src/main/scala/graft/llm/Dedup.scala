@@ -370,13 +370,20 @@ object Dedup {
     * space — recover radius with [[simhashMultiProbePairs]]. */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           bits: Int = 16, bandBits: Int = 4,
-                          maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                          maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    // materialize fingerprints once (1 long per doc) — same rationale as
+    // [[lshCandidatePairs]]
+    simhashNearDupPairsFromFp(simhash(df, textCol, idCol, bits).localCheckpoint(true),
+      bits, bandBits, maxHamming, maxBucket)
+
+  /** [[simhashNearDupPairs]] over a PRECOMPUTED (doc_id, simhash) frame —
+    * the staged-fingerprint entry point (a bench/verify session computes
+    * fingerprints once and fans them into every banding variant). */
+  def simhashNearDupPairsFromFp(fp: DataFrame, bits: Int, bandBits: Int,
+                                maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
     require(bits % bandBits == 0, "bandBits must divide bits")
     val nBands = bits / bandBits
     require(maxHamming < nBands, "banding is only candidate-complete for maxHamming < nBands")
-    // materialize fingerprints once (1 long per doc) — same rationale as
-    // [[lshCandidatePairs]]
-    val fp = simhash(df, textCol, idCol, bits).localCheckpoint(true)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits)
@@ -486,12 +493,18 @@ object Dedup {
     * never precision. */
   def simhashMultiProbePairs(df: DataFrame, textCol: String, idCol: String,
                              bits: Int = 64, bandBits: Int = 8,
-                             maxHamming: Int = 10, maxBucket: Int = 1000): DataFrame = {
+                             maxHamming: Int = 10, maxBucket: Int = 1000): DataFrame =
+    simhashMultiProbePairsFromFp(simhash(df, textCol, idCol, bits).localCheckpoint(true),
+      bits, bandBits, maxHamming, maxBucket)
+
+  /** [[simhashMultiProbePairs]] over a PRECOMPUTED (doc_id, simhash)
+    * frame — the staged-fingerprint entry point. */
+  def simhashMultiProbePairsFromFp(fp: DataFrame, bits: Int, bandBits: Int,
+                                   maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
     require(bits % bandBits == 0, "bandBits must divide bits")
     val nBands = bits / bandBits
     require(maxHamming < 2 * nBands,
       "1-bit multi-probe banding is only candidate-complete for maxHamming < 2*nBands")
-    val fp = simhash(df, textCol, idCol, bits).localCheckpoint(true)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits)

@@ -53,4 +53,11 @@ private[queries] object DocLsh {
   def pairs(s: SparkSession, d: String): DataFrame =
     memo(s, d, "pairs")(
       Dedup.lshCandidatePairs(signatures(s, d), LshBands, LshK / LshBands))
+
+  /** SimHash fingerprints (doc_id, simhash) at `bits` — one staged build
+    * per width, fanned into every banding/probing variant (q25/q31 at 32
+    * bits; q90/q142/q145 at 64). */
+  def simhashFp(s: SparkSession, d: String, bits: Int): DataFrame =
+    memo(s, d, s"simhash$bits")(
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id", bits))
 }
