@@ -902,7 +902,256 @@ object InfoQueries {
       |FROM cb JOIN cu USING (u) JOIN cv USING (v) CROSS JOIN tt
       |ORDER BY pmi_fp DESC, u, v LIMIT 20""".stripMargin
 
+  /** Exact two-sample KOLMOGOROV–SMIRNOV drift statistic between the
+    * `click` and `view` event-value distributions — completes the drift
+    * trio (q223 chi² for categorical, q285 JSD for token distributions,
+    * KS for CONTINUOUS metrics). Integer-exact throughout: with per-value
+    * cumulative counts cumA/cumB and totals nA/nB, the classic
+    * D = max |cumA/nA − cumB/nB| is kept as the cross-multiplied BIGINT
+    * numerator max |cumA·nB − cumB·nA| (one exact `div` at the end for
+    * ppm), so no float CDF ever forms. Ties in the max break toward the
+    * larger value via a struct-max (= the oracle's ORDER BY DESC LIMIT 1).
+    * Scale shapes: one event scan → per-distinct-value counts; cumulative
+    * counts via the range-partitioned prefix sum (constant group, hint 1)
+    * — no global window over the value domain; the final max is one
+    * map-side-combined aggregate. cum·total stays in BIGINT below ~3·10⁹
+    * events per side; past that, widen to DECIMAL(38,0) like q226/q238. */
+  val q298_ks_drift: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("ib"))
+    val pv = ev.groupBy(col("value"))
+      .agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+      .withColumn("g", lit(0))
+      .localCheckpoint(true) // consumers: two prefix-sum passes + totals
+    val ca = graft.operators.RunningTotal.grouped(pv, "g", Seq("value"),
+      "na", "cum_a", groupCountHint = Some(1L))
+    val cb = graft.operators.RunningTotal.grouped(ca, "g", Seq("value"),
+      "nb", "cum_b", groupCountHint = Some(1L))
+    val tot = pv.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    cb.crossJoin(broadcast(tot)) // x 1 row
+      .select(col("value"),
+        abs(col("cum_a") * col("tb") - col("cum_b") * col("ta")).as("dnum"),
+        col("ta"), col("tb"))
+      .agg(max(struct(col("dnum"), col("value"))).as("m"),
+        max(col("ta")).as("n_a"), max(col("tb")).as("n_b"))
+      .select(col("m.dnum").as("ks_num"), col("m.value").as("at_value"),
+        col("n_a"), col("n_b"))
+      .withColumn("ks_ppm", expr("ks_num * 1000000 div (n_a * n_b)"))
+  }
+
+  val q298_sql: String =
+    """WITH ev AS (SELECT value,
+      |        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+      |        CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+      |      FROM events WHERE event_type IN ('click', 'view')),
+      |pv AS (SELECT value, sum(ia)::BIGINT AS na, sum(ib)::BIGINT AS nb
+      |       FROM ev GROUP BY 1),
+      |cm AS (SELECT value,
+      |        sum(na) OVER (ORDER BY value) AS cum_a,
+      |        sum(nb) OVER (ORDER BY value) AS cum_b FROM pv),
+      |tt AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM pv),
+      |dd AS (SELECT value, abs(cum_a * tb - cum_b * ta)::BIGINT AS dnum
+      |       FROM cm CROSS JOIN tt),
+      |sel AS (SELECT dnum, value FROM dd ORDER BY dnum DESC, value DESC
+      |        LIMIT 1)
+      |SELECT sel.dnum AS ks_num, sel.value AS at_value,
+      |       tt.ta AS n_a, tt.tb AS n_b,
+      |       (sel.dnum * 1000000 // (tt.ta * tt.tb))::BIGINT AS ks_ppm
+      |FROM sel CROSS JOIN tt""".stripMargin
+
+  /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Buettcher 2009) of two
+    * retrieval rankers over the q110 query — BM25 (rational-arithmetic
+    * scores) and a pure-BIGINT tf·idf ranker using the same fixed-point
+    * idf. rrf(d) = Σ_r 10⁹ div (60 + rank_r(d)) in exact integer
+    * arithmetic over the two top-20 lists full-outer-joined (a doc absent
+    * from one ranker contributes only the other's term — standard RRF).
+    * The hybrid-retrieval primitive: at 100 TB this is how a lexical and
+    * a dense ranker merge without score calibration. Scale shapes: both
+    * rankers end in TakeOrdered top-k; the rank row_numbers run over the
+    * ALREADY-REDUCED k-row frames (the documented reduced-frame window
+    * license); the fusion join is k-row × k-row. */
+  val q299_rrf_fusion: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val terms = LlmQueries.Bm25Terms
+    val k = 20
+    val bm = TextAnalysis.bm25TopK(docs, terms, k)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("r_bm25"))
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // consumers: df counts + scoring join
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val ti = tf.join(broadcast(dfs), Seq("term")).crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("tf * ((n * 1000000) div df)")).as("s2"))
+      .orderBy(col("s2").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("s2").desc, col("doc_id")))
+          .cast("long").as("r_tfidf"))
+    bm.join(ti, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_bm25"), col("r_tfidf"),
+        (coalesce(expr("1000000000 div (60 + r_bm25)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + r_tfidf)"), lit(0L)))
+          .as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  val q299_sql: String = {
+    val terms = LlmQueries.Bm25Terms
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivotSum = terms
+      .map(t => s"coalesce(max(CASE WHEN term = '$t' THEN score END), 0.0)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |                 (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |                  CAST(((s.n * 1000000) // df.df) * (22 * s.t * tf.tf) AS DOUBLE) /
+       |                  CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n AS DOUBLE) AS score
+       |           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+       |piv AS (SELECT doc_id, $pivotSum AS bm25 FROM scored GROUP BY doc_id),
+       |bmk AS (SELECT doc_id, bm25 FROM piv ORDER BY bm25 DESC, doc_id LIMIT 20),
+       |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25 FROM bmk),
+       |s2 AS (SELECT tf.doc_id,
+       |              CAST(sum(tf.tf * ((s.n * 1000000) // df.df)) AS BIGINT) AS s2
+       |       FROM tf JOIN df USING (term) CROSS JOIN stats s GROUP BY tf.doc_id),
+       |tk2 AS (SELECT doc_id, s2 FROM s2 ORDER BY s2 DESC, doc_id LIMIT 20),
+       |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY s2 DESC, doc_id) AS r_tfidf FROM tk2),
+       |f AS (SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+       |             r_bm25::BIGINT AS r_bm25, r_tfidf::BIGINT AS r_tfidf,
+       |             (coalesce(1000000000 // (60 + r_bm25), 0) +
+       |              coalesce(1000000000 // (60 + r_tfidf), 0))::BIGINT AS rrf_fp
+       |      FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id)
+       |SELECT doc_id, r_bm25, r_tfidf, rrf_fp
+       |FROM f ORDER BY rrf_fp DESC, doc_id LIMIT 15""".stripMargin
+  }
+
+  /** FELLEGI–SUNTER record-linkage weight estimation (Fellegi & Sunter
+    * 1969) — the probabilistic-matching layer classical MDM runs on top
+    * of blocking: for each comparison field (lang, source, length bucket,
+    * first word), estimate m = P(agree | match) and u = P(agree |
+    * non-match) over the LSH candidate pairs, self-supervised by exact
+    * Jaccard (≥ 0.5 ⇒ match) — the candidate generator proposes, the
+    * expensive verifier labels, and the field weights w = log₂ m − log₂ u
+    * come out in [[Ilog2]] fixed point, so the oracle replays them
+    * EXACTLY. Laplace (+1/+2) smoothing keeps both probabilities off the
+    * boundary. Scale shapes: pairs come from the staged banded-LSH
+    * pipeline (never all-pairs); agreements are row-local after two
+    * field attaches; the stacked (field, label) aggregate is 8 rows.
+    * m_ppm/u_ppm stay ≥ 1 below ~10⁶ labeled pairs per class; past
+    * that, raise the ppm scale before the log. */
+  val q302_fs_linkage: Q = (s, d) => {
+    val shingled = DocLsh.shingles(s, d)
+    val pairs = DocLsh.pairs(s, d)
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+    val inter = pairs
+      .join(shingled.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val fld = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      col("source"), least(expr("n_chars div 300"), lit(4L)).as("buk"),
+      element_at(TextAnalysis.tokens(col("text")), 1).as("fw"))
+    val jac = pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left") // zero-overlap candidates stay
+      .join(sizes.select(col("doc_id").as("doc_a"), col("set_size").as("sa")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("set_size").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("coalesce(n_inter, 0L) * 1000000 div (sa + sb - coalesce(n_inter, 0L))")
+          .as("jac_ppm"))
+    val ag = jac
+      .join(fld.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+        col("source").as("src_a"), col("buk").as("buk_a"), col("fw").as("fw_a")),
+        Seq("doc_a"))
+      .join(fld.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("source").as("src_b"), col("buk").as("buk_b"), col("fw").as("fw_b")),
+        Seq("doc_b"))
+      .select((col("jac_ppm") >= 500000L).as("is_match"),
+        (col("lang_a") === col("lang_b")).cast("long").as("ag_lang"),
+        (col("src_a") === col("src_b")).cast("long").as("ag_source"),
+        (col("buk_a") === col("buk_b")).cast("long").as("ag_bucket"),
+        (col("fw_a") <=> col("fw_b")).cast("long").as("ag_fw"))
+    val st = ag.select(explode(array(
+        struct(lit("bucket").as("field"), col("ag_bucket").as("agree"), col("is_match")),
+        struct(lit("first_word").as("field"), col("ag_fw").as("agree"), col("is_match")),
+        struct(lit("lang").as("field"), col("ag_lang").as("agree"), col("is_match")),
+        struct(lit("source").as("field"), col("ag_source").as("agree"), col("is_match"))))
+        .as("r"))
+      .select(col("r.field").as("field"), col("r.agree").as("agree"),
+        col("r.is_match").as("is_match"))
+    st.groupBy(col("field"))
+      .agg(sum(when(col("is_match"), 1L).otherwise(0L)).as("n_m"),
+        sum(when(col("is_match"), col("agree")).otherwise(0L)).as("agree_m"),
+        sum(when(!col("is_match"), 1L).otherwise(0L)).as("n_u"),
+        sum(when(!col("is_match"), col("agree")).otherwise(0L)).as("agree_u"))
+      .select(col("field"), col("n_m"), col("agree_m"), col("n_u"), col("agree_u"),
+        expr("(agree_m + 1) * 1000000 div (n_m + 2)").as("m_ppm"),
+        expr("(agree_u + 1) * 1000000 div (n_u + 2)").as("u_ppm"))
+      .withColumn("w_fp", il(col("m_ppm")) - il(col("u_ppm")))
+      .orderBy(col("field"))
+  }
+
+  val q302_sql: String =
+    s"""WITH ${LlmQueries.lshCtes(LlmQueries.LshK, LlmQueries.LshBands)},
+       |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+       |          FROM pairs p
+       |          JOIN sh a ON a.doc_id = p.doc_a
+       |          JOIN sh b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT p.doc_a, p.doc_b,
+       |          coalesce(i.n_inter, 0) * 1000000
+       |            // (sa.set_size + sb.set_size - coalesce(i.n_inter, 0)) AS jac_ppm
+       |        FROM pairs p
+       |        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |        JOIN sizes sa ON sa.doc_id = p.doc_a
+       |        JOIN sizes sb ON sb.doc_id = p.doc_b),
+       |fld AS (SELECT doc_id, lang, source, least(n_chars // 300, 4) AS buk,
+       |          CASE WHEN len(ws) > 0 THEN ws[1] END AS fw FROM (
+       |            SELECT doc_id, lang, source, n_chars,
+       |                   list_filter(string_split_regex(lower(text), '\\W+'),
+       |                               x -> x <> '') AS ws
+       |            FROM documents)),
+       |ag AS (SELECT (jac_ppm >= 500000) AS is_match,
+       |          (a.lang = b.lang)::INT AS ag_lang,
+       |          (a.source = b.source)::INT AS ag_source,
+       |          (a.buk = b.buk)::INT AS ag_bucket,
+       |          (a.fw IS NOT DISTINCT FROM b.fw)::INT AS ag_fw
+       |       FROM jac j JOIN fld a ON a.doc_id = j.doc_a
+       |                  JOIN fld b ON b.doc_id = j.doc_b),
+       |st AS (SELECT 'bucket' AS field, is_match, ag_bucket AS agree FROM ag
+       |       UNION ALL SELECT 'first_word', is_match, ag_fw FROM ag
+       |       UNION ALL SELECT 'lang', is_match, ag_lang FROM ag
+       |       UNION ALL SELECT 'source', is_match, ag_source FROM ag),
+       |tr AS (SELECT field,
+       |          sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS n_m,
+       |          sum(CASE WHEN is_match THEN agree ELSE 0 END)::BIGINT AS agree_m,
+       |          sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END)::BIGINT AS n_u,
+       |          sum(CASE WHEN NOT is_match THEN agree ELSE 0 END)::BIGINT AS agree_u
+       |       FROM st GROUP BY 1),
+       |w AS (SELECT field, n_m, agree_m, n_u, agree_u,
+       |         ((agree_m + 1) * 1000000 // (n_m + 2))::BIGINT AS m_ppm,
+       |         ((agree_u + 1) * 1000000 // (n_u + 2))::BIGINT AS u_ppm FROM tr)
+       |SELECT field, n_m, agree_m, n_u, agree_u, m_ppm, u_ppm,
+       |       (${Ilog2.sqlReplay("m_ppm")}
+       |        - ${Ilog2.sqlReplay("u_ppm")})::BIGINT AS w_fp
+       |FROM w ORDER BY field""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q302_fs_linkage" -> q302_fs_linkage,
+    "q298_ks_drift" -> q298_ks_drift,
+    "q299_rrf_fusion" -> q299_rrf_fusion,
     "q296_pmi_collocations" -> q296_pmi_collocations,
     "q291_retrieval_metrics" -> q291_retrieval_metrics,
     "q293_rank_correlation" -> q293_rank_correlation,
@@ -918,6 +1167,9 @@ object InfoQueries {
     "q275_bigram_xent" -> q275_bigram_xent)
 
   val oracles: Map[String, String] = Map(
+    "q302_fs_linkage" -> q302_sql,
+    "q298_ks_drift" -> q298_sql,
+    "q299_rrf_fusion" -> q299_sql,
     "q296_pmi_collocations" -> q296_sql,
     "q291_retrieval_metrics" -> q291_sql,
     "q293_rank_correlation" -> q293_sql,

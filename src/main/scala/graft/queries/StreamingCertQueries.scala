@@ -585,7 +585,56 @@ object StreamingCertQueries {
   /** Same oracle as the batch retention triangle. */
   val q295_sql: String = AnalyticsQueries.q292_sql
 
+  /** Stateful streaming FUNNEL certification — the thirty-first streaming
+    * cert: [[Streaming.funnelDepth]] carries each user's greedy funnel
+    * state (depth + last-advance micros, two longs) across four
+    * (tsm, x, event_id)-ordered micro-batches — the SAME (t, stage)
+    * order the batch [[graft.operators.Funnel.depth]] `sort_array` fold
+    * walks, so the cross-batch replay extends the within-batch order and
+    * the greedy matching is the identical function. Timestamps ride
+    * MICROS (the batch fold's `unix_micros` resolution — millis would
+    * merge distinct instants and break the strict `ts > prev` rule).
+    * Depth is monotone, so `max` over the per-batch emissions is the
+    * final depth; must hash-match q111's stage-chained batch oracle. */
+  val q303_stream_funnel: Q = (s, d) => {
+    import s.implicits._
+    val stages = Seq("view", "click", "purchase")
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin(stages: _*))
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("tsm"),
+        col("event_id").cast("long").as("event_id"),
+        when(col("event_type") === "view", 0L)
+          .when(col("event_type") === "click", 1L)
+          .otherwise(2L).as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsFunnelOrdered4", 4,
+      Seq(col("tsm"), col("x"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q303_fun_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = Streaming.funnelDepth(stream.as[Streaming.KeyedObs], stages.size)
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("funnel_depth")).as("funnel_depth"))
+      .orderBy(col("user_id"))
+  }
+  /** Same oracle as the batch funnel. */
+  val q303_sql: String = AnalyticsQueries.q111_sql
+
   val defs: Map[String, Q] = Map(
+    "q303_stream_funnel" -> q303_stream_funnel,
     "q295_stream_retention" -> q295_stream_retention,
     "q229_stream_attribution" -> q229_stream_attribution,
     "q232_stream_covisit" -> q232_stream_covisit,
@@ -599,6 +648,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q303_stream_funnel" -> q303_sql,
     "q295_stream_retention" -> q295_sql,
     "q229_stream_attribution" -> q229_sql,
     "q232_stream_covisit" -> q232_sql,

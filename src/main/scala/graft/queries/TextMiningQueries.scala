@@ -443,7 +443,131 @@ object TextMiningQueries {
        |FROM err GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** TEXTRANK keyword authority (Mihalcea & Tarau 2004) — PageRank over
+    * the adjacent-token co-occurrence graph, restricted to the
+    * content-bounded vocabulary of tokens appearing ≥ 20 times as a
+    * bigram endpoint (31 nodes on this corpus at EVERY scale factor —
+    * Zipf makes the band content-bounded, not corpus-bounded). Re-uses
+    * [[graft.operators.PageRank.ranksFp]]'s all-BIGINT five-round power
+    * iteration, so the oracle unrolls the identical rounds and the ranks
+    * are hash-exact (the q129 pattern, on a graph built from text).
+    * Scale shapes: one corpus scan → per-document lead-window bigrams;
+    * vocabulary ids come from a row_number over the ALREADY-REDUCED
+    * vocab frame (reduced-frame window license) and broadcast into the
+    * edge build; the iteration graph is |vocab|-bounded. */
+  val q300_textrank: Q = (s, d) => {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tk = Tables.documents(s, d).select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "u")))
+    val bg = tk.withColumn("v", lead(col("u"), 1).over(byPos))
+      .where(col("v").isNotNull && col("u") =!= col("v"))
+      .select(col("u"), col("v"))
+      .localCheckpoint(true) // consumers: vocab counts + edge build
+    val vocab = bg.select(col("u").as("tok"))
+      .union(bg.select(col("v").as("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= 20L)
+      .select(col("tok"),
+        row_number().over(Window.orderBy(col("tok"))).cast("long").as("id"))
+      .localCheckpoint(true) // consumers: two edge attaches + rank join
+    val e1 = bg
+      .join(broadcast(vocab.select(col("tok").as("u"), col("id").as("src"))),
+        Seq("u"))
+      .join(broadcast(vocab.select(col("tok").as("v"), col("id").as("dst"))),
+        Seq("v"))
+      .select(col("src"), col("dst")).distinct()
+    val und = e1.union(e1.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    graft.operators.PageRank.ranksFp(und, "src", "dst", iters = 5)
+      .join(broadcast(vocab), Seq("id"))
+      .select(col("tok"), col("r_fp"))
+      .orderBy(col("r_fp").desc, col("tok"))
+      .limit(20)
+  }
+
+  val q300_sql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.id,
+         |         base + (85 * coalesce(s.s, 0)) // 100 AS r_fp
+         |  FROM nodes CROSS JOIN params
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.r_fp // deg.deg) AS s
+         |    FROM e JOIN deg ON deg.src = e.src
+         |         JOIN r${i - 1} p ON p.id = e.src
+         |    GROUP BY e.dst) s ON s.id = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk0 AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\W+'),
+       |                x -> x <> '') AS ws
+       |  FROM documents),
+       |tk AS (SELECT doc_id, unnest(ws) AS u,
+       |         unnest(range(1, len(ws) + 1)) AS pos FROM tk0),
+       |bg AS (SELECT u, v FROM (
+       |         SELECT u, lead(u, 1) OVER (PARTITION BY doc_id
+       |                                    ORDER BY pos) AS v
+       |         FROM tk) WHERE v IS NOT NULL AND u <> v),
+       |vc AS (SELECT tok FROM (
+       |         SELECT tok, count(*) AS freq FROM (
+       |           SELECT u AS tok FROM bg UNION ALL SELECT v FROM bg)
+       |         GROUP BY 1) WHERE freq >= 20),
+       |ids AS (SELECT tok, row_number() OVER (ORDER BY tok) AS id FROM vc),
+       |e1 AS (SELECT DISTINCT a.id AS src, b.id AS dst
+       |       FROM bg JOIN ids a ON a.tok = bg.u
+       |               JOIN ids b ON b.tok = bg.v),
+       |e AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |params AS (
+       |  SELECT (1000000000000 // count(*)) * 15 // 100 AS base FROM nodes),
+       |r0 AS (
+       |  SELECT id, 1000000000000 // (SELECT count(*) FROM nodes) AS r_fp
+       |  FROM nodes),
+       |$rounds
+       |SELECT ids.tok, cast(r_fp AS BIGINT) AS r_fp
+       |FROM r5 JOIN ids USING (id)
+       |ORDER BY r_fp DESC, tok LIMIT 20""".stripMargin
+  }
+
+  /** Positional PROXIMITY search — the within-k companion to q256's
+    * consecutive-phrase scan: documents where "fast" and "sort" occur
+    * within 3 token positions IN EITHER ORDER, with the pair count and
+    * the minimum distance. The unordered-window operator a
+    * quote-less search box runs. Shapes: two df-bounded postings lists
+    * equi-joined on doc_id with a row-local distance filter — posting
+    * size bounds every join input, never a document self-join. */
+  val q301_proximity_search: Q = (s, d) => {
+    val tk = Tables.documents(s, d).select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+    val pa = tk.where(col("term") === "fast")
+      .select(col("doc_id"), col("pos").as("pa"))
+    val pb = tk.where(col("term") === "sort")
+      .select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, Seq("doc_id"))
+      .where(abs(col("pa") - col("pb")) <= 3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q301_sql: String =
+    """WITH tk0 AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\W+'),
+      |                x -> x <> '') AS ws
+      |  FROM documents),
+      |tk AS (SELECT doc_id, unnest(ws) AS term,
+      |         unnest(range(1, len(ws) + 1)) AS pos FROM tk0),
+      |a AS (SELECT doc_id, pos AS pa FROM tk WHERE term = 'fast'),
+      |b AS (SELECT doc_id, pos AS pb FROM tk WHERE term = 'sort')
+      |SELECT a.doc_id, count(*)::BIGINT AS n_pairs,
+      |       min(abs(pa - pb))::BIGINT AS min_dist
+      |FROM a JOIN b USING (doc_id) WHERE abs(pa - pb) <= 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q300_textrank" -> q300_textrank,
+    "q301_proximity_search" -> q301_proximity_search,
     "q294_minhash_calibration" -> q294_minhash_calibration,
     "q186_ttr_hapax" -> q186_ttr_hapax,
     "q209_snm_blocking" -> q209_snm_blocking,
@@ -456,6 +580,8 @@ object TextMiningQueries {
     "q270_winnowing_match" -> q270_winnowing_match)
 
   val oracles: Map[String, String] = Map(
+    "q300_textrank" -> q300_sql,
+    "q301_proximity_search" -> q301_sql,
     "q294_minhash_calibration" -> q294_sql,
     "q186_ttr_hapax" -> q186_sql,
     "q209_snm_blocking" -> q209_sql,

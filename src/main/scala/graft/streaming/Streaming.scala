@@ -813,4 +813,36 @@ object Streaming {
           Iterator.single(ConcBatchOut(key, seen, cur, peak, tPeak))
       }
   }
+
+  case class FunnelOut(user_id: Long, funnel_depth: Long)
+
+  /** Stateful streaming FUNNEL DEPTH — the streaming form of
+    * [[graft.operators.Funnel.depth]]'s greedy earliest-first fold: the
+    * stage index rides [[KeyedObs]].x, and TWO longs of state per user
+    * (completed depth + timestamp of the last advancing event) carry the
+    * funnel across micro-batch boundaries. An event advances the funnel
+    * iff its stage equals the current depth AND its time is STRICTLY
+    * greater than the last advance (the batch `ts > prev` convention) —
+    * so duplicate-instant events can never double-advance, in either
+    * engine. Within a batch rows fold in (tsm, x, event_id) order — the
+    * same (t, stage) struct order the batch `sort_array` fold walks;
+    * across batches the replay's staged order must extend it. Depth is
+    * monotone, so the certification takes `max(funnel_depth)` per user
+    * over the per-batch emissions and hash-matches the batch oracle. */
+  def funnelDepth(arrivals: Dataset[KeyedObs], nStages: Int): Dataset[FunnelOut] = {
+    require(nStages >= 1, s"nStages must be >= 1 (got $nStages)")
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[KeyedObs], state: GroupState[(Long, Long)]) =>
+          var (d, t) = state.getOption.getOrElse((0L, Long.MinValue))
+          it.toSeq.sortBy(o => (o.tsm, o.x, o.event_id)).foreach { o =>
+            if (d < nStages && o.x == d && o.tsm > t) { d += 1L; t = o.tsm }
+          }
+          state.update((d, t))
+          Iterator.single(FunnelOut(userId, d))
+      }
+  }
 }

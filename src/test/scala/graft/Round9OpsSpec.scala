@@ -36,6 +36,31 @@ class Round9OpsSpec extends SparkSpec {
     assert(cells == Seq((10L, 0L), (10L, 1L), (10L, 3L), (11L, 0L), (11L, 1L)))
   }
 
+  // NOTE: cross-boundary statefulness at corpus scale is certified by
+  // q303_stream_funnel's staged maxFilesPerTrigger=1 replay against the
+  // batch q111 oracle; this unit test pins the greedy fold's edge cases.
+  test("funnelDepth: strict-time greedy advance carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.KeyedObs]
+    // x is the stage index: 0=view, 1=click, 2=purchase
+    // batch 1: user 1 views at t=100; a click at the SAME instant must NOT
+    // advance (strict ts > prev); user 2 clicks without ever viewing
+    mem.addData(obs(1, 100, 1, 0), obs(1, 100, 2, 1), obs(2, 100, 3, 1))
+    // batch 2: user 1 clicks at 200 and purchases at 300 -> depth 3,
+    // with the click->purchase advance spanning the batch boundary state
+    mem.addData(obs(1, 200, 4, 1), obs(1, 300, 5, 2), obs(2, 301, 6, 1))
+    val name = "fun_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Streaming.funnelDepth(mem.toDS(), 3)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val depths = spark.table(name).groupBy("user_id")
+      .agg(max("funnel_depth").as("d")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("d"))).sorted.toSeq
+    assert(depths == Seq((1L, 3L), (2L, 0L)))
+  }
+
   test("cohortRetention: rejects offsets outside the 64-week mask") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.KeyedObs]
