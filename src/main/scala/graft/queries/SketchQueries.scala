@@ -558,19 +558,45 @@ object SketchQueries {
     * exact verify) computes the WEIGHTED Jaccard Σmin(r_a,r_b) /
     * Σmax(r_a,r_b) — the repetition-aware near-dup tier that set
     * Jaccard is blind to (a doc saying "spam" once and one saying it
-    * 500 times are set-identical). Same scale shape as q24: one
-    * groupBy over (doc, token), bounded element fan-out, bucket join
-    * never all-pairs, verification over candidates only. The final
-    * IEEE division of two exact ints is bit-identical cross-engine. */
+    * 500 times are set-identical).
+    *
+    * Banding is 2 bands × 4 rows, TIGHTER than q24's 4×2: every doc's
+    * "tok~1" elements reproduce its plain token set, so weighted
+    * signatures are systematically more similar than set signatures —
+    * at 4×2 this corpus yields 1.21M candidates (measured at sf0.1, 5k
+    * docs), at 2×4 0.71M with recall still 0.66/0.87 at wj 0.8/0.9:
+    * the right precision regime for a ≥0.5 dup tier. Output is the
+    * per-DOC dup profile (partner count + strongest partner), not the
+    * 0.46M-row pair list: the pair set is an intermediate at this
+    * similarity density, the per-doc profile is the curation signal.
+    * One groupBy over (doc, token), bounded element fan-out, bucket
+    * join never all-pairs, verification over candidates only; the
+    * IEEE division of two exact ints is bit-identical cross-engine,
+    * so the max-struct partner election replays exactly. */
   val q277_weighted_minhash: Q = (s, d) => {
-    // deliberately UNCACHED like q24: AQE's ReusedExchange dedupes the
-    // element relation's two consumers at runtime
+    // el has THREE consumers (signature build + both verify sides):
+    // truncate lineage once, the q121 fan-out lesson
     val el = Dedup.weightedShingles(Tables.documents(s, d), "text", "doc_id")
+      .localCheckpoint(true)
     val pairs = Dedup.lshCandidatePairs(
-      Dedup.minhashSignatures(el, LshK), LshBands, LshK / LshBands)
-    Dedup.ngramJaccard(el, pairs)
-      .withColumnRenamed("jaccard", "w_jaccard")
-      .orderBy(col("doc_a"), col("doc_b"))
+      Dedup.minhashSignatures(el, LshK), 2, LshK / 2)
+    val wj = Dedup.ngramJaccard(el, pairs).where(col("jaccard") >= 0.5)
+    // both directions via a row-local explode, NOT a two-sided union —
+    // a union would execute the whole verify join twice (measured 9.2 s
+    // vs 5.5 s steady-state at sf0.1)
+    wj.select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("partner"),
+          col("jaccard")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("partner"),
+          col("jaccard")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.partner").as("partner"),
+        col("r.jaccard").as("jaccard"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dups"),
+        max(struct(col("jaccard").as("j"), col("partner").as("p"))).as("m"))
+      .select(col("doc_id"), col("n_dups"), col("m.j").as("max_wj"),
+        col("m.p").as("best_partner"))
+      .orderBy(col("doc_id"))
   }
 
   private val weightedShCtes: String =
@@ -583,20 +609,31 @@ object SketchQueries {
       |       FROM cnt, UNNEST(range(1, least(length(bin(c)), 4) + 1)) t(i))""".stripMargin
 
   val q277_sql: String =
-    s"""WITH ${lshCtesFrom(weightedShCtes, LshK, LshBands)},
+    s"""WITH ${lshCtesFrom(weightedShCtes, LshK, 2)},
        |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
        |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
        |          FROM pairs p
        |          JOIN sh a ON a.doc_id = p.doc_a
        |          JOIN sh b ON b.doc_id = p.doc_b AND a.shingle = b.shingle
-       |          GROUP BY p.doc_a, p.doc_b)
-       |SELECT i.doc_a, i.doc_b,
-       |       i.n_inter::DOUBLE / (sa.set_size + sb.set_size - i.n_inter)
-       |         AS w_jaccard
-       |FROM inter i
-       |JOIN sizes sa ON sa.doc_id = i.doc_a
-       |JOIN sizes sb ON sb.doc_id = i.doc_b
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |          GROUP BY p.doc_a, p.doc_b),
+       |wj AS (SELECT i.doc_a, i.doc_b,
+       |         i.n_inter::DOUBLE / (sa.set_size + sb.set_size - i.n_inter)
+       |           AS j
+       |       FROM inter i
+       |       JOIN sizes sa ON sa.doc_id = i.doc_a
+       |       JOIN sizes sb ON sb.doc_id = i.doc_b
+       |       WHERE i.n_inter::DOUBLE
+       |               / (sa.set_size + sb.set_size - i.n_inter) >= 0.5),
+       |bth AS (SELECT doc_a AS doc_id, doc_b AS partner, j FROM wj
+       |         UNION ALL SELECT doc_b, doc_a, j FROM wj),
+       |prof AS (SELECT doc_id, partner, j,
+       |           count(*) OVER (PARTITION BY doc_id) AS n_dups,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY j DESC, partner DESC) AS rn
+       |         FROM bth)
+       |SELECT doc_id, n_dups::BIGINT AS n_dups, j AS max_wj,
+       |       partner AS best_partner
+       |FROM prof WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, Q] = Map(
     "q277_weighted_minhash" -> q277_weighted_minhash,
