@@ -58,9 +58,12 @@ object Triangles {
             (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
       .select(col("e1.dst").as("wsrc"), col("e2.dst").as("wdst"))
       .localCheckpoint(true) // consumers: wedge count + closure
-    val tri = wedges.join(
-      orient.select(col("src").as("wsrc"), col("dst").as("wdst")),
-      Seq("wsrc", "wdst"), "left_semi")
+    // same broadcast-closure gate as [[perNode]]: the wedge side is the
+    // big one — keep it exchange-free whenever the edge set fits
+    val closeSide = orient.select(col("src").as("wsrc"), col("dst").as("wdst"))
+    val closer = if (orient.count() <= 4000000L) broadcast(closeSide)
+      else closeSide
+    val tri = wedges.join(closer, Seq("wsrc", "wdst"), "left_semi")
     deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
@@ -99,9 +102,18 @@ object Triangles {
             (col("e1.ddst") === col("e2.ddst") && col("e1.dst") < col("e2.dst"))))
       .select(col("e1.src").as("piv"), col("e1.dst").as("wsrc"),
         col("e2.dst").as("wdst"))
-    val triNodes = wedges.join(
-        orient.select(col("src").as("wsrc"), col("dst").as("wdst")),
-        Seq("wsrc", "wdst"))
+    // The wedge set is O(m^1.5) — orders of magnitude larger than the
+    // edge set (41M wedges vs 1.2M edges on the sf0.1 co-purchase graph).
+    // Shuffling it on (wsrc, wdst) for the closure join was q230's
+    // dominant cost; when the EDGE side fits a broadcast (count gate on
+    // the already-materialized checkpoint — one cheap job), closure
+    // becomes a broadcast hash join and the wedge stream never exchanges.
+    // Past the gate (billions of edges at 100 TB) the shuffle join
+    // returns automatically.
+    val closeSide = orient.select(col("src").as("wsrc"), col("dst").as("wdst"))
+    val closer = if (orient.count() <= 4000000L) broadcast(closeSide)
+      else closeSide
+    val triNodes = wedges.join(closer, Seq("wsrc", "wdst"))
       .select(explode(array(col("piv"), col("wsrc"), col("wdst"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
     deg.join(triNodes, Seq("node"), "left")
