@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Functions._
+import graft.functions.Ilog2
 import graft.io.Tables
 import graft.operators.BloomPrefilter
 import graft.transform.Star
@@ -360,6 +361,74 @@ object GraphQueries {
       |SELECT a, b, n_common, ra_ppb FROM pr
       |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = pr.a AND e.v = pr.b)
       |ORDER BY ra_ppb DESC, a, b LIMIT 20""".stripMargin
+
+
+  /** ADAMIC–ADAR link index over the co-purchase graph — the third of
+    * the classic unsupervised link-prediction trio (q253 raw
+    * common-neighbor count, q241 resource allocation's 1/deg, AA's
+    * 1/log₂deg): each shared pivot w contributes 1/log₂(deg(w)),
+    * discounting hubs more gently than RA — empirically the strongest
+    * of the three on co-occurrence graphs (Liben-Nowell & Kleinberg,
+    * CIKM 2003). Integer-exact across engines: a pivot's contribution
+    * is (10⁹·2¹⁶) div ilog2_fp(deg) with [[graft.functions.Ilog2]]'s
+    * 16-bit fixed-point log (so when deg = 2 the contribution is
+    * exactly 10⁹ ppb, matching q241's unit). Pivots need deg ≥ 2 to
+    * generate a pair, so the divisor is never 0 — the ≥ 2 filter is
+    * explicit and drops nothing. Same bounded fan-out as q241/q253:
+    * pivot-degree cap + per-pivot c=32 smallest-id shortlist (rank
+    * window keyed on the self-join column — no extra exchange),
+    * map-side-combined pair sums, one broadcast anti-join to drop true
+    * edges. Σ of ≤ c contributions ≤ 3.2·10¹⁰ — BIGINT-safe at any
+    * graph size because the shortlist, not the corpus, bounds it. */
+  val q304_adamic_adar: Q = (s, d) => {
+    val maxPivotDeg = 500L
+    val shortlistC = 32
+    // shared staged edge set; consumers (adjacency + anti-join) re-scan
+    val e = CoPurchase.edges(s, d)
+    val adj = e.select(col("u").as("n"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val pivots = adj.join(
+      deg.where(col("deg") <= maxPivotDeg && col("deg") >= 2L), Seq("n"))
+    val short = pivots.withColumn("rk",
+        row_number().over(Window.partitionBy(col("n")).orderBy(col("nb"))))
+      .where(col("rk") <= shortlistC).drop("rk")
+      .withColumn("w_fp", Ilog2.ilog2(col("deg")))
+      .withColumn("aa_c", expr("65536000000000 div w_fp"))
+    val pairs = short.as("x").join(short.as("y"),
+        col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
+      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
+      .agg(sum(col("x.aa_c")).as("aa_ppb"), count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(e.select(col("u").as("a"), col("v").as("b"))),
+        Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("n_common"), col("aa_ppb"))
+      .orderBy(col("aa_ppb").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val q304_sql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM op a
+      |      JOIN op b ON a.o = b.o AND a.p < b.p),
+      |adj AS (SELECT u AS n, v AS nb FROM e
+      |        UNION ALL SELECT v, u FROM e),
+      |dg AS (SELECT n, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+      |pv AS (SELECT adj.n, adj.nb, dg.deg FROM adj JOIN dg ON dg.n = adj.n
+      |       WHERE dg.deg <= 500 AND dg.deg >= 2),
+      |sh AS (SELECT n, nb,
+      |         (65536000000000 // (${Ilog2.sqlReplay("deg")}))::BIGINT AS aa_c
+      |       FROM pv
+      |       QUALIFY row_number() OVER (PARTITION BY n ORDER BY nb) <= 32),
+      |pr AS (SELECT x.nb AS a, y.nb AS b,
+      |              sum(x.aa_c)::BIGINT AS aa_ppb,
+      |              count(*)::BIGINT AS n_common
+      |       FROM sh x JOIN sh y ON x.n = y.n AND x.nb < y.nb
+      |       GROUP BY 1, 2)
+      |SELECT a, b, n_common, aa_ppb FROM pr
+      |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = pr.a AND e.v = pr.b)
+      |ORDER BY aa_ppb DESC, a, b LIMIT 20""".stripMargin
 
 
   val q253_common_neighbors: Q = (s, d) => {
@@ -791,6 +860,7 @@ object GraphQueries {
     "q267_weighted_pagerank" -> q267_weighted_pagerank,
     "q255_weighted_sssp" -> q255_weighted_sssp,
     "q241_resource_allocation" -> q241_resource_allocation,
+    "q304_adamic_adar" -> q304_adamic_adar,
     "q253_common_neighbors" -> q253_common_neighbors,
     "q247_negative_sampling" -> q247_negative_sampling,
     "q238_degree_assortativity" -> q238_degree_assortativity,
@@ -812,6 +882,7 @@ object GraphQueries {
     "q230_clustering_coeff" -> q230_sql,
     "q238_degree_assortativity" -> q238_sql,
     "q241_resource_allocation" -> q241_sql,
+    "q304_adamic_adar" -> q304_sql,
     "q253_common_neighbors" -> q253_sql,
     "q247_negative_sampling" -> q247_sql,
     "q255_weighted_sssp" -> q255_sql,

@@ -1148,7 +1148,95 @@ object InfoQueries {
        |        - ${Ilog2.sqlReplay("u_ppm")})::BIGINT AS w_fp
        |FROM w ORDER BY field""".stripMargin
 
+  /** Exact tie-aware ROC AUC — the threshold-free complement of q282's
+    * confusion matrix, and the standard acceptance gate for any cheap
+    * scorer before it filters a corpus at 100 TB. Two scorers audited
+    * side by side, one row each: `chars_vs_tokens` — does raw n_chars
+    * predict "BPE token count > 56" (the pre-tokenization budget gate;
+    * a REAL proxy, AUC ≈ 0.999) — and `stopwords_vs_lang` — does the
+    * q21 'en'-stopword rate predict lang = 'en' (NO signal in this
+    * corpus, AUC ≈ 0.47 — the null-scorer calibration point that
+    * proves the metric isn't flattering noise). AUC via the rank-sum
+    * (Mann–Whitney) identity with TIES AVERAGED — on discrete integer
+    * scores ties are the common case and the naive row_number form is
+    * biased; a tied block's mid-rank is rational, so the fold carries
+    * 2·rank: 2R⁺ = Σ_s p_s·(2·cum_n(s) − n_s + 1) over per-score
+    * groups, AUC = (2R⁺ − P(P+1)) / (2PN) — all BIGINT, one exact div
+    * to ppm. Scale shapes: ONE corpus scan per scorer reduces to
+    * per-(scorer, score) counts — the score domain bounds every later
+    * stage; cumulative counts via the range-partitioned prefix sum
+    * GROUPED BY SCORER (hint 2 — no global window); the final fold is
+    * one map-side-combined aggregate per scorer. 2R⁺ < 2n² —
+    * BIGINT-safe below ~2·10⁹ scored docs; past that, widen the two
+    * sums to DECIMAL(38,0) like q226/q238. Zero-token docs carry no
+    * stopword rate and are excluded from that scorer's eval set. */
+  val q305_roc_auc: Q = (s, d) => {
+    val enPat = TextAnalysis.langProfiles.head._2
+    val doc = Tables.documents(s, d)
+    val chars = doc.select(lit("chars_vs_tokens").as("scorer"),
+      col("n_chars").as("score"),
+      when(TextAnalysis.bpeTokenCount(col("text")) > 56L, 1L)
+        .otherwise(0L).as("pos"))
+    val stops = doc.select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+        size(regexp_extract_all(lower(col("text")), lit(enPat), lit(0)))
+          .cast("long").as("s_en"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tok"))
+      .where(col("n_tok") > 0)
+      .select(lit("stopwords_vs_lang").as("scorer"),
+        expr("1000000 * s_en div n_tok").as("score"), col("pos"))
+    val perScore = chars.unionAll(stops)
+      .groupBy(col("scorer"), col("score"))
+      .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("p_s"))
+    val cum = graft.operators.RunningTotal.grouped(perScore, "scorer",
+      Seq("score"), "n_s", "cum_n", groupCountHint = Some(2L))
+    cum.groupBy(col("scorer"))
+      .agg(sum(col("p_s") * (col("cum_n") * 2 - col("n_s") + 1))
+          .as("two_r_pos"),
+        sum(col("p_s")).as("pos"),
+        sum(col("n_s")).as("n_all"))
+      .select(col("scorer"), col("pos"),
+        (col("n_all") - col("pos")).as("neg"), col("two_r_pos"))
+      .withColumn("auc_ppm",
+        expr("(two_r_pos - pos * (pos + 1)) * 1000000 div (2 * pos * neg)"))
+      .orderBy(col("scorer"))
+  }
+
+  val q305_sql: String = {
+    val enPat = TextAnalysis.langProfiles.head._2
+    s"""WITH ch AS (SELECT 'chars_vs_tokens' AS scorer, n_chars AS score,
+       |    CASE WHEN len(regexp_extract_all(text,
+       |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) > 56
+       |    THEN 1 ELSE 0 END AS pos
+       |  FROM documents),
+       |dsc AS (SELECT
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+       |    len(regexp_extract_all(lower(text), '$enPat')) AS s_en,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |        x -> x <> '')) AS n_tok
+       |  FROM documents),
+       |st AS (SELECT 'stopwords_vs_lang' AS scorer,
+       |         (1000000 * s_en // n_tok)::BIGINT AS score, pos
+       |       FROM dsc WHERE n_tok > 0),
+       |sc AS (SELECT * FROM ch UNION ALL SELECT * FROM st),
+       |g AS (SELECT scorer, score, count(*)::BIGINT AS n_s,
+       |        sum(pos)::BIGINT AS p_s
+       |      FROM sc GROUP BY 1, 2),
+       |cm AS (SELECT scorer, score, n_s, p_s,
+       |         sum(n_s) OVER (PARTITION BY scorer ORDER BY score) AS cum_n
+       |       FROM g),
+       |agg AS (SELECT scorer,
+       |          sum(p_s * (2 * cum_n - n_s + 1))::BIGINT AS two_r_pos,
+       |          sum(p_s)::BIGINT AS pos, sum(n_s)::BIGINT AS n_all
+       |        FROM cm GROUP BY 1)
+       |SELECT scorer, pos, (n_all - pos)::BIGINT AS neg, two_r_pos,
+       |  ((two_r_pos - pos * (pos + 1)) * 1000000
+       |   // (2 * pos * (n_all - pos)))::BIGINT AS auc_ppm
+       |FROM agg ORDER BY scorer""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q305_roc_auc" -> q305_roc_auc,
     "q302_fs_linkage" -> q302_fs_linkage,
     "q298_ks_drift" -> q298_ks_drift,
     "q299_rrf_fusion" -> q299_rrf_fusion,
@@ -1167,6 +1255,7 @@ object InfoQueries {
     "q275_bigram_xent" -> q275_bigram_xent)
 
   val oracles: Map[String, String] = Map(
+    "q305_roc_auc" -> q305_sql,
     "q302_fs_linkage" -> q302_sql,
     "q298_ks_drift" -> q298_sql,
     "q299_rrf_fusion" -> q299_sql,
