@@ -635,7 +635,65 @@ object SketchQueries {
        |       partner AS best_partner
        |FROM prof WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Mergeable MOMENTS sketch — exact weekly mean / variance / third
+    * central moment per event type computed FROM DAILY PARTIALS alone
+    * (n, Σv, Σv², Σv³ in DECIMAL(38,0)), never rescanning raw events:
+    * the power-sum analog of q226's bitmap rollup and q227's HLL
+    * register merge, completing the mergeable-sketch family for
+    * numeric columns (distinct → bitmap/HLL/KMV, frequency → CMS,
+    * moments → this). Power sums are the canonical mergeable summary —
+    * a +-monoid, so any rollup (day → week → month, per-shard → global)
+    * is one `sum` regardless of how the 100 TB scan was partitioned.
+    * The ORACLE computes the same weekly stats directly from raw rows,
+    * so the hash match IS the mergeability certificate (partial-merge
+    * path ≡ direct path, exactly — no float: v is cents BIGINT, and
+    * the central-moment identities n·Σv² − S1² and n²·Σv³ − 3n·S1·S2
+    * + 2S1³ stay in DECIMAL(38,0); Spark `div` and DuckDB `//` both
+    * truncate toward zero, so the signed m3 divides identically).
+    * Emitted units: mean in cents·ppm, variance in cents²·ppm, m3 in
+    * whole cents³ (no ppm — ×10⁶ would push |m3| past BIGINT at this
+    * value scale). DECIMAL(38,0) headroom: n²·Σv³ < 10³⁸ holds below
+    * ~10⁷ rows per (type, week) at cents scale; past that, pre-shard
+    * weeks or drop to whole-unit values. */
+  val q306_moments_sketch: Q = (s, d) => {
+    val dec = (e: String) => expr(s"cast($e as decimal(38,0))")
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("cast(round(value * 100) as decimal(38,0))").as("v"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(expr("v * v")).as("s2"), sum(expr("v * v * v")).as("s3"))
+    daily
+      .groupBy(col("event_type"), expr("day div 7").as("week"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), sum(col("s3")).as("s3"))
+      .withColumn("nd", dec("n"))
+      .select(col("event_type"), col("week"), col("n"),
+        expr("cast((s1 * 1000000) div nd as bigint)").as("mean_ppm"),
+        expr("cast(((nd * s2 - s1 * s1) * 1000000) div (nd * nd) as bigint)")
+          .as("var_ppm"),
+        expr("cast((nd * nd * s3 - 3 * nd * s1 * s2 + 2 * s1 * s1 * s1)" +
+          " div (nd * nd * nd) as bigint)").as("m3"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  val q306_sql: String =
+    """WITH e AS (SELECT event_type,
+      |        epoch_ms(ts) // 86400000 // 7 AS week,
+      |        CAST(round(value * 100) AS HUGEINT) AS v FROM events),
+      |w AS (SELECT event_type, week, count(*)::HUGEINT AS n,
+      |        sum(v) AS s1, sum(v * v) AS s2, sum(v * v * v) AS s3
+      |      FROM e GROUP BY 1, 2)
+      |SELECT event_type, week, n::BIGINT AS n,
+      |       ((s1 * 1000000) // n)::BIGINT AS mean_ppm,
+      |       (((n * s2 - s1 * s1) * 1000000) // (n * n))::BIGINT AS var_ppm,
+      |       ((n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+      |        // (n * n * n))::BIGINT AS m3
+      |FROM w ORDER BY event_type, week""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q306_moments_sketch" -> q306_moments_sketch,
     "q277_weighted_minhash" -> q277_weighted_minhash,
     "q259_kmv_difference" -> q259_kmv_difference,
     "q242_bitmap_retention" -> q242_bitmap_retention,
@@ -649,6 +707,7 @@ object SketchQueries {
     "q108_hll_distinct" -> q108_hll_distinct)
 
   val oracles: Map[String, String] = Map(
+    "q306_moments_sketch" -> q306_sql,
     "q277_weighted_minhash" -> q277_sql,
     "q259_kmv_difference" -> q259_sql,
     "q109_bloom_prefilter" -> q109_sql,

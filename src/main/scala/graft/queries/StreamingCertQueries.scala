@@ -633,7 +633,65 @@ object StreamingCertQueries {
   /** Same oracle as the batch funnel. */
   val q303_sql: String = AnalyticsQueries.q111_sql
 
+  /** The thirty-second streaming certification — a LIVE per-type MOMENTS
+    * sketch ([[Streaming.momentsSketch]]): four longs of state per event
+    * type (n, Σv, Σv², Σv³) maintained across micro-batch boundaries by
+    * the +-monoid merge, certified against a direct batch aggregate over
+    * the same rows — the streaming half of q306's mergeability story
+    * (q306 proves day-partials → week ≡ direct; this proves
+    * micro-batches → total ≡ direct). Values in WHOLE units (cents
+    * would put Σv³ within 10³ of BIGINT overflow at sf0.1 row counts;
+    * the fold's Math.multiplyExact guard makes that a fail-fast, not a
+    * wrap). Final readout per key = max(seen) batch; the derived
+    * mean/variance ppm divisions replay exactly in HUGEINT. */
+  val q307_stream_moments: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      round(col("value")).cast("long").as("v"),
+      col("event_id").cast("long").as("event_id"))
+    val srcDir = stageOrderedBy(ev, d, "eventsMomOrdered4", 4,
+      Seq(col("event_type"), col("v"), col("event_id")))
+    val ckpt = Stage.ckpt()
+    val name = "q307_mom_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = Streaming.momentsSketch(stream.as[Streaming.MomObs])
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("seen"), col("s1"), col("s2"), col("s3"))).as("f"))
+      .select(col("event_type"), col("f.seen").as("n_obs"),
+        col("f.s1").as("s1"), col("f.s2").as("s2"), col("f.s3").as("s3"))
+      .withColumn("mean_ppm", expr("(s1 * 1000000) div n_obs"))
+      .withColumn("var_ppm",
+        expr("((n_obs * s2 - s1 * s1) * 1000000) div (n_obs * n_obs)"))
+      .orderBy(col("event_type"))
+  }
+  val q307_sql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value) AS BIGINT) AS v
+      |           FROM events),
+      |a AS (SELECT event_type, count(*)::HUGEINT AS n,
+      |        sum(v)::HUGEINT AS s1, sum(v * v)::HUGEINT AS s2,
+      |        sum(v * v * v)::HUGEINT AS s3
+      |      FROM e GROUP BY 1)
+      |SELECT event_type, n::BIGINT AS n_obs, s1::BIGINT AS s1,
+      |       s2::BIGINT AS s2, s3::BIGINT AS s3,
+      |       ((s1 * 1000000) // n)::BIGINT AS mean_ppm,
+      |       (((n * s2 - s1 * s1) * 1000000) // (n * n))::BIGINT AS var_ppm
+      |FROM a ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q307_stream_moments" -> q307_stream_moments,
     "q303_stream_funnel" -> q303_stream_funnel,
     "q295_stream_retention" -> q295_stream_retention,
     "q229_stream_attribution" -> q229_stream_attribution,
@@ -648,6 +706,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q307_stream_moments" -> q307_sql,
     "q303_stream_funnel" -> q303_sql,
     "q295_stream_retention" -> q295_sql,
     "q229_stream_attribution" -> q229_sql,

@@ -780,6 +780,42 @@ object Streaming {
       }
   }
 
+  case class MomObs(event_type: String, v: Long)
+  case class MomBatchOut(event_type: String, seen: Long, s1: Long, s2: Long,
+                         s3: Long)
+
+  /** Stateful streaming MOMENTS sketch per key: FOUR longs of state
+    * (n, Σv, Σv², Σv³) — the power-sum summary every mean / variance /
+    * skewness readout derives from, and the canonical mergeable numeric
+    * sketch (a +-monoid: micro-batch boundaries, shard order, and
+    * restarts can't change a sum). The live form of q306's batch
+    * day→week rollup: the certification takes each key's last batch
+    * (max `seen`) and must hash-match a direct batch aggregate over the
+    * same rows. Inputs are whole-unit BIGINTs; every add and cube is
+    * `Math.addExact`/`multiplyExact`, so a value scale that would
+    * silently wrap Σv³ fails fast instead (at |v| ≤ 10³ the sums hold
+    * past 10⁹ rows per key). */
+  def momentsSketch(arrivals: Dataset[MomObs]): Dataset[MomBatchOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), MomBatchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[MomObs],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (n, s1, s2, s3) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          it.foreach { o =>
+            val v2 = Math.multiplyExact(o.v, o.v)
+            n += 1L
+            s1 = Math.addExact(s1, o.v)
+            s2 = Math.addExact(s2, v2)
+            s3 = Math.addExact(s3, Math.multiplyExact(v2, o.v))
+          }
+          state.update((n, s1, s2, s3))
+          Iterator.single(MomBatchOut(key, n, s1, s2, s3))
+      }
+  }
+
   case class ConcBatchOut(key: Long, seen: Long, cur: Long, peak: Long,
                           t_at_peak: Long)
 

@@ -61,6 +61,49 @@ class Round9OpsSpec extends SparkSpec {
     assert(depths == Seq((1L, 3L), (2L, 0L)))
   }
 
+  // NOTE: micro-batch mergeability at corpus scale is certified by
+  // q307_stream_moments vs the direct batch aggregate; this unit test pins
+  // the power-sum fold and the cross-boundary state carry.
+  test("momentsSketch: power sums carry across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.MomObs]
+    mem.addData(Streaming.MomObs("a", 2L), Streaming.MomObs("a", 3L),
+      Streaming.MomObs("b", 10L))
+    mem.addData(Streaming.MomObs("a", -1L)) // signed values are legal
+    val name = "mom_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Streaming.momentsSketch(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val fin = spark.table(name).groupBy("event_type")
+      .agg(max(struct(col("seen"), col("s1"), col("s2"), col("s3"))).as("f"))
+      .select(col("event_type"), col("f.seen"), col("f.s1"), col("f.s2"),
+        col("f.s3"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    // a: n=3, s1=2+3-1=4, s2=4+9+1=14, s3=8+27-1=34; b: single obs
+    assert(fin == Seq(("a", 3L, 4L, 14L, 34L), ("b", 1L, 10L, 100L, 1000L)))
+  }
+
+  test("momentsSketch: a value scale that would wrap s3 fails fast") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.MomObs]
+    mem.addData(Streaming.MomObs("a", 3000000L)) // v^3 = 2.7e19 > Long.Max
+    val name = "mom_bad_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Streaming.momentsSketch(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def overflowy(m: String) = m != null && m.contains("overflow")
+    assert(overflowy(e.getMessage) ||
+      Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(c => overflowy(c.getMessage)))
+  }
+
   test("cohortRetention: rejects offsets outside the 64-week mask") {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.KeyedObs]
