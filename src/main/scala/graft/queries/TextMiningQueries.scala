@@ -565,7 +565,138 @@ object TextMiningQueries {
       |FROM a JOIN b USING (doc_id) WHERE abs(pa - pb) <= 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Multivariate OLS via exact Cramer normal equations, per source —
+    * the 2-feature upgrade of q175's single-regressor trend fit: fit
+    * n_chars ~ ws_tokens + distinct-token types (a real fit with
+    * residuals — β₁ lands at ≈ 5.3 chars/token and β₂ carries the
+    * repeated-vocabulary correction) with one partial-aggregated pass
+    * over nine DECIMAL(38,0) sufficient statistics (n, Σx₁, Σx₂, Σy,
+    * Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y), then solve the 3×3 normal system
+    * by cofactor determinants — β_i = det(A_i)/det(A) emitted as one
+    * exact integral `div` to ppm, no float linear algebra anywhere (the
+    * in-engine "fit a cheap feature→cost model per shard" primitive: at
+    * 100 TB the scan is the only corpus-sized stage and the solve is
+    * 9 numbers per group). Collinear groups (det A = 0) yield NULL via
+    * nullif, matching the oracle. Headroom: det terms are triple
+    * products of the sums — < 10³⁸ holds below ~10⁷ docs/source at
+    * these feature scales; past that, center features or subsample the
+    * normal-equation pass. */
+  val q308_ols_multi: Q = (s, d) => {
+    val doc = Tables.documents(s, d).select(col("source"),
+      TextAnalysis.wsTokenCount(col("text")).cast("decimal(38,0)").as("x1"),
+      size(array_distinct(TextAnalysis.tokens(col("text"))))
+        .cast("decimal(38,0)").as("x2"),
+      col("n_chars").cast("decimal(38,0)").as("y"))
+    doc.groupBy(col("source")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("y")).as("sy"),
+        sum(expr("x1 * x1")).as("s11"), sum(expr("x1 * x2")).as("s12"),
+        sum(expr("x2 * x2")).as("s22"),
+        sum(expr("x1 * y")).as("s1y"), sum(expr("x2 * y")).as("s2y"))
+      .withColumn("det_a", expr(
+        "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)" +
+          " + s2 * (s1 * s12 - s11 * s2)"))
+      .withColumn("det_0", expr(
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)" +
+          " + s2 * (s1y * s12 - s11 * s2y)"))
+      .withColumn("det_1", expr(
+        "n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)" +
+          " + s2 * (s1 * s2y - s1y * s2)"))
+      .withColumn("det_2", expr(
+        "n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)" +
+          " + sy * (s1 * s12 - s11 * s2)"))
+      .select(col("source"), col("n").cast("long").as("n"),
+        expr("cast((det_0 * 1000000) div nullif(det_a, 0) as bigint)")
+          .as("b0_ppm"),
+        expr("cast((det_1 * 1000000) div nullif(det_a, 0) as bigint)")
+          .as("b1_ppm"),
+        expr("cast((det_2 * 1000000) div nullif(det_a, 0) as bigint)")
+          .as("b2_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q308_sql: String =
+    """WITH t AS (SELECT source,
+      |    len(list_filter(string_split_regex(text, '\s+'),
+      |        x -> x <> ''))::HUGEINT AS x1,
+      |    len(list_distinct(list_filter(string_split_regex(lower(text),
+      |        '\W+'), x -> x <> '')))::HUGEINT AS x2,
+      |    n_chars::HUGEINT AS y
+      |  FROM documents),
+      |a AS (SELECT source, count(*)::HUGEINT AS n,
+      |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+      |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+      |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      |  FROM t GROUP BY 1),
+      |dets AS (SELECT source, n,
+      |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s12 - s11 * s2) AS det_a,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      |      + s2 * (s1y * s12 - s11 * s2y) AS det_0,
+      |    n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s2y - s1y * s2) AS det_1,
+      |    n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2)
+      |      + sy * (s1 * s12 - s11 * s2) AS det_2
+      |  FROM a)
+      |SELECT source, n::BIGINT AS n,
+      |  ((det_0 * 1000000) // nullif(det_a, 0))::BIGINT AS b0_ppm,
+      |  ((det_1 * 1000000) // nullif(det_a, 0))::BIGINT AS b1_ppm,
+      |  ((det_2 * 1000000) // nullif(det_a, 0))::BIGINT AS b2_ppm
+      |FROM dets ORDER BY source""".stripMargin
+
+
+  /** Edit-distance fuzzy-match join — q209's sorted-neighborhood
+    * blocking verified by LEVENSHTEIN distance instead of set Jaccard:
+    * the entity-resolution form for strings where token sets lie
+    * (transpositions, small in-place edits). Candidates from the same
+    * 5-wide window over the (first-4-tokens, doc_id) sort order —
+    * (w−1)-linear, never all-pairs — then one row-local banded-DP
+    * verify per candidate over the 80-char prefix: Spark's thresholded
+    * `levenshtein(l, r, k)` runs O(len·k) and returns −1 past k, so a
+    * non-match costs the band, not the full DP matrix (the oracle
+    * computes the full distance and filters — identical surviving
+    * pairs by construction). Empirically the candidate distances are
+    * bimodal (≤ 12 or > 30), so the 12 cutoff sits in the gap. */
+  val q309_edit_distance_join: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("pfx"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
+          .as("sk"))
+      .localCheckpoint(true) // consumers: blocking + two verify attaches
+    val cands = graft.operators.SortedNeighborhood.pairs(
+      doc.select(col("doc_id"), col("sk")), "doc_id", col("sk"), w = 5)
+    cands.select(col("doc_a"), col("doc_b"))
+      .join(doc.select(col("doc_id").as("doc_a"), col("pfx").as("pa")),
+        Seq("doc_a"))
+      .join(doc.select(col("doc_id").as("doc_b"), col("pfx").as("pb")),
+        Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), 12))
+      .where(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q309_sql: String =
+    """WITH k AS (SELECT doc_id, substr(text, 1, 80) AS pfx,
+      |    array_to_string((list_filter(string_split_regex(lower(text),
+      |        '\W+'), x -> x <> ''))[1:4], ' ') AS sk
+      |  FROM documents),
+      |r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS r
+      |      FROM k),
+      |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+      |                greatest(a.doc_id, b.doc_id) AS doc_b
+      |         FROM r a JOIN r b ON b.r BETWEEN a.r + 1 AND a.r + 4),
+      |v AS (SELECT doc_a, doc_b,
+      |        levenshtein(ka.pfx, kb.pfx)::BIGINT AS dist
+      |      FROM cand JOIN k ka ON ka.doc_id = cand.doc_a
+      |                JOIN k kb ON kb.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b, dist FROM v WHERE dist <= 12
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q308_ols_multi" -> q308_ols_multi,
+    "q309_edit_distance_join" -> q309_edit_distance_join,
     "q300_textrank" -> q300_textrank,
     "q301_proximity_search" -> q301_proximity_search,
     "q294_minhash_calibration" -> q294_minhash_calibration,
@@ -580,6 +711,8 @@ object TextMiningQueries {
     "q270_winnowing_match" -> q270_winnowing_match)
 
   val oracles: Map[String, String] = Map(
+    "q308_ols_multi" -> q308_sql,
+    "q309_edit_distance_join" -> q309_sql,
     "q300_textrank" -> q300_sql,
     "q301_proximity_search" -> q301_sql,
     "q294_minhash_calibration" -> q294_sql,
