@@ -30,7 +30,7 @@ import graft.io.Tables
   * edge set from lineitem directly — the memo must (and does) produce the
   * identical rows, it only changes WHERE the build cost is paid.
   */
-private[queries] object CoPurchase {
+private[graft] object CoPurchase {
 
   private val staged =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
@@ -58,6 +58,79 @@ private[queries] object CoPurchase {
     * weight column is never read). */
   def edges(s: SparkSession, d: String): DataFrame =
     weightedEdges(s, d).select(col("u"), col("v"))
+
+  private val stagedShortlist =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Per-pivot candidate SHORTLIST over the co-purchase adjacency:
+    * `(n, nb, deg)` for pivots with deg(n) ≤ 500, keeping each pivot's
+    * 32 smallest-id neighbors (deterministic row_number rank). The
+    * common front half of the link-prediction family — q241 resource
+    * allocation, q253 common neighbors, q304 Adamic–Adar — whose
+    * expensive stage is exactly this rank window (an adjacency-sized
+    * shuffle + sort); paid once per (session, sfDir) and staged like
+    * [[weightedEdges]]. The cap constants are part of the contract:
+    * every consumer's oracle replays deg ≤ 500 / rank ≤ 32 verbatim,
+    * and a consumer needing a stricter pivot floor (q304's deg ≥ 2)
+    * filters the staged frame — per-pivot predicates commute with the
+    * per-pivot rank. */
+  def shortlist(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedShortlist.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val out = graft.io.Scratch.dir("shortlist_") + "/sh"
+      buildShortlist(s, d).write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(dir)
+  }
+
+  /** The unstaged shortlist build — exposed so [[shortlist]]'s memo and
+    * the plan-guarantee spec (rank ≤ 32 must plan as a WindowGroupLimit,
+    * never a full per-pivot sort) share one definition. */
+  private[graft] def buildShortlist(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val adj = e.select(col("u").as("n"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    adj.join(deg.where(col("deg") <= 500L), Seq("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("n")).orderBy(col("nb"))))
+      .where(col("rk") <= 32).drop("rk")
+  }
+
+  private val stagedLinkPairs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Aggregated link-prediction candidate pairs over [[shortlist]]:
+    * `(a, b, n_common, ra_ppb, aa_ppb)` — for every non-ordered pair of
+    * parts sharing ≥ 1 shortlisted pivot, the common-pivot count (q253),
+    * the resource-allocation sum Σ 10⁹ div deg(pivot) (q241), and the
+    * Adamic–Adar sum Σ (10⁹·2¹⁶) div ilog2_fp(deg(pivot)) (q304). The
+    * three queries aggregate the SAME ~10M-row pair fan-out (measured
+    * sf0.1: 9.9M raw → 7.5M distinct pairs, ~4 s each — the family's
+    * dominant stage); one staged build pays it once per (session,
+    * sfDir). True-edge pairs are NOT removed here — each consumer
+    * anti-joins against [[edges]] itself, exactly as its oracle does.
+    * A deg = 1 pivot generates no pair (pairing needs two shortlisted
+    * neighbors), so every aggregated contribution has deg ≥ 2 and the
+    * Adamic–Adar divisor ilog2(deg) > 0; the nullif guard only shields
+    * speculative evaluation on rows the join never emits. */
+  def linkPairs(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedLinkPairs.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val out = graft.io.Scratch.dir("linkpairs_") + "/p"
+      val short = shortlist(s, d)
+        .withColumn("w_fp", graft.functions.Ilog2.ilog2(col("deg")))
+      short.as("x").join(short.as("y"),
+          col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
+        .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000000 div x.deg")).as("ra_ppb"),
+          sum(expr("65536000000000 div nullif(x.w_fp, 0)")).as("aa_ppb"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(dir)
+  }
 
   private val stagedPurchase =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]

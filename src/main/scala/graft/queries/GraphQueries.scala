@@ -317,24 +317,12 @@ object GraphQueries {
     * edges leave via one broadcast anti-join. Top 20 by (ra, pair) is
     * deterministic. */
   val q241_resource_allocation: Q = (s, d) => {
-    val maxPivotDeg = 500L
-    val shortlistC = 32
-    // shared staged edge set; consumers (adjacency + anti-join) re-scan
-    val e = CoPurchase.edges(s, d)
-    val adj = e.select(col("u").as("n"), col("v").as("nb"))
-      .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
-    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val pivots = adj.join(deg.where(col("deg") <= maxPivotDeg), Seq("n"))
-    val short = pivots.withColumn("rk",
-        row_number().over(Window.partitionBy(col("n")).orderBy(col("nb"))))
-      .where(col("rk") <= shortlistC).drop("rk")
-    val pairs = short.as("x").join(short.as("y"),
-        col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
-      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
-      .agg(sum(expr("1000000000 div x.deg")).as("ra_ppb"),
-        count(lit(1)).as("n_common"))
-    pairs
-      .join(broadcast(e.select(col("u").as("a"), col("v").as("b"))),
+    // shared staged builds: the aggregated link-pair frame (pair
+    // fan-out + 10M-group aggregate paid once per session — see
+    // [[CoPurchase.linkPairs]]) and the edge set for the anti-join
+    CoPurchase.linkPairs(s, d)
+      .join(broadcast(CoPurchase.edges(s, d)
+          .select(col("u").as("a"), col("v").as("b"))),
         Seq("a", "b"), "left_anti")
       .select(col("a"), col("b"), col("n_common"), col("ra_ppb"))
       .orderBy(col("ra_ppb").desc, col("a"), col("b"))
@@ -381,26 +369,13 @@ object GraphQueries {
     * edges. Σ of ≤ c contributions ≤ 3.2·10¹⁰ — BIGINT-safe at any
     * graph size because the shortlist, not the corpus, bounds it. */
   val q304_adamic_adar: Q = (s, d) => {
-    val maxPivotDeg = 500L
-    val shortlistC = 32
-    // shared staged edge set; consumers (adjacency + anti-join) re-scan
-    val e = CoPurchase.edges(s, d)
-    val adj = e.select(col("u").as("n"), col("v").as("nb"))
-      .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
-    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val pivots = adj.join(
-      deg.where(col("deg") <= maxPivotDeg && col("deg") >= 2L), Seq("n"))
-    val short = pivots.withColumn("rk",
-        row_number().over(Window.partitionBy(col("n")).orderBy(col("nb"))))
-      .where(col("rk") <= shortlistC).drop("rk")
-      .withColumn("w_fp", Ilog2.ilog2(col("deg")))
-      .withColumn("aa_c", expr("65536000000000 div w_fp"))
-    val pairs = short.as("x").join(short.as("y"),
-        col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
-      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
-      .agg(sum(col("x.aa_c")).as("aa_ppb"), count(lit(1)).as("n_common"))
-    pairs
-      .join(broadcast(e.select(col("u").as("a"), col("v").as("b"))),
+    // shared staged aggregated link pairs (every contribution has
+    // deg ≥ 2 — a deg-1 pivot can't pair two neighbors — so the staged
+    // aa_ppb sum replays the deg ≥ 2 pivot floor exactly); edges for
+    // the anti-join
+    CoPurchase.linkPairs(s, d)
+      .join(broadcast(CoPurchase.edges(s, d)
+          .select(col("u").as("a"), col("v").as("b"))),
         Seq("a", "b"), "left_anti")
       .select(col("a"), col("b"), col("n_common"), col("aa_ppb"))
       .orderBy(col("aa_ppb").desc, col("a"), col("b"))
@@ -432,28 +407,14 @@ object GraphQueries {
 
 
   val q253_common_neighbors: Q = (s, d) => {
-    val maxPivotDeg = 500L
-    val shortlistC = 32
-    // shared staged edge set; consumers (adjacency + degrees + anti-join)
-    // re-scan the staged parquet
+    // shared staged aggregated link pairs ([[CoPurchase.linkPairs]]) —
+    // the pair fan-out + aggregate this query used to rebuild
     val e = CoPurchase.edges(s, d)
     val adj = e.select(col("u").as("n"), col("v").as("nb"))
       .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true) // consumers: pivot cap + two attaches
-    val pivots = adj.join(
-      deg.where(col("deg") <= maxPivotDeg).select(col("n")), Seq("n"),
-      "left_semi")
-    // per-pivot shortlist: the window shuffle is keyed on the SAME column
-    // (n) the self-join below needs, so the rank pass adds no extra
-    // exchange — the sorted-by-n partitioning is reused by the join.
-    val short = pivots.withColumn("rk",
-        row_number().over(Window.partitionBy(col("n")).orderBy(col("nb"))))
-      .where(col("rk") <= shortlistC).drop("rk")
-    val pairs = short.as("x").join(short.as("y"),
-        col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
-      .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
-      .agg(count(lit(1)).as("common"))
+    val pairs = CoPurchase.linkPairs(s, d)
+      .select(col("a"), col("b"), col("n_common").as("common"))
     // the pair frame is the big side (≤ c²/2 per pivot); the edge list and
     // the degree table are both node/edge-scale — broadcast them so the
     // three attaches stay map-side (no re-shuffle of the pair frame).

@@ -20,18 +20,18 @@ class PlanGuaranteesSpec extends SparkSpec {
     }
   }
 
-  // The q241/q253 per-pivot candidate shortlist relies on Spark pushing
-  // the row_number <= c filter into a WindowGroupLimit (per-partition
-  // top-c heaps). Losing the pushdown silently reverts the rank pass to a
-  // full per-pivot sort — fine at sf0.01, a straggler factory on a
-  // billion-edge adjacency.
+  // The q241/q253/q304 per-pivot candidate shortlist relies on Spark
+  // pushing the row_number <= c filter into a WindowGroupLimit
+  // (per-partition top-c heaps). Losing the pushdown silently reverts the
+  // rank pass to a full per-pivot sort — fine at sf0.01, a straggler
+  // factory on a billion-edge adjacency. The rank pass now lives in the
+  // shared staged build (CoPurchase.shortlist), so the guarantee is
+  // asserted on the build plan the memo executes.
   test("common-neighbor shortlist plans with WindowGroupLimit (rank filter pushed down)") {
-    for (q <- Seq("q253_common_neighbors", "q241_resource_allocation")) {
-      val plan = SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.executedPlan.toString()
-      assert(plan.contains("WindowGroupLimit"),
-        s"$q lost the group-limit pushdown (full per-pivot sort at scale):\n$plan")
-    }
+    val plan = graft.queries.CoPurchase.buildShortlist(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"),
+      s"shortlist build lost the group-limit pushdown (full per-pivot sort at scale):\n$plan")
   }
 
   test("flagship entry returns rows at sf0.001 (driver smoke contract)") {
