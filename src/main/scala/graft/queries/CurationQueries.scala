@@ -1697,7 +1697,140 @@ object CurationQueries {
       |       chars_saved * 1000000 // total_chars AS savings_ppm
       |FROM a ORDER BY source""".stripMargin
 
+  /** CURATION v12 — the round-9d release gate: one verdict row per
+    * source composing the three new eval primitives, all integer-exact.
+    * (1) the per-source tie-averaged ROC AUC of the n_chars →
+    * token-budget proxy (q305's rank-sum identity, grouped prefix sum
+    * by source — a source whose cheap length gate stops predicting the
+    * real token budget must not ship on that gate); (2) q308's
+    * chars-per-token slope b1_ppm (Cramer normal equations — a slope
+    * outside [4, 7] chars/token flags boilerplate or tokenizer-hostile
+    * content); (3) the q309 fuzzy-dup MEMBERSHIP load (each verified
+    * edit-distance pair counts once per involved source's tally, twice
+    * for an intra-source pair — the per-source exposure measure).
+    * Null-safe verdict: a source with one-class labels (AUC undefined)
+    * or a collinear fit fails closed via coalesce(..., false) on BOTH
+    * engines. Scale shapes inherited from the components: per-score /
+    * per-source reductions bound everything after the scans, SNM
+    * candidates are (w−1)-linear, and the verdict join is
+    * |sources|-bounded. */
+  val q310_curation_v12: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    // (1) per-source AUC: chars vs token-budget label
+    val scored = doc.select(col("source"), col("n_chars").as("score"),
+      when(TextAnalysis.bpeTokenCount(col("text")) > 56L, 1L)
+        .otherwise(0L).as("pos"))
+    val perScore = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("p_s"))
+    val cum = graft.operators.RunningTotal.grouped(perScore, "source",
+      Seq("score"), "n_s", "cum_n", groupCountHint = Some(64L))
+    val auc = cum.groupBy(col("source"))
+      .agg(sum(col("p_s") * (col("cum_n") * 2 - col("n_s") + 1))
+          .as("two_r_pos"),
+        sum(col("p_s")).as("pos"), sum(col("n_s")).as("n_docs"))
+      .withColumn("auc_ppm", expr(
+        "(two_r_pos - pos * (pos + 1)) * 1000000" +
+          " div nullif(2 * pos * (n_docs - pos), 0)"))
+      .select(col("source"), col("n_docs"), col("auc_ppm"))
+    // (2) chars-per-token slope from the shared q308 fit
+    val slope = TextMiningQueries.olsBySource(doc)
+      .select(col("source"), col("b1_ppm"))
+    // (3) fuzzy-dup membership load (q309's blocking + verify)
+    val keyed = doc.select(col("doc_id"),
+        substring(col("text"), 1, 80).as("pfx"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
+          .as("sk"),
+        col("source"))
+      .localCheckpoint(true) // consumers: blocking + two verify attaches
+    val cands = graft.operators.SortedNeighborhood.pairs(
+      keyed.select(col("doc_id"), col("sk")), "doc_id", col("sk"), w = 5)
+    val dupLoad = cands
+      .join(keyed.select(col("doc_id").as("doc_a"), col("pfx").as("pa"),
+        col("source").as("sa")), Seq("doc_a"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("pfx").as("pb"),
+        col("source").as("sb")), Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), 12))
+      .where(col("dist") >= 0)
+      .select(explode(array(col("sa"), col("sb"))).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_memberships"))
+    auc.join(slope, Seq("source"))
+      .join(dupLoad, Seq("source"), "left")
+      .withColumn("dup_memberships",
+        coalesce(col("dup_memberships"), lit(0L)))
+      .withColumn("release",
+        coalesce(col("auc_ppm") >= 900000L, lit(false)) &&
+          coalesce(col("b1_ppm").between(4000000L, 7000000L), lit(false)) &&
+          col("dup_memberships") * 5 <= col("n_docs"))
+      .select(col("source"), col("n_docs"), col("auc_ppm"), col("b1_ppm"),
+        col("dup_memberships"), col("release"))
+      .orderBy(col("source"))
+  }
+
+  val q310_sql: String =
+    """WITH ch AS (SELECT source, n_chars AS score,
+      |    CASE WHEN len(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) > 56
+      |    THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |g AS (SELECT source, score, count(*)::BIGINT AS n_s,
+      |        sum(pos)::BIGINT AS p_s FROM ch GROUP BY 1, 2),
+      |cm AS (SELECT source, n_s, p_s,
+      |         sum(n_s) OVER (PARTITION BY source ORDER BY score) AS cum_n
+      |       FROM g),
+      |auc0 AS (SELECT source, sum(n_s)::BIGINT AS n_docs,
+      |           sum(p_s)::BIGINT AS pos,
+      |           sum(p_s * (2 * cum_n - n_s + 1))::BIGINT AS two_r_pos
+      |         FROM cm GROUP BY 1),
+      |auc AS (SELECT source, n_docs,
+      |          ((two_r_pos - pos * (pos + 1)) * 1000000
+      |           // nullif(2 * pos * (n_docs - pos), 0))::BIGINT AS auc_ppm
+      |        FROM auc0),
+      |t AS (SELECT source,
+      |    len(list_filter(string_split_regex(text, '\s+'),
+      |        x -> x <> ''))::HUGEINT AS x1,
+      |    len(list_distinct(list_filter(string_split_regex(lower(text),
+      |        '\W+'), x -> x <> '')))::HUGEINT AS x2,
+      |    n_chars::HUGEINT AS y
+      |  FROM documents),
+      |a AS (SELECT source, count(*)::HUGEINT AS n,
+      |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+      |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+      |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      |  FROM t GROUP BY 1),
+      |ols AS (SELECT source,
+      |    (((n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+      |       + s2 * (s1 * s2y - s1y * s2)) * 1000000)
+      |     // nullif(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |       + s2 * (s1 * s12 - s11 * s2), 0))::BIGINT AS b1_ppm
+      |  FROM a),
+      |k AS (SELECT doc_id, source, substr(text, 1, 80) AS pfx,
+      |    array_to_string((list_filter(string_split_regex(lower(text),
+      |        '\W+'), x -> x <> ''))[1:4], ' ') AS sk
+      |  FROM documents),
+      |r AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS r
+      |      FROM k),
+      |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+      |                greatest(a.doc_id, b.doc_id) AS doc_b
+      |         FROM r a JOIN r b ON b.r BETWEEN a.r + 1 AND a.r + 4),
+      |v AS (SELECT doc_a, doc_b
+      |      FROM cand JOIN k ka ON ka.doc_id = cand.doc_a
+      |                JOIN k kb ON kb.doc_id = cand.doc_b
+      |      WHERE levenshtein(ka.pfx, kb.pfx) <= 12),
+      |dm AS (SELECT source, count(*)::BIGINT AS dup_memberships FROM (
+      |         SELECT ka.source FROM v JOIN k ka ON ka.doc_id = v.doc_a
+      |         UNION ALL
+      |         SELECT kb.source FROM v JOIN k kb ON kb.doc_id = v.doc_b)
+      |       GROUP BY 1)
+      |SELECT auc.source, n_docs, auc_ppm, b1_ppm,
+      |  coalesce(dup_memberships, 0)::BIGINT AS dup_memberships,
+      |  (coalesce(auc_ppm >= 900000, false)
+      |   AND coalesce(b1_ppm BETWEEN 4000000 AND 7000000, false)
+      |   AND coalesce(dup_memberships, 0) * 5 <= n_docs) AS release
+      |FROM auc JOIN ols USING (source) LEFT JOIN dm USING (source)
+      |ORDER BY auc.source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q310_curation_v12" -> q310_curation_v12,
     "q260_dedup_savings" -> q260_dedup_savings,
     "q233_curation_v10" -> q233_curation_v10,
     "q219_curation_v9" -> q219_curation_v9,
@@ -1742,6 +1875,7 @@ object CurationQueries {
     "q182_subset_prune" -> q182_subset_prune)
 
   val oracles: Map[String, String] = Map(
+    "q310_curation_v12" -> q310_sql,
     "q260_dedup_savings" -> q260_sql,
     "q233_curation_v10" -> q233_sql,
     "q79_curation_pipeline" -> q79_sql,

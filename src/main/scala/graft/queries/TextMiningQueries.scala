@@ -581,8 +581,13 @@ object TextMiningQueries {
     * products of the sums — < 10³⁸ holds below ~10⁷ docs/source at
     * these feature scales; past that, center features or subsample the
     * normal-equation pass. */
-  val q308_ols_multi: Q = (s, d) => {
-    val doc = Tables.documents(s, d).select(col("source"),
+  val q308_ols_multi: Q = (s, d) =>
+    olsBySource(Tables.documents(s, d)).orderBy(col("source"))
+
+  /** The q308 fit as a reusable frame — `(source, n, b0_ppm, b1_ppm,
+    * b2_ppm)` — shared with the q310 release-gate composition. */
+  private[queries] def olsBySource(docs: DataFrame): DataFrame = {
+    val doc = docs.select(col("source"),
       TextAnalysis.wsTokenCount(col("text")).cast("decimal(38,0)").as("x1"),
       size(array_distinct(TextAnalysis.tokens(col("text"))))
         .cast("decimal(38,0)").as("x2"),
@@ -613,7 +618,6 @@ object TextMiningQueries {
           .as("b1_ppm"),
         expr("cast((det_2 * 1000000) div nullif(det_a, 0) as bigint)")
           .as("b2_ppm"))
-      .orderBy(col("source"))
   }
 
   val q308_sql: String =
