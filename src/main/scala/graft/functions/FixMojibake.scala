@@ -114,6 +114,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         graft.llm.NearestCodeL2(children(0), children(1),
           children(2).eval().asInstanceOf[Number].intValue,
           children(3).eval().asInstanceOf[Number].intValue)))
+    // optimizer rule: naive bounded-edit-distance predicates plan as the
+    // O(len·k) banded Levenshtein (see [[graft.plans.ThresholdedLevenshtein]])
+    ext.injectOptimizerRule(_ => graft.plans.ThresholdedLevenshtein)
   }
 }
 

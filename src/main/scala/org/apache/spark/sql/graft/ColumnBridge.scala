@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap an already-built logical plan as a DataFrame — `Dataset.ofRows`
+    * is `private[sql]` in Spark 4; tests use this to run a plan after
+    * applying an optimizer rule by hand. */
+  def dataset(s: org.apache.spark.sql.SparkSession,
+              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

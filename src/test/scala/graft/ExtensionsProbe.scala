@@ -38,9 +38,23 @@ object ExtensionsProbe {
         ("SELECT nearest_cell(array(1.0D,0.0D), array(1.0D,0.0D,0.0D,1.0D), array(1.0D,1.0D))", 0),
         // 2 packed codes (9,9)/(1,2), window [0,2): L2 argmin = code 1
         ("SELECT nearest_code(array(1.0D,2.0D), array(9.0D,9.0D,1.0D,2.0D), 0, 2)", 1))
+      // optimizer rule wiring: a naive bounded-edit-distance predicate over
+      // a TABLE column (literals would constant-fold the whole test away)
+      // must plan as the banded three-argument form and keep its semantics
+      s.range(2).selectExpr(
+          "CASE WHEN id = 0 THEN 'kitten' ELSE 'abcdef' END AS a")
+        .createOrReplaceTempView("probe_lev")
+      val lev = s.sql("SELECT a FROM probe_lev WHERE levenshtein(a, 'sitting') <= 3")
+      val levPlan = lev.queryExecution.optimizedPlan.toString
+      val levOk = levPlan.contains("levenshtein(") &&
+        levPlan.contains("Some(3)") &&
+        lev.collect().map(_.getString(0)).toSeq == Seq("kitten")
       val bad = checks.filterNot { case (q, want) => one(q) == want }
-      if (bad.isEmpty) println("PROBE_OK")
-      else {
+      if (bad.isEmpty && levOk) println("PROBE_OK")
+      else if (bad.isEmpty) {
+        println(s"PROBE_MISMATCH: thresholded-levenshtein rule: $levPlan")
+        sys.exit(1)
+      } else {
         bad.foreach { case (q, want) =>
           println(s"PROBE_MISMATCH: $q -> ${one(q)} (want $want)")
         }
