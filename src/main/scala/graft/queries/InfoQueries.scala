@@ -1235,7 +1235,169 @@ object InfoQueries {
        |FROM agg ORDER BY scorer""".stripMargin
   }
 
+  /** KAPLAN–MEIER survival of time-to-purchase with right-censoring —
+    * the churn/conversion-latency curve no simple aggregate can express:
+    * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over event times, where users who
+    * never purchase are CENSORED at the observation horizon (they leave
+    * the risk set without an event — dropping them entirely would bias
+    * S downward, counting them as non-events upward; KM is the standard
+    * correction). Log-domain through [[Ilog2]] so the product is
+    * certifiable: log₂S(t) = Σ ilog2(n_i − d_i) − ilog2(n_i) in 16-bit
+    * fixed point, exact on both engines (S = 2^(fp/65536); the product
+    * form would need arbitrary-precision rationals). Scale shapes: one
+    * event scan → per-user (first-event, first-purchase) frame → per-DAY
+    * reduced frame; the risk set n_t comes from ONE range-partitioned
+    * prefix sum over that bounded frame (n_t = N − leavers before t),
+    * and the survival fold is a second prefix sum over event days only —
+    * no global window ever sees the corpus. The terminal day where
+    * n = d (survival hits exactly 0, log undefined) is excluded on both
+    * engines — the curve ends there by definition. */
+  val q311_kaplan_meier: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm"))
+      .localCheckpoint(true) // consumers: t0, first-purchase, horizon
+    val t0 = ev.groupBy(col("user_id")).agg(min(col("tsm")).as("t0"))
+    val tp = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("tsm")).as("tp"))
+    val horizon = ev.agg(max(col("tsm")).as("tmax"))
+    val users = t0.join(tp, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon)) // ×1 row
+      .select(
+        when(col("tp").isNotNull, lit(1L)).otherwise(0L).as("event"),
+        when(col("tp").isNotNull, expr("(tp - t0) div 86400000"))
+          .otherwise(expr("(tmax - t0) div 86400000")).as("day"))
+      .localCheckpoint(true) // consumers: per-day frame + total count
+    val perDay = users.groupBy(col("day"))
+      .agg(count(lit(1)).as("leave_n"), sum(col("event")).as("d"))
+      .withColumn("g", lit(0))
+    val cum = graft.operators.RunningTotal.grouped(perDay, "g", Seq("day"),
+        "leave_n", "cum_leave", groupCountHint = Some(1L))
+      .crossJoin(broadcast(users.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_risk",
+        col("n_total") - col("cum_leave") + col("leave_n"))
+    val steps = cum.where(col("d") > 0 && col("n_risk") > col("d"))
+      .select(col("day"), col("n_risk"), col("d"),
+        (Ilog2.ilog2(col("n_risk") - col("d")) - Ilog2.ilog2(col("n_risk")))
+          .as("step_fp"))
+      .withColumn("g", lit(0))
+    graft.operators.RunningTotal.grouped(steps, "g", Seq("day"),
+        "step_fp", "log2_surv_fp", groupCountHint = Some(1L))
+      .select(col("day"), col("n_risk"), col("d"), col("log2_surv_fp"))
+      .orderBy(col("day"))
+  }
+
+  val q311_sql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tsm
+       |            FROM events),
+       |t0 AS (SELECT user_id, min(tsm) AS t0 FROM ev GROUP BY 1),
+       |tp AS (SELECT user_id, min(tsm) AS tp FROM ev
+       |       WHERE event_type = 'purchase' GROUP BY 1),
+       |tm AS (SELECT max(tsm) AS tmax FROM ev),
+       |u AS (SELECT CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event,
+       |        CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000
+       |             ELSE (tmax - t0) // 86400000 END AS day
+       |      FROM t0 LEFT JOIN tp USING (user_id) CROSS JOIN tm),
+       |pd AS (SELECT day, count(*)::BIGINT AS leave_n,
+       |         sum(event)::BIGINT AS d FROM u GROUP BY 1),
+       |cm AS (SELECT day, leave_n, d,
+       |         sum(leave_n) OVER (ORDER BY day) AS cum_leave,
+       |         (SELECT count(*) FROM u)::BIGINT AS n_total FROM pd),
+       |rk AS (SELECT day, d,
+       |         (n_total - cum_leave + leave_n)::BIGINT AS n_risk FROM cm),
+       |st AS (SELECT day, n_risk, d,
+       |         (${Ilog2.sqlReplay("(n_risk - d)")}
+       |          - ${Ilog2.sqlReplay("n_risk")})::BIGINT AS step_fp
+       |       FROM rk WHERE d > 0 AND n_risk > d)
+       |SELECT day, n_risk, d,
+       |       sum(step_fp) OVER (ORDER BY day)::BIGINT AS log2_surv_fp
+       |FROM st ORDER BY day""".stripMargin
+
+  /** Hash-split A/B conversion test — the experiment evaluator: users
+    * are assigned to arms by an md5-hex digit (deterministic,
+    * reproducible under re-runs and repartitioning — the same discipline
+    * as q282's train/holdout split; never RNG), the metric is 24-hour
+    * purchase conversion, and the verdict is the exact Pearson χ² for the 2×2
+    * table: χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)), computed in
+    * DECIMAL(38,0)/HUGEINT and emitted as one integral div to ppm —
+    * compared against the literal 5% critical value 3.841459·10⁶ (df=1).
+    * Here the arms are a null split of the same population, so the
+    * expected verdict is NOT significant — the A/A calibration every
+    * experimentation platform runs before trusting its pipeline. Scale
+    * shapes: one event scan → per-user conversion flag (map-side
+    * combinable max) → a 2×2 aggregate; everything after the scan is
+    * constant-size. N·(ad−bc)²·10⁶ < 10³⁸ holds below ~10⁸ users per
+    * arm; past that, drop the ppm scale or subsample arms. */
+  val q312_ab_test: Q = (s, d) => {
+    // metric: purchased within 24h of the user's FIRST event (plain
+    // "ever purchased" saturates at 100% on this corpus — no variance
+    // to test); two conditional mins, map-side combinable
+    val conv = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm"))
+      .groupBy(col("user_id"))
+      .agg(min(col("tsm")).as("t0"),
+        min(when(col("event_type") === "purchase", col("tsm"))).as("tp"))
+      .select(col("user_id"),
+        when(col("tp").isNotNull && col("tp") - col("t0") < 86400000L, 1L)
+          .otherwise(0L).as("conv"))
+      .withColumn("in_a",
+        expr("substr(md5(cast(user_id as string)), 1, 1) < '8'"))
+    val dec = "decimal(38,0)"
+    conv.agg(
+        sum(when(col("in_a") && col("conv") === 1L, 1L).otherwise(0L))
+          .cast(dec).as("a"),
+        sum(when(col("in_a") && col("conv") === 0L, 1L).otherwise(0L))
+          .cast(dec).as("b"),
+        sum(when(!col("in_a") && col("conv") === 1L, 1L).otherwise(0L))
+          .cast(dec).as("c"),
+        sum(when(!col("in_a") && col("conv") === 0L, 1L).otherwise(0L))
+          .cast(dec).as("dd"))
+      .select(
+        expr("cast(a + b as bigint)").as("n_a"),
+        expr("cast(c + dd as bigint)").as("n_b"),
+        expr("cast(a as bigint)").as("conv_a"),
+        expr("cast(c as bigint)").as("conv_b"),
+        expr("cast((a * 1000000) div (a + b) as bigint)").as("rate_a_ppm"),
+        expr("cast((c * 1000000) div (c + dd) as bigint)").as("rate_b_ppm"),
+        expr("cast(((a + b + c + dd) * (a * dd - b * c) * (a * dd - b * c)" +
+          " * 1000000) div nullif((a + b) * (c + dd) * (a + c) * (b + dd)," +
+          " 0) as bigint)").as("chi2_ppm"))
+      .withColumn("significant",
+        coalesce(col("chi2_ppm") >= 3841459L, lit(false)))
+  }
+
+  val q312_sql: String =
+    """WITH pu AS (SELECT user_id, min(epoch_ms(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS tp
+      |  FROM events GROUP BY user_id),
+      |cv AS (SELECT user_id,
+      |    CASE WHEN tp IS NOT NULL AND tp - t0 < 86400000 THEN 1 ELSE 0 END
+      |      AS conv,
+      |    substr(md5(user_id::VARCHAR), 1, 1) < '8' AS in_a
+      |  FROM pu),
+      |t AS (SELECT
+      |    sum(CASE WHEN in_a AND conv = 1 THEN 1 ELSE 0 END)::HUGEINT AS a,
+      |    sum(CASE WHEN in_a AND conv = 0 THEN 1 ELSE 0 END)::HUGEINT AS b,
+      |    sum(CASE WHEN NOT in_a AND conv = 1 THEN 1 ELSE 0 END)::HUGEINT AS c,
+      |    sum(CASE WHEN NOT in_a AND conv = 0 THEN 1 ELSE 0 END)::HUGEINT AS dd
+      |  FROM cv)
+      |SELECT (a + b)::BIGINT AS n_a, (c + dd)::BIGINT AS n_b,
+      |  a::BIGINT AS conv_a, c::BIGINT AS conv_b,
+      |  ((a * 1000000) // (a + b))::BIGINT AS rate_a_ppm,
+      |  ((c * 1000000) // (c + dd))::BIGINT AS rate_b_ppm,
+      |  (((a + b + c + dd) * (a * dd - b * c) * (a * dd - b * c) * 1000000)
+      |   // nullif((a + b) * (c + dd) * (a + c) * (b + dd), 0))::BIGINT
+      |    AS chi2_ppm,
+      |  coalesce((((a + b + c + dd) * (a * dd - b * c) * (a * dd - b * c)
+      |             * 1000000)
+      |   // nullif((a + b) * (c + dd) * (a + c) * (b + dd), 0)) >= 3841459,
+      |    false) AS significant
+      |FROM t""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q312_ab_test" -> q312_ab_test,
+    "q311_kaplan_meier" -> q311_kaplan_meier,
     "q305_roc_auc" -> q305_roc_auc,
     "q302_fs_linkage" -> q302_fs_linkage,
     "q298_ks_drift" -> q298_ks_drift,
@@ -1255,6 +1417,8 @@ object InfoQueries {
     "q275_bigram_xent" -> q275_bigram_xent)
 
   val oracles: Map[String, String] = Map(
+    "q312_ab_test" -> q312_sql,
+    "q311_kaplan_meier" -> q311_sql,
     "q305_roc_auc" -> q305_sql,
     "q302_fs_linkage" -> q302_sql,
     "q298_ks_drift" -> q298_sql,
