@@ -105,6 +105,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ThresholdedLevenshtein rewrite is value-identical on random inputs") {
+    // expression-level replay of the optimizer rule's claim:
+    // (lev(a,b) <= k) == (lev(a,b,k) >= 0) for every input, nulls included
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual, Levenshtein, Literal}
+    import org.apache.spark.sql.types.StringType
+    def check(a: String, b: String, k: Int): Unit = {
+      val la = Literal.create(a, StringType)
+      val lb = Literal.create(b, StringType)
+      val naive =
+        LessThanOrEqual(Levenshtein(la, lb, None), Literal(k)).eval(null)
+      val banded = GreaterThanOrEqual(
+        Levenshtein(la, lb, Some(Literal(k))), Literal(0)).eval(null)
+      assert(naive == banded,
+        s"k=$k a=${Option(a).map(_.take(30))} b=${Option(b).map(_.take(30))}")
+    }
+    val gen = for {
+      a <- arbString.map(_.take(120))
+      b <- arbString.map(_.take(120))
+      k <- Gen.choose(0, 20)
+    } yield (a, b, k)
+    forAll(gen) { case (a, b, k) => check(a, b, k) }
+    check(null, "x", 3) // NULL propagation must match too
+    check("x", null, 0)
+  }
+
   test("reference currency-clean semantics: strip [^0-9.] then parse") {
     // model of transformation_pipeline.py:5-11 (re.sub + float, happy path)
     forAll(Gen.oneOf(Seq("£", "Â£", "$", "", "EUR "))
