@@ -1716,41 +1716,17 @@ object CurationQueries {
     * |sources|-bounded. */
   val q310_curation_v12: Q = (s, d) => {
     val doc = Tables.documents(s, d)
-    // (1) per-source AUC: chars vs token-budget label
+    // (1) per-source AUC: q305's chars-vs-token-budget scorer through the
+    // shared rank-sum fold (source grouping instead of scorer grouping)
     val scored = doc.select(col("source"), col("n_chars").as("score"),
-      when(TextAnalysis.bpeTokenCount(col("text")) > 56L, 1L)
-        .otherwise(0L).as("pos"))
-    val perScore = scored.groupBy(col("source"), col("score"))
-      .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("p_s"))
-    val cum = graft.operators.RunningTotal.grouped(perScore, "source",
-      Seq("score"), "n_s", "cum_n", groupCountHint = Some(64L))
-    val auc = cum.groupBy(col("source"))
-      .agg(sum(col("p_s") * (col("cum_n") * 2 - col("n_s") + 1))
-          .as("two_r_pos"),
-        sum(col("p_s")).as("pos"), sum(col("n_s")).as("n_docs"))
-      .withColumn("auc_ppm", expr(
-        "(two_r_pos - pos * (pos + 1)) * 1000000" +
-          " div nullif(2 * pos * (n_docs - pos), 0)"))
-      .select(col("source"), col("n_docs"), col("auc_ppm"))
+      InfoQueries.charsVsTokensLabel(col("text")).as("pos"))
+    val auc = InfoQueries.rankSumAuc(scored, "source", grpHint = 64L)
+      .select(col("source"), col("n_all").as("n_docs"), col("auc_ppm"))
     // (2) chars-per-token slope from the shared q308 fit
     val slope = TextMiningQueries.olsBySource(doc)
       .select(col("source"), col("b1_ppm"))
-    // (3) fuzzy-dup membership load (q309's blocking + verify)
-    val keyed = doc.select(col("doc_id"),
-        substring(col("text"), 1, 80).as("pfx"),
-        array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
-          .as("sk"),
-        col("source"))
-      .localCheckpoint(true) // consumers: blocking + two verify attaches
-    val cands = graft.operators.SortedNeighborhood.pairs(
-      keyed.select(col("doc_id"), col("sk")), "doc_id", col("sk"), w = 5)
-    val dupLoad = cands
-      .join(keyed.select(col("doc_id").as("doc_a"), col("pfx").as("pa"),
-        col("source").as("sa")), Seq("doc_a"))
-      .join(keyed.select(col("doc_id").as("doc_b"), col("pfx").as("pb"),
-        col("source").as("sb")), Seq("doc_b"))
-      .withColumn("dist", levenshtein(col("pa"), col("pb"), 12))
-      .where(col("dist") >= 0)
+    // (3) fuzzy-dup membership load from q309's shared blocking + verify
+    val dupLoad = TextMiningQueries.editDistancePairs(doc)
       .select(explode(array(col("sa"), col("sb"))).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("dup_memberships"))
     auc.join(slope, Seq("source"))

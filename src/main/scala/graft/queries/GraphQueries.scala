@@ -413,6 +413,7 @@ object GraphQueries {
     val adj = e.select(col("u").as("n"), col("v").as("nb"))
       .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // consumers: two degree attaches below
     val pairs = CoPurchase.linkPairs(s, d)
       .select(col("a"), col("b"), col("n_common").as("common"))
     // the pair frame is the big side (≤ c²/2 per pivot); the edge list and

@@ -1174,9 +1174,7 @@ object InfoQueries {
     val enPat = TextAnalysis.langProfiles.head._2
     val doc = Tables.documents(s, d)
     val chars = doc.select(lit("chars_vs_tokens").as("scorer"),
-      col("n_chars").as("score"),
-      when(TextAnalysis.bpeTokenCount(col("text")) > 56L, 1L)
-        .otherwise(0L).as("pos"))
+      col("n_chars").as("score"), charsVsTokensLabel(col("text")).as("pos"))
     val stops = doc.select(
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
         size(regexp_extract_all(lower(col("text")), lit(enPat), lit(0)))
@@ -1185,21 +1183,36 @@ object InfoQueries {
       .where(col("n_tok") > 0)
       .select(lit("stopwords_vs_lang").as("scorer"),
         expr("1000000 * s_en div n_tok").as("score"), col("pos"))
-    val perScore = chars.unionAll(stops)
-      .groupBy(col("scorer"), col("score"))
+    rankSumAuc(chars.unionAll(stops), "scorer", grpHint = 2L)
+      .select(col("scorer"), col("pos"),
+        (col("n_all") - col("pos")).as("neg"), col("two_r_pos"),
+        col("auc_ppm"))
+      .orderBy(col("scorer"))
+  }
+
+  /** The q305 token-budget proxy label (BPE tokens > 56) — shared with
+    * the q310 release gate so the two can't silently de-sync. */
+  private[queries] def charsVsTokensLabel(text: Column): Column =
+    when(TextAnalysis.bpeTokenCount(text) > 56L, 1L).otherwise(0L)
+
+  /** Tie-averaged rank-sum (Mann–Whitney) AUC over a pre-scored frame
+    * `(grp, score, pos)` — the q305 fold, shared with q310's per-source
+    * form. Returns `(grp, two_r_pos, pos, n_all, auc_ppm)`; auc_ppm is
+    * NULL for one-class groups (nullif guard on both engines). */
+  private[queries] def rankSumAuc(scored: DataFrame, grp: String,
+                                  grpHint: Long): DataFrame = {
+    val perScore = scored.groupBy(col(grp), col("score"))
       .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("p_s"))
-    val cum = graft.operators.RunningTotal.grouped(perScore, "scorer",
-      Seq("score"), "n_s", "cum_n", groupCountHint = Some(2L))
-    cum.groupBy(col("scorer"))
+    val cum = graft.operators.RunningTotal.grouped(perScore, grp,
+      Seq("score"), "n_s", "cum_n", groupCountHint = Some(grpHint))
+    cum.groupBy(col(grp))
       .agg(sum(col("p_s") * (col("cum_n") * 2 - col("n_s") + 1))
           .as("two_r_pos"),
         sum(col("p_s")).as("pos"),
         sum(col("n_s")).as("n_all"))
-      .select(col("scorer"), col("pos"),
-        (col("n_all") - col("pos")).as("neg"), col("two_r_pos"))
-      .withColumn("auc_ppm",
-        expr("(two_r_pos - pos * (pos + 1)) * 1000000 div (2 * pos * neg)"))
-      .orderBy(col("scorer"))
+      .withColumn("auc_ppm", expr(
+        "(two_r_pos - pos * (pos + 1)) * 1000000" +
+          " div nullif(2 * pos * (n_all - pos), 0)"))
   }
 
   val q305_sql: String = {
@@ -1231,7 +1244,7 @@ object InfoQueries {
        |        FROM cm GROUP BY 1)
        |SELECT scorer, pos, (n_all - pos)::BIGINT AS neg, two_r_pos,
        |  ((two_r_pos - pos * (pos + 1)) * 1000000
-       |   // (2 * pos * (n_all - pos)))::BIGINT AS auc_ppm
+       |   // nullif(2 * pos * (n_all - pos), 0))::BIGINT AS auc_ppm
        |FROM agg ORDER BY scorer""".stripMargin
   }
 

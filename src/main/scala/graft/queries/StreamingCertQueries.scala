@@ -672,9 +672,17 @@ object StreamingCertQueries {
       .agg(max(struct(col("seen"), col("s1"), col("s2"), col("s3"))).as("f"))
       .select(col("event_type"), col("f.seen").as("n_obs"),
         col("f.s1").as("s1"), col("f.s2").as("s2"), col("f.s3").as("s3"))
-      .withColumn("mean_ppm", expr("(s1 * 1000000) div n_obs"))
+      // derived algebra in DECIMAL(38,0) like q306 — (n·s2 − s1²)·10⁶
+      // passes 2⁶³ around n ≈ 2·10⁵ per key even though the state longs
+      // themselves are nowhere near overflow (the oracle is HUGEINT)
+      .withColumn("nd", expr("cast(n_obs as decimal(38,0))"))
+      .withColumn("s1d", expr("cast(s1 as decimal(38,0))"))
+      .withColumn("mean_ppm",
+        expr("cast((s1d * 1000000) div nd as bigint)"))
       .withColumn("var_ppm",
-        expr("((n_obs * s2 - s1 * s1) * 1000000) div (n_obs * n_obs)"))
+        expr("cast(((nd * s2 - s1d * s1d) * 1000000) div (nd * nd)" +
+          " as bigint)"))
+      .drop("nd", "s1d")
       .orderBy(col("event_type"))
   }
   val q307_sql: String =

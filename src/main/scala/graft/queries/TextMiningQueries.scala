@@ -662,23 +662,32 @@ object TextMiningQueries {
     * computes the full distance and filters — identical surviving
     * pairs by construction). Empirically the candidate distances are
     * bimodal (≤ 12 or > 30), so the 12 cutoff sits in the gap. */
-  val q309_edit_distance_join: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
-      .select(col("doc_id"), substring(col("text"), 1, 80).as("pfx"),
-        array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
-          .as("sk"))
-      .localCheckpoint(true) // consumers: blocking + two verify attaches
-    val cands = graft.operators.SortedNeighborhood.pairs(
-      doc.select(col("doc_id"), col("sk")), "doc_id", col("sk"), w = 5)
-    cands.select(col("doc_a"), col("doc_b"))
-      .join(doc.select(col("doc_id").as("doc_a"), col("pfx").as("pa")),
-        Seq("doc_a"))
-      .join(doc.select(col("doc_id").as("doc_b"), col("pfx").as("pb")),
-        Seq("doc_b"))
-      .withColumn("dist", levenshtein(col("pa"), col("pb"), 12))
-      .where(col("dist") >= 0)
+  val q309_edit_distance_join: Q = (s, d) =>
+    editDistancePairs(Tables.documents(s, d))
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** q309's blocking + banded verify as a reusable frame — `(doc_a,
+    * doc_b, dist, sa, sb)`, sources attached for per-source load
+    * accounting; shared with the q310 release gate so the w = 5 window
+    * and the k = 12 cutoff can't silently de-sync between them. */
+  private[queries] def editDistancePairs(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("pfx"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
+          .as("sk"),
+        col("source"))
+      .localCheckpoint(true) // consumers: blocking + two verify attaches
+    val cands = graft.operators.SortedNeighborhood.pairs(
+      keyed.select(col("doc_id"), col("sk")), "doc_id", col("sk"), w = 5)
+    cands.select(col("doc_a"), col("doc_b"))
+      .join(keyed.select(col("doc_id").as("doc_a"), col("pfx").as("pa"),
+        col("source").as("sa")), Seq("doc_a"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("pfx").as("pb"),
+        col("source").as("sb")), Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), 12))
+      .where(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("sa"), col("sb"))
   }
 
   val q309_sql: String =

@@ -50,8 +50,12 @@ object ScaleStressR9c {
     val doc = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
       .localCheckpoint(true)
+    // replica id offset derived from the data, so replicas stay disjoint
+    // at ANY scale factor (a fixed 10^7 stride would collide once ids
+    // reach it and silently merge replicas)
+    val stride = doc.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
     val docBig = doc.crossJoin(spark.range(reps).select(col("id").as("r")))
-      .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+      .select((col("doc_id") + col("r") * stride).as("doc_id"),
         col("text"), col("lang"), col("n_chars"))
       .localCheckpoint(true)
 

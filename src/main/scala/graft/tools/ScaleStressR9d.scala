@@ -49,8 +49,11 @@ object ScaleStressR9d {
       .select(col("user_id"), col("event_type"),
         unix_millis(col("ts")).as("tsm"))
       .localCheckpoint(true)
+    // replica id offset derived from the data, so replicas stay disjoint
+    // at ANY scale factor (a fixed stride would collide once ids reach it)
+    val stride = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1L
     val evBig = ev.crossJoin(spark.range(reps).select(col("id").as("r")))
-      .select((col("user_id") + col("r") * 10000000L).as("user_id"),
+      .select((col("user_id") + col("r") * stride).as("user_id"),
         col("event_type"), col("tsm"))
       .localCheckpoint(true)
 
