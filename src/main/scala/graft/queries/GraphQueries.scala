@@ -412,8 +412,12 @@ object GraphQueries {
     val e = CoPurchase.edges(s, d)
     val adj = e.select(col("u").as("n"), col("v").as("nb"))
       .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
+    // deg has two consumers (the da/db attaches) but is deliberately NOT
+    // localCheckpoint'ed: it's one cheap aggregate over the STAGED edge
+    // parquet, and materializing it measured slower than recomputing it
+    // (2.84s vs 1.89s idle) — the q121 fan-out lesson applies to
+    // expensive upstreams, not to a groupBy over a scratch-file scan.
     val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true) // consumers: two degree attaches below
     val pairs = CoPurchase.linkPairs(s, d)
       .select(col("a"), col("b"), col("n_common").as("common"))
     // the pair frame is the big side (≤ c²/2 per pivot); the edge list and
