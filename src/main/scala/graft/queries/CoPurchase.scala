@@ -32,35 +32,28 @@ import graft.io.Tables
   */
 private[graft] object CoPurchase {
 
-  private val staged =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def memo(s: SparkSession, d: String, key: String)
+                  (build: => DataFrame): DataFrame =
+    graft.io.StagedFrame.memo(s, s"copurchase|$d|$key", s"${key}_")(build)
 
   /** Weighted co-purchase edges `(u, v, c)` with `u < v` and `c` = number
     * of distinct orders containing both parts. Built + staged once per
     * (session, sfDir); subsequent calls are a parquet scan. */
-  def weightedEdges(s: SparkSession, d: String): DataFrame = {
-    val dir = staged.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val out = graft.io.Scratch.dir("copurchase_") + "/e"
+  def weightedEdges(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "copurchase") {
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("u"), col("b.p").as("v"))
         .agg(count(lit(1)).as("c"))
-        .write.mode("overwrite").parquet(out)
-      out
-    })
-    s.read.parquet(dir)
-  }
+    }
 
   /** Distinct undirected edge set `(u < v)` — the unweighted projection of
     * [[weightedEdges]] (column pruning reaches the staged scan, so the
     * weight column is never read). */
   def edges(s: SparkSession, d: String): DataFrame =
     weightedEdges(s, d).select(col("u"), col("v"))
-
-  private val stagedShortlist =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Per-pivot candidate SHORTLIST over the co-purchase adjacency:
     * `(n, nb, deg)` for pivots with deg(n) ≤ 500, keeping each pivot's
@@ -74,14 +67,8 @@ private[graft] object CoPurchase {
     * and a consumer needing a stricter pivot floor (q304's deg ≥ 2)
     * filters the staged frame — per-pivot predicates commute with the
     * per-pivot rank. */
-  def shortlist(s: SparkSession, d: String): DataFrame = {
-    val dir = stagedShortlist.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val out = graft.io.Scratch.dir("shortlist_") + "/sh"
-      buildShortlist(s, d).write.mode("overwrite").parquet(out)
-      out
-    })
-    s.read.parquet(dir)
-  }
+  def shortlist(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "shortlist")(buildShortlist(s, d))
 
   /** The unstaged shortlist build — exposed so [[shortlist]]'s memo and
     * the plan-guarantee spec (rank ≤ 32 must plan as a WindowGroupLimit,
@@ -98,9 +85,6 @@ private[graft] object CoPurchase {
       .where(col("rk") <= 32).drop("rk")
   }
 
-  private val stagedLinkPairs =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
-
   /** Aggregated link-prediction candidate pairs over [[shortlist]]:
     * `(a, b, n_common, ra_ppb, aa_ppb)` — for every non-ordered pair of
     * parts sharing ≥ 1 shortlisted pivot, the common-pivot count (q253),
@@ -115,9 +99,8 @@ private[graft] object CoPurchase {
     * neighbors), so every aggregated contribution has deg ≥ 2 and the
     * Adamic–Adar divisor ilog2(deg) > 0; the nullif guard only shields
     * speculative evaluation on rows the join never emits. */
-  def linkPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = stagedLinkPairs.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val out = graft.io.Scratch.dir("linkpairs_") + "/p"
+  def linkPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "linkpairs") {
       val short = shortlist(s, d)
         .withColumn("w_fp", graft.functions.Ilog2.ilog2(col("deg")))
       short.as("x").join(short.as("y"),
@@ -126,31 +109,19 @@ private[graft] object CoPurchase {
         .agg(count(lit(1)).as("n_common"),
           sum(expr("1000000000 div x.deg")).as("ra_ppb"),
           sum(expr("65536000000000 div nullif(x.w_fp, 0)")).as("aa_ppb"))
-        .write.mode("overwrite").parquet(out)
-      out
-    })
-    s.read.parquet(dir)
-  }
-
-  private val stagedPurchase =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    }
 
   /** Weighted customer→supplier PURCHASE edges `(c, p, w)` from
     * `orders ⋈ lineitem` (w = line count), staged once per
     * (session, sfDir) — shared by the link-analysis family (q129/q143
     * PageRank build the distinct projection, q199 HITS the weighted
     * form), which previously re-ran the same two-table join each. */
-  def purchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val dir = stagedPurchase.getOrElseUpdate((s.sparkContext.applicationId, d), {
-      val out = graft.io.Scratch.dir("purchase_") + "/e"
+  def purchaseEdges(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "purchase") {
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
         .agg(count(lit(1)).as("w"))
-        .write.mode("overwrite").parquet(out)
-      out
-    })
-    s.read.parquet(dir)
-  }
+    }
 }

@@ -26,18 +26,9 @@ import graft.queries.LlmQueries.{LshK, LshBands}
   */
 private[queries] object DocLsh {
 
-  private val staged =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
-
   private def memo(s: SparkSession, d: String, key: String)
-                  (build: => DataFrame): DataFrame = {
-    val dir = staged.getOrElseUpdate((s.sparkContext.applicationId, d, key), {
-      val out = graft.io.Scratch.dir(s"doclsh_${key}_") + "/t"
-      build.write.mode("overwrite").parquet(out)
-      out
-    })
-    s.read.parquet(dir)
-  }
+                  (build: => DataFrame): DataFrame =
+    graft.io.StagedFrame.memo(s, s"doclsh|$d|$key", s"doclsh_${key}_")(build)
 
   /** Distinct (doc_id, 3-token shingle) — [[Dedup.docShingles]]. */
   def shingles(s: SparkSession, d: String): DataFrame =
