@@ -52,9 +52,26 @@ class PlansSpec extends SparkSpec {
       (null: String) -> null))
   }
 
+  test("fires through Long bounds, explicit casts, and foldable arithmetic") {
+    // generated-SQL shapes: a BIGINT bound makes the analyzer wrap the
+    // Levenshtein side in Cast(..., LongType); the rule must see through it
+    for (pred <- Seq("levenshtein(a, b) <= 3L", "4L > levenshtein(a, b)",
+      "cast(levenshtein(a, b) as bigint) <= 3", "levenshtein(a, b) <= 1 + 2",
+      "cast(levenshtein(a, b) as int) < cast(4 as tinyint)")) {
+      val df = rows.where(expr(pred))
+      val p = planOf(df)
+      assert("levenshtein\\([^)]*, Some\\(3\\)\\)".r.findFirstIn(p).isDefined,
+        s"$pred did not rewrite to the banded form:\n$p")
+      assert(runRule(df).collect().map(_.getString(0)).toSet ==
+        Set("kitten", "same"), s"$pred changed the result set")
+    }
+  }
+
   test("does not fire on already-thresholded calls or unprofitable shapes") {
     val keep = Seq("levenshtein(a, b, 5) <= 3", "levenshtein(a, b) >= 3",
-      "levenshtein(a, b) <= -1")
+      "levenshtein(a, b) <= -1",
+      // narrowing cast could ANSI-throw on overflow — must stay untouched
+      "cast(levenshtein(a, b) as smallint) <= 3")
     for (pred <- keep) {
       val df = rows.where(expr(pred))
       assert(planOf(df) == df.queryExecution.analyzed.toString,

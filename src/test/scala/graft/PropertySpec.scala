@@ -130,6 +130,31 @@ class PropertySpec extends AnyFunSuite {
     check("x", null, 0)
   }
 
+  test("ThresholdedLevenshtein Long-bound/casted form is value-identical") {
+    // the round-10 generalization: Cast(lev, LongType) <= kL must equal
+    // the banded Int-threshold form for every input, nulls included
+    import org.apache.spark.sql.catalyst.expressions.{Cast, GreaterThanOrEqual, LessThanOrEqual, Levenshtein, Literal}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    def check(a: String, b: String, k: Long): Unit = {
+      val la = Literal.create(a, StringType)
+      val lb = Literal.create(b, StringType)
+      val naive = LessThanOrEqual(
+        Cast(Levenshtein(la, lb, None), LongType), Literal(k)).eval(null)
+      val banded = GreaterThanOrEqual(
+        Levenshtein(la, lb, Some(Literal(k.toInt))), Literal(0)).eval(null)
+      assert(naive == banded,
+        s"k=$k a=${Option(a).map(_.take(30))} b=${Option(b).map(_.take(30))}")
+    }
+    val gen = for {
+      a <- arbString.map(_.take(120))
+      b <- arbString.map(_.take(120))
+      k <- Gen.choose(0L, 20L)
+    } yield (a, b, k)
+    forAll(gen) { case (a, b, k) => check(a, b, k) }
+    check(null, "x", 2L)
+    check("x", null, 0L)
+  }
+
   test("reference currency-clean semantics: strip [^0-9.] then parse") {
     // model of transformation_pipeline.py:5-11 (re.sub + float, happy path)
     forAll(Gen.oneOf(Seq("£", "Â£", "$", "", "EUR "))
