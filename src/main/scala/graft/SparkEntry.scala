@@ -19,8 +19,9 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ TpchQueries.defs ++ AnalyticsQueries.defs ++
+      ForecastQueries.defs ++
       GraphQueries.defs ++ SketchQueries.defs ++ LlmQueries.defs ++
-      TextMiningQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++
+      TextMiningQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++ CurationAuditQueries.defs ++
       MultimodalQueries.defs ++ InfoQueries.defs ++ StreamingQueries.defs ++
       StreamingCertQueries.defs
 
@@ -28,10 +29,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TpchQueries.oracles ++
-      AnalyticsQueries.oracles ++ GraphQueries.oracles ++
+      AnalyticsQueries.oracles ++ ForecastQueries.oracles ++
+      GraphQueries.oracles ++
       SketchQueries.oracles ++ LlmQueries.oracles ++
       TextMiningQueries.oracles ++ AnnQueries.oracles ++
-      CurationQueries.oracles ++ MultimodalQueries.oracles ++
+      CurationQueries.oracles ++ CurationAuditQueries.oracles ++
+      MultimodalQueries.oracles ++
       InfoQueries.oracles ++ StreamingQueries.oracles ++
       StreamingCertQueries.oracles
 }

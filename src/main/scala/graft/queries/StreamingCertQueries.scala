@@ -393,7 +393,7 @@ object StreamingCertQueries {
       .orderBy(col("event_id"))
   }
   /** Identical recurrence, identical staged order → q257's batch oracle. */
-  val q265_sql: String = AnalyticsQueries.q257_sql
+  val q265_sql: String = ForecastQueries.q257_sql
 
   /** The twenty-seventh streaming certification — LIVE weighted-priority
     * top-3 sampling per nation ([[Streaming.priorityTopK]]): q125's A-ES
@@ -541,7 +541,7 @@ object StreamingCertQueries {
       .orderBy(col("event_type"), col("day"))
   }
   /** Identical recurrence, identical staged order → q279's batch oracle. */
-  val q284_sql: String = AnalyticsQueries.q279_sql
+  val q284_sql: String = ForecastQueries.q279_sql
   /** Stateful streaming cohort retention — the thirtieth streaming cert:
     * [[Streaming.cohortRetention]] carries TWO longs per user (cohort
     * week + 64-bit seen-offset bitmask) across micro-batch boundaries
@@ -583,7 +583,7 @@ object StreamingCertQueries {
       .orderBy(col("cohort_week"), col("offset_weeks"))
   }
   /** Same oracle as the batch retention triangle. */
-  val q295_sql: String = AnalyticsQueries.q292_sql
+  val q295_sql: String = ForecastQueries.q292_sql
 
   /** Stateful streaming FUNNEL certification — the thirty-first streaming
     * cert: [[Streaming.funnelDepth]] carries each user's greedy funnel
