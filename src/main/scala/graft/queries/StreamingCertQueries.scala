@@ -698,7 +698,175 @@ object StreamingCertQueries {
       |       (((n * s2 - s1 * s1) * 1000000) // (n * n))::BIGINT AS var_ppm
       |FROM a ORDER BY event_type""".stripMargin
 
+  // ---------------------------------- round 10: checkpoint RECOVERY certs
+
+  /** Run a streaming cert as TWO query incarnations over one source dir —
+    * the checkpoint-RECOVERY certification the 32 continuous certs don't
+    * exercise. The staged replay files are copied into a fresh per-
+    * invocation run dir in two halves: incarnation 1 sees only the first
+    * `firstN` files and runs to completion (`AvailableNow` commits every
+    * processed batch), is stopped, the remaining files are copied in, and
+    * a NEW query object starts from the SAME `checkpointLocation`. The
+    * restart recovers the stateful operators' keyed state from the state
+    * store and the file-source offset log guarantees incarnation 2 reads
+    * only the unseen files — no reprocessing, no gap. Both incarnations
+    * write the SAME parquet file sink (the memory sink used by the
+    * continuous certs deliberately refuses checkpoint recovery — the file
+    * sink's `_spark_metadata` commit log is the fault-tolerant,
+    * exactly-once production shape, and reading the dir back goes through
+    * that log, so only committed batches count). The certified property:
+    * the recovered run's cumulative output hash-matches the batch oracle,
+    * i.e. a mid-stream worker death + restart is output-invisible (the
+    * analog of the reference DAG's survive-by-rerun, `airflow.py:31`,
+    * done the durable-state way). A fresh run dir per invocation (rather
+    * than the memoized staged dir) keeps the staged corpus immutable and
+    * makes the mid-stream restart real on every run, including Bench
+    * reps.
+    *
+    * The copies preserve the staged mtime sequence (the file source
+    * replays oldest-first), so the cross-batch arrival order is exactly
+    * the continuous cert's.
+    */
+  private def recoveringTable(s: SparkSession, srcDir: String, firstN: Int,
+                              tag: String)
+                             (plan: DataFrame => DataFrame,
+                              schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import java.nio.file.{Files => F, Paths}
+    val runDir = graft.io.Scratch.dir(s"${tag}_run_") + "/src"
+    F.createDirectories(Paths.get(runDir))
+    val files = {
+      val it = F.list(Paths.get(srcDir)).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          buf += p
+      }
+      buf.sortBy(p => (F.getLastModifiedTime(p).toMillis, p.getFileName.toString))
+        .toSeq
+    }
+    require(firstN > 0 && firstN < files.size,
+      s"recovery split must leave batches on both sides: $firstN of ${files.size}")
+    def copyIn(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
+      val tgt = Paths.get(runDir).resolve(p.getFileName)
+      F.copy(p, tgt)
+      F.setLastModifiedTime(tgt, F.getLastModifiedTime(p))
+    }
+    val ckpt = Stage.ckpt()
+    val outDir = graft.io.Scratch.dir(s"${tag}_out_") + "/out"
+    def incarnation(): Unit = {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(runDir)
+      withCertStatePartitions(s) {
+        val query = plan(stream)
+          .writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        query.stop() // fully released before the next incarnation opens ckpt
+      }
+    }
+    copyIn(files.take(firstN))
+    incarnation()
+    copyIn(files.drop(firstN))
+    incarnation()
+    // the read goes through the sink's _spark_metadata commit log — only
+    // batches committed by either incarnation are visible
+    s.read.parquet(outDir)
+  }
+
+  /** q208's EWMA cert under CHECKPOINT RECOVERY — the thirty-third
+    * streaming cert: two of the four (tsm, event_id)-ordered micro-batches
+    * run, the query is stopped, and a new incarnation resumes from the
+    * checkpoint with every per-user state long restored. Append-mode
+    * emission is exactly-once per observation, so the union of the two
+    * incarnations must hash-match the SAME batch `list_reduce` oracle as
+    * the continuous run — any state lost or recomputed differently across
+    * the restart shifts some post-restart ewma and breaks the hash. */
+  val q313_recovery_ewma: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      round(abs(col("value")) * 10000).cast("long").as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsTsOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    recoveringTable(s, srcDir, firstN = 2, tag = "q313_rec_ewma")(
+      st => Streaming.ewmaHalfLife(st.as[Streaming.KeyedObs]).toDF(), ev.schema)
+      .select(col("user_id"), col("event_id"), col("x"), col("ewma"))
+      .orderBy(col("event_id"))
+  }
+  /** Identical recurrence + replay order → q208's oracle verbatim. */
+  val q313_sql: String = StreamingQueries.q208_sql
+
+  /** q284's Holt–Winters cert under CHECKPOINT RECOVERY — the thirty-
+    * fourth streaming cert: the m + 3 longs per series (level, trend,
+    * step counter, 7-slot seasonal ring) must survive the restart
+    * bit-for-bit; the seasonal ring makes this the strictest recovery
+    * probe, since a post-restart step reads the slot written m steps
+    * before the crash. Union of incarnations vs q279's batch fold. */
+  val q314_recovery_hw: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val srcDir = stageOrderedBy(daily, d, "dailyTypeCounts4", 4,
+      Seq(col("day"), col("event_type")))
+    recoveringTable(s, srcDir, firstN = 2, tag = "q314_rec_hw")(
+      st => Streaming.holtWintersStream(st.as[Streaming.HwObs], m = 7).toDF(),
+      daily.schema)
+      .select(col("event_type"), col("day"), col("x"), col("level"),
+        col("trend"), col("seas"))
+      .orderBy(col("event_type"), col("day"))
+  }
+  /** Same oracle as the continuous Holt–Winters cert (q279's). */
+  val q314_sql: String = ForecastQueries.q279_sql
+
+  /** q307's moments sketch under CHECKPOINT RECOVERY — the thirty-fifth
+    * streaming cert: the per-type (n, Σv, Σv², Σv³) monoid state resumes
+    * from the store and keeps accumulating; the final readout is the max
+    * cumulative emission ACROSS incarnations (monotone in seen), so a
+    * restart that dropped or double-counted any pre-crash batch would
+    * shift the final sums and break the hash against the direct batch
+    * aggregate. */
+  val q315_recovery_moments: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      round(col("value")).cast("long").as("v"),
+      col("event_id").cast("long").as("event_id"))
+    val srcDir = stageOrderedBy(ev, d, "eventsMomOrdered4", 4,
+      Seq(col("event_type"), col("v"), col("event_id")))
+    recoveringTable(s, srcDir, firstN = 2, tag = "q315_rec_mom")(
+      st => Streaming.momentsSketch(st.as[Streaming.MomObs]).toDF(), ev.schema)
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("seen"), col("s1"), col("s2"), col("s3"))).as("f"))
+      .select(col("event_type"), col("f.seen").as("n_obs"),
+        col("f.s1").as("s1"), col("f.s2").as("s2"), col("f.s3").as("s3"))
+      .withColumn("nd", expr("cast(n_obs as decimal(38,0))"))
+      .withColumn("s1d", expr("cast(s1 as decimal(38,0))"))
+      .withColumn("mean_ppm",
+        expr("cast((s1d * 1000000) div nd as bigint)"))
+      .withColumn("var_ppm",
+        expr("cast(((nd * s2 - s1d * s1d) * 1000000) div (nd * nd)" +
+          " as bigint)"))
+      .drop("nd", "s1d")
+      .orderBy(col("event_type"))
+  }
+  /** Same oracle as the continuous moments cert. */
+  val q315_sql: String = q307_sql
+
   val defs: Map[String, Q] = Map(
+    "q315_recovery_moments" -> q315_recovery_moments,
+    "q314_recovery_hw" -> q314_recovery_hw,
+    "q313_recovery_ewma" -> q313_recovery_ewma,
     "q307_stream_moments" -> q307_stream_moments,
     "q303_stream_funnel" -> q303_stream_funnel,
     "q295_stream_retention" -> q295_stream_retention,
@@ -714,6 +882,9 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q315_recovery_moments" -> q315_sql,
+    "q314_recovery_hw" -> q314_sql,
+    "q313_recovery_ewma" -> q313_sql,
     "q307_stream_moments" -> q307_sql,
     "q303_stream_funnel" -> q303_sql,
     "q295_stream_retention" -> q295_sql,
