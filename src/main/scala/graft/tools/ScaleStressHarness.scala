@@ -1,0 +1,702 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.llm.{AllPairs, Dedup, NaiveBayes, RandomProjection, SetJoin, TextAnalysis}
+
+/** THE scale-stress tool — one parameterized harness for every 100×
+  * disjoint-replica certification, replacing the nine one-off
+  * `ScaleStress*` mains that each carried their own copy of the session
+  * builder, the stage timer, the replica/stride construction, and the
+  * growth-band summary (the round-9 verdict traced a stride fix that had
+  * to be applied twice to exactly that duplication).
+  *
+  * Usage: `runMain graft.tools.ScaleStress <family...> [--sf <dir>]`.
+  * Families: `similarity` (SCALESTRESS_r6 — LSH / SimHash / multiprobe /
+  * all-pairs / ppjoin candidate growth + graph ops at 100×), `graph`
+  * (r8 — common-neighbor shortlist, oriented wedges, dangling PageRank),
+  * `text` (r8b — winnowing, weighted MinHash, NB throughput, Ilog2
+  * entropy), `info` (r9 — χ² contingency grid, Holt–Winters keys),
+  * `ks-textrank` (r9b), `auc-snm` (r9c), `km-ab` (r9d).
+  *
+  * Methodology (shared by every family): replicas must be DISJOINT —
+  * numeric ids shifted by a stride DERIVED FROM THE DATA (`max(id) + 1`;
+  * a fixed stride collides once ids reach it and silently merges
+  * replicas), text vocabularies suffixed per replica so document
+  * frequencies keep their per-replica shape instead of inflating 100×.
+  * Exact structural quantities assert the tight [95, 105] band;
+  * LSH-family candidate counts are hash-variance-dominated (which docs
+  * collide into which band buckets is a per-replica draw, and
+  * near-maxBucket buckets contribute O(cap²) pairs or zero depending on
+  * which side of the cap the draw lands) and get the [50, 200] band — a
+  * broken guard (all-pairs fallback) lands at ~10 000×, far outside
+  * either. Each family emits one JSON line per stage and one summary
+  * line, byte-compatible with its committed `SCALESTRESS_*.json`
+  * artifact.
+  */
+object ScaleStress {
+
+  private val Reps = 100
+
+  // ------------------------------------------------------ shared harness
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private final class Emitter {
+    val out = new StringBuilder
+    def line(l: String): Unit = { println(l); out.append(l).append('\n') }
+    def stage(name: String)(f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = f
+      line(s"""{"stage":"$name","sec":${(System.nanoTime() - t0) / 1e9},"rows":$n}""")
+      n
+    }
+  }
+
+  /** Disjoint numeric-id replication: `id + r * stride` with the stride
+    * derived from the data so replicas stay disjoint at ANY scale factor.
+    * `cols` are carried through unchanged. */
+  private def strideReplica(spark: SparkSession, df: DataFrame, idCol: String,
+                            reps: Int, cols: Seq[String]): DataFrame = {
+    val stride = df.agg(max(col(idCol))).collect()(0).getLong(0) + 1L
+    df.crossJoin(broadcast(spark.range(reps).select(col("id").as("__r"))))
+      .select((col(idCol) + col("__r") * stride).as(idCol) +: cols.map(col): _*)
+      .localCheckpoint(true)
+  }
+
+  /** Disjoint-vocabulary text replication: ids strided by the base count,
+    * every token suffixed `r<replica>` (per-replica document frequencies
+    * keep their original values — the shape of a real 100× corpus), and
+    * any extra string key columns suffixed the same way. `df` must carry
+    * a `rep` column (lit(0) for the baseline). */
+  private def tokenReplica(df: DataFrame, baseN: Long,
+                           suffixCols: Seq[String]): DataFrame = df.select(
+    (col("rep") * baseN + col("doc_id")).as("doc_id") +:
+      regexp_replace(col("text"), lit("(\\w+)"),
+        concat(lit("$1r"), col("rep"))).as("text") +:
+      suffixCols.map(c => concat(col(c), lit("r"), col("rep")).as(c)): _*)
+
+  private def ratio3(x1: Long, x100: Long): Double =
+    math.round(1000.0 * x100 / x1) / 1000.0
+
+  // ---------------------------------------------------------- families
+
+  private type Family = (SparkSession, String, Emitter) => Unit
+
+  /** SCALESTRESS_r6: candidate-count growth of the similarity family at
+    * 100× disjoint-vocabulary corpus, plus graph/vector ops with no
+    * baseline (throughput-shape stages). */
+  private val similarity: Family = (spark, sfDir, em) => {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val baseN = base.count()
+    val rep0 = tokenReplica(base.withColumn("rep", lit(0L)), baseN, Nil)
+      .localCheckpoint(true)
+    var big: DataFrame = null
+    em.stage("build corpus x100") {
+      big = tokenReplica(base.crossJoin(broadcast(
+          spark.range(Reps).toDF("rep"))), baseN, Nil)
+        .repartition(64).localCheckpoint(true)
+      big.count()
+    }
+
+    val lsh1 = em.stage("lsh candidates x1")(
+      Dedup.dedupNearMinhash(rep0, "text", "doc_id", 8, 4).count())
+    val lsh100 = em.stage("lsh candidates x100")(
+      Dedup.dedupNearMinhash(big, "text", "doc_id", 8, 4).count())
+    // 16-bit bands: 8-bit bands have only 256 keys/band, which saturates
+    // every bucket past maxBucket at ~256k docs — 500k docs need ≥ 16
+    val sh1 = em.stage("simhash64 pairs x1")(
+      Dedup.simhashNearDupPairs(rep0, "text", "doc_id", 64, 16, 3).count())
+    val sh100 = em.stage("simhash64 pairs x100")(
+      Dedup.simhashNearDupPairs(big, "text", "doc_id", 64, 16, 3).count())
+    val mp1 = em.stage("simhash64 multiprobe x1")(
+      Dedup.simhashMultiProbePairs(rep0, "text", "doc_id", 64, 16, 7).count())
+    val mp100 = em.stage("simhash64 multiprobe x100")(
+      Dedup.simhashMultiProbePairs(big, "text", "doc_id", 64, 16, 7).count())
+    val ap1 = em.stage("allpairs cosine x1")(
+      AllPairs.cosinePairs(rep0, "doc_id", "text", maxDf = 25,
+        minCos2Fp = 640000L).count())
+    val ap100 = em.stage("allpairs cosine x100")(
+      AllPairs.cosinePairs(big, "doc_id", "text", maxDf = 25,
+        minCos2Fp = 640000L).count())
+    // prefix-filtered exact Jaccard: token remap is a per-replica
+    // bijection, so x100 is EXACTLY 100x when candidate gen is linear
+    val jp1 = em.stage("jaccard ppjoin x1")(
+      SetJoin.jaccardPairs(rep0, "doc_id", "text", 7L, 10L).count())
+    val jp100 = em.stage("jaccard ppjoin x100")(
+      SetJoin.jaccardPairs(big, "doc_id", "text", 7L, 10L).count())
+
+    em.stage("random projection x100 (500k x 64->16)") {
+      val vecs = spark.range(500000L).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id"), j), lit(1000)) - 500).cast("double") / 100.0)
+          .as("embedding"))
+      RandomProjection.project(vecs, "embedding", "proj", 16, 64)
+        .queryExecution.toRdd.count()
+    }
+    em.stage("pagerank 10M edges, 3 rounds") {
+      val edges = spark.range(10000000L)
+        .select((col("id") % 500000L).as("src"),
+          ((col("id") * 31L + 7L) % 500000L).as("dst"))
+      graft.operators.PageRank.ranksFp(edges, "src", "dst", iters = 3)
+        .queryExecution.toRdd.count()
+    }
+    em.stage("kcore peel 10M edges, k=3") {
+      val edges = spark.range(10000000L)
+        .select((col("id") % 500000L).as("src"),
+          ((col("id") * 31L + 7L) % 500000L).as("dst"))
+      graft.operators.KCore.peel(edges, "src", "dst", 3, maxRounds = 3)
+        .queryExecution.toRdd.count()
+    }
+    em.stage("knn density 500k vecs, 5k cells") {
+      val vecs = spark.range(500000L).select(col("id").as("vec_id"),
+        (col("id") % 5000L).as("label"),
+        transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id"), j), lit(1000)) - 500).cast("float") / 100.0f)
+          .as("embedding"))
+      graft.llm.Similarity.knnDensity(vecs, 5, "label", dim = 64)
+        .queryExecution.toRdd.count()
+    }
+    em.stage("cc large-star 1M-node chain") {
+      val chain = spark.range(999999L)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      graft.operators.ConnectedComponents.componentsStar(chain, "a", "b")
+        .queryExecution.toRdd.count()
+    }
+
+    def ratio(x100: Long, x1: Long): Double =
+      if (x1 == 0) -1.0 else x100.toDouble / x1
+    val ratios = Map(
+      "lsh" -> ratio(lsh100, lsh1), "simhash64" -> ratio(sh100, sh1),
+      "multiprobe" -> ratio(mp100, mp1), "allpairs" -> ratio(ap100, ap1),
+      "jaccard" -> ratio(jp100, jp1))
+    val pass = ratios.values.forall(r => r >= 50.0 && r <= 200.0)
+    em.line(ratios.map { case (k, v) => s""""$k":${f"$v%.1f"}""" }
+      .mkString(s"""{"summary":"candidate-count growth at ${Reps}x",""", ",",
+        s""","band":[50.0,200.0],"linear":$pass}"""))
+  }
+
+  /** SCALESTRESS_r8: graph-family growth — q253's shortlist candidates,
+    * q230's oriented wedges, dangling-redistributing PageRank. */
+  private val graph: Family = (spark, sfDir, em) => {
+    import org.apache.spark.sql.expressions.Window
+    val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val base = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").cast("long").as("u"), col("b.p").cast("long").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // deterministic 1-in-10 thinning for the deg²-bounded stages
+    val thin = base.where((col("u") * 31 + col("v")) % 10 === 0)
+      .localCheckpoint(true)
+    // one stride for u AND v so edges stay within their replica
+    val stride =
+      base.agg(greatest(max(col("u")), max(col("v")))).collect()(0).getLong(0) + 1L
+    def x100(e: DataFrame): DataFrame = e
+      .crossJoin(broadcast(spark.range(Reps).toDF("rep")))
+      .select((col("u") + col("rep") * stride).as("u"),
+        (col("v") + col("rep") * stride).as("v"))
+      .repartition(64).localCheckpoint(true)
+
+    def cnCandidates(e: DataFrame): Long = {
+      val adj = e.select(col("u").as("n"), col("v").as("nb"))
+        .unionAll(e.select(col("v").as("n"), col("u").as("nb")))
+      val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val pivots = adj.join(
+        deg.where(col("deg") <= 500).select(col("n")), Seq("n"), "left_semi")
+      val short = pivots.withColumn("rk",
+          row_number().over(Window.partitionBy(col("n")).orderBy(col("nb"))))
+        .where(col("rk") <= 32).drop("rk")
+      short.as("x").join(short.as("y"),
+          col("x.n") === col("y.n") && col("x.nb") < col("y.nb"))
+        .count()
+    }
+    def wedges(e: DataFrame): Long =
+      graft.operators.Triangles.stats(e, "u", "v")
+        .select(col("n_wedges")).head().getLong(0)
+    def pagerank(e: DataFrame): Long =
+      graft.operators.PageRank.ranksFp(e, "u", "v", iters = 3,
+        danglingRedistribute = true).count()
+
+    em.stage("graph build thin x1")(thin.count())
+    val thinBig = x100(thin)
+    em.stage("graph build thin x100")(thinBig.count())
+    val cn1 = em.stage("cn candidates x1")(cnCandidates(thin))
+    val cn100 = em.stage("cn candidates x100")(cnCandidates(thinBig))
+    val w1 = em.stage("oriented wedges x1")(wedges(thin))
+    val w100 = em.stage("oriented wedges x100")(wedges(thinBig))
+    val full1 = em.stage("graph build full x1")(base.count())
+    val big = x100(base)
+    em.stage("graph build full x100")(big.count())
+    val pr1 = em.stage("pagerank-dangling x1 (3 iters)")(pagerank(base))
+    val pr100 = em.stage(
+      s"pagerank-dangling x100 (${full1 * Reps} edges, 3 iters)")(pagerank(big))
+
+    val rs = Map("cn" -> ratio3(cn1, cn100), "wedges" -> ratio3(w1, w100),
+      "pagerank_nodes" -> ratio3(pr1, pr100))
+    val linear = rs.values.forall(r => r >= 95.0 && r <= 105.0)
+    em.line(s"""{"summary":"graph candidate/edge growth at 100x disjoint replicas","cn":${rs("cn")},"wedges":${rs("wedges")},"pagerank_nodes":${rs("pagerank_nodes")},"band":[95.0,105.0],"linear":$linear}""")
+  }
+
+  /** SCALESTRESS_r8b: text families — winnowing fingerprints/matches,
+    * weighted MinHash candidates, NB classify throughput, Ilog2 entropy. */
+  private val text: Family = (spark, sfDir, em) => {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"))
+    val baseN = base.count()
+    val rep0 = tokenReplica(base.withColumn("rep", lit(0L)), baseN,
+      Seq("source")).localCheckpoint(true)
+    var big: DataFrame = null
+    em.stage("build corpus x100") {
+      big = tokenReplica(base.crossJoin(broadcast(
+          spark.range(Reps).toDF("rep"))), baseN, Seq("source"))
+        .repartition(64).localCheckpoint(true)
+      big.count()
+    }
+
+    def winnowFp(df: DataFrame) =
+      Dedup.winnowingFingerprints(df, "text", "doc_id", k = 3, w = 4)
+        .localCheckpoint(true)
+    def matchPairs(fp: DataFrame): Long = {
+      val keep = fp.join(
+        fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= 50).select(col("h")), Seq("h"), "left_semi")
+      keep.as("a").join(keep.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id"), col("b.doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .count()
+    }
+    val fp1d = winnowFp(rep0)
+    val fp1 = em.stage("winnow fingerprints x1")(fp1d.count())
+    val fp100d = winnowFp(big)
+    val fp100 = em.stage("winnow fingerprints x100")(fp100d.count())
+    val wm1 = em.stage("winnow match pairs x1")(matchPairs(fp1d))
+    val wm100 = em.stage("winnow match pairs x100")(matchPairs(fp100d))
+
+    def wmhPairs(df: DataFrame): Long = {
+      val el = Dedup.weightedShingles(df, "text", "doc_id")
+      Dedup.lshCandidatePairs(Dedup.minhashSignatures(el, 8), 4, 2).count()
+    }
+    val mh1 = em.stage("weighted minhash pairs x1")(wmhPairs(rep0))
+    val mh100 = em.stage("weighted minhash pairs x100")(wmhPairs(big))
+
+    em.stage("nb classify x100 (row-local)") {
+      val vocab = rep0.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).count().orderBy(col("count").desc, col("t")).limit(40)
+        .collect().map(_.getString(0)).toSeq
+      val labels = Seq("a", "b", "c", "d", "e")
+      val weights = vocab.zipWithIndex.map { case (t, i) =>
+        t -> labels.indices.map(j => -(((i + j) % 7) + 1).toLong)
+      }.toMap
+      NaiveBayes.classifyLiteral(big, "text", "doc_id", labels,
+          priors = Seq(-1L, -2L, -3L, -4L, -5L), weights = weights)
+        .queryExecution.toRdd.count()
+    }
+    em.stage("ilog2 entropy x100 (2000 sources)") {
+      val c = big.select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      c.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tok"),
+          sum(col("c") * graft.functions.Ilog2.ilog2(col("c"))).as("s_fp"))
+        .count()
+    }
+
+    val rs = Map("winnow_fp" -> ratio3(fp1, fp100),
+      "winnow_pairs" -> ratio3(wm1, wm100),
+      "wminhash" -> ratio3(mh1, mh100))
+    val linear = rs("winnow_fp") >= 95.0 && rs("winnow_fp") <= 105.0 &&
+      rs("winnow_pairs") >= 95.0 && rs("winnow_pairs") <= 105.0 &&
+      rs("wminhash") >= 50.0 && rs("wminhash") <= 200.0
+    em.line(s"""{"summary":"round-8 text-family growth at 100x disjoint replicas","winnow_fp":${rs("winnow_fp")},"winnow_pairs":${rs("winnow_pairs")},"winnow_band":[95.0,105.0],"wminhash":${rs("wminhash")},"wminhash_band":[50.0,200.0],"linear":$linear}""")
+  }
+
+  /** SCALESTRESS_r9: χ² contingency grid is vocabulary-bounded (disjoint
+    * vocab replicas → grid grows exactly 100×) and Holt–Winters scales in
+    * the KEY count with O(m + 2) state per key. */
+  private val info: Family = (spark, sfDir, em) => {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("lang"))
+    val baseN = base.count()
+    // disjoint vocab per replica; the LABEL space (lang) stays fixed —
+    // labels are bounded in reality, vocabulary is not
+    def replica(df: DataFrame) = df.select(
+      (col("rep") * baseN + col("doc_id")).as("doc_id"),
+      regexp_replace(col("text"), lit("(\\w+)"),
+        concat(lit("$1r"), col("rep"))).as("text"),
+      col("lang"))
+    val doc1 = replica(base.withColumn("rep", lit(0L))).localCheckpoint(true)
+    var doc100: DataFrame = null
+    em.stage("build corpus x100") {
+      doc100 = replica(base.crossJoin(broadcast(spark.range(Reps).toDF("rep"))))
+        .repartition(64).localCheckpoint(true)
+      doc100.count()
+    }
+
+    def grid(docs: DataFrame): Long = {
+      val dp = docs.select(col("lang"), col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct()
+        .localCheckpoint(true)
+      val n = docs.agg(count(lit(1)).as("n"))
+      val dl = docs.groupBy(col("lang")).agg(count(lit(1)).as("d_l"))
+      val cand = dp.groupBy(col("tok")).agg(count(lit(1)).as("d_t"))
+        .join(broadcast(n), expr("d_t >= 5") && col("d_t") < col("n"))
+      val a = dp.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("a"))
+      broadcast(dl).crossJoin(broadcast(cand))
+        .join(a, Seq("lang", "tok"), "left").na.fill(0L, Seq("a"))
+        .count()
+    }
+    val g1 = em.stage("chi2 contingency grid x1")(grid(doc1))
+    val g100 = em.stage("chi2 contingency grid x100")(grid(doc100))
+
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    def hw(keyed: DataFrame): Long =
+      graft.operators.Ewma.holtWinters(keyed, "k", "day", "x", m = 7)
+        .queryExecution.toRdd.count()
+    val k1 = em.stage("holt-winters x1 keys")(
+      hw(daily.select(col("event_type").as("k"), col("day"), col("x"))))
+    val k100 = em.stage("holt-winters x100 keys") {
+      val big = daily.crossJoin(broadcast(spark.range(Reps).toDF("rep")))
+        .select(concat(col("event_type"), lit("r"), col("rep")).as("k"),
+          col("day"), col("x"))
+        .repartition(64).localCheckpoint(true)
+      hw(big)
+    }
+
+    val gGrowth = g100.toDouble / g1
+    val kGrowth = k100.toDouble / k1
+    val linear = gGrowth >= 95.0 && gGrowth <= 105.0 &&
+      kGrowth >= 95.0 && kGrowth <= 105.0
+    em.line(s"""{"summary":"round-9 info-theory/holt-winters growth at 100x disjoint replicas","chi2_grid":${f"$gGrowth%.3f"},"hw_rows":${f"$kGrowth%.3f"},"band":[95.0,105.0],"linear":$linear}""")
+  }
+
+  /** SCALESTRESS_r9b: q298's KS statistic scales in the VALUE DOMAIN
+    * (disjoint per-replica value ranges → distinct-value frame exactly
+    * 100×); q300's TextRank graph is CONTENT-bounded (same token space →
+    * vocab and edge set exactly constant under corpus replication). */
+  private val ksTextrank: Family = (spark, sfDir, em) => {
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("ia"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("ib"))
+      .localCheckpoint(true)
+    def ksRows(e: DataFrame): Long = {
+      val pv = e.groupBy(col("value"))
+        .agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+        .withColumn("g", lit(0))
+      val ca = graft.operators.RunningTotal.grouped(pv, "g", Seq("value"),
+        "na", "cum_a", groupCountHint = Some(1L))
+      val cb = graft.operators.RunningTotal.grouped(ca, "g", Seq("value"),
+        "nb", "cum_b", groupCountHint = Some(1L))
+      cb.queryExecution.toRdd.count()
+    }
+    val v1 = em.stage("ks value frame x1")(ksRows(ev))
+    // base values live in [0, 560.21] — the +1000·replica shift keeps
+    // per-replica value ranges disjoint
+    val big = ev.crossJoin(
+        spark.range(Reps).select(col("id").cast("double").as("r")))
+      .select((col("value") + col("r") * 1000.0).as("value"),
+        col("ia"), col("ib"))
+      .localCheckpoint(true)
+    val v100 = em.stage(s"ks value frame x$Reps")(ksRows(big))
+
+    val doc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    def graphSize(docs: DataFrame): (Long, Long) = {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tk = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "u")))
+      val bg = tk.withColumn("v", lead(col("u"), 1).over(byPos))
+        .where(col("v").isNotNull && col("u") =!= col("v"))
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val vocab = bg.select(col("u").as("tok"))
+        .union(bg.select(col("v").as("tok")))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .where(col("freq") >= 20L)
+        .localCheckpoint(true)
+      val nv = vocab.count()
+      val ne = bg
+        .join(vocab.select(col("tok").as("u")), Seq("u"), "left_semi")
+        .join(vocab.select(col("tok").as("v")), Seq("v"), "left_semi")
+        .distinct().count()
+      (nv, ne)
+    }
+    var g1: (Long, Long) = (0L, 0L)
+    em.stage("textrank graph x1") { g1 = graphSize(doc); g1._1 }
+    val docBig = strideReplica(spark, doc, "doc_id", Reps, Seq("text"))
+    var g100: (Long, Long) = (0L, 0L)
+    em.stage(s"textrank graph x$Reps") { g100 = graphSize(docBig); g100._1 }
+
+    val ksGrowth = v100.toDouble / v1 / Reps * 100.0
+    val vocabRatio = g100._1.toDouble / g1._1
+    val edgeRatio = g100._2.toDouble / g1._2
+    val ok = ksGrowth >= 95.0 && ksGrowth <= 105.0 &&
+      vocabRatio == 1.0 && edgeRatio == 1.0
+    em.line(s"""{"summary":"round-9b KS value-domain growth + TextRank content-bounded graph at ${Reps}x","ks_values":$ksGrowth,"vocab_ratio":$vocabRatio,"edge_ratio":$edgeRatio,"band":[95.0,105.0],"linear":$ok}""")
+  }
+
+  /** SCALESTRESS_r9c: q305's tie-averaged AUC is exactly invariant under
+    * k-fold row duplication (the mid-rank +1 terms cancel) and its
+    * reduced frame is score-domain-bounded; q309's SNM candidates are
+    * positional-(w−1)-linear even with colliding sort keys. */
+  private val aucSnm: Family = (spark, sfDir, em) => {
+    val doc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .localCheckpoint(true)
+    val docBig = strideReplica(spark, doc, "doc_id", Reps,
+      Seq("text", "lang", "n_chars"))
+
+    val enPat = TextAnalysis.langProfiles.head._2
+    def auc(docs: DataFrame): (Long, Long) = {
+      val chars = docs.select(lit("chars_vs_tokens").as("scorer"),
+        col("n_chars").as("score"),
+        when(TextAnalysis.bpeTokenCount(col("text")) > 56L, 1L)
+          .otherwise(0L).as("pos"))
+      val stops = docs.select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          size(regexp_extract_all(lower(col("text")), lit(enPat), lit(0)))
+            .cast("long").as("s_en"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tok"))
+        .where(col("n_tok") > 0)
+        .select(lit("stopwords_vs_lang").as("scorer"),
+          expr("1000000 * s_en div n_tok").as("score"), col("pos"))
+      val perScore = chars.unionAll(stops)
+        .groupBy(col("scorer"), col("score"))
+        .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("p_s"))
+        .localCheckpoint(true)
+      val cum = graft.operators.RunningTotal.grouped(perScore, "scorer",
+        Seq("score"), "n_s", "cum_n", groupCountHint = Some(2L))
+      val out = cum.groupBy(col("scorer"))
+        .agg(sum(col("p_s") * (col("cum_n") * 2 - col("n_s") + 1))
+            .as("two_r_pos"),
+          sum(col("p_s")).as("pos"), sum(col("n_s")).as("n_all"))
+        .withColumn("auc_ppm", expr(
+          "(two_r_pos - pos * (pos + 1)) * 1000000" +
+            " div (2 * pos * (n_all - pos))"))
+        .orderBy(col("scorer"))
+        .select(col("auc_ppm")).collect().map(_.getLong(0))
+      (perScore.count(), out(0) * 10000000L + out(1)) // packed pair
+    }
+    var a1: (Long, Long) = (0L, 0L)
+    em.stage("auc reduced frame x1") { a1 = auc(doc); a1._1 }
+    var a100: (Long, Long) = (0L, 0L)
+    em.stage(s"auc reduced frame x$Reps") { a100 = auc(docBig); a100._1 }
+
+    def snmCands(docs: DataFrame): Long = {
+      val keyed = docs.select(col("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
+          .as("sk"))
+      graft.operators.SortedNeighborhood.pairs(keyed, "doc_id", col("sk"),
+        w = 5).queryExecution.toRdd.count()
+    }
+    val c1 = em.stage("snm candidates x1")(snmCands(doc))
+    val c100 = em.stage(s"snm candidates x$Reps")(snmCands(docBig))
+
+    val frameRatio = a100._1.toDouble / a1._1
+    val aucEqual = a1._2 == a100._2
+    val candGrowth = c100.toDouble / c1 / Reps * 100.0
+    val ok = frameRatio == 1.0 && aucEqual &&
+      candGrowth >= 95.0 && candGrowth <= 105.0
+    em.line(s"""{"summary":"round-9d AUC scale-invariance + SNM candidate linearity at ${Reps}x","auc_frame_ratio":$frameRatio,"auc_ppm_equal":$aucEqual,"snm_candidates":$candGrowth,"band":[95.0,105.0],"linear":$ok}""")
+  }
+
+  /** SCALESTRESS_r9d: q311's Kaplan–Meier day frame is HORIZON-bounded
+    * (constant under user replication while risk sets scale exactly);
+    * q312's A/B χ² reduces to a constant-size 2×2 with preserved rates. */
+  private val kmAb: Family = (spark, sfDir, em) => {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("tsm"))
+      .localCheckpoint(true)
+    val evBig = strideReplica(spark, ev, "user_id", Reps,
+      Seq("event_type", "tsm"))
+
+    def kmDayFrame(e: DataFrame): (Long, Long) = {
+      val t0 = e.groupBy(col("user_id")).agg(min(col("tsm")).as("t0"))
+      val tp = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("tsm")).as("tp"))
+      val horizon = e.agg(max(col("tsm")).as("tmax"))
+      val users = t0.join(tp, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("tp").isNotNull, lit(1L)).otherwise(0L).as("event"),
+          when(col("tp").isNotNull, expr("(tp - t0) div 86400000"))
+            .otherwise(expr("(tmax - t0) div 86400000")).as("day"))
+      val perDay = users.groupBy(col("day"))
+        .agg(count(lit(1)).as("leave_n"), sum(col("event")).as("d"))
+        .localCheckpoint(true)
+      (perDay.count(),
+        perDay.agg(sum(col("leave_n"))).collect()(0).getLong(0))
+    }
+    var k1: (Long, Long) = (0L, 0L)
+    em.stage("km day frame x1") { k1 = kmDayFrame(ev); k1._1 }
+    var k100: (Long, Long) = (0L, 0L)
+    em.stage(s"km day frame x$Reps") { k100 = kmDayFrame(evBig); k100._1 }
+
+    def abTable(e: DataFrame): (Long, Long, Long) = {
+      val conv = e.groupBy(col("user_id"))
+        .agg(min(col("tsm")).as("t0"),
+          min(when(col("event_type") === "purchase", col("tsm"))).as("tp"))
+        .select(col("user_id"),
+          when(col("tp").isNotNull && col("tp") - col("t0") < 86400000L, 1L)
+            .otherwise(0L).as("conv"))
+        .withColumn("in_a",
+          expr("substr(md5(cast(user_id as string)), 1, 1) < '8'"))
+      val row = conv.agg(count(lit(1)).as("n"),
+        sum(col("conv")).as("k"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a")).collect()(0)
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    var a1: (Long, Long, Long) = (0L, 0L, 0L)
+    em.stage("ab table x1") { a1 = abTable(ev); a1._1 }
+    var a100: (Long, Long, Long) = (0L, 0L, 0L)
+    em.stage(s"ab table x$Reps") { a100 = abTable(evBig); a100._1 }
+
+    val dayRatio = k100._1.toDouble / k1._1
+    val riskGrowth = k100._2.toDouble / k1._2 / Reps * 100.0
+    val usersGrowth = a100._1.toDouble / a1._1 / Reps * 100.0
+    // identical replicas -> the population conversion rate is EXACTLY
+    // preserved (same numerator/denominator scale factor)
+    val rateExact = a100._2 == a1._2 * Reps
+    val ok = dayRatio == 1.0 && riskGrowth == 100.0 &&
+      usersGrowth == 100.0 && rateExact
+    em.line(s"""{"summary":"round-9d KM horizon-bounded day frame + A/B constant 2x2 at ${Reps}x","km_day_frame_ratio":$dayRatio,"km_population":$riskGrowth,"ab_users":$usersGrowth,"ab_rate_exact":$rateExact,"band":[95.0,105.0],"linear":$ok}""")
+  }
+
+  /** The original dev throughput probe (no committed artifact): dedup +
+    * curation operators over a 20× disjoint-vocabulary corpus, and the
+    * vector path (IVF fit/assign/topK, PQ encode/decode) over 50×
+    * replicated embeddings — every stage must stay a narrow map or a
+    * bucket-bounded join, wall-clock ~linear in corpus size. */
+  private val vectorCuration: Family = (spark, sfDir, em) => {
+    import graft.llm.Curation
+    import graft.operators.RunningTotal
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        col("source"))
+    val baseN = base.count()
+    val doc = tokenReplica(base.crossJoin(broadcast(
+        spark.range(20).toDF("rep"))), baseN, Seq("source"))
+      .repartition(64).localCheckpoint(true)
+    em.stage("docs x20")(doc.count())
+    em.stage("exact dedup")(Dedup.dedupExact(doc, "text", "doc_id").count())
+    em.stage("lsh candidates")(
+      Dedup.dedupNearMinhash(doc, "text", "doc_id", 8, 4).count())
+    em.stage("simhash neardup")(
+      Dedup.simhashNearDupPairs(doc, "text", "doc_id", 32, 8, 3).count())
+    em.stage("tfidf top3")(TextAnalysis.tfIdfTopK(doc, 3)
+      .queryExecution.toRdd.count())
+    em.stage("editdist verify") {
+      // q91's shape: levenshtein ONLY over bucket-colocated candidates on
+      // bounded prefixes — must stay linear-ish as the corpus grows
+      val pairs = Dedup.dedupNearMinhash(doc, "text", "doc_id", 8, 4)
+      val pref = doc.select(col("doc_id"), substring(col("text"), 1, 200).as("p"))
+      pairs
+        .join(pref.select(col("doc_id").as("doc_a"), col("p").as("pa")), Seq("doc_a"))
+        .join(pref.select(col("doc_id").as("doc_b"), col("p").as("pb")), Seq("doc_b"))
+        .where(levenshtein(col("pa"), col("pb")) <= 100).count()
+    }
+    em.stage("repetition stats")(Curation.repetitionStats(doc, "text", "doc_id")
+      .queryExecution.toRdd.count())
+    em.stage("span dedup")(Curation.dedupSpans(doc, "text", "doc_id", 10)
+      .queryExecution.toRdd.count())
+    em.stage("contamination")(Curation.contamination(doc, "text", "doc_id",
+      col("doc_id") % 997 === 0, 4).queryExecution.toRdd.count())
+    em.stage("sequence packing")(
+      Curation.packStats(doc, "text", "doc_id", "source", 512)
+        .queryExecution.toRdd.count())
+    em.stage("runningTotal 1M/1k-groups") {
+      val df = spark.range(1000000L)
+        .select((col("id") % 1000).as("g"), col("id").as("ord"), lit(1L).as("v"))
+      RunningTotal.grouped(df, "g", "ord", "v", "cum")
+        .queryExecution.toRdd.count()
+    }
+
+    // vector path at 50×: IVF assignment (broadcast packed centroids +
+    // native NearestCell) and PQ encode must stay narrow maps.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = embBase.selectExpr("size(embedding)").head().getInt(0)
+    val embN = embBase.count()
+    // id = rep*baseN + vec_id keeps the first baseN ids DISTINCT vectors,
+    // so k-means' smallest-id seeding picks k different centroids
+    val big = embBase.crossJoin(broadcast(spark.range(50).toDF("rep")))
+      .select((col("rep") * embN + col("vec_id")).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    em.stage("vectors x50")(big.count())
+    val cents = graft.llm.Ivf.fit(big, 32, 0, dim).localCheckpoint(true)
+    em.stage("ivf assign")(graft.llm.Ivf.assign(big, cents, dim)
+      .queryExecution.toRdd.count())
+    em.stage("ivf fit (k=32, 2 Lloyd)")(graft.llm.Ivf.fit(big, 32, 2, dim).count())
+    em.stage("ivf topk (5 queries)")(graft.llm.Ivf.topK(
+      big.where(col("vec_id") < 5), big, cents, 10, 2, dim).count())
+    val cb = graft.llm.Pq.codebooks(big, 4, 16, dim).localCheckpoint(true)
+    em.stage("pq encode")(graft.llm.Pq.encode(big, cb, 4, dim)
+      .queryExecution.toRdd.count())
+    em.stage("pq decode")(graft.llm.Pq.decode(
+      graft.llm.Pq.encode(big, cb, 4, dim), cb, 4, dim)
+      .queryExecution.toRdd.count())
+    em.stage("cooccurrence x20 docs")(graft.llm.Cooccurrence.pairs(
+      doc, "text", "doc_id", window = 3, minCount = 5L)
+      .queryExecution.toRdd.count())
+    em.stage("shardAssign 1M rows") {
+      val ids = spark.range(1000000L).select(col("id"))
+      graft.llm.Sampling.shardAssign(ids, "id", 1024)
+        .queryExecution.toRdd.count()
+    }
+    em.line(s"""{"summary":"dev throughput probe (x20 corpus / x50 vectors) — no growth assertion, stage timings only"}""")
+  }
+
+  private val families: Map[String, (Family, String)] = Map(
+    "vector-curation" -> ((vectorCuration, "/root/testdata/sf0.1")),
+    "similarity" -> ((similarity, "/root/testdata/sf0.1")),
+    "graph" -> ((graph, "/root/testdata/sf0.01")),
+    "text" -> ((text, "/root/testdata/sf0.1")),
+    "info" -> ((info, "/root/testdata/sf0.1")),
+    "ks-textrank" -> ((ksTextrank, "/root/testdata/sf0.1")),
+    "auc-snm" -> ((aucSnm, "/root/testdata/sf0.1")),
+    "km-ab" -> ((kmAb, "/root/testdata/sf0.1")))
+
+  def main(args: Array[String]): Unit = {
+    val (flags, names) = args.partition(_.startsWith("--"))
+    val sfOverride = flags.collectFirst {
+      case f if f.startsWith("--sf=") => f.stripPrefix("--sf=") }
+    val picked = if (names.isEmpty) families.keys.toSeq.sorted else names.toSeq
+    val unknown = picked.filterNot(families.contains)
+    require(unknown.isEmpty,
+      s"unknown families: ${unknown.mkString(", ")} — " +
+        s"known: ${families.keys.toSeq.sorted.mkString(", ")}")
+    val spark = session()
+    val em = new Emitter
+    picked.foreach { name =>
+      val (fam, defaultSf) = families(name)
+      em.line(s"""{"family":"$name"}""")
+      fam(spark, sfOverride.getOrElse(defaultSf), em)
+    }
+    spark.stop()
+  }
+}
