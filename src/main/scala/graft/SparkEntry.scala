@@ -22,8 +22,8 @@ object SparkEntry {
       ForecastQueries.defs ++
       GraphQueries.defs ++ SketchQueries.defs ++ LlmQueries.defs ++
       TextMiningQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++ CurationAuditQueries.defs ++
-      MultimodalQueries.defs ++ InfoQueries.defs ++ StreamingQueries.defs ++
-      StreamingCertQueries.defs
+      MultimodalQueries.defs ++ InfoQueries.defs ++ EvalQueries.defs ++
+      StreamingQueries.defs ++ StreamingCertQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,6 +35,6 @@ object SparkEntry {
       TextMiningQueries.oracles ++ AnnQueries.oracles ++
       CurationQueries.oracles ++ CurationAuditQueries.oracles ++
       MultimodalQueries.oracles ++
-      InfoQueries.oracles ++ StreamingQueries.oracles ++
-      StreamingCertQueries.oracles
+      InfoQueries.oracles ++ EvalQueries.oracles ++
+      StreamingQueries.oracles ++ StreamingCertQueries.oracles
 }

@@ -1,0 +1,403 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Ilog2
+import graft.io.Tables
+import graft.llm.TextAnalysis
+import graft.operators.RunningTotal
+
+/** Round-10 evaluation/diagnostics registry: rank-based significance
+  * testing, aggregation-bias audits, change-point detection,
+  * histogram-based outlier scoring, containment dedup, and a
+  * decision-stump feature probe. Same contract as every registry — each
+  * `defs` entry has a DuckDB `oracles` twin with identical column names
+  * and deterministic ordering; all statistics are exact integer /
+  * DECIMAL(38,0) arithmetic (HUGEINT on the DuckDB side), never floats,
+  * so the hashes are certifiable. */
+object EvalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = "decimal(38,0)"
+
+  /** Guarded c·ilog2(c): the 0·log 0 = 0 convention every entropy sum
+    * needs (Ilog2 itself requires x ≥ 1). */
+  private def xlx(c: Column): Column =
+    when(c > 0L, c * Ilog2.ilog2(c)).otherwise(lit(0L))
+  private def xlxSql(c: String): String =
+    s"CASE WHEN $c > 0 THEN $c * ${Ilog2.sqlReplay(c)} ELSE 0 END"
+
+  // ---- q316: Mann–Whitney U significance test ---------------------------
+
+  /** Two-sample Mann–Whitney U test — do click and view event values come
+    * from the same distribution? The q305 tie-averaged rank-sum fold
+    * (2R⁺ carried so mid-ranks stay integral) extended with the TIE-
+    * CORRECTED variance: σ² = n₁n₂·(n³−n − Σ(t³−t)) / (12n(n−1)), where
+    * t ranges over tied-block sizes — on cent-quantized values ties are
+    * the common case and the uncorrected variance overstates σ², hiding
+    * real effects. Everything stays integral: the fold carries 2U − 2μ
+    * and z² is ONE exact DECIMAL(38,0) division to ppm, compared to the
+    * χ²(1) 5% critical value (z² ~ χ²(1) under H₀). Scale shapes: one
+    * scan reduces to per-(score) counts — the score domain bounds every
+    * later stage; the prefix sum is range-partitioned (no global
+    * window); the z² algebra tops out near 10³⁴ at 10⁵ scored rows —
+    * past ~10⁶ rows, split the division (both engines replay whichever
+    * form verbatim). All-tied input → 0 denominator → NULL z² →
+    * significant fail-closed false. */
+  val q316_mann_whitney: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .select(round(col("value") * 100).cast("long").as("score"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("pos"))
+    val perScore = ev.groupBy(col("score"))
+      .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("p_s"))
+      .withColumn("g", lit(0))
+    val cum = RunningTotal.grouped(perScore, "g", Seq("score"), "n_s", "cum_n",
+      groupCountHint = Some(1L))
+    cum.groupBy(col("g"))
+      .agg(sum(col("p_s") * (col("cum_n") * 2 - col("n_s") + 1)).as("two_r_pos"),
+        sum(col("p_s")).as("n1"), sum(col("n_s")).as("n"),
+        sum(expr(s"cast(n_s as $dec) * n_s * n_s - n_s")).as("ties"))
+      .select(
+        col("n1").as("n_click"), (col("n") - col("n1")).as("n_view"),
+        // 2U = 2R⁺ − n₁(n₁+1)
+        (col("two_r_pos") - col("n1") * (col("n1") + 1)).as("u2"),
+        expr(s"""cast(
+            (cast(two_r_pos - n1 * (n1 + 1) - n1 * (n - n1) as $dec)
+             * (two_r_pos - n1 * (n1 + 1) - n1 * (n - n1))
+             * 12 * n * (n - 1) * 1000000)
+            div nullif(cast(4 as $dec) * n1 * (n - n1)
+             * (cast(n as $dec) * n * n - n - ties), 0)
+          as bigint)""").as("z2_ppm"))
+      .withColumn("significant", coalesce(col("z2_ppm") >= 3841459L, lit(false)))
+  }
+  val q316_sql: String =
+    """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,
+      |             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pos
+      |           FROM events WHERE event_type IN ('click', 'view')),
+      |g AS (SELECT score, count(*)::BIGINT AS n_s, sum(pos)::BIGINT AS p_s
+      |      FROM e GROUP BY 1),
+      |cm AS (SELECT score, n_s, p_s,
+      |         sum(n_s) OVER (ORDER BY score) AS cum_n FROM g),
+      |agg AS (SELECT sum(p_s * (2 * cum_n - n_s + 1))::HUGEINT AS two_r_pos,
+      |          sum(p_s)::HUGEINT AS n1, sum(n_s)::HUGEINT AS n,
+      |          sum(n_s::HUGEINT * n_s * n_s - n_s)::HUGEINT AS ties
+      |        FROM cm)
+      |SELECT n1::BIGINT AS n_click, (n - n1)::BIGINT AS n_view,
+      |  (two_r_pos - n1 * (n1 + 1))::BIGINT AS u2,
+      |  (((two_r_pos - n1 * (n1 + 1) - n1 * (n - n1))
+      |    * (two_r_pos - n1 * (n1 + 1) - n1 * (n - n1))
+      |    * 12 * n * (n - 1) * 1000000)
+      |   // nullif(4 * n1 * (n - n1) * (n * n * n - n - ties), 0))::BIGINT
+      |    AS z2_ppm,
+      |  coalesce((((two_r_pos - n1 * (n1 + 1) - n1 * (n - n1))
+      |    * (two_r_pos - n1 * (n1 + 1) - n1 * (n - n1))
+      |    * 12 * n * (n - 1) * 1000000)
+      |   // nullif(4 * n1 * (n - n1) * (n * n * n - n - ties), 0))
+      |    >= 3841459, false) AS significant
+      |FROM agg""".stripMargin
+
+  // ---- q317: Simpson's-paradox slope audit ------------------------------
+
+  /** Aggregation-bias audit: does the n_chars ~ ws_tokens regression
+    * slope FLIP SIGN between any source and the pooled corpus (Simpson's
+    * paradox — the classic trap of fitting quality models on pooled
+    * data)? One partial-aggregated pass collects the five sufficient
+    * stats per source in DECIMAL(38,0); the pooled stats are the SUM of
+    * the per-source frame (|sources|-bounded — no second scan); slopes
+    * are exact integral divisions to ppm and the flip test compares
+    * NUMERATOR signs (denominators are Cauchy–Schwarz non-negative), so
+    * a degenerate single-point source (0/0 slope) reads NULL, not
+    * flipped. */
+  val q317_simpson_slopes: Q = (s, d) => {
+    val doc = Tables.documents(s, d).select(col("source"),
+      TextAnalysis.wsTokenCount(col("text")).as("x"),
+      col("n_chars").cast("long").as("y"))
+    val bySrc = doc.groupBy(col("source")).agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+      sum(expr(s"cast(x as $dec) * y")).as("sxy"),
+      sum(expr(s"cast(x as $dec) * x")).as("sxx"))
+      .localCheckpoint(true) // consumers: per-source rows + pooled fold
+    val pooled = bySrc.agg(
+      sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+      sum(col("sy")).as("psy"), sum(col("sxy")).as("psxy"),
+      sum(col("sxx")).as("psxx"))
+      .select(
+        expr("pn * psxy - psx * psy").as("pool_num"),
+        expr("pn * psxx - psx * psx").as("pool_den"))
+    bySrc.crossJoin(broadcast(pooled))
+      .select(col("source"), expr("cast(n as bigint)").as("n_docs"),
+        expr("cast((n * sxy - sx * sy) * 1000000" +
+          " div nullif(n * sxx - sx * sx, 0) as bigint)").as("slope_ppm"),
+        expr("cast(pool_num * 1000000 div nullif(pool_den, 0) as bigint)")
+          .as("pooled_slope_ppm"),
+        ((col("pool_num") > 0 && expr("n * sxy - sx * sy") < 0) ||
+          (col("pool_num") < 0 && expr("n * sxy - sx * sy") > 0)).as("sign_flip"))
+      .orderBy(col("source"))
+  }
+  val q317_sql: String =
+    """WITH t AS (SELECT source,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::HUGEINT AS x,
+      |    n_chars::HUGEINT AS y
+      |  FROM documents),
+      |g AS (SELECT source, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+      |        sum(y)::HUGEINT AS sy, sum(x * y)::HUGEINT AS sxy,
+      |        sum(x * x)::HUGEINT AS sxx
+      |      FROM t GROUP BY 1),
+      |p AS (SELECT sum(n) AS pn, sum(sx) AS psx, sum(sy) AS psy,
+      |        sum(sxy) AS psxy, sum(sxx) AS psxx FROM g),
+      |pp AS (SELECT pn * psxy - psx * psy AS pool_num,
+      |         pn * psxx - psx * psx AS pool_den FROM p)
+      |SELECT source, n::BIGINT AS n_docs,
+      |  ((n * sxy - sx * sy) * 1000000
+      |   // nullif(n * sxx - sx * sx, 0))::BIGINT AS slope_ppm,
+      |  (pool_num * 1000000 // nullif(pool_den, 0))::BIGINT AS pooled_slope_ppm,
+      |  ((pool_num > 0 AND (n * sxy - sx * sy) < 0)
+      |   OR (pool_num < 0 AND (n * sxy - sx * sy) > 0)) AS sign_flip
+      |FROM g CROSS JOIN pp ORDER BY source""".stripMargin
+
+  // ---- q318: single change-point (binary segmentation) ------------------
+
+  /** Per-type single change-point on the daily count series — the first
+    * binary-segmentation split every drift investigation starts with:
+    * argmax over split positions k of |K·S_k − k·S| (the CUSUM deviation
+    * scaled by K so it stays integral — dividing by k·(K−k) would leave
+    * the rationals). The window runs over the HORIZON-bounded daily
+    * frame (|types| × |days| rows — q311's certificate: constant under
+    * user replication), partitioned by type, so no corpus-sized sort
+    * exists anywhere; k = K never splits and is excluded. Deterministic
+    * tie-break: earliest day. */
+  val q318_changepoint: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val g = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("x")).over(w))
+      .withColumn("kk", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .where(col("k") < col("kk"))
+      .withColumn("dev", abs(col("kk") * col("cum") - col("k") * col("s")))
+    g.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("dev").desc, col("day"))))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("dev").as("g_stat"), col("kk").as("n_days"),
+        expr("cum * 1000000 div k").as("left_mean_ppm"),
+        expr("(s - cum) * 1000000 div (kk - k)").as("right_mean_ppm"))
+      .orderBy(col("event_type"))
+  }
+  val q318_sql: String =
+    """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |                 count(*)::BIGINT AS x
+      |               FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, x,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS k,
+      |        sum(x) OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS cum,
+      |        count(*) OVER (PARTITION BY event_type)::BIGINT AS kk,
+      |        sum(x) OVER (PARTITION BY event_type)::BIGINT AS s
+      |      FROM daily),
+      |dv AS (SELECT *, abs(kk * cum - k * s)::BIGINT AS dev FROM w
+      |       WHERE k < kk)
+      |SELECT event_type, day AS split_day, dev AS g_stat, kk AS n_days,
+      |       (cum * 1000000 // k)::BIGINT AS left_mean_ppm,
+      |       ((s - cum) * 1000000 // (kk - k))::BIGINT AS right_mean_ppm
+      |FROM dv
+      |QUALIFY row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY dev DESC, day ASC) = 1
+      |ORDER BY event_type""".stripMargin
+
+  // ---- q319: histogram-based outlier score (HBOS) -----------------------
+
+  /** HBOS outlier scoring of events on two independent features — value
+    * (16 equal-width bins, edges derived from the data) and hour-of-day
+    * (24 natural bins): score = Σ_f −log₂ p(bin_f) = 2·ilog2(n) −
+    * ilog2(c_vbin) − ilog2(c_hbin) in 16-bit fixed point. The
+    * histogram-based score is THE shape that scales: two map-side-
+    * combined bin aggregates (16 + 24 rows) broadcast back onto one
+    * corpus scan — no per-point neighborhood search, no joins that grow
+    * with n. Top 20 by score (rarest bin combination), event_id
+    * tie-break. */
+  val q319_hbos_outliers: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("event_id").cast("long").as("event_id"),
+      round(col("value") * 100).cast("long").as("cents"),
+      expr("(unix_millis(ts) div 3600000) % 24").as("hbin"))
+    val mm = ev.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+      count(lit(1)).as("n"))
+    val binned = ev.crossJoin(broadcast(mm))
+      .withColumn("vbin", expr("(cents - lo) * 16 div (hi - lo + 1)"))
+      .select(col("event_id"), col("vbin"), col("hbin"), col("n"))
+    val vc = binned.groupBy(col("vbin")).agg(count(lit(1)).as("c_v"))
+    val hc = binned.groupBy(col("hbin")).agg(count(lit(1)).as("c_h"))
+    binned.join(broadcast(vc), Seq("vbin")).join(broadcast(hc), Seq("hbin"))
+      .select(col("event_id"), col("vbin"), col("hbin"),
+        (lit(2L) * Ilog2.ilog2(col("n")) - Ilog2.ilog2(col("c_v"))
+          - Ilog2.ilog2(col("c_h"))).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("event_id"))
+      .limit(20)
+  }
+  val q319_sql: String = {
+    val il = Ilog2.sqlReplay _
+    s"""WITH e AS (SELECT event_id::BIGINT AS event_id,
+      |             CAST(round(value * 100) AS BIGINT) AS cents,
+      |             (epoch_ms(ts) // 3600000) % 24 AS hbin
+      |           FROM events),
+      |mm AS (SELECT min(cents) AS lo, max(cents) AS hi, count(*)::BIGINT AS n
+      |       FROM e),
+      |b AS (SELECT event_id, (cents - lo) * 16 // (hi - lo + 1) AS vbin,
+      |        hbin, n
+      |      FROM e CROSS JOIN mm),
+      |vc AS (SELECT vbin, count(*)::BIGINT AS c_v FROM b GROUP BY 1),
+      |hc AS (SELECT hbin, count(*)::BIGINT AS c_h FROM b GROUP BY 1)
+      |SELECT event_id, vbin, hbin,
+      |  (2 * ${il("n")} - ${il("c_v")} - ${il("c_h")})::BIGINT AS score_fp
+      |FROM b JOIN vc USING (vbin) JOIN hc USING (hbin)
+      |ORDER BY score_fp DESC, event_id LIMIT 20""".stripMargin
+  }
+
+  // ---- q320: containment near-subset dedup ------------------------------
+
+  /** CONTAINMENT dedup — the near-dup class resemblance misses: a short
+    * doc quoted whole inside a long one has low Jaccard (the union is
+    * big) but high one-sided containment |A∩B| / |A|. Candidates come
+    * from the staged LSH pipeline ([[DocLsh]] — bucket-bounded, never
+    * all-pairs); the exact shingle-intersection verify joins only
+    * candidate pairs; per-doc shingle sizes come from the SAME staged
+    * shingle frame. Emitted: pairs where either side is ≥ 80% contained,
+    * with both containments and the Jaccard for contrast. */
+  val q320_containment: Q = (s, d) => {
+    val sh = DocLsh.shingles(s, d)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = DocLsh.pairs(s, d)
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"), col("n_inter"),
+        expr("n_inter * 1000000 div sz_a").as("cont_a_ppm"),
+        expr("n_inter * 1000000 div sz_b").as("cont_b_ppm"),
+        expr("n_inter * 1000000 div (sz_a + sz_b - n_inter)").as("jaccard_ppm"))
+      .where(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 800000L)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val q320_sql: String =
+    s"""WITH ${LlmQueries.lshCtes(LlmQueries.LshK, LlmQueries.LshBands)},
+      |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+      |iv AS (SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS n_inter
+      |       FROM pairs p
+      |       JOIN sh a ON a.doc_id = p.doc_a
+      |       JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      |       GROUP BY 1, 2),
+      |c AS (SELECT iv.doc_a, iv.doc_b, sa.sz AS sz_a, sb.sz AS sz_b, n_inter,
+      |        (n_inter * 1000000 // sa.sz)::BIGINT AS cont_a_ppm,
+      |        (n_inter * 1000000 // sb.sz)::BIGINT AS cont_b_ppm,
+      |        (n_inter * 1000000 // (sa.sz + sb.sz - n_inter))::BIGINT AS jaccard_ppm
+      |      FROM iv JOIN sz sa ON sa.doc_id = iv.doc_a
+      |              JOIN sz sb ON sb.doc_id = iv.doc_b)
+      |SELECT * FROM c WHERE greatest(cont_a_ppm, cont_b_ppm) >= 800000
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q321: decision-stump information gain ----------------------------
+
+  /** Decision-stump probe: which n_chars threshold best predicts
+    * lang = 'en', by information gain in certified fixed point? Docs are
+    * binned once (16 equal-width bins, data-derived edges); the 15
+    * candidate splits then live entirely on the DENSIFIED 16-row bin
+    * frame (missing bins joined in as zeros — a split boundary is valid
+    * whether or not its bin is populated), so the scan cost is one pass
+    * regardless of the threshold count. IG is scaled by n·2¹⁶ to stay
+    * integral: n·H(S) = n·ilog2(n) − Σ_c c·ilog2(c), and IG_fp =
+    * n·H(S) − Σ_side n_side·H(side) with the 0·log 0 = 0 guard. The
+    * argmax row is flagged rather than returned alone, so the oracle
+    * certifies the whole gain curve. */
+  val q321_stump_gain: Q = (s, d) => {
+    val doc = Tables.documents(s, d).select(
+      col("n_chars").cast("long").as("nc"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val mm = doc.agg(min(col("nc")).as("lo"), max(col("nc")).as("hi"))
+    val perBin = doc.crossJoin(broadcast(mm))
+      .withColumn("bin", expr("(nc - lo) * 16 div (hi - lo + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("c_n"), sum(col("pos")).as("c_p"))
+    val dense = s.range(16).select(col("id").as("bin"))
+      .join(perBin, Seq("bin"), "left")
+      .na.fill(0L, Seq("c_n", "c_p"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense // 16 rows: the single-partition window is bounded
+      .withColumn("nl", sum(col("c_n")).over(w))
+      .withColumn("pl", sum(col("c_p")).over(w))
+      .crossJoin(broadcast(dense.agg(
+        sum(col("c_n")).as("n"), sum(col("c_p")).as("p"))))
+      .where(col("bin") < 15)
+    val ig = cum.select(
+      (col("bin") + 1).as("threshold_bin"),
+      col("nl").as("n_left"), col("pl").as("pos_left"),
+      (xlx(col("n")) - xlx(col("p")) - xlx(col("n") - col("p"))
+        - (xlx(col("nl")) - xlx(col("pl")) - xlx(col("nl") - col("pl")))
+        - (xlx(col("n") - col("nl")) - xlx(col("p") - col("pl"))
+          - xlx(col("n") - col("nl") - (col("p") - col("pl")))))
+        .as("ig_fp"))
+    val igm = ig.crossJoin(broadcast(mm))
+      .select(col("threshold_bin"),
+        expr("lo + (hi - lo + 1) * threshold_bin div 16").as("cut_value"),
+        col("n_left"), col("pos_left"), col("ig_fp"))
+    igm.withColumn("is_best", row_number().over(
+        Window.orderBy(col("ig_fp").desc, col("threshold_bin"))) === 1)
+      .orderBy(col("threshold_bin"))
+  }
+  val q321_sql: String =
+    s"""WITH d0 AS (SELECT n_chars::BIGINT AS nc,
+      |              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |            FROM documents),
+      |mm AS (SELECT min(nc) AS lo, max(nc) AS hi FROM d0),
+      |pb AS (SELECT (nc - lo) * 16 // (hi - lo + 1) AS bin,
+      |         count(*)::BIGINT AS c_n, sum(pos)::BIGINT AS c_p
+      |       FROM d0 CROSS JOIN mm GROUP BY 1),
+      |dense AS (SELECT i AS bin, coalesce(c_n, 0) AS c_n,
+      |            coalesce(c_p, 0) AS c_p
+      |          FROM range(16) t(i) LEFT JOIN pb ON pb.bin = t.i),
+      |tot AS (SELECT sum(c_n)::BIGINT AS n, sum(c_p)::BIGINT AS p FROM dense),
+      |cm AS (SELECT bin, sum(c_n) OVER (ORDER BY bin)::BIGINT AS nl,
+      |         sum(c_p) OVER (ORDER BY bin)::BIGINT AS pl
+      |       FROM dense),
+      |ig AS (SELECT bin + 1 AS threshold_bin, nl AS n_left, pl AS pos_left,
+      |    (${xlxSql("n")} - ${xlxSql("p")} - ${xlxSql("(n - p)")}
+      |     - (${xlxSql("nl")} - ${xlxSql("pl")} - ${xlxSql("(nl - pl)")})
+      |     - (${xlxSql("(n - nl)")} - ${xlxSql("(p - pl)")}
+      |        - ${xlxSql("(n - nl - (p - pl))")}))::BIGINT AS ig_fp
+      |  FROM cm CROSS JOIN tot WHERE bin < 15)
+      |SELECT threshold_bin,
+      |  (lo + (hi - lo + 1) * threshold_bin // 16)::BIGINT AS cut_value,
+      |  n_left, pos_left, ig_fp,
+      |  row_number() OVER (ORDER BY ig_fp DESC, threshold_bin) = 1 AS is_best
+      |FROM ig CROSS JOIN mm ORDER BY threshold_bin""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q316_mann_whitney" -> q316_mann_whitney,
+    "q317_simpson_slopes" -> q317_simpson_slopes,
+    "q318_changepoint" -> q318_changepoint,
+    "q319_hbos_outliers" -> q319_hbos_outliers,
+    "q320_containment" -> q320_containment,
+    "q321_stump_gain" -> q321_stump_gain)
+
+  val oracles: Map[String, String] = Map(
+    "q316_mann_whitney" -> q316_sql,
+    "q317_simpson_slopes" -> q317_sql,
+    "q318_changepoint" -> q318_sql,
+    "q319_hbos_outliers" -> q319_sql,
+    "q320_containment" -> q320_sql,
+    "q321_stump_gain" -> q321_sql)
+}
