@@ -221,26 +221,35 @@ object EvalQueries {
     * (16 equal-width bins, edges derived from the data) and hour-of-day
     * (24 natural bins): score = Σ_f −log₂ p(bin_f) = 2·ilog2(n) −
     * ilog2(c_vbin) − ilog2(c_hbin) in 16-bit fixed point. The
-    * histogram-based score is THE shape that scales: two map-side-
-    * combined bin aggregates (16 + 24 rows) broadcast back onto one
-    * corpus scan — no per-point neighborhood search, no joins that grow
-    * with n. Top 20 by score (rarest bin combination), event_id
-    * tie-break. */
+    * histogram-based score is THE shape that scales: exactly three
+    * corpus passes — the bin-edge probe (a bounded 1-row collect, the
+    * Stats.embeddingDim license, folded into literals so no consumer
+    * re-derives it), ONE grouping-sets aggregate producing both
+    * histograms (16 + 24 rows, checkpointed — two separate groupBys
+    * would pay a fourth pass), and the scoring scan with both
+    * histograms broadcast. No per-point neighborhood search, no joins
+    * that grow with n. Top 20 by score (rarest bin combination),
+    * event_id tie-break. */
   val q319_hbos_outliers: Q = (s, d) => {
     val ev = Tables.events(s, d).select(
       col("event_id").cast("long").as("event_id"),
       round(col("value") * 100).cast("long").as("cents"),
       expr("(unix_millis(ts) div 3600000) % 24").as("hbin"))
-    val mm = ev.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
-      count(lit(1)).as("n"))
-    val binned = ev.crossJoin(broadcast(mm))
-      .withColumn("vbin", expr("(cents - lo) * 16 div (hi - lo + 1)"))
-      .select(col("event_id"), col("vbin"), col("hbin"), col("n"))
-    val vc = binned.groupBy(col("vbin")).agg(count(lit(1)).as("c_v"))
-    val hc = binned.groupBy(col("hbin")).agg(count(lit(1)).as("c_h"))
+    val mm = ev.agg(min(col("cents")), max(col("cents")), count(lit(1))).head()
+    val (lo, hi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    val binned = ev.select(col("event_id"),
+      expr(s"(cents - $lo) * 16 div ${hi - lo + 1}").as("vbin"),
+      col("hbin"))
+    val hist = binned
+      .groupingSets(Seq(Seq(col("vbin")), Seq(col("hbin"))),
+        col("vbin"), col("hbin"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumers: the two histogram slices
+    val vc = hist.where(col("hbin").isNull).select(col("vbin"), col("c").as("c_v"))
+    val hc = hist.where(col("vbin").isNull).select(col("hbin"), col("c").as("c_h"))
     binned.join(broadcast(vc), Seq("vbin")).join(broadcast(hc), Seq("hbin"))
       .select(col("event_id"), col("vbin"), col("hbin"),
-        (lit(2L) * Ilog2.ilog2(col("n")) - Ilog2.ilog2(col("c_v"))
+        (lit(2L * Ilog2.impl(n)) - Ilog2.ilog2(col("c_v"))
           - Ilog2.ilog2(col("c_h"))).as("score_fp"))
       .orderBy(col("score_fp").desc, col("event_id"))
       .limit(20)
@@ -326,14 +335,19 @@ object EvalQueries {
     val doc = Tables.documents(s, d).select(
       col("n_chars").cast("long").as("nc"),
       when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-    val mm = doc.agg(min(col("nc")).as("lo"), max(col("nc")).as("hi"))
-    val perBin = doc.crossJoin(broadcast(mm))
-      .withColumn("bin", expr("(nc - lo) * 16 div (hi - lo + 1)"))
+    // bounded 1-row bin-edge probe (Stats.embeddingDim license), folded
+    // into literals — a broadcast mm frame would re-derive this scan in
+    // every consumer's plan
+    val mm = doc.agg(min(col("nc")), max(col("nc"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val perBin = doc
+      .withColumn("bin", expr(s"(nc - $lo) * 16 div ${hi - lo + 1}"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("c_n"), sum(col("pos")).as("c_p"))
     val dense = s.range(16).select(col("id").as("bin"))
       .join(perBin, Seq("bin"), "left")
       .na.fill(0L, Seq("c_n", "c_p"))
+      .localCheckpoint(true) // consumers: prefix frame + totals fold
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = dense // 16 rows: the single-partition window is bounded
@@ -350,10 +364,9 @@ object EvalQueries {
         - (xlx(col("n") - col("nl")) - xlx(col("p") - col("pl"))
           - xlx(col("n") - col("nl") - (col("p") - col("pl")))))
         .as("ig_fp"))
-    val igm = ig.crossJoin(broadcast(mm))
-      .select(col("threshold_bin"),
-        expr("lo + (hi - lo + 1) * threshold_bin div 16").as("cut_value"),
-        col("n_left"), col("pos_left"), col("ig_fp"))
+    val igm = ig.select(col("threshold_bin"),
+      expr(s"$lo + ${hi - lo + 1} * threshold_bin div 16").as("cut_value"),
+      col("n_left"), col("pos_left"), col("ig_fp"))
     igm.withColumn("is_best", row_number().over(
         Window.orderBy(col("ig_fp").desc, col("threshold_bin"))) === 1)
       .orderBy(col("threshold_bin"))
