@@ -330,7 +330,14 @@ object EvalQueries {
     * integral: n·H(S) = n·ilog2(n) − Σ_c c·ilog2(c), and IG_fp =
     * n·H(S) − Σ_side n_side·H(side) with the 0·log 0 = 0 guard. The
     * argmax row is flagged rather than returned alone, so the oracle
-    * certifies the whole gain curve. */
+    * certifies the whole gain curve — deliberately: the fixed-point IG
+    * is deterministic and cross-engine exact at any one scale, but NOT
+    * scale-equivariant at the ulp level (ilog2(kc) ≠ ilog2(k) +
+    * ilog2(c) exactly), so a near-ulp tie between thresholds can
+    * reorder `is_best` across corpus scales while the full curve stays
+    * certified. SCALESTRESS_r10b pins the two properties that ARE
+    * exact: ×k duplication scales every bin count exactly ×k, and the
+    * true (real-log) argmax is duplication-invariant. */
   val q321_stump_gain: Q = (s, d) => {
     val doc = Tables.documents(s, d).select(
       col("n_chars").cast("long").as("nc"),

@@ -671,7 +671,131 @@ object ScaleStress {
     em.line(s"""{"summary":"dev throughput probe (x20 corpus / x50 vectors) — no growth assertion, stage timings only"}""")
   }
 
+  /** SCALESTRESS_r10b: the round-10 eval registry's scale invariances
+    * under 100× exact row DUPLICATION (not disjoint replicas — these
+    * statistics must be duplication-stable to mean anything at 100 TB):
+    * q316's per-score frame is score-domain-bounded and 2U scales
+    * EXACTLY k² (every concordant pair replicates k×k ways); q318's
+    * daily frame is horizon-bounded, the chosen split day is identical
+    * and the CUSUM deviation scales exactly k (counts scale, positions
+    * don't); q321's best threshold is duplication-stable with IG_fp
+    * scaling ~k (exact up to ilog2 truncation ulps, band-checked). */
+  private val evalStats: Family = (spark, sfDir, em) => {
+    def dup(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(spark.range(Reps).toDF("__rep"))).drop("__rep")
+      .repartition(64).localCheckpoint(true)
+
+    // ---- q316 Mann-Whitney: score-domain frame + exact k^2 U ----------
+    val mwBase = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "view"))
+      .select(round(col("value") * 100).cast("long").as("score"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("pos"))
+      .localCheckpoint(true)
+    def mw(e: DataFrame): (Long, Long) = {
+      val perScore = e.groupBy(col("score"))
+        .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("p_s"))
+        .withColumn("g", lit(0))
+      val cum = graft.operators.RunningTotal.grouped(perScore, "g",
+        Seq("score"), "n_s", "cum_n", groupCountHint = Some(1L))
+        .localCheckpoint(true)
+      val r = cum.agg(
+        sum(col("p_s") * (col("cum_n") * 2 - col("n_s") + 1)).as("two_r_pos"),
+        sum(col("p_s")).as("n1")).head()
+      (cum.count(), r.getLong(0) - r.getLong(1) * (r.getLong(1) + 1))
+    }
+    var m1: (Long, Long) = (0L, 0L)
+    em.stage("mw score frame x1") { m1 = mw(mwBase); m1._1 }
+    var m100: (Long, Long) = (0L, 0L)
+    em.stage(s"mw score frame x$Reps") { m100 = mw(dup(mwBase)); m100._1 }
+
+    // ---- q318 change-point: horizon-bounded frame + stable split ------
+    val evTs = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .localCheckpoint(true)
+    def cp(e: DataFrame): (Long, Map[String, (Long, Long)]) = {
+      import org.apache.spark.sql.expressions.Window
+      val daily = e.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x")).localCheckpoint(true)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val best = daily
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("x")).over(w))
+        .withColumn("kk", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("x")).over(wAll))
+        .where(col("k") < col("kk"))
+        .withColumn("dev", abs(col("kk") * col("cum") - col("k") * col("s")))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("event_type")).orderBy(col("dev").desc, col("day"))))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("day"), col("dev"))
+        .collect() // |types| rows — bounded
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      (daily.count(), best)
+    }
+    var c1: (Long, Map[String, (Long, Long)]) = (0L, Map.empty)
+    em.stage("changepoint day frame x1") { c1 = cp(evTs); c1._1 }
+    var c100: (Long, Map[String, (Long, Long)]) = (0L, Map.empty)
+    em.stage(s"changepoint day frame x$Reps") { c100 = cp(dup(evTs)); c100._1 }
+
+    // ---- q321 stump: exact x100 bin counts + stable true argmax -------
+    // The 16-bit fixed-point IG is deterministic and cross-engine exact
+    // (what q321 certifies) but NOT scale-equivariant at the ulp level:
+    // ilog2(100c) != ilog2(100) + ilog2(c) exactly, so a near-ulp tie
+    // between thresholds can reorder under duplication. The scale
+    // certificate therefore checks the two things that ARE exact: the
+    // bin frame (the only corpus-scaling stage) duplicates to exactly
+    // 100x per-bin counts, and the TRUE (real-log) gain argmax — which
+    // is duplication-invariant by IG(kc) = k*IG(c) — is identical.
+    val docBase = Tables.documents(spark, sfDir).select(
+      col("n_chars").cast("long").as("nc"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .localCheckpoint(true)
+    def stump(docs: DataFrame): (Seq[(Long, Long)], Int) = {
+      val mm = docs.agg(min(col("nc")), max(col("nc"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val bins = docs
+        .withColumn("bin", expr(s"(nc - $lo) * 16 div ${hi - lo + 1}"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("c_n"), sum(col("pos")).as("c_p"))
+        .orderBy(col("bin"))
+        .collect() // 16 rows — bounded
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      def h(p: Long, n: Long): Double =
+        if (p <= 0 || p >= n) 0.0
+        else { val q = p.toDouble / n
+          -(q * math.log(q) + (1 - q) * math.log(1 - q)) }
+      val (tn, tp) = (bins.map(_._1).sum, bins.map(_._2).sum)
+      val igs = (1 until bins.size).map { i =>
+        val (nl, pl) = (bins.take(i).map(_._1).sum, bins.take(i).map(_._2).sum)
+        tn * h(tp, tn) - nl * h(pl, math.max(nl, 1)) -
+          (tn - nl) * h(tp - pl, math.max(tn - nl, 1))
+      }
+      (bins, igs.zipWithIndex.maxBy { case (g, i) => (g, -i) }._2 + 1)
+    }
+    var s1: (Seq[(Long, Long)], Int) = (Nil, 0)
+    em.stage("stump bin frame x1") { s1 = stump(docBase); s1._1.size.toLong }
+    var s100: (Seq[(Long, Long)], Int) = (Nil, 0)
+    em.stage(s"stump bin frame x$Reps") { s100 = stump(dup(docBase)); s100._1.size.toLong }
+
+    val mwFrameRatio = m100._1.toDouble / m1._1
+    val mwU2Exact = m100._2 == m1._2 * Reps.toLong * Reps
+    val cpFrameRatio = c100._1.toDouble / c1._1
+    val cpSplitEqual = c1._2.keySet == c100._2.keySet &&
+      c1._2.forall { case (t, (day, _)) => c100._2(t)._1 == day }
+    val cpDevExact = c1._2.forall { case (t, (_, dev)) =>
+      c100._2(t)._2 == dev * Reps }
+    val stumpCountsExact = s1._1.size == s100._1.size &&
+      s1._1.zip(s100._1).forall { case ((n1, p1), (n2, p2)) =>
+        n2 == n1 * Reps && p2 == p1 * Reps }
+    val stumpBestEqual = s1._2 == s100._2
+    val ok = mwFrameRatio == 1.0 && mwU2Exact && cpFrameRatio == 1.0 &&
+      cpSplitEqual && cpDevExact && stumpCountsExact && stumpBestEqual
+    em.line(s"""{"summary":"round-10 eval-stat invariances at ${Reps}x duplication","mw_frame_ratio":$mwFrameRatio,"mw_u2_k2_exact":$mwU2Exact,"cp_frame_ratio":$cpFrameRatio,"cp_split_equal":$cpSplitEqual,"cp_dev_k_exact":$cpDevExact,"stump_counts_k_exact":$stumpCountsExact,"stump_true_argmax_equal":$stumpBestEqual,"band":[95.0,105.0],"linear":$ok}""")
+  }
+
   private val families: Map[String, (Family, String)] = Map(
+    "eval" -> ((evalStats, "/root/testdata/sf0.1")),
     "vector-curation" -> ((vectorCuration, "/root/testdata/sf0.1")),
     "similarity" -> ((similarity, "/root/testdata/sf0.1")),
     "graph" -> ((graph, "/root/testdata/sf0.01")),
