@@ -727,15 +727,19 @@ object StreamingCertQueries {
     * replays oldest-first), so the cross-batch arrival order is exactly
     * the continuous cert's.
     */
-  private def recoveringTable(s: SparkSession, srcDir: String, firstN: Int,
-                              tag: String)
-                             (plan: DataFrame => DataFrame,
-                              schema: org.apache.spark.sql.types.StructType): DataFrame = {
+  /** One recovery-cert SOURCE: a memoized staged dir, how many of its
+    * files incarnation 1 may see, and the read schema. */
+  private case class RecSrc(srcDir: String, firstN: Int,
+                            schema: org.apache.spark.sql.types.StructType)
+
+  /** Multi-source form of the recovery run (a stream-stream join has TWO
+    * file sources, each with its own offset log in the one checkpoint). */
+  private def recoveringTableMulti(s: SparkSession, tag: String,
+                                   srcs: Seq[RecSrc])
+                                  (plan: Seq[DataFrame] => DataFrame): DataFrame = {
     import java.nio.file.{Files => F, Paths}
-    val runDir = graft.io.Scratch.dir(s"${tag}_run_") + "/src"
-    F.createDirectories(Paths.get(runDir))
-    val files = {
-      val it = F.list(Paths.get(srcDir)).iterator()
+    def partFiles(dir: String): Seq[java.nio.file.Path] = {
+      val it = F.list(Paths.get(dir)).iterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
       while (it.hasNext) {
         val p = it.next()
@@ -746,21 +750,31 @@ object StreamingCertQueries {
       buf.sortBy(p => (F.getLastModifiedTime(p).toMillis, p.getFileName.toString))
         .toSeq
     }
-    require(firstN > 0 && firstN < files.size,
-      s"recovery split must leave batches on both sides: $firstN of ${files.size}")
-    def copyIn(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
-      val tgt = Paths.get(runDir).resolve(p.getFileName)
-      F.copy(p, tgt)
-      F.setLastModifiedTime(tgt, F.getLastModifiedTime(p))
+    val prepared = srcs.zipWithIndex.map { case (src, i) =>
+      val runDir = graft.io.Scratch.dir(s"${tag}_run${i}_") + "/src"
+      F.createDirectories(Paths.get(runDir))
+      val files = partFiles(src.srcDir)
+      require(src.firstN > 0 && src.firstN < files.size,
+        s"recovery split must leave batches on both sides: " +
+          s"${src.firstN} of ${files.size}")
+      (src, runDir, files)
     }
+    def copyIn(runDir: String, ps: Seq[java.nio.file.Path]): Unit =
+      ps.foreach { p =>
+        val tgt = Paths.get(runDir).resolve(p.getFileName)
+        F.copy(p, tgt)
+        F.setLastModifiedTime(tgt, F.getLastModifiedTime(p))
+      }
     val ckpt = Stage.ckpt()
     val outDir = graft.io.Scratch.dir(s"${tag}_out_") + "/out"
     def incarnation(): Unit = {
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(runDir)
+      val streams = prepared.map { case (src, runDir, _) =>
+        s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(runDir)
+      }
       withCertStatePartitions(s) {
-        val query = plan(stream)
+        val query = plan(streams)
           .writeStream
           .format("parquet")
           .option("path", outDir)
@@ -771,14 +785,23 @@ object StreamingCertQueries {
         query.stop() // fully released before the next incarnation opens ckpt
       }
     }
-    copyIn(files.take(firstN))
+    prepared.foreach { case (src, runDir, files) =>
+      copyIn(runDir, files.take(src.firstN)) }
     incarnation()
-    copyIn(files.drop(firstN))
+    prepared.foreach { case (src, runDir, files) =>
+      copyIn(runDir, files.drop(src.firstN)) }
     incarnation()
     // the read goes through the sink's _spark_metadata commit log — only
     // batches committed by either incarnation are visible
     s.read.parquet(outDir)
   }
+
+  private def recoveringTable(s: SparkSession, srcDir: String, firstN: Int,
+                              tag: String)
+                             (plan: DataFrame => DataFrame,
+                              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    recoveringTableMulti(s, tag, Seq(RecSrc(srcDir, firstN, schema)))(
+      streams => plan(streams.head))
 
   /** q208's EWMA cert under CHECKPOINT RECOVERY — the thirty-third
     * streaming cert: two of the four (tsm, event_id)-ordered micro-batches
@@ -863,7 +886,76 @@ object StreamingCertQueries {
   /** Same oracle as the continuous moments cert. */
   val q315_sql: String = q307_sql
 
+  /** q65's SESSIONIZATION under CHECKPOINT RECOVERY — the thirty-sixth
+    * streaming cert and the operationally hardest one: event-time
+    * timeouts. The restart must restore BOTH the per-user open-session
+    * state and the WATERMARK (persisted in the checkpoint's commit
+    * metadata) — a watermark reset to zero would re-admit late data and
+    * defer every timeout; a lost open session would drop or split its
+    * user's trailing session. Three of the six staged files (4 time
+    * slices + 2 sentinels) process before the restart, so real sessions
+    * are open mid-crash; the sentinels fire the timeouts in incarnation
+    * 2. Output must hash-match the batch gap-split oracle exactly as the
+    * continuous q65 does. */
+  val q322_recovery_sessions: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val (srcDir, _, _) = stageTimeOrdered(ev, d, "events4s", 4,
+      dupEachFile = false,
+      sentinelOffsetsMs = Seq(4 * 60 * 60 * 1000L, 6 * 60 * 60 * 1000L))
+    val out = recoveringTable(s, srcDir, firstN = 3, tag = "q322_rec_sess")(
+      st => Streaming.sessionize(st.as[Streaming.Event], GapMs).toDF(),
+      ev.schema)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start"))
+    out
+      .where(col("user_id") >= 0) // drop the sentinel user
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+  /** Same oracle as the continuous sessionization cert. */
+  val q322_sql: String = StreamingQueries.q65_sql
+
+  /** q80's STREAM-STREAM JOIN under CHECKPOINT RECOVERY — the thirty-
+    * seventh streaming cert: both sides' buffered join state (unmatched
+    * views and clicks within the 60-minute bound) lives in the state
+    * store and must survive the restart, or a view arriving before the
+    * crash loses its post-restart clicks. Each side is its own file
+    * source with its own offset log inside the one checkpoint; two of
+    * each side's four files process in incarnation 1. The recovered
+    * run's matches must hash-match the batch interval self-join oracle
+    * — every cross-restart pair included exactly once. */
+  val q323_recovery_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val views = ev.where(col("event_type") === "view")
+    val clicks = ev.where(col("event_type") === "click")
+    val (vDir, _, _) = stageTimeOrdered(views, d, "views", 4, dupEachFile = false)
+    val (cDir, _, _) = stageTimeOrdered(clicks, d, "clicks", 4, dupEachFile = false)
+    recoveringTableMulti(s, "q323_rec_join",
+      Seq(RecSrc(vDir, 2, ev.schema), RecSrc(cDir, 2, ev.schema))) { streams =>
+      Streaming.streamStreamJoin(
+          streams(0).select(col("event_id").as("view_id"), col("ts"), col("user_id")),
+          streams(1).select(col("event_id").as("click_id"), col("ts"), col("user_id")),
+          "user_id", boundSeconds = 3600)
+        .select(col("l.user_id").as("user_id"), col("view_id"), col("click_id"),
+          col("l.ts").as("vts"), col("r.ts").as("cts"))
+    }
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        date_format(col("vts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+      .orderBy(col("view_id"), col("click_id"))
+  }
+  /** Same oracle as the continuous stream-stream join cert. */
+  val q323_sql: String = StreamingQueries.q80_sql
+
   val defs: Map[String, Q] = Map(
+    "q323_recovery_join" -> q323_recovery_join,
+    "q322_recovery_sessions" -> q322_recovery_sessions,
     "q315_recovery_moments" -> q315_recovery_moments,
     "q314_recovery_hw" -> q314_recovery_hw,
     "q313_recovery_ewma" -> q313_recovery_ewma,
@@ -882,6 +974,8 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q323_recovery_join" -> q323_sql,
+    "q322_recovery_sessions" -> q322_sql,
     "q315_recovery_moments" -> q315_sql,
     "q314_recovery_hw" -> q314_sql,
     "q313_recovery_ewma" -> q313_sql,

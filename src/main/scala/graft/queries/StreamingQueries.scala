@@ -104,7 +104,7 @@ object StreamingQueries {
     *
     * The result is memoized per (sfDir, key): callers pass a key that
     * uniquely names the (frame, parts, dup, sentinels) combination. */
-  private def stageTimeOrdered(ev: DataFrame, d: String, key: String, parts: Int,
+  private[queries] def stageTimeOrdered(ev: DataFrame, d: String, key: String, parts: Int,
                                dupEachFile: Boolean,
                                sentinelOffsetsMs: Seq[Long] = Nil): (String, Long, Long) =
     Stage.memo(d, key) { srcDir =>
