@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `nearest_cell(v, cs, n)` — [[graft.llm.NearestCell]] IVF assign
   *   - `nfc_normalize(s)`     — [[NfcNormalize]] Unicode NFC
   *   - `ilog2(x)`             — [[Ilog2]] fixed-point log2
+  *   - `isqrt(x)`             — [[Isqrt]] exact integer square root
   *   - `zorder(x, y, bits)`   — [[ZOrder]] Morton interleave (bits foldable)
   *   - `nearest_code(v, cb, off, sub)` — [[graft.llm.NearestCodeL2]] PQ assign
   * Injected optimizer rules:
@@ -51,6 +52,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("ilog2"),
       new ExpressionInfo(classOf[Ilog2].getName, "ilog2"),
       (children: Seq[Expression]) => Ilog2(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("isqrt"),
+      new ExpressionInfo(classOf[Isqrt].getName, "isqrt"),
+      (children: Seq[Expression]) => Isqrt(children.head)))
     ext.injectFunction((
       FunctionIdentifier("zorder"),
       new ExpressionInfo(ZOrder.getClass.getName, "zorder"),

@@ -405,7 +405,61 @@ object EvalQueries {
       |  row_number() OVER (ORDER BY ig_fp DESC, threshold_bin) = 1 AS is_best
       |FROM ig CROSS JOIN mm ORDER BY threshold_bin""".stripMargin
 
+  // ---- q324: dispersion + z-band outlier days (native isqrt) ------------
+
+  /** Per-type dispersion of the daily count series in CERTIFIED integers
+    * — the first consumer of the native [[graft.functions.Isqrt]]
+    * expression (⌊√x⌋, exact contract r² ≤ x < (r+1)², replayed
+    * bit-for-bit by DuckDB): n·σ = isqrt(n·Σx² − S²) needs no floats,
+    * so sd, the coefficient of variation, and the 2σ outlier-day band
+    * all hash across engines — the same certifiability [[Ilog2]] gives
+    * entropy, extended to second moments. Scale shapes: the daily frame
+    * is horizon-bounded (q311's certificate), the moment aggregate is
+    * map-side combined, and the 2σ day flags come from one broadcast of
+    * the |types|-row moment frame back onto it — |x − μ| > 2σ tested as
+    * the overflow-safe integer inequality |n·x − S| > 2·isqrt(n·Σx²−S²). */
+  val q324_dispersion: Q = (s, d) => {
+    import graft.functions.Isqrt
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // consumers: moment aggregate + z-band scan
+    val mom = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("nsd", Isqrt.isqrt(col("n") * col("sxx") - col("sx") * col("sx")))
+    daily.join(broadcast(mom), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_days"), first(col("sx")).as("total"),
+        first(expr("sx * 1000000 div n")).as("mean_ppm"),
+        first(expr("nsd * 1000000 div n")).as("sd_ppm"),
+        first(expr("nsd * 1000000 div sx")).as("cv_ppm"),
+        sum(when(abs(col("n") * col("x") - col("sx")) > lit(2L) * col("nsd"), 1L)
+          .otherwise(0L)).as("n_outlier_days"))
+      .orderBy(col("event_type"))
+  }
+  val q324_sql: String = {
+    val nsd = graft.functions.Isqrt.sqlReplay("n * sx2 - sx * sx")
+    s"""WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |                 count(*)::BIGINT AS x
+      |               FROM events GROUP BY 1, 2),
+      |mom AS (SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |          sum(x * x)::BIGINT AS sx2
+      |        FROM daily GROUP BY 1),
+      |ms AS (SELECT event_type, n, sx, $nsd AS nsd FROM mom)
+      |SELECT d.event_type, n AS n_days, sx AS total,
+      |  (sx * 1000000 // n)::BIGINT AS mean_ppm,
+      |  (nsd * 1000000 // n)::BIGINT AS sd_ppm,
+      |  (nsd * 1000000 // sx)::BIGINT AS cv_ppm,
+      |  sum(CASE WHEN abs(n * d.x - sx) > 2 * nsd THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_outlier_days
+      |FROM daily d JOIN ms USING (event_type)
+      |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY event_type""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q324_dispersion" -> q324_dispersion,
     "q316_mann_whitney" -> q316_mann_whitney,
     "q317_simpson_slopes" -> q317_simpson_slopes,
     "q318_changepoint" -> q318_changepoint,
@@ -414,6 +468,7 @@ object EvalQueries {
     "q321_stump_gain" -> q321_stump_gain)
 
   val oracles: Map[String, String] = Map(
+    "q324_dispersion" -> q324_sql,
     "q316_mann_whitney" -> q316_sql,
     "q317_simpson_slopes" -> q317_sql,
     "q318_changepoint" -> q318_sql,

@@ -27,6 +27,7 @@ object ExtensionsProbe {
       val checks = Seq[(String, Any)](
         ("SELECT fix_mojibake('Â£9.99')", "£9.99"),
         ("SELECT ilog2(8L)", 3L * graft.functions.Ilog2.One),
+        ("SELECT isqrt(99L)", 9L),
         // interleave(x=3: bits 0,1 -> pos 0,2; y=5: bits 0,2 -> pos 1,5) = 39
         ("SELECT zorder(3, 5, 4)", 39L),
         ("SELECT rolling_hash('ab')", 97L * 257 + 98),

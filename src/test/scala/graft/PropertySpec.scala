@@ -155,6 +155,22 @@ class PropertySpec extends AnyFunSuite {
     check("x", null, 0L)
   }
 
+  test("Isqrt contract: r*r <= x < (r+1)*(r+1) on the full long range") {
+    import graft.functions.Isqrt
+    def check(x: Long): Unit = {
+      val r = Isqrt.impl(x)
+      assert(r >= 0 && r * r <= x, s"x=$x r=$r undershoots")
+      // guard the (r+1)^2 comparison against overflow via BigInt
+      assert((BigInt(r) + 1) * (BigInt(r) + 1) > BigInt(x), s"x=$x r=$r overshoots")
+    }
+    // exact squares and their neighbors are the classic off-by-one traps
+    (0L to 1000L).foreach { r => check(r * r); check(r * r + 1)
+      if (r > 0) check(r * r - 1) }
+    check(Long.MaxValue); check(Long.MaxValue - 1)
+    check(3037000499L * 3037000499L) // largest exact square
+    forAll(Gen.choose(0L, Long.MaxValue)) { x => check(x) }
+  }
+
   test("reference currency-clean semantics: strip [^0-9.] then parse") {
     // model of transformation_pipeline.py:5-11 (re.sub + float, happy path)
     forAll(Gen.oneOf(Seq("£", "Â£", "$", "", "EUR "))
