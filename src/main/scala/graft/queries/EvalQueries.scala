@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Ilog2
+import graft.functions.{Ilog2, Isqrt}
 import graft.io.Tables
 import graft.llm.TextAnalysis
 import graft.operators.RunningTotal
@@ -419,7 +419,7 @@ object EvalQueries {
     * the |types|-row moment frame back onto it — |x − μ| > 2σ tested as
     * the overflow-safe integer inequality |n·x − S| > 2·isqrt(n·Σx²−S²). */
   val q324_dispersion: Q = (s, d) => {
-    import graft.functions.Isqrt
+
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"),
         expr("unix_millis(ts) div 86400000").as("day"))
@@ -458,7 +458,56 @@ object EvalQueries {
       |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY event_type""".stripMargin
   }
 
+  // ---- q325: Wilson lower-bound rate ranking ----------------------------
+
+  /** Rank event types by their high-value rate (value ≥ 100) using the
+    * WILSON LOWER BOUND — the small-sample-safe ranking (a 3/3 type must
+    * not outrank a 900/1000 one; the raw rate says it does, the lower
+    * confidence bound says otherwise). Certified-integer form with
+    * z² = 3.841459 (the same 5% constant as q312/q316) and the native
+    * [[graft.functions.Isqrt]]:
+    * L_ppm = (10⁶(2k·10⁶+Z) − 2·10⁹·isqrt(Z·(k(n−k) div n) + Z² div 4·10⁶))
+    *         div (2(n·10⁶+Z)) — one |types|-row frame after a map-side-
+    * combined aggregate, every operation BIGINT on both engines (the
+    * k(n−k) product bounds the formula at n ≈ 6·10⁹ rows per group;
+    * past that, widen the radicand to DECIMAL and seed isqrt from it). */
+  val q325_wilson_rank: Q = (s, d) => {
+
+    val Z = 3841459L
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 100.0, 1L).otherwise(0L)).as("k"))
+      .withColumn("rad",
+        expr(s"$Z * ((k * (n - k)) div n) + ${Z * Z / 4000000L}"))
+      .withColumn("isq", Isqrt.isqrt(col("rad")))
+      .select(col("event_type"), col("n"), col("k"),
+        expr("k * 1000000 div n").as("raw_ppm"),
+        expr(s"(1000000 * (2 * k * 1000000 + $Z) - 2000000000 * isq)" +
+          s" div (2 * (n * 1000000 + $Z))").as("wilson_lb_ppm"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("wilson_lb_ppm").desc, col("event_type"))).cast("long"))
+      .orderBy(col("event_type"))
+  }
+  val q325_sql: String = {
+    val Z = 3841459L
+    val rad = s"$Z * ((k * (n - k)) // n) + ${Z * Z / 4000000L}"
+    s"""WITH a AS (SELECT event_type, count(*)::BIGINT AS n,
+      |    sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)::BIGINT AS k
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT event_type, n, k, (k * 1000000 // n)::BIGINT AS raw_ppm,
+      |    ((1000000 * (2 * k * 1000000 + $Z)
+      |      - 2000000000 * ${Isqrt.sqlReplay(rad)})
+      |     // (2 * (n * 1000000 + $Z)))::BIGINT AS wilson_lb_ppm
+      |  FROM a)
+      |SELECT event_type, n, k, raw_ppm, wilson_lb_ppm,
+      |  row_number() OVER (ORDER BY wilson_lb_ppm DESC, event_type)::BIGINT
+      |    AS rank
+      |FROM w ORDER BY event_type""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q325_wilson_rank" -> q325_wilson_rank,
     "q324_dispersion" -> q324_dispersion,
     "q316_mann_whitney" -> q316_mann_whitney,
     "q317_simpson_slopes" -> q317_simpson_slopes,
@@ -468,6 +517,7 @@ object EvalQueries {
     "q321_stump_gain" -> q321_stump_gain)
 
   val oracles: Map[String, String] = Map(
+    "q325_wilson_rank" -> q325_sql,
     "q324_dispersion" -> q324_sql,
     "q316_mann_whitney" -> q316_sql,
     "q317_simpson_slopes" -> q317_sql,
