@@ -506,7 +506,316 @@ object EvalQueries {
       |FROM w ORDER BY event_type""".stripMargin
   }
 
+  // ---- q326: Spearman rank correlation (tie-averaged, exact) ------------
+
+  /** Spearman rank correlation between quantity and extended price per
+    * ship month — "does the quantity/price association drift month over
+    * month?", the rank-based (outlier-robust) cousin of q317's Pearson
+    * slopes. Ranks are TIE-AVERAGED and carried 2-SCALED (2·avg-rank =
+    * 2·rank + t − 1 is always integral), so ρ = Pearson-on-ranks reduces
+    * to five exact DECIMAL(38,0) sufficient moments and ONE final
+    * integral division: ρ²·10⁴ = num²·10⁴ div (denx·deny), sign carried
+    * separately (num = n·Σxy − ΣxΣy). Scale shapes: both rank windows
+    * are range-partitioned per (ym) group — no global sort; the moments
+    * are map-side combinable the instant ranks exist; the readout
+    * algebra tops out at 16n⁸·10⁴ per group, safe in DECIMAL(38,0)/
+    * HUGEINT to n ≈ 3·10⁴ rows per group (basis points, not ppm, buys
+    * the 100× headroom over sf0.1's ~7·10³) — past that, split the
+    * division; both engines replay whichever form verbatim. Internal
+    * invariant: Σ(2·avg-rank) = n(n+1) exactly, ties or not. */
+  val q326_spearman: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      expr("year(l_shipdate) * 100 + month(l_shipdate)").cast("long").as("ym"),
+      col("l_quantity").cast("long").as("qv"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("pv"))
+    val ranked = li
+      .withColumn("x", rank().over(
+          Window.partitionBy(col("ym")).orderBy(col("qv"))).cast("long") * 2
+        + count(lit(1)).over(Window.partitionBy(col("ym"), col("qv"))) - 1)
+      .withColumn("y", rank().over(
+          Window.partitionBy(col("ym")).orderBy(col("pv"))).cast("long") * 2
+        + count(lit(1)).over(Window.partitionBy(col("ym"), col("pv"))) - 1)
+    ranked.groupBy(col("ym")).agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+        sum(expr(s"cast(x as $dec) * y")).as("sxy"),
+        sum(expr(s"cast(x as $dec) * x")).as("sxx"),
+        sum(expr(s"cast(y as $dec) * y")).as("syy"))
+      .select(col("ym"), expr("cast(n as bigint)").as("n_rows"),
+        expr("""cast(
+            (case when n * sxy - sx * sy < 0 then -1 else 1 end)
+            * ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000
+               div nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0))
+          as bigint)""").as("rho2_bp_signed"),
+        expr("""coalesce(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000
+              div nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
+            >= 2500, false)""").as("strong"))
+      .orderBy(col("ym"))
+  }
+  val q326_sql: String =
+    """WITH t AS (SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT AS ym,
+      |    l_quantity::BIGINT AS qv,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pv
+      |  FROM lineitem),
+      |r AS (SELECT ym,
+      |    2 * rank() OVER (PARTITION BY ym ORDER BY qv)
+      |      + count(*) OVER (PARTITION BY ym, qv) - 1 AS x,
+      |    2 * rank() OVER (PARTITION BY ym ORDER BY pv)
+      |      + count(*) OVER (PARTITION BY ym, pv) - 1 AS y
+      |  FROM t),
+      |g AS (SELECT ym, count(*)::HUGEINT AS n,
+      |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+      |    sum(x::HUGEINT * y)::HUGEINT AS sxy,
+      |    sum(x::HUGEINT * x)::HUGEINT AS sxx,
+      |    sum(y::HUGEINT * y)::HUGEINT AS syy
+      |  FROM r GROUP BY 1)
+      |SELECT ym, n::BIGINT AS n_rows,
+      |  ((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+      |   * ((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000
+      |      // nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0)))::BIGINT
+      |    AS rho2_bp_signed,
+      |  coalesce((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000
+      |      // nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
+      |    >= 2500, false) AS strong
+      |FROM g ORDER BY ym""".stripMargin
+
+  // ---- q327: Kendall tau-b from a contingency grid ----------------------
+
+  /** Kendall τ-b between quantity and discount per return flag, computed
+    * ENTIRELY from the (qty, discount-cent) contingency grid — the shape
+    * that makes rank concordance feasible at corpus scale: the naive
+    * statistic is all-pairs O(n²), but on DISCRETE ordinals one
+    * map-side-combinable pass reduces the corpus to ≤ 50×11 cells per
+    * group and concordant/discordant counts become a cell-pair join
+    * whose cost depends on the DOMAIN, not the data (550² cell pairs —
+    * constant whether n is 10⁵ or 10¹²). C = Σ c₁c₂ over cell pairs
+    * strictly increasing in both coordinates, D over strictly opposed;
+    * tie terms n₁/n₂ come off the grid margins; τ-b² to ppm is one
+    * exact division (numerator (C−D)²·10⁶ ≤ n⁴/4·10⁶ — DECIMAL(38,0)
+    * holds to n ≈ 10⁷ per group, then split). The grid is checkpointed
+    * once and serves all four consumers (pair join twice + two
+    * margins). */
+  val q327_kendall_grid: Q = (s, d) => {
+    val grid = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("rf"),
+        col("l_quantity").cast("long").as("a"),
+        expr("cast(round(l_discount * 100) as bigint)").as("b"))
+      .groupBy(col("rf"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumers: pair join (both sides) + margins
+    val g2 = grid.select(col("rf").as("rf2"), col("a").as("a2"),
+      col("b").as("b2"), col("c").as("c2"))
+    val cd = grid.join(broadcast(g2),
+        col("rf") === col("rf2") && col("a") < col("a2"))
+      .groupBy(col("rf")).agg(
+        sum(when(col("b") < col("b2"), col("c") * col("c2"))
+          .otherwise(0L)).as("concordant"),
+        sum(when(col("b") > col("b2"), col("c") * col("c2"))
+          .otherwise(0L)).as("discordant"))
+    val tot = grid.groupBy(col("rf")).agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_cells"))
+    val ta = grid.groupBy(col("rf"), col("a"))
+      .agg(sum(col("c")).as("t"))
+      .groupBy(col("rf")).agg(sum(expr("t * (t - 1) div 2")).as("tie_a"))
+    val tb = grid.groupBy(col("rf"), col("b"))
+      .agg(sum(col("c")).as("t"))
+      .groupBy(col("rf")).agg(sum(expr("t * (t - 1) div 2")).as("tie_b"))
+    tot.join(cd, Seq("rf")).join(ta, Seq("rf")).join(tb, Seq("rf"))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .select(col("rf"), col("n"), col("n_cells"), col("concordant"),
+        col("discordant"), col("n0"), col("tie_a"), col("tie_b"),
+        expr(s"""cast(
+            (case when concordant - discordant < 0 then -1 else 1 end)
+            * (cast(concordant - discordant as $dec)
+               * (concordant - discordant) * 1000000
+               div nullif(cast(n0 - tie_a as $dec) * (n0 - tie_b), 0))
+          as bigint)""").as("taub2_ppm_signed"))
+      .orderBy(col("rf"))
+  }
+  val q327_sql: String =
+    """WITH grid AS (SELECT l_returnflag AS rf, l_quantity::BIGINT AS a,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS b, count(*)::BIGINT AS c
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |cd AS (SELECT g1.rf,
+      |    sum(CASE WHEN g1.b < g2.b THEN g1.c * g2.c ELSE 0 END)::BIGINT
+      |      AS concordant,
+      |    sum(CASE WHEN g1.b > g2.b THEN g1.c * g2.c ELSE 0 END)::BIGINT
+      |      AS discordant
+      |  FROM grid g1 JOIN grid g2 ON g1.rf = g2.rf AND g1.a < g2.a
+      |  GROUP BY 1),
+      |tot AS (SELECT rf, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_cells
+      |        FROM grid GROUP BY 1),
+      |ta AS (SELECT rf, sum(t * (t - 1) // 2)::BIGINT AS tie_a
+      |       FROM (SELECT rf, a, sum(c)::BIGINT AS t FROM grid GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |tb AS (SELECT rf, sum(t * (t - 1) // 2)::BIGINT AS tie_b
+      |       FROM (SELECT rf, b, sum(c)::BIGINT AS t FROM grid GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |j AS (SELECT tot.rf, n, n_cells, concordant, discordant,
+      |        n * (n - 1) // 2 AS n0, tie_a, tie_b
+      |      FROM tot JOIN cd USING (rf) JOIN ta USING (rf) JOIN tb USING (rf))
+      |SELECT rf, n, n_cells, concordant, discordant, n0, tie_a, tie_b,
+      |  ((CASE WHEN concordant - discordant < 0 THEN -1 ELSE 1 END)
+      |   * ((concordant - discordant)::HUGEINT
+      |      * (concordant - discordant) * 1000000
+      |      // nullif((n0 - tie_a)::HUGEINT * (n0 - tie_b), 0)))::BIGINT
+      |    AS taub2_ppm_signed
+      |FROM j ORDER BY rf""".stripMargin
+
+  // ---- q328: Cohen's kappa (inter-annotator agreement) ------------------
+
+  /** Cohen's κ between two deterministic document "annotators" — a
+    * char-length tier and a whitespace-token tier — the agreement audit
+    * every labeling pipeline runs before trusting its labels (raw
+    * agreement overstates quality when the marginals are skewed; κ
+    * subtracts the chance-agreement floor). Both the unweighted and the
+    * LINEAR-WEIGHTED κ (adjacent-tier confusions penalized 1, opposite
+    * 2) come out of the same 3×3 confusion grid in one pass:
+    * κ·10⁶ = (N·Σdiag − Σₖrₖcₖ)·10⁶ div (N² − Σₖrₖcₖ), exactly — the
+    * classic po/pe form cleared of fractions, so no float ever exists.
+    * Scale shapes: ONE map-side-combinable groupBy reduces the corpus
+    * to ≤ 9 cells; margins and both κs are grid algebra (constant
+    * cost); N²·10⁶ tops out DECIMAL(38,0)/HUGEINT at N ≈ 10¹⁶ docs.
+    * κ can be negative (worse than chance): `div` truncates toward
+    * zero identically in Spark, DuckDB, and the JVM. */
+  val q328_cohens_kappa: Q = (s, d) => {
+    val doc = Tables.documents(s, d).select(
+      when(col("n_chars") < 200, 0L).when(col("n_chars") < 350, 1L)
+        .otherwise(2L).as("ann_a"),
+      when(TextAnalysis.wsTokenCount(col("text")) < 40, 0L)
+        .when(TextAnalysis.wsTokenCount(col("text")) < 70, 1L)
+        .otherwise(2L).as("ann_b"))
+    val conf = doc.groupBy(col("ann_a"), col("ann_b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumers: margins + diag + weighted sums
+    val ra = conf.groupBy(col("ann_a")).agg(sum(col("c")).as("r"))
+    val cb = conf.groupBy(col("ann_b")).agg(sum(col("c")).as("cc"))
+    val marg = ra.crossJoin(cb).agg(
+      sum(when(col("ann_a") === col("ann_b"), col("r") * col("cc"))
+        .otherwise(0L)).as("chance"),
+      sum(expr("abs(ann_a - ann_b) * r * cc")).as("w_chance"))
+    val obs = conf.agg(sum(col("c")).as("n"),
+      sum(when(col("ann_a") === col("ann_b"), col("c")).otherwise(0L))
+        .as("agree"),
+      sum(expr("abs(ann_a - ann_b) * c")).as("w_obs"))
+    obs.crossJoin(marg).select(col("n"), col("agree"), col("chance"),
+      expr("agree * 1000000 div n").as("po_ppm"),
+      expr(s"cast(cast(chance as $dec) * 1000000 div (cast(n as $dec) * n)" +
+        " as bigint)").as("pe_ppm"),
+      expr(s"""cast(
+          (cast(n as $dec) * agree - chance) * 1000000
+          div nullif(cast(n as $dec) * n - chance, 0)
+        as bigint)""").as("kappa_ppm"),
+      expr(s"""cast(
+          (cast(w_chance as $dec) - cast(n as $dec) * w_obs) * 1000000
+          div nullif(cast(w_chance as $dec), 0)
+        as bigint)""").as("kappa_w_ppm"))
+  }
+  val q328_sql: String =
+    """WITH doc AS (SELECT
+      |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 350 THEN 1
+      |         ELSE 2 END::BIGINT AS ann_a,
+      |    CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+      |                              x -> x <> '')) < 40 THEN 0
+      |         WHEN len(list_filter(string_split_regex(text, '\s+'),
+      |                              x -> x <> '')) < 70 THEN 1
+      |         ELSE 2 END::BIGINT AS ann_b
+      |  FROM documents),
+      |conf AS (SELECT ann_a, ann_b, count(*)::BIGINT AS c
+      |         FROM doc GROUP BY 1, 2),
+      |ra AS (SELECT ann_a, sum(c)::BIGINT AS r FROM conf GROUP BY 1),
+      |cb AS (SELECT ann_b, sum(c)::BIGINT AS cc FROM conf GROUP BY 1),
+      |marg AS (SELECT
+      |    sum(CASE WHEN ann_a = ann_b THEN r * cc ELSE 0 END)::HUGEINT
+      |      AS chance,
+      |    sum(abs(ann_a - ann_b) * r * cc)::HUGEINT AS w_chance
+      |  FROM ra CROSS JOIN cb),
+      |obs AS (SELECT sum(c)::HUGEINT AS n,
+      |    sum(CASE WHEN ann_a = ann_b THEN c ELSE 0 END)::HUGEINT AS agree,
+      |    sum(abs(ann_a - ann_b) * c)::HUGEINT AS w_obs
+      |  FROM conf)
+      |SELECT n::BIGINT AS n, agree::BIGINT AS agree, chance::BIGINT AS chance,
+      |  (agree * 1000000 // n)::BIGINT AS po_ppm,
+      |  (chance * 1000000 // (n * n))::BIGINT AS pe_ppm,
+      |  ((n * agree - chance) * 1000000 // nullif(n * n - chance, 0))::BIGINT
+      |    AS kappa_ppm,
+      |  ((w_chance - n * w_obs) * 1000000 // nullif(w_chance, 0))::BIGINT
+      |    AS kappa_w_ppm
+      |FROM obs CROSS JOIN marg""".stripMargin
+
+  // ---- q329: McNemar's paired-classifier test ----------------------------
+
+  /** McNemar's test on PAIRED predictions — do the " the "-containment
+    * and foreign-stopword language classifiers disagree with ground
+    * truth (`lang = 'en'`) at different rates on the SAME documents?
+    * The paired design is the point: overall accuracies can be equal
+    * while one classifier is strictly better on the cases that matter,
+    * and only the discordant counts b (A right, B wrong) and c (B
+    * right, A wrong) carry signal. Statistic (|b−c|−1)²/(b+c) with the
+    * continuity correction, held exact: one integral division to ppm
+    * against the χ²(1) 5 % critical value (3.841459·10⁶). Scale
+    * shapes: the whole test is ONE map-side-combinable aggregate —
+    * four counters — over any corpus size; b+c ≤ N keeps the algebra
+    * in BIGINT to N ≈ 10⁶ and DECIMAL(38,0) forever. Zero discordant
+    * pairs → NULL statistic → significant fail-closed false. */
+  val q329_mcnemar: Q = (s, d) => {
+    val doc = Tables.documents(s, d).select(
+      (col("lang") === "en").as("truth"),
+      col("text").contains(" the ").as("pred_a"),
+      (!(col("text").contains(" de ") || col("text").contains(" la ") ||
+         col("text").contains(" und ") || col("text").contains(" el ") ||
+         col("text").contains(" et "))).as("pred_b"))
+    doc.agg(count(lit(1)).as("n"),
+        sum(when(col("pred_a") === col("truth"), 1L).otherwise(0L))
+          .as("right_a"),
+        sum(when(col("pred_b") === col("truth"), 1L).otherwise(0L))
+          .as("right_b"),
+        sum(when(col("pred_a") === col("truth") &&
+                 col("pred_b") =!= col("truth"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("pred_a") =!= col("truth") &&
+                 col("pred_b") === col("truth"), 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        expr("right_a * 1000000 div n").as("acc_a_ppm"),
+        expr("right_b * 1000000 div n").as("acc_b_ppm"),
+        expr(s"""cast(
+            cast(greatest(abs(b - c) - 1, 0) as $dec)
+            * greatest(abs(b - c) - 1, 0) * 1000000
+            div nullif(b + c, 0) as bigint)""").as("mcnemar_ppm"))
+      .withColumn("significant",
+        coalesce(col("mcnemar_ppm") >= 3841459L, lit(false)))
+  }
+  val q329_sql: String =
+    """WITH doc AS (SELECT (lang = 'en') AS truth,
+      |    contains(text, ' the ') AS pred_a,
+      |    NOT (contains(text, ' de ') OR contains(text, ' la ')
+      |         OR contains(text, ' und ') OR contains(text, ' el ')
+      |         OR contains(text, ' et ')) AS pred_b
+      |  FROM documents),
+      |a AS (SELECT count(*)::BIGINT AS n,
+      |    sum(CASE WHEN pred_a = truth THEN 1 ELSE 0 END)::BIGINT AS right_a,
+      |    sum(CASE WHEN pred_b = truth THEN 1 ELSE 0 END)::BIGINT AS right_b,
+      |    sum(CASE WHEN pred_a = truth AND pred_b <> truth
+      |             THEN 1 ELSE 0 END)::BIGINT AS b,
+      |    sum(CASE WHEN pred_a <> truth AND pred_b = truth
+      |             THEN 1 ELSE 0 END)::BIGINT AS c
+      |  FROM doc)
+      |SELECT n, b, c,
+      |  (right_a * 1000000 // n)::BIGINT AS acc_a_ppm,
+      |  (right_b * 1000000 // n)::BIGINT AS acc_b_ppm,
+      |  (greatest(abs(b - c) - 1, 0)::HUGEINT
+      |   * greatest(abs(b - c) - 1, 0) * 1000000
+      |   // nullif(b + c, 0))::BIGINT AS mcnemar_ppm,
+      |  coalesce((greatest(abs(b - c) - 1, 0)::HUGEINT
+      |   * greatest(abs(b - c) - 1, 0) * 1000000
+      |   // nullif(b + c, 0)) >= 3841459, false) AS significant
+      |FROM a""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q328_cohens_kappa" -> q328_cohens_kappa,
+    "q329_mcnemar" -> q329_mcnemar,
+    "q326_spearman" -> q326_spearman,
+    "q327_kendall_grid" -> q327_kendall_grid,
     "q325_wilson_rank" -> q325_wilson_rank,
     "q324_dispersion" -> q324_dispersion,
     "q316_mann_whitney" -> q316_mann_whitney,
@@ -517,6 +826,10 @@ object EvalQueries {
     "q321_stump_gain" -> q321_stump_gain)
 
   val oracles: Map[String, String] = Map(
+    "q328_cohens_kappa" -> q328_sql,
+    "q329_mcnemar" -> q329_sql,
+    "q326_spearman" -> q326_sql,
+    "q327_kendall_grid" -> q327_sql,
     "q325_wilson_rank" -> q325_sql,
     "q324_dispersion" -> q324_sql,
     "q316_mann_whitney" -> q316_sql,
