@@ -596,13 +596,12 @@ object EvalQueries {
     * holds to n ≈ 10⁷ per group, then split). The grid is checkpointed
     * once and serves all four consumers (pair join twice + two
     * margins). */
-  val q327_kendall_grid: Q = (s, d) => {
-    val grid = Tables.lineitem(s, d).select(
-        col("l_returnflag").as("rf"),
-        col("l_quantity").cast("long").as("a"),
-        expr("cast(round(l_discount * 100) as bigint)").as("b"))
-      .groupBy(col("rf"), col("a"), col("b"))
-      .agg(count(lit(1)).as("c"))
+  /** τ-b readout from a (rf, a, b, c) contingency grid — shared by q327
+    * (batch grid) and the q333 streaming certification (state-store
+    * grid): the grid IS the sufficient statistic, so where it came from
+    * cannot change the answer. */
+  def kendallFromGrid(grid0: DataFrame): DataFrame = {
+    val grid = grid0
       .localCheckpoint(true) // consumers: pair join (both sides) + margins
     val g2 = grid.select(col("rf").as("rf2"), col("a").as("a2"),
       col("b").as("b2"), col("c").as("c2"))
@@ -633,6 +632,13 @@ object EvalQueries {
           as bigint)""").as("taub2_ppm_signed"))
       .orderBy(col("rf"))
   }
+  val q327_kendall_grid: Q = (s, d) => kendallFromGrid(
+    Tables.lineitem(s, d).select(
+        col("l_returnflag").as("rf"),
+        col("l_quantity").cast("long").as("a"),
+        expr("cast(round(l_discount * 100) as bigint)").as("b"))
+      .groupBy(col("rf"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c")))
   val q327_sql: String =
     """WITH grid AS (SELECT l_returnflag AS rf, l_quantity::BIGINT AS a,
       |    CAST(round(l_discount * 100) AS BIGINT) AS b, count(*)::BIGINT AS c
@@ -982,7 +988,88 @@ object EvalQueries {
       |  chi2_e6 >= 15507313 AS significant
       |FROM agg CROSS JOIN tots""".stripMargin
 
+  // ---- q332: Kruskal–Wallis rank ANOVA -----------------------------------
+
+  /** Kruskal–Wallis H across ALL event types at once — q316's two-sample
+    * Mann–Whitney generalized to m groups ("do the five types share a
+    * value distribution?"), still exact: the corpus reduces to per-
+    * (score, type) counts in one map-side-combinable pass; the per-score
+    * totals drive the range-partitioned prefix sum (no global rank
+    * window anywhere — rank of a score is its cumulative predecessor
+    * count, so 2R_j = Σ c_{s,j}·(2·cum_n − n_s + 1) stays integral
+    * with tie-averaging built in); H then lives on m rows of grid
+    * algebra. Fixed point: R_j²/n_j = (2R_j)²/(4n_j), so H·10⁶ =
+    * (12·Σ_j term_j) div (N(N+1)) − 3(N+1)·10⁶ with term_j =
+    * (2R_j)²·10⁶ div (4n_j) (per-group floor, the q271 fixed-point
+    * convention), then the tie correction is ONE more
+    * division by (N³−N−Σ(t³−t)) scaled back by (N³−N). Gates on the
+    * χ²(4) 5 % critical value 9.487729·10⁶. (2R_j)²·10⁶ tops
+    * DECIMAL(38,0) at N ≈ 10⁸ — past that, split the division. */
+  val q332_kruskal_wallis: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      expr("cast(round(value * 100) as bigint)").as("score"),
+      col("event_type").as("g"))
+    val sg = ev.groupBy(col("score"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumers: per-score totals + group fold
+    val ps = sg.groupBy(col("score")).agg(sum(col("c")).as("n_s"))
+      .withColumn("g0", lit(0))
+    val cum = RunningTotal.grouped(ps, "g0", Seq("score"), "n_s", "cum_n",
+      groupCountHint = Some(1L))
+    val perGroup = sg
+      .join(cum.select(col("score"), col("n_s"), col("cum_n")), Seq("score"))
+      .groupBy(col("g"))
+      .agg(sum(col("c") * (col("cum_n") * 2 - col("n_s") + 1)).as("two_r"),
+        sum(col("c")).as("n_j"))
+    val ties = cum.agg(
+      sum(expr(s"cast(n_s as $dec) * n_s * n_s - n_s")).as("tie_sum"))
+    perGroup
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_j")).as("n"),
+        sum(expr(s"cast(two_r as $dec) * two_r * 1000000 div (4 * n_j)"))
+          .as("rsum"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), col("n_groups"),
+        col("tie_sum").cast("long").as("tie_sum"),
+        expr(s"""cast(
+            (cast(12 as $dec) * rsum) div (cast(n as $dec) * (n + 1))
+            - 3 * (n + 1) * 1000000 as bigint)""").as("h_ppm"))
+      .withColumn("hc_ppm", expr(s"""cast(
+          (cast(h_ppm as $dec) * (cast(n as $dec) * n * n - n))
+          div nullif(cast(n as $dec) * n * n - n - tie_sum, 0)
+        as bigint)"""))
+      .withColumn("significant",
+        coalesce(col("hc_ppm") >= 9487729L, lit(false)))
+  }
+  val q332_sql: String =
+    """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,
+      |             event_type AS g FROM events),
+      |sg AS (SELECT score, g, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+      |ps AS (SELECT score, sum(c)::BIGINT AS n_s FROM sg GROUP BY 1),
+      |cm AS (SELECT score, n_s,
+      |         sum(n_s) OVER (ORDER BY score)::BIGINT AS cum_n FROM ps),
+      |pg AS (SELECT g,
+      |         sum(c * (2 * cum_n - n_s + 1))::HUGEINT AS two_r,
+      |         sum(c)::HUGEINT AS n_j
+      |       FROM sg JOIN cm USING (score) GROUP BY 1),
+      |ts AS (SELECT sum(n_s::HUGEINT * n_s * n_s - n_s)::HUGEINT AS tie_sum
+      |       FROM cm),
+      |agg AS (SELECT count(*)::BIGINT AS n_groups, sum(n_j)::HUGEINT AS n,
+      |          sum(two_r * two_r * 1000000 // (4 * n_j))::HUGEINT AS rsum
+      |        FROM pg),
+      |h AS (SELECT n::BIGINT AS n, n_groups, ts.tie_sum::BIGINT AS tie_sum,
+      |        ((12::HUGEINT * rsum) // (n * (n + 1))
+      |         - 3 * (n + 1) * 1000000)::BIGINT AS h_ppm
+      |      FROM agg CROSS JOIN ts)
+      |SELECT n, n_groups, tie_sum,  h_ppm,
+      |  ((h_ppm::HUGEINT * (n::HUGEINT * n * n - n))
+      |   // nullif(n::HUGEINT * n * n - n - tie_sum, 0))::BIGINT AS hc_ppm,
+      |  coalesce(((h_ppm::HUGEINT * (n::HUGEINT * n * n - n))
+      |   // nullif(n::HUGEINT * n * n - n - tie_sum, 0)) >= 9487729, false)
+      |    AS significant
+      |FROM h""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q332_kruskal_wallis" -> q332_kruskal_wallis,
     "q330_perm_fdr" -> q330_perm_fdr,
     "q331_cramers_v" -> q331_cramers_v,
     "q328_cohens_kappa" -> q328_cohens_kappa,
@@ -999,6 +1086,7 @@ object EvalQueries {
     "q321_stump_gain" -> q321_stump_gain)
 
   val oracles: Map[String, String] = Map(
+    "q332_kruskal_wallis" -> q332_sql,
     "q330_perm_fdr" -> q330_sql,
     "q331_cramers_v" -> q331_sql,
     "q328_cohens_kappa" -> q328_sql,

@@ -953,7 +953,50 @@ object StreamingCertQueries {
   /** Same oracle as the continuous stream-stream join cert. */
   val q323_sql: String = StreamingQueries.q80_sql
 
+  /** The thirty-eighth streaming certification — a LIVE Kendall τ-b: the
+    * (rf, qty, discount) contingency grid is a +-monoid (per-cell counts),
+    * so the state store maintains it as a built-in streaming aggregate in
+    * Complete mode across micro-batch boundaries, and q327's
+    * [[EvalQueries.kendallFromGrid]] readout runs UNCHANGED on the final
+    * state — certifying the operator's core scale claim: the grid is the
+    * whole sufficient statistic for rank concordance, so batch scan,
+    * micro-batched arrival, or shard merge order cannot change τ. Must
+    * hash-match q327's batch oracle exactly. */
+  val q333_stream_kendall: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("rf"),
+      col("l_quantity").cast("long").as("a"),
+      expr("cast(round(l_discount * 100) as bigint)").as("b"),
+      col("l_orderkey").cast("long").as("ok"),
+      col("l_linenumber").cast("long").as("ln"))
+    val srcDir = stageOrderedBy(li, d, "liKendallOrdered4", 4,
+      Seq(col("ok"), col("ln")))
+    val ckpt = Stage.ckpt()
+    val name = "q333_ken_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withCertStatePartitions(s) {
+      val query = stream
+        .groupBy(col("rf"), col("a"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream
+        .queryName(name)
+        .format("memory")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    EvalQueries.kendallFromGrid(
+      s.table(name).select(col("rf"), col("a"), col("b"), col("c")))
+  }
+  /** Same oracle as the batch grid τ-b. */
+  val q333_sql: String = EvalQueries.q327_sql
+
   val defs: Map[String, Q] = Map(
+    "q333_stream_kendall" -> q333_stream_kendall,
     "q323_recovery_join" -> q323_recovery_join,
     "q322_recovery_sessions" -> q322_recovery_sessions,
     "q315_recovery_moments" -> q315_recovery_moments,
@@ -974,6 +1017,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q333_stream_kendall" -> q333_sql,
     "q323_recovery_join" -> q323_sql,
     "q322_recovery_sessions" -> q322_sql,
     "q315_recovery_moments" -> q315_sql,
