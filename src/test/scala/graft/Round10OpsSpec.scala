@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.EvalQueries
+
+/** Round-10 evaluation-statistics tests: each new statistic is cross-
+  * checked against an INDEPENDENT computation (naive all-pairs, float
+  * reference, or hand algebra) on sf0.001 — the DuckDB oracle certifies
+  * cross-engine exactness; these certify the statistics themselves. */
+class Round10OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q326: signed rho^2 matches float Pearson-on-average-ranks") {
+    val out = EvalQueries.q326_spearman(spark, sf).collect()
+    assert(out.nonEmpty)
+    // independent float reference: tie-averaged ranks via a different
+    // formulation (avg of row_numbers over the tie block), then corr()
+    val li = graft.io.Tables.lineitem(spark, sf).select(
+      expr("year(l_shipdate) * 100 + month(l_shipdate)").cast("long").as("ym"),
+      col("l_quantity").cast("long").as("qv"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("pv"))
+    val ranked = li
+      .withColumn("rx", expr(
+        "avg(cast(row_number() over (partition by ym order by qv, pv, monotonically_increasing_id()) as double))" +
+          " over (partition by ym, qv)"))
+      .withColumn("ry", expr(
+        "avg(cast(row_number() over (partition by ym order by pv, qv, monotonically_increasing_id()) as double))" +
+          " over (partition by ym, pv)"))
+    val ref = ranked.groupBy(col("ym")).agg(corr(col("rx"), col("ry")).as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      val ym = r.getAs[Long]("ym")
+      val got = r.getAs[Long]("rho2_bp_signed").toDouble / 10000.0
+      val want = { val x = ref(ym); math.signum(x) * x * x }
+      assert(math.abs(got - want) < 2e-4, s"ym=$ym got=$got want=$want")
+    }
+  }
+
+  test("q327: grid C/D/ties match a naive all-pairs count") {
+    val rows = graft.io.Tables.lineitem(spark, sf).select(
+        col("l_returnflag"), col("l_quantity").cast("long"),
+        expr("cast(round(l_discount * 100) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = EvalQueries.q327_kendall_grid(spark, sf).collect()
+      .map(r => r.getAs[String]("rf") ->
+        (r.getAs[Long]("concordant"), r.getAs[Long]("discordant"),
+          r.getAs[Long]("n0"), r.getAs[Long]("tie_a"), r.getAs[Long]("tie_b")))
+      .toMap
+    rows.groupBy(_._1).foreach { case (rf, g) =>
+      var (cc, dd, ta, tb) = (0L, 0L, 0L, 0L)
+      for (i <- g.indices; j <- (i + 1) until g.size) {
+        val (_, a1, b1) = g(i); val (_, a2, b2) = g(j)
+        if (a1 != a2 && b1 != b2) {
+          if ((a1 < a2) == (b1 < b2)) cc += 1 else dd += 1
+        }
+        if (a1 == a2) ta += 1
+        if (b1 == b2) tb += 1
+      }
+      val n0 = g.size.toLong * (g.size - 1) / 2
+      assert(out(rf) == ((cc, dd, n0, ta, tb)), s"rf=$rf")
+    }
+  }
+
+  test("q328: kappa algebra matches a driver-side confusion recount") {
+    val out = EvalQueries.q328_cohens_kappa(spark, sf).head()
+    val conf = graft.io.Tables.documents(spark, sf).select(
+        when(col("n_chars") < 200, 0L).when(col("n_chars") < 350, 1L)
+          .otherwise(2L).as("a"),
+        when(graft.llm.TextAnalysis.wsTokenCount(col("text")) < 40, 0L)
+          .when(graft.llm.TextAnalysis.wsTokenCount(col("text")) < 70, 1L)
+          .otherwise(2L).as("b"))
+      .groupBy("a", "b").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = conf.values.sum
+    val agree = conf.collect { case ((a, b), c) if a == b => c }.sum
+    val rk = conf.groupBy(_._1._1).view.mapValues(_.values.sum)
+    val ck = conf.groupBy(_._1._2).view.mapValues(_.values.sum)
+    val chance = (for (k <- 0L to 2L)
+      yield rk.getOrElse(k, 0L) * ck.getOrElse(k, 0L)).sum
+    assert(out.getAs[Long]("n") == n)
+    assert(out.getAs[Long]("agree") == agree)
+    assert(out.getAs[Long]("chance") == chance)
+    assert(out.getAs[Long]("kappa_ppm") ==
+      BigInt(n * agree - chance) * 1000000 / BigInt(n * n - chance))
+    // kappa is bounded and, on correlated length tiers, should be positive
+    assert(out.getAs[Long]("kappa_ppm") > 0L &&
+      out.getAs[Long]("kappa_ppm") <= 1000000L)
+  }
+
+  test("q329: discordant counts match a driver-side recount") {
+    val out = EvalQueries.q329_mcnemar(spark, sf).head()
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map { r =>
+        val truth = r.getString(0) == "en"
+        val t = r.getString(1)
+        val pa = t.contains(" the ")
+        val pb = !(t.contains(" de ") || t.contains(" la ") ||
+          t.contains(" und ") || t.contains(" el ") || t.contains(" et "))
+        (truth, pa, pb)
+      }
+    val b = docs.count { case (t, pa, pb) => pa == t && pb != t }.toLong
+    val c = docs.count { case (t, pa, pb) => pa != t && pb == t }.toLong
+    assert(out.getAs[Long]("b") == b)
+    assert(out.getAs[Long]("c") == c)
+    val num = math.max(math.abs(b - c) - 1, 0L)
+    assert(out.getAs[Long]("mcnemar_ppm") == num * num * 1000000L / (b + c))
+  }
+
+  test("q330: observed statistic matches a driver-side recount; p in range") {
+    val out = EvalQueries.q330_perm_fdr(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.io.Tables.events(spark, sf).select(
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)"),
+        expr("case when ((unix_millis(ts) div 86400000) + 4) % 7 in (0, 6)" +
+          " then 1 else 0 end"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    out.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      val rows = ev.filter(_._1 == g)
+      val na = rows.count(_._3 == 1).toLong
+      val nb = rows.size - na
+      val sa = rows.filter(_._3 == 1).map(_._2).sum
+      val sb = rows.filter(_._3 == 0).map(_._2).sum
+      assert(r.getAs[Long]("n") == rows.size.toLong)
+      assert(r.getAs[Long]("n_a") == na)
+      assert(r.getAs[Long]("t_obs") == math.abs(sa * nb - sb * na))
+      val p = r.getAs[Long]("p_num")
+      assert(p >= 1L && p <= 100L, s"g=$g p_num=$p")
+    }
+  }
+
+  test("q332: fixed-point H tracks the float Kruskal-Wallis reference") {
+    val out = EvalQueries.q332_kruskal_wallis(spark, sf).head()
+    val ev = graft.io.Tables.events(spark, sf).select(
+        expr("cast(round(value * 100) as bigint)"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = ev.length
+    // float reference: tie-averaged ranks by sorting
+    val ranks = ev.map(_._1).sorted.zipWithIndex
+      .groupBy(_._1).view.mapValues(g => g.map(_._2 + 1.0).sum / g.size).toMap
+    val byG = ev.groupBy(_._2).view.mapValues(_.map(x => ranks(x._1)))
+    val h = 12.0 / (n.toDouble * (n + 1)) *
+      byG.values.map(rs => math.pow(rs.sum, 2) / rs.size).sum - 3.0 * (n + 1)
+    val tie = ev.map(_._1).groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val hc = h / (1.0 - tie / (math.pow(n, 3) - n))
+    val got = out.getAs[Long]("hc_ppm").toDouble / 1e6
+    assert(math.abs(got - hc) < 1e-3, s"got=$got want=$hc")
+    assert(out.getAs[Long]("n") == n.toLong)
+  }
+}
