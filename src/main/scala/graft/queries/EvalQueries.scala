@@ -999,12 +999,19 @@ object EvalQueries {
     * count, so 2R_j = Σ c_{s,j}·(2·cum_n − n_s + 1) stays integral
     * with tie-averaging built in); H then lives on m rows of grid
     * algebra. Fixed point: R_j²/n_j = (2R_j)²/(4n_j), so H·10⁶ =
-    * (12·Σ_j term_j) div (N(N+1)) − 3(N+1)·10⁶ with term_j =
-    * (2R_j)²·10⁶ div (4n_j) (per-group floor, the q271 fixed-point
-    * convention), then the tie correction is ONE more
+    * (12·10⁶·Σ_j term_j) div (N(N+1)) − 3(N+1)·10⁶ with term_j =
+    * (2R_j)² div (4n_j) (per-group floor, the q271 fixed-point
+    * convention; the 10⁶ multiplies AFTER the per-group division — the
+    * premultiplied form's quotient exceeds 2⁶³ at N ≈ 10⁵, caught by
+    * the SCALESTRESS_r10c ×100 duplication run; the dropped sub-integer
+    * remainder costs < 10⁻² ppm), then the tie correction is ONE more
     * division by (N³−N−Σ(t³−t)) scaled back by (N³−N). Gates on the
-    * χ²(4) 5 % critical value 9.487729·10⁶. (2R_j)²·10⁶ tops
-    * DECIMAL(38,0) at N ≈ 10⁸ — past that, split the division. */
+    * χ²(4) 5 % critical value 9.487729·10⁶. The readout runs in exact
+    * BigInt on the COLLECTED per-group frame — |event types| rows, the
+    * q319 bounded-collect license — so no Spark-side quotient ever
+    * outgrows a long; the corpus-scaling stages (cell counts, prefix
+    * sum) stay distributed and long-safe to N ≈ 10⁹ (two_r ≤ N(N+1),
+    * squared in BigInt/HUGEINT only). */
   val q332_kruskal_wallis: Q = (s, d) => {
     val ev = Tables.events(s, d).select(
       expr("cast(round(value * 100) as bigint)").as("score"),
@@ -1021,24 +1028,24 @@ object EvalQueries {
       .groupBy(col("g"))
       .agg(sum(col("c") * (col("cum_n") * 2 - col("n_s") + 1)).as("two_r"),
         sum(col("c")).as("n_j"))
-    val ties = cum.agg(
+      .collect() // |event types| rows — bounded by the type domain
+    val tieSum = BigInt(cum.agg(
       sum(expr(s"cast(n_s as $dec) * n_s * n_s - n_s")).as("tie_sum"))
-    perGroup
-      .agg(count(lit(1)).as("n_groups"), sum(col("n_j")).as("n"),
-        sum(expr(s"cast(two_r as $dec) * two_r * 1000000 div (4 * n_j)"))
-          .as("rsum"))
-      .crossJoin(broadcast(ties))
-      .select(col("n"), col("n_groups"),
-        col("tie_sum").cast("long").as("tie_sum"),
-        expr(s"""cast(
-            (cast(12 as $dec) * rsum) div (cast(n as $dec) * (n + 1))
-            - 3 * (n + 1) * 1000000 as bigint)""").as("h_ppm"))
-      .withColumn("hc_ppm", expr(s"""cast(
-          (cast(h_ppm as $dec) * (cast(n as $dec) * n * n - n))
-          div nullif(cast(n as $dec) * n * n - n - tie_sum, 0)
-        as bigint)"""))
-      .withColumn("significant",
-        coalesce(col("hc_ppm") >= 9487729L, lit(false)))
+      .head().getDecimal(0).toBigInteger)
+    val n = perGroup.map(r => BigInt(r.getAs[Long]("n_j"))).sum
+    val rsum = perGroup.map { r =>
+      val tr = BigInt(r.getAs[Long]("two_r"))
+      tr * tr / (4 * BigInt(r.getAs[Long]("n_j")))
+    }.sum
+    val h = BigInt(12000000) * rsum / (n * (n + 1)) - 3 * (n + 1) * 1000000
+    val n3 = n * n * n - n
+    // all-tied input -> 0 denominator -> NULL H' -> fail-closed false
+    val hc: Option[Long] =
+      if (n3 == tieSum) None else Some((h * n3 / (n3 - tieSum)).toLong)
+    import s.implicits._
+    Seq((n.toLong, perGroup.length.toLong, tieSum.toLong, h.toLong,
+        hc, hc.exists(_ >= 9487729L)))
+      .toDF("n", "n_groups", "tie_sum", "h_ppm", "hc_ppm", "significant")
   }
   val q332_sql: String =
     """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,
@@ -1054,10 +1061,10 @@ object EvalQueries {
       |ts AS (SELECT sum(n_s::HUGEINT * n_s * n_s - n_s)::HUGEINT AS tie_sum
       |       FROM cm),
       |agg AS (SELECT count(*)::BIGINT AS n_groups, sum(n_j)::HUGEINT AS n,
-      |          sum(two_r * two_r * 1000000 // (4 * n_j))::HUGEINT AS rsum
+      |          sum(two_r * two_r // (4 * n_j))::HUGEINT AS rsum
       |        FROM pg),
       |h AS (SELECT n::BIGINT AS n, n_groups, ts.tie_sum::BIGINT AS tie_sum,
-      |        ((12::HUGEINT * rsum) // (n * (n + 1))
+      |        ((12000000::HUGEINT * rsum) // (n * (n + 1))
       |         - 3 * (n + 1) * 1000000)::BIGINT AS h_ppm
       |      FROM agg CROSS JOIN ts)
       |SELECT n, n_groups, tie_sum,  h_ppm,
