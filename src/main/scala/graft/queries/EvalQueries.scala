@@ -669,6 +669,65 @@ object EvalQueries {
       |    AS taub2_ppm_signed
       |FROM j ORDER BY rf""".stripMargin
 
+  // ---- q334: Goodman–Kruskal gamma + Somers' D ---------------------------
+
+  /** The rest of the ordinal-association family, off the SAME grid
+    * readout as q327: Goodman–Kruskal γ = (C−D)/(C+D) (ignores ties —
+    * the right measure when tied pairs are uninformative) and BOTH
+    * Somers' D asymmetries, (C−D)/(n0−n1) predicting discount from
+    * quantity and (C−D)/(n0−n2) the reverse — the directional variant
+    * an eval pipeline wants when one variable is the model score and
+    * the other the label (D_yx is then exactly 2·AUC−1). None needs a
+    * square root (unlike τ-b), so each is ONE signed exact division to
+    * ppm. Costs nothing beyond q327's domain-bounded grid algebra and
+    * inherits its duplication certificate: C, D, n0−n1, n0−n2 all
+    * scale exactly k², so every readout is bit-identical at 100×. */
+  val q334_ordinal_assoc: Q = (s, d) => kendallFromGrid(
+    Tables.lineitem(s, d).select(
+        col("l_returnflag").as("rf"),
+        col("l_quantity").cast("long").as("a"),
+        expr("cast(round(l_discount * 100) as bigint)").as("b"))
+      .groupBy(col("rf"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c")))
+    .select(col("rf"), col("n"), col("concordant"), col("discordant"),
+      expr(s"""cast(cast(concordant - discordant as $dec) * 1000000
+          div nullif(concordant + discordant, 0) as bigint)""")
+        .as("gamma_ppm"),
+      expr(s"""cast(cast(concordant - discordant as $dec) * 1000000
+          div nullif(n0 - tie_a, 0) as bigint)""").as("somers_yx_ppm"),
+      expr(s"""cast(cast(concordant - discordant as $dec) * 1000000
+          div nullif(n0 - tie_b, 0) as bigint)""").as("somers_xy_ppm"))
+    .orderBy(col("rf"))
+  val q334_sql: String =
+    """WITH grid AS (SELECT l_returnflag AS rf, l_quantity::BIGINT AS a,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS b, count(*)::BIGINT AS c
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |cd AS (SELECT g1.rf,
+      |    sum(CASE WHEN g1.b < g2.b THEN g1.c * g2.c ELSE 0 END)::BIGINT
+      |      AS concordant,
+      |    sum(CASE WHEN g1.b > g2.b THEN g1.c * g2.c ELSE 0 END)::BIGINT
+      |      AS discordant
+      |  FROM grid g1 JOIN grid g2 ON g1.rf = g2.rf AND g1.a < g2.a
+      |  GROUP BY 1),
+      |tot AS (SELECT rf, sum(c)::BIGINT AS n FROM grid GROUP BY 1),
+      |ta AS (SELECT rf, sum(t * (t - 1) // 2)::BIGINT AS tie_a
+      |       FROM (SELECT rf, a, sum(c)::BIGINT AS t FROM grid GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |tb AS (SELECT rf, sum(t * (t - 1) // 2)::BIGINT AS tie_b
+      |       FROM (SELECT rf, b, sum(c)::BIGINT AS t FROM grid GROUP BY 1, 2)
+      |       GROUP BY 1),
+      |j AS (SELECT tot.rf, n, concordant, discordant,
+      |        n * (n - 1) // 2 AS n0, tie_a, tie_b
+      |      FROM tot JOIN cd USING (rf) JOIN ta USING (rf) JOIN tb USING (rf))
+      |SELECT rf, n, concordant, discordant,
+      |  ((concordant - discordant)::HUGEINT * 1000000
+      |   // nullif(concordant + discordant, 0))::BIGINT AS gamma_ppm,
+      |  ((concordant - discordant)::HUGEINT * 1000000
+      |   // nullif(n0 - tie_a, 0))::BIGINT AS somers_yx_ppm,
+      |  ((concordant - discordant)::HUGEINT * 1000000
+      |   // nullif(n0 - tie_b, 0))::BIGINT AS somers_xy_ppm
+      |FROM j ORDER BY rf""".stripMargin
+
   // ---- q328: Cohen's kappa (inter-annotator agreement) ------------------
 
   /** Cohen's κ between two deterministic document "annotators" — a
@@ -1076,6 +1135,7 @@ object EvalQueries {
       |FROM h""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q334_ordinal_assoc" -> q334_ordinal_assoc,
     "q332_kruskal_wallis" -> q332_kruskal_wallis,
     "q330_perm_fdr" -> q330_perm_fdr,
     "q331_cramers_v" -> q331_cramers_v,
@@ -1093,6 +1153,7 @@ object EvalQueries {
     "q321_stump_gain" -> q321_stump_gain)
 
   val oracles: Map[String, String] = Map(
+    "q334_ordinal_assoc" -> q334_sql,
     "q332_kruskal_wallis" -> q332_sql,
     "q330_perm_fdr" -> q330_sql,
     "q331_cramers_v" -> q331_sql,
