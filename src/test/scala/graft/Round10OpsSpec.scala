@@ -133,6 +133,29 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // Plan locks for the rank-statistics batch. q326: all four rank/count
+  // windows share ONE hashpartitioning(ym) exchange (exchange reuse) —
+  // a SinglePartition exchange appearing here means a window lost its
+  // partition spec and the whole corpus funnels through one task. q327:
+  // the cell-pair join must stay a broadcast join keyed on rf with the
+  // a < a2 inequality as a residual condition — domain-bounded build
+  // side, corpus never re-shuffled for pair counting.
+  test("q326/q327 plan shapes: partitioned windows, broadcast grid join") {
+    val p326 = EvalQueries.q326_spearman(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!p326.contains("Exchange SinglePartition"),
+      s"q326 funnels through a single partition:\n$p326")
+    assert(p326.contains("hashpartitioning(ym"),
+      s"q326 rank windows no longer partition by ym:\n$p326")
+    val p327 = EvalQueries.q327_kendall_grid(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!p327.contains("Exchange SinglePartition"),
+      s"q327 funnels through a single partition:\n$p327")
+    assert(p327.contains("BroadcastHashJoin") ||
+      p327.contains("BroadcastNestedLoopJoin"),
+      s"q327 cell-pair join is no longer broadcast:\n$p327")
+  }
+
   test("q332: fixed-point H tracks the float Kruskal-Wallis reference") {
     val out = EvalQueries.q332_kruskal_wallis(spark, sf).head()
     val ev = graft.io.Tables.events(spark, sf).select(
