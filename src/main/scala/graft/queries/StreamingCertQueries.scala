@@ -995,7 +995,41 @@ object StreamingCertQueries {
   /** Same oracle as the batch grid τ-b. */
   val q333_sql: String = EvalQueries.q327_sql
 
+  /** The thirty-ninth streaming cert — the Kendall grid under CHECKPOINT
+    * RECOVERY, the sixth recovery shape (per-cell monoid counters): two
+    * of the four staged files run through [[Streaming.gridCount]], the
+    * query stops, and a new incarnation resumes every cell's (seen, c)
+    * state from the store. Counts are monotone, so the readout is each
+    * cell's max-`seen` emission across BOTH incarnations; a restart that
+    * dropped or double-counted any pre-crash batch shifts some cell
+    * count, which τ-b's C/D pair sums amplify — and the hash against
+    * q327's batch oracle breaks. Complete-mode streaming (q333) proves
+    * arrival order can't change τ; this proves a mid-stream death
+    * can't either. */
+  val q335_recovery_kendall: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("rf"),
+      col("l_quantity").cast("long").as("a"),
+      expr("cast(round(l_discount * 100) as bigint)").as("b"),
+      col("l_orderkey").cast("long").as("ok"),
+      col("l_linenumber").cast("long").as("ln"))
+    val srcDir = stageOrderedBy(li, d, "liKendallOrdered4", 4,
+      Seq(col("ok"), col("ln")))
+    val grid = recoveringTable(s, srcDir, firstN = 2, tag = "q335_rec_ken")(
+      st => Streaming.gridCount(
+        st.select(col("rf"), col("a"), col("b")).as[Streaming.CellObs]).toDF(),
+      li.schema)
+      .groupBy(col("rf"), col("a"), col("b"))
+      .agg(max(struct(col("seen"), col("c"))).as("f"))
+      .select(col("rf"), col("a"), col("b"), col("f.c").as("c"))
+    EvalQueries.kendallFromGrid(grid)
+  }
+  /** Same oracle as the batch grid τ-b and the Complete-mode cert. */
+  val q335_sql: String = EvalQueries.q327_sql
+
   val defs: Map[String, Q] = Map(
+    "q335_recovery_kendall" -> q335_recovery_kendall,
     "q333_stream_kendall" -> q333_stream_kendall,
     "q323_recovery_join" -> q323_recovery_join,
     "q322_recovery_sessions" -> q322_recovery_sessions,
@@ -1017,6 +1051,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q335_recovery_kendall" -> q335_sql,
     "q333_stream_kendall" -> q333_sql,
     "q323_recovery_join" -> q323_sql,
     "q322_recovery_sessions" -> q322_sql,

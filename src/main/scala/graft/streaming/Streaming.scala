@@ -780,6 +780,35 @@ object Streaming {
       }
   }
 
+  case class CellObs(rf: String, a: Long, b: Long)
+  case class CellBatchOut(rf: String, a: Long, b: Long, seen: Long, c: Long)
+
+  /** Stateful per-cell contingency counter — TWO longs of state per
+    * (rf, a, b) grid cell (batch counter, cumulative count), the live
+    * form of the q327 Kendall grid in Append mode (the Complete-mode
+    * built-in aggregate cannot recover through the fault-tolerant file
+    * sink, so the recovery certification needs this fold). Counts are a
+    * +-monoid: micro-batch boundaries, shard order, and restarts cannot
+    * change a sum; the readout takes each cell's max-`seen` emission.
+    * State size is DOMAIN-bounded (|rf|·|qty|·|discount| cells), not
+    * corpus-bounded — the same property that makes the batch grid the
+    * whole sufficient statistic for τ. */
+  def gridCount(arrivals: Dataset[CellObs]): Dataset[CellBatchOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(o => (o.rf, o.a, o.b))
+      .flatMapGroupsWithState[(Long, Long), CellBatchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, Long, Long), it: Iterator[CellObs],
+         state: GroupState[(Long, Long)]) =>
+          var (seen, c) = state.getOption.getOrElse((0L, 0L))
+          it.foreach(_ => c += 1L)
+          seen += 1L
+          state.update((seen, c))
+          Iterator.single(CellBatchOut(key._1, key._2, key._3, seen, c))
+      }
+  }
+
   case class MomObs(event_type: String, v: Long)
   case class MomBatchOut(event_type: String, seen: Long, s1: Long, s2: Long,
                          s3: Long)
