@@ -669,6 +669,121 @@ object EvalQueries {
       |    AS taub2_ppm_signed
       |FROM j ORDER BY rf""".stripMargin
 
+  // ---- q336: exact 1-D Wasserstein distance ------------------------------
+
+  /** 1-D Wasserstein-1 (earth mover) distance between the click and
+    * view value distributions — the drift metric PSI/JSD/KL (q188, the
+    * info registry) miss: those compare bin masses pointwise, W₁ also
+    * charges for HOW FAR mass moved. On a quantized domain it is EXACT:
+    * W₁ = Σ_s |F_A(s) − F_B(s)|·gap(s), cross-multiplied to
+    * |cumA·nB − cumB·nA| so no fraction exists until the ONE final
+    * division to micro-cents. Scale shapes (q316's architecture): the
+    * corpus reduces to the per-score frame in one map-side-combinable
+    * pass; the prefix sum is range-partitioned; the gap lookup is a
+    * lead() on the SCORE-DOMAIN-bounded frame (the q318/q330 bounded-
+    * window license — the window's input is |distinct scores| rows
+    * regardless of corpus size). Σ|…|·gap ≤ nA·nB·range needs
+    * DECIMAL(38,0)/HUGEINT only for the 10⁶ scaling. */
+  val q336_wasserstein: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .select(round(col("value") * 100).cast("long").as("score"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("pos"))
+    val perScore = ev.groupBy(col("score"))
+      .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("p_s"))
+      .withColumn("g", lit(0))
+    val cum = RunningTotal.grouped(
+        RunningTotal.grouped(perScore, "g", Seq("score"), "n_s", "cum_n",
+          groupCountHint = Some(1L)),
+        "g", Seq("score"), "p_s", "cum_a", groupCountHint = Some(1L))
+      .withColumn("gap", coalesce(lead(col("score"), 1).over(
+        Window.partitionBy(col("g")).orderBy(col("score"))) - col("score"),
+        lit(0L)))
+      .localCheckpoint(true) // consumers: totals probe + weighted fold
+    val tot = cum.agg(max(col("cum_n")).as("n"), max(col("cum_a")).as("n_a"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_click"),
+        (first(col("n")) - first(col("n_a"))).as("n_view"),
+        sum(expr(s"""cast(abs(cum_a * (n - n_a) - (cum_n - cum_a) * n_a)
+            as $dec) * gap""")).as("wsum"))
+      .select(col("n_click"), col("n_view"),
+        expr(s"""cast((wsum * 1000000)
+            div nullif(cast(n_click as $dec) * n_view, 0)
+          as bigint)""").as("w1_cents_ppm"))
+  }
+  val q336_sql: String =
+    """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,
+      |             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pos
+      |           FROM events WHERE event_type IN ('click', 'view')),
+      |g AS (SELECT score, count(*)::BIGINT AS n_s, sum(pos)::BIGINT AS p_s
+      |      FROM e GROUP BY 1),
+      |cm AS (SELECT score, n_s, p_s,
+      |         sum(n_s) OVER (ORDER BY score)::BIGINT AS cum_n,
+      |         sum(p_s) OVER (ORDER BY score)::BIGINT AS cum_a,
+      |         coalesce(lead(score, 1) OVER (ORDER BY score) - score, 0)
+      |           AS gap
+      |       FROM g),
+      |t AS (SELECT max(cum_n) AS n, max(cum_a) AS n_a FROM cm),
+      |agg AS (SELECT n_a::BIGINT AS n_click, (n - n_a)::BIGINT AS n_view,
+      |          sum(abs(cum_a * (n - n_a) - (cum_n - cum_a) * n_a)::HUGEINT
+      |              * gap)::HUGEINT AS wsum
+      |        FROM cm CROSS JOIN t GROUP BY 1, 2)
+      |SELECT n_click, n_view,
+      |  ((wsum * 1000000) // nullif(n_click::HUGEINT * n_view, 0))::BIGINT
+      |    AS w1_cents_ppm
+      |FROM agg""".stripMargin
+
+  // ---- q337: Bhattacharyya / Hellinger via native Isqrt ------------------
+
+  /** Bhattacharyya coefficient and Hellinger distance between the click
+    * and view HOUR-OF-DAY profiles — the bounded-geometry drift metric
+    * (BC = Σ√(p_h·q_h), H² = 1 − BC), made cross-engine exact by the
+    * native [[graft.functions.Isqrt]] codegen expression: per bin,
+    * √(p·q)·10⁶ = isqrt((cA·cB·10¹²) div (nA·nB)) — the radicand is one
+    * exact integral division (DECIMAL(38,0)/HUGEINT, ≤ 10¹² by
+    * construction since cA ≤ nA, cB ≤ nB), the root replays bit-for-bit
+    * in DuckDB via [[graft.functions.Isqrt.sqlReplay]]. Scale shapes:
+    * ONE map-side-combinable pass to the 24-bin × 2 profile, then pure
+    * bin algebra — the per-bin floors cost < 24 ppm total and are the
+    * same floors in both engines. */
+  val q337_hellinger: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .select(expr("(unix_millis(ts) div 3600000) % 24").as("hbin"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("pos"))
+    val bins = ev.groupBy(col("hbin")).agg(
+        sum(col("pos")).as("c_a"),
+        (count(lit(1)) - sum(col("pos"))).as("c_b"))
+      .localCheckpoint(true) // consumers: totals probe + the isqrt fold
+    val tot = bins.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    bins.crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_click"), first(col("n_b")).as("n_view"),
+        count(lit(1)).as("n_bins"),
+        sum(Isqrt.isqrt(expr(s"""cast(
+            (cast(c_a as $dec) * c_b * 1000000000000)
+            div (cast(n_a as $dec) * n_b) as bigint)"""))).as("bc_ppm"))
+      .select(col("n_click"), col("n_view"), col("n_bins"), col("bc_ppm"),
+        (lit(1000000L) - col("bc_ppm")).as("h2_ppm"))
+  }
+  val q337_sql: String = {
+    val rad = "((c_a::HUGEINT * c_b * 1000000000000) " +
+      "// (n_a::HUGEINT * n_b))::BIGINT"
+    s"""WITH e AS (SELECT (epoch_ms(ts) // 3600000) % 24 AS hbin,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS pos
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |b AS (SELECT hbin, sum(pos)::BIGINT AS c_a,
+      |        (count(*) - sum(pos))::BIGINT AS c_b
+      |      FROM e GROUP BY 1),
+      |t AS (SELECT sum(c_a)::BIGINT AS n_a, sum(c_b)::BIGINT AS n_b FROM b),
+      |agg AS (SELECT n_a AS n_click, n_b AS n_view,
+      |          count(*)::BIGINT AS n_bins,
+      |          sum(${graft.functions.Isqrt.sqlReplay(rad)})::BIGINT AS bc_ppm
+      |        FROM b CROSS JOIN t GROUP BY 1, 2)
+      |SELECT n_click, n_view, n_bins, bc_ppm,
+      |  (1000000 - bc_ppm)::BIGINT AS h2_ppm
+      |FROM agg""".stripMargin
+  }
+
   // ---- q334: Goodman–Kruskal gamma + Somers' D ---------------------------
 
   /** The rest of the ordinal-association family, off the SAME grid
@@ -1135,6 +1250,8 @@ object EvalQueries {
       |FROM h""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q336_wasserstein" -> q336_wasserstein,
+    "q337_hellinger" -> q337_hellinger,
     "q334_ordinal_assoc" -> q334_ordinal_assoc,
     "q332_kruskal_wallis" -> q332_kruskal_wallis,
     "q330_perm_fdr" -> q330_perm_fdr,
@@ -1153,6 +1270,8 @@ object EvalQueries {
     "q321_stump_gain" -> q321_stump_gain)
 
   val oracles: Map[String, String] = Map(
+    "q336_wasserstein" -> q336_sql,
+    "q337_hellinger" -> q337_sql,
     "q334_ordinal_assoc" -> q334_sql,
     "q332_kruskal_wallis" -> q332_sql,
     "q330_perm_fdr" -> q330_sql,

@@ -133,6 +133,31 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("q336/q337: distances track float references") {
+    val ev = graft.io.Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "view"))
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)"),
+        expr("(unix_millis(ts) div 3600000) % 24"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val a = ev.filter(_._1 == "click"); val b = ev.filter(_._1 == "view")
+    // W1 float reference: integrate |F_A - F_B| over the score grid
+    val scores = ev.map(_._2).distinct.sorted
+    var (w1, ca, cb) = (0.0, 0L, 0L)
+    scores.zip(scores.tail).foreach { case (s0, s1) =>
+      ca += a.count(_._2 == s0); cb += b.count(_._2 == s0)
+      w1 += math.abs(ca.toDouble / a.size - cb.toDouble / b.size) * (s1 - s0)
+    }
+    val out = EvalQueries.q336_wasserstein(spark, sf).head()
+    assert(math.abs(out.getAs[Long]("w1_cents_ppm").toDouble / 1e6 - w1) < 1e-3)
+    // Hellinger float reference over the 24 hour bins
+    val bc = (0L until 24L).map { h =>
+      math.sqrt((a.count(_._3 == h).toDouble / a.size) *
+        (b.count(_._3 == h).toDouble / b.size))
+    }.sum
+    val out2 = EvalQueries.q337_hellinger(spark, sf).head()
+    assert(math.abs(out2.getAs[Long]("bc_ppm").toDouble / 1e6 - bc) < 1e-4)
+  }
+
   // Plan locks for the rank-statistics batch. q326: all four rank/count
   // windows share ONE hashpartitioning(ym) exchange (exchange reuse) —
   // a SinglePartition exchange appearing here means a window lost its
