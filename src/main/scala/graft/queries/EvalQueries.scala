@@ -669,6 +669,103 @@ object EvalQueries {
       |    AS taub2_ppm_signed
       |FROM j ORDER BY rf""".stripMargin
 
+  // ---- q338: Mann–Kendall trend test + Sen's slope -----------------------
+
+  /** Mann–Kendall monotonic-trend test with Sen's slope per event type —
+    * the question q318's change-point doesn't answer (is the series
+    * DRIFTING, not just split?), asked the nonparametric way: S =
+    * Σ_{i<j} sign(x_j − x_i) over the HORIZON-bounded daily frame
+    * (|types| × |days| rows — q311's certificate — so the O(d²) pair
+    * join is calendar-bounded, never corpus-bounded), tie-corrected
+    * variance 18·Var(S) = n(n−1)(2n+5) − Σt(t−1)(2t+5), and the
+    * continuity-corrected z² as ONE exact division to ppm against the
+    * χ²(1) 5 % gate. Sen's slope is the LOWER MEDIAN of the pairwise
+    * slopes (x_j − x_i)·10⁶ div (d_j − d_i) — selection by VALUE at
+    * position ⌊(cnt+1)/2⌋, well-defined across engines even under tied
+    * slopes; the robust trend magnitude a mean-based fit can't give.
+    * All arithmetic ≤ d³·10⁶ per type — BIGINT-safe to d ≈ 10⁴ days
+    * (27 years of dailies), DECIMAL(38,0) far beyond. */
+  val q338_mann_kendall: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type").as("g"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // consumers: pair join (both sides), ties, n
+    val rhs = daily.select(col("g").as("g2"), col("day").as("d2"),
+      col("x").as("x2"))
+    val pairs = daily.join(broadcast(rhs),
+        col("g") === col("g2") && col("day") < col("d2"))
+      .select(col("g"),
+        when(col("x2") > col("x"), 1L).when(col("x2") < col("x"), -1L)
+          .otherwise(0L).as("sgn"),
+        expr("(x2 - x) * 1000000 div (d2 - day)").as("slope_ppm"))
+      .localCheckpoint(true) // consumers: S fold + median selection
+    val sAgg = pairs.groupBy(col("g")).agg(sum(col("sgn")).as("s_stat"),
+      count(lit(1)).as("n_pairs"))
+    val nAgg = daily.groupBy(col("g")).agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("g"), col("x")).agg(count(lit(1)).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    val sen = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("slope_ppm"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("g"), col("slope_ppm").as("sen_slope_ppm"))
+    sAgg.join(nAgg, Seq("g")).join(ties, Seq("g")).join(sen, Seq("g"))
+      .select(col("g").as("event_type"), col("n_days"), col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+          .as("var18"),
+        expr(s"""cast(
+            cast(greatest(abs(s_stat) - 1, 0) as $dec)
+            * greatest(abs(s_stat) - 1, 0) * 18000000
+            div nullif(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term,
+                       0) as bigint)""").as("z2_ppm"),
+        col("sen_slope_ppm"))
+      .withColumn("significant",
+        coalesce(col("z2_ppm") >= 3841459L, lit(false)))
+      .withColumn("direction",
+        when(!col("significant"), "none")
+          .when(col("s_stat") > 0, "increasing").otherwise("decreasing"))
+      .orderBy(col("event_type"))
+  }
+  val q338_sql: String =
+    """WITH daily AS (SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+      |                 count(*)::BIGINT AS x
+      |               FROM events GROUP BY 1, 2),
+      |pairs AS (SELECT a.g,
+      |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+      |         ELSE 0 END::BIGINT AS sgn,
+      |    ((b.x - a.x) * 1000000 // (b.day - a.day))::BIGINT AS slope_ppm
+      |  FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day),
+      |sa AS (SELECT g, sum(sgn)::BIGINT AS s_stat, count(*)::BIGINT
+      |         AS n_pairs FROM pairs GROUP BY 1),
+      |na AS (SELECT g, count(*)::BIGINT AS n_days FROM daily GROUP BY 1),
+      |ts AS (SELECT g, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+      |       FROM (SELECT g, x, count(*)::BIGINT AS t FROM daily
+      |             GROUP BY 1, 2) GROUP BY 1),
+      |sen AS (SELECT g, slope_ppm AS sen_slope_ppm
+      |        FROM (SELECT g, slope_ppm,
+      |                row_number() OVER (PARTITION BY g
+      |                                   ORDER BY slope_ppm) AS rn,
+      |                count(*) OVER (PARTITION BY g) AS cnt
+      |              FROM pairs)
+      |        WHERE rn = (cnt + 1) // 2),
+      |j AS (SELECT sa.g, n_days, s_stat,
+      |        n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18,
+      |        (greatest(abs(s_stat) - 1, 0)::HUGEINT
+      |         * greatest(abs(s_stat) - 1, 0) * 18000000
+      |         // nullif(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term,
+      |                   0))::BIGINT AS z2_ppm,
+      |        sen_slope_ppm
+      |      FROM sa JOIN na USING (g) JOIN ts USING (g) JOIN sen USING (g))
+      |SELECT g AS event_type, n_days, s_stat, var18, z2_ppm, sen_slope_ppm,
+      |  coalesce(z2_ppm >= 3841459, false) AS significant,
+      |  CASE WHEN NOT coalesce(z2_ppm >= 3841459, false) THEN 'none'
+      |       WHEN s_stat > 0 THEN 'increasing' ELSE 'decreasing' END
+      |    AS direction
+      |FROM j ORDER BY event_type""".stripMargin
+
   // ---- q336: exact 1-D Wasserstein distance ------------------------------
 
   /** 1-D Wasserstein-1 (earth mover) distance between the click and
@@ -1250,6 +1347,7 @@ object EvalQueries {
       |FROM h""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q338_mann_kendall" -> q338_mann_kendall,
     "q336_wasserstein" -> q336_wasserstein,
     "q337_hellinger" -> q337_hellinger,
     "q334_ordinal_assoc" -> q334_ordinal_assoc,
@@ -1270,6 +1368,7 @@ object EvalQueries {
     "q321_stump_gain" -> q321_stump_gain)
 
   val oracles: Map[String, String] = Map(
+    "q338_mann_kendall" -> q338_sql,
     "q336_wasserstein" -> q336_sql,
     "q337_hellinger" -> q337_sql,
     "q334_ordinal_assoc" -> q334_sql,

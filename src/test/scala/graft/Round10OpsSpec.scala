@@ -133,6 +133,33 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("q338: S, tie variance, and Sen median match a naive pair recount") {
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = EvalQueries.q338_mann_kendall(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    daily.groupBy(_._1).foreach { case (g, rows) =>
+      val pts = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val ps = for (i <- pts.indices; j <- (i + 1) until pts.size)
+        yield (pts(i), pts(j))
+      val sStat = ps.map { case ((_, xi), (_, xj)) =>
+        java.lang.Long.signum(xj - xi).toLong }.sum
+      val n = pts.size.toLong
+      val tie = pts.groupBy(_._2).values
+        .map { grp => val t = grp.size.toLong; t * (t - 1) * (2 * t + 5) }.sum
+      // JVM / truncates toward zero, same as Spark div and DuckDB //
+      val slopes = ps.map { case ((di, xi), (dj, xj)) =>
+        (xj - xi) * 1000000L / (dj - di) }.sorted
+      val sen = slopes((slopes.size + 1) / 2 - 1)
+      val r = out(g)
+      assert(r.getAs[Long]("s_stat") == sStat, s"$g S")
+      assert(r.getAs[Long]("var18") == n * (n - 1) * (2 * n + 5) - tie, s"$g var")
+      assert(r.getAs[Long]("sen_slope_ppm") == sen, s"$g sen")
+    }
+  }
+
   test("q336/q337: distances track float references") {
     val ev = graft.io.Tables.events(spark, sf)
       .where(col("event_type").isin("click", "view"))
