@@ -1021,11 +1021,96 @@ object ScaleStress {
     val tObsK2Exact = to1.keySet == to100.keySet &&
       to1.forall { case (g, t) => to100(g) == t * Reps * Reps }
 
+    // ---- q336/q337 distances: rational/isqrt bit-identity ---------------
+    // W1: every cross-multiplied CDF term scales exactly k², as does
+    // nA·nB, so the final floored division is the SAME rational. BC: the
+    // per-bin radicand (k·cA·k·cB·10¹²) div (k·nA·k·nB) is the same
+    // integer, so isqrt is bit-identical.
+    val distBase = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("click", "view"))
+      .select(round(col("value") * 100).cast("long").as("score"),
+        expr("(unix_millis(ts) div 3600000) % 24").as("hbin"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("pos"))
+      .localCheckpoint(true)
+    def distances(e: DataFrame): (Long, Long) = {
+      val perScore = e.groupBy(col("score"))
+        .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("p_s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1) // score-domain-bounded
+      val n = perScore.map(_._2).sum; val na = perScore.map(_._3).sum
+      var (cn, ca, wsum) = (BigInt(0), BigInt(0), BigInt(0))
+      for (i <- perScore.indices.dropRight(1)) {
+        cn += perScore(i)._2; ca += perScore(i)._3
+        val gap = perScore(i + 1)._1 - perScore(i)._1
+        wsum += (ca * (n - na) - (cn - ca) * na).abs * gap
+      }
+      val w1 = (wsum * 1000000 / (BigInt(na) * (n - na))).toLong
+      val byH = e.groupBy(col("hbin")).agg(sum(col("pos")).as("ca"),
+          (count(lit(1)) - sum(col("pos"))).as("cb"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val bc = byH.map { case (caH, cbH) =>
+        val rad = (BigInt(caH) * cbH * BigInt("1000000000000") /
+          (BigInt(na) * (n - na))).toLong
+        math.sqrt(rad.toDouble).toLong match { case r0 =>
+          // exact floor correction (Isqrt contract)
+          var r1 = r0
+          while (r1 * r1 > rad) r1 -= 1
+          while ((r1 + 1) * (r1 + 1) <= rad) r1 += 1
+          r1 }
+      }.sum
+      (w1, bc)
+    }
+    var di1: (Long, Long) = (0L, 0L)
+    em.stage("w1+bc x1") { di1 = distances(distBase); 2L }
+    var di100: (Long, Long) = (0L, 0L)
+    em.stage(s"w1+bc x$Reps") { di100 = distances(dup(distBase)); 2L }
+    val distIdentical = di1 == di100
+
+    // ---- q338 Mann–Kendall: S/var18 IDENTICAL, Sen scales ~k -------------
+    // Duplicating rows scales daily counts by k: sign(k·xj − k·xi) =
+    // sign(xj − xi) so S and the tie structure are INVARIANT; Sen's
+    // slope numerators scale k, so the median slope sits in [95,105]%·k.
+    val dayBase = Tables.events(spark, sfDir)
+      .select(col("event_type").as("g"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .localCheckpoint(true)
+    def mk(e: DataFrame): Map[String, (Long, Long, Long)] = {
+      val daily = e.groupBy(col("g"), col("day")).agg(count(lit(1)).as("x"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      daily.groupBy(_._1).map { case (g, rows) =>
+        val pts = rows.map(t => (t._2, t._3)).sortBy(_._1)
+        val ps = for (i <- pts.indices; j <- (i + 1) until pts.size)
+          yield (pts(i), pts(j))
+        val sStat = ps.map { case ((_, xi), (_, xj)) =>
+          java.lang.Long.signum(xj - xi).toLong }.sum
+        val n = pts.size.toLong
+        val tie = pts.groupBy(_._2).values
+          .map { gr => val t = gr.size.toLong; t * (t - 1) * (2 * t + 5) }.sum
+        val slopes = ps.map { case ((di, xi), (dj, xj)) =>
+          (xj - xi) * 1000000L / (dj - di) }.sorted
+        g -> ((sStat, n * (n - 1) * (2 * n + 5) - tie,
+          slopes((slopes.size + 1) / 2 - 1)))
+      }
+    }
+    var mk1: Map[String, (Long, Long, Long)] = Map.empty
+    em.stage("mann-kendall x1") { mk1 = mk(dayBase); mk1.size.toLong }
+    var mk100: Map[String, (Long, Long, Long)] = Map.empty
+    em.stage(s"mann-kendall x$Reps") { mk100 = mk(dup(dayBase)); mk100.size.toLong }
+    val mkSVarIdentical = mk1.keySet == mk100.keySet && mk1.forall {
+      case (g, (s1v, v1, _)) =>
+        val (s2, v2, _) = mk100(g); s1v == s2 && v1 == v2 }
+    val mkSenRatioOk = mk1.forall { case (g, (_, _, sl1)) =>
+      val sl2 = mk100(g)._3
+      if (sl1 == 0L) sl2.abs <= Reps
+      else { val r = sl2.toDouble / (sl1.toDouble * Reps); r > 0.95 && r < 1.05 }
+    }
+
     val ok = spExact && kenCellsExact && kenTaubIdentical && kappaIdentical &&
       mcCountsExact && (mcStatRatio == -1.0 || (mcStatRatio > 0.95 && mcStatRatio < 1.05)) &&
       crV2Delta <= 2L && crChi2Ratio > 0.95 && crChi2Ratio < 1.05 &&
-      kwRatio > 0.95 && kwRatio < 1.05 && tObsK2Exact
-    em.line(s"""{"summary":"round-10c rank/agreement invariances at ${Reps}x duplication","spearman_rho2_rational_identical":$spExact,"kendall_cells_k_exact":$kenCellsExact,"kendall_taub2_identical":$kenTaubIdentical,"kappa_ppms_identical":$kappaIdentical,"mcnemar_counts_k_exact":$mcCountsExact,"mcnemar_stat_k_ratio":${f"$mcStatRatio%.4f"},"cramers_v2_ppm_delta":$crV2Delta,"cramers_chi2_k_ratio":${f"$crChi2Ratio%.4f"},"kruskal_h_k_ratio":${f"$kwRatio%.4f"},"perm_tobs_k2_exact":$tObsK2Exact,"band":[95.0,105.0],"linear":$ok}""")
+      kwRatio > 0.95 && kwRatio < 1.05 && tObsK2Exact &&
+      distIdentical && mkSVarIdentical && mkSenRatioOk
+    em.line(s"""{"summary":"round-10c rank/agreement invariances at ${Reps}x duplication","spearman_rho2_rational_identical":$spExact,"kendall_cells_k_exact":$kenCellsExact,"kendall_taub2_identical":$kenTaubIdentical,"kappa_ppms_identical":$kappaIdentical,"mcnemar_counts_k_exact":$mcCountsExact,"mcnemar_stat_k_ratio":${f"$mcStatRatio%.4f"},"cramers_v2_ppm_delta":$crV2Delta,"cramers_chi2_k_ratio":${f"$crChi2Ratio%.4f"},"kruskal_h_k_ratio":${f"$kwRatio%.4f"},"perm_tobs_k2_exact":$tObsK2Exact,"w1_bc_identical":$distIdentical,"mk_s_var_identical":$mkSVarIdentical,"mk_sen_k_ratio_ok":$mkSenRatioOk,"band":[95.0,105.0],"linear":$ok}""")
   }
 
   private val families: Map[String, (Family, String)] = Map(
