@@ -1028,7 +1028,125 @@ object StreamingCertQueries {
   /** Same oracle as the batch grid τ-b and the Complete-mode cert. */
   val q335_sql: String = EvalQueries.q327_sql
 
+  /** q234's HyperLogLog under CHECKPOINT RECOVERY — the fortieth
+    * streaming cert and the seventh recovery shape: the per-week m-byte
+    * REGISTER ARRAY (the distinct-count sketch itself) must survive the
+    * restart bit-for-bit. Register max is idempotent and commutative, so
+    * a correctly recovered run is indistinguishable from the continuous
+    * one — but a register array lost to the crash resets some week's
+    * maxima and inflates its denominator sum, which the estimate
+    * `numerator/s` amplifies and the hash against q227's batch rollup
+    * catches. Two of the four (tsm, event_id)-ordered files process
+    * before the kill; the readout is each week's max-`seen` emission
+    * across BOTH incarnations (Append mode through the fault-tolerant
+    * parquet sink, per the [[Streaming.gridCount]] precedent — Complete
+    * mode cannot recover through the file sink). This is the durable
+    * form a 100 TB ingest needs: sketch registers that outlive any one
+    * executor or driver. */
+  val q339_recovery_hll: Q = (s, d) => {
+    import s.implicits._
+    val m = 256
+    val bits = graft.llm.Hll.rhoBits(m)
+    val ev = Tables.events(s, d).select(
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      expr("unix_millis(ts) div 86400000 div 7").as("week"),
+      graft.llm.Hll.jCol(col("user_id"), m).as("j"),
+      graft.llm.Hll.rhoCol(col("user_id"), m).cast("long").as("rho"))
+    val srcDir = stageOrderedBy(ev, d, "eventsHllOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    recoveringTable(s, srcDir, firstN = 2, tag = "q339_rec_hll")(
+      st => Streaming.hllSketch(st.as[Streaming.HllObs], m, bits).toDF(),
+      ev.schema)
+      .groupBy(col("week"))
+      .agg(max(struct(col("seen"), col("s"), col("zero_registers"))).as("f"))
+      .select(col("week"), col("f.seen").as("n_events"),
+        (lit(graft.llm.Hll.numerator(m)) / col("f.s")).as("hll_estimate"),
+        col("f.zero_registers"))
+      .orderBy(col("week"))
+  }
+  /** Same oracle as the continuous streaming HLL cert. */
+  val q339_sql: String = q234_sql
+
+  /** q239's Count-Min row registers under CHECKPOINT RECOVERY — the
+    * forty-first streaming cert, eighth recovery shape: each hash row's
+    * w-counter array resumes from the state store and keeps absorbing
+    * increments; counter adds are a +-monoid, so the recovered Σc² per
+    * row — and the min-over-rows join-size estimate — must hash-match
+    * q235's batch sketch exactly. A dropped or replayed pre-crash batch
+    * shifts some counters, the squares amplify it, and the ratio against
+    * the batch-exact self-join size breaks the hash. Two of the four
+    * (k, lid, i)-ordered files process before the kill; Append-mode
+    * emissions flow through the parquet sink's commit log, so only
+    * batches committed by either incarnation count. */
+  val q340_recovery_cms: Q = (s, d) => {
+    import s.implicits._
+    val depth = 3
+    val width = 512
+    val keys = Tables.lineitem(s, d).select(col("l_partkey").as("k"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("lid"))
+    val ib = (0 until depth).map { i =>
+      struct(lit(i.toLong).as("i"),
+        graft.llm.Sketch.cmsBucket(i, col("k"), width).as("b"))
+    }
+    val obs = keys.select(col("k"), col("lid"), explode(array(ib: _*)).as("ib"))
+      .select(col("ib.i").as("i"), col("ib.b").as("b"), col("k"), col("lid"))
+    val srcDir = stageOrderedBy(obs, d, "lineitemCmsOrdered4", 4,
+      Seq(col("k"), col("lid"), col("i")))
+    val est = recoveringTable(s, srcDir, firstN = 2, tag = "q340_rec_cms")(
+      st => Streaming.cmsRowSquares(st.as[Streaming.CmsObs], width).toDF(),
+      obs.schema)
+      .groupBy(col("i"))
+      .agg(max(struct(col("seen"), col("e"))).as("f"))
+      .agg(min(col("f.e")).as("cms_join_size"))
+    val exact = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_join_size"))
+    exact.crossJoin(broadcast(est)) // 1 row x 1 row
+      .withColumn("ratio_ppm",
+        expr("cms_join_size * 1000000 div exact_join_size"))
+  }
+  /** Same oracle as the batch sketch estimate and the continuous cert. */
+  val q340_sql: String = q239_sql
+
+  /** q264's KMV distinct-cardinality sketch under CHECKPOINT RECOVERY —
+    * the forty-second streaming cert, ninth recovery shape: the k-min
+    * hash SET per source (≤ 64 longs) resumes from the store; the k-min
+    * merge is commutative AND idempotent, so even a replayed arrival
+    * cannot change the registers — but a LOST register set re-admits
+    * hashes the pre-crash run had already evicted, shifts the k-th
+    * minimum t, and breaks the integral estimate `(k−1)·2³² div t`
+    * against the batch KMV oracle. Two of the four (doc_id, h)-ordered
+    * token files process before the kill; the readout takes each
+    * source's max-`seen` Append emission across both incarnations. */
+  val q341_recovery_kmv: Q = (s, d) => {
+    import s.implicits._
+    val k = 64
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        explode(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        graft.operators.Kmv.hash32(col("tok")).as("h"))
+    val srcDir = stageOrderedBy(toks, d, "docsKmvOrdered4", 4,
+      Seq(col("doc_id"), col("h")))
+    recoveringTable(s, srcDir, firstN = 2, tag = "q341_rec_kmv")(
+      st => Streaming.kmvSketch(st.as[Streaming.KmvObs], k).toDF(),
+      toks.schema)
+      .groupBy(col("source"))
+      .agg(max(struct(col("seen"), col("m"), col("t"))).as("f"))
+      .select(col("source"), col("f.seen").as("n_obs"),
+        when(col("f.m") < k, col("f.m"))
+          .otherwise(expr(s"((${k - 1}) * 4294967296) div greatest(f.t, 1)"))
+          .as("n_distinct_est"))
+      .orderBy(col("source"))
+  }
+  /** Same oracle as the continuous streaming KMV cert. */
+  val q341_sql: String = q264_sql
+
   val defs: Map[String, Q] = Map(
+    "q341_recovery_kmv" -> q341_recovery_kmv,
+    "q340_recovery_cms" -> q340_recovery_cms,
+    "q339_recovery_hll" -> q339_recovery_hll,
     "q335_recovery_kendall" -> q335_recovery_kendall,
     "q333_stream_kendall" -> q333_stream_kendall,
     "q323_recovery_join" -> q323_recovery_join,
@@ -1051,6 +1169,9 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q341_recovery_kmv" -> q341_sql,
+    "q340_recovery_cms" -> q340_sql,
+    "q339_recovery_hll" -> q339_sql,
     "q335_recovery_kendall" -> q335_sql,
     "q333_stream_kendall" -> q333_sql,
     "q323_recovery_join" -> q323_sql,
