@@ -706,12 +706,21 @@ object EvalQueries {
     val ties = daily.groupBy(col("g"), col("x")).agg(count(lit(1)).as("t"))
       .groupBy(col("g"))
       .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
-    val sen = pairs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("g")).orderBy(col("slope_ppm"))))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .where(col("rn") === expr("(cnt + 1) div 2"))
-      .select(col("g"), col("slope_ppm").as("sen_slope_ppm"))
+    // Sen selection WITHOUT a per-group window: the value at ascending
+    // position ⌊(cnt+1)/2⌋ is exactly the smallest slope whose cumulative
+    // count reaches half the pair total (2·cum ≥ cnt ⟺ cum ≥ ⌈cnt/2⌉ =
+    // (cnt+1) div 2 — cum is integral), i.e. the LOWER WEIGHTED MEDIAN of
+    // the per-slope count frame. That frame is |distinct slopes| rows —
+    // already corpus-reduced by a map-side-combinable groupBy — and
+    // [[graft.operators.WeightedMedian.lower]] ranks it with
+    // RunningTotal's range-partitioned prefix sum, so no group's pairs
+    // ever funnel through one task (the q338 hardening the round-10
+    // verdict asked for; same hash, selection-by-value is unchanged).
+    val slopeCounts = pairs.groupBy(col("g"), col("slope_ppm"))
+      .agg(count(lit(1)).as("c_s"))
+    val sen = graft.operators.WeightedMedian.lower(
+        slopeCounts, "g", "slope_ppm", "slope_ppm", "c_s")
+      .select(col("g"), col("median").as("sen_slope_ppm"))
     sAgg.join(nAgg, Seq("g")).join(ties, Seq("g")).join(sen, Seq("g"))
       .select(col("g").as("event_type"), col("n_days"), col("s_stat"),
         expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")

@@ -160,6 +160,22 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // Round-11 hardening lock: Sen's median no longer rides a
+  // Window.partitionBy(g) over the PAIR frame (which concentrates every
+  // pair of a group in one task at scale) — it is the lower weighted
+  // median of the per-slope count frame through WeightedMedian/
+  // RunningTotal's range-partitioned prefix sum. The ranking happens in
+  // checkpointed passes outside this plan, so the executed plan of q338
+  // must contain NO Window operator at all and never funnel through a
+  // single partition.
+  test("q338 plan shape: no window, no single-partition funnel") {
+    val df = EvalQueries.q338_mann_kendall(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Window"), s"q338 reintroduced a window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q338 funnels through a single partition:\n$p")
+  }
+
   test("q336/q337: distances track float references") {
     val ev = graft.io.Tables.events(spark, sf)
       .where(col("event_type").isin("click", "view"))
