@@ -89,7 +89,9 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val elected = electMerge(pairCounts(syms, "syms")).collect()
+      val elected = graft.io.Bounded.collect(
+        electMerge(pairCounts(syms, "syms")), maxRows = 1,
+        why = "the elected merge is a single global argmax row")
       if (elected.isEmpty || elected(0).isNullAt(0)) exhausted = true
       else {
         val pair = elected(0).getString(0)
@@ -130,7 +132,9 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val elected = electMerge(pairCounts(syms, "syms")).collect()
+      val elected = graft.io.Bounded.collect(
+        electMerge(pairCounts(syms, "syms")), maxRows = 1,
+        why = "the elected merge is a single global argmax row")
       if (elected.isEmpty || elected(0).isNullAt(0)) exhausted = true
       else {
         val Array(a, b) = elected(0).getString(0).split(" ", 2)

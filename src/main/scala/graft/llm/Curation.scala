@@ -93,17 +93,14 @@ object Curation {
     */
   def benchGramSet(docs: DataFrame, textCol: String, isBench: Column,
                    n: Int, maxGrams: Int = 1 << 20): Seq[String] = {
-    val got = graft.io.Tables.widen(docs).where(isBench)
-      .select(TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(explode(array_distinct(ngramsFromTokens(col("toks"), n))).as("g"))
-      .distinct()
-      .limit(maxGrams + 1)
-      .collect().map(_.getString(0))
-    require(got.length <= maxGrams,
-      s"benchmark gram set exceeds the driver budget of $maxGrams distinct " +
-        s"$n-grams; a benchmark this large is a corpus — use the join form " +
-        "(Curation.contamination) instead")
-    got.sorted.toSeq
+    graft.io.Bounded.collect(graft.io.Tables.widen(docs).where(isBench)
+        .select(TextAnalysis.tokens(col(textCol)).as("toks"))
+        .select(explode(array_distinct(ngramsFromTokens(col("toks"), n))).as("g"))
+        .distinct(),
+      maxRows = maxGrams,
+      why = s"a benchmark's distinct $n-grams are gate configuration; one " +
+        "this large is a corpus — use the join form (Curation.contamination)")
+      .map(_.getString(0)).sorted.toSeq
   }
 
   /** Stateless contamination annotator for a KNOWN benchmark gram set —

@@ -326,11 +326,17 @@ object TextAnalysis {
                 maxVocab: Int = 100000): Seq[String] = {
     require(vocabSize >= 1 && vocabSize <= maxVocab,
       s"vocabSize must be in [1, $maxVocab] (got $vocabSize)")
-    graft.io.Tables.widen(docs)
-      .select(explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
-      .orderBy(col("__cnt").desc, col("term")).limit(vocabSize)
-      .select(col("term")).collect().map(_.getString(0)).toSeq
+    // Bounded.collect does not preserve plan order — re-establish the
+    // (freq desc, term asc) vocabulary order driver-side from the
+    // collected counts.
+    graft.io.Bounded.collect(graft.io.Tables.widen(docs)
+        .select(explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("term")).limit(vocabSize)
+        .select(col("term"), col("__cnt")),
+      maxRows = vocabSize, why = "a top-V vocabulary is gate configuration")
+      .sortBy(r => (-r.getLong(1), r.getString(0)))
+      .map(_.getString(0)).toSeq
   }
 
   /** Stream-safe OOV gate against a LITERAL vocabulary: row-local token

@@ -1303,12 +1303,12 @@ object EvalQueries {
       .withColumn("g0", lit(0))
     val cum = RunningTotal.grouped(ps, "g0", Seq("score"), "n_s", "cum_n",
       groupCountHint = Some(1L))
-    val perGroup = sg
+    val perGroup = graft.io.Bounded.collect(sg
       .join(cum.select(col("score"), col("n_s"), col("cum_n")), Seq("score"))
       .groupBy(col("g"))
       .agg(sum(col("c") * (col("cum_n") * 2 - col("n_s") + 1)).as("two_r"),
-        sum(col("c")).as("n_j"))
-      .collect() // |event types| rows — bounded by the type domain
+        sum(col("c")).as("n_j")),
+      maxRows = 64, why = "groups are the event-type domain")
     val tieSum = BigInt(cum.agg(
       sum(expr(s"cast(n_s as $dec) * n_s * n_s - n_s")).as("tie_sum"))
       .head().getDecimal(0).toBigInteger)

@@ -644,9 +644,11 @@ object InfoQueries {
     * literal inlining into a stateless streaming classifier. */
   private[queries] def nbModelLiteral(s: SparkSession, d: String)
       : (Seq[String], Seq[Long], Map[String, Seq[Long]]) = {
-    val rows = q273_nb_train(s, d)
-      .select(col("lang"), col("tok"), col("w_fp"), col("prior_fp"))
-      .collect()
+    val rows = graft.io.Bounded.collect(q273_nb_train(s, d)
+      .select(col("lang"), col("tok"), col("w_fp"), col("prior_fp")),
+      maxRows = 1024,
+      why = "the trained NB grid is |V'| x |langs| = 8 x |langs| tokens" +
+        " by construction")
     val langs = rows.map(_.getString(0)).distinct.sorted.toSeq
     val priors = langs.map(l =>
       rows.find(_.getString(0) == l).get.getLong(3))

@@ -104,7 +104,8 @@ class CurationSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException] {
       Curation.benchGramSet(docs, "text", col("doc_id") === 1L, n = 2, maxGrams = 3)
     }
-    assert(ex.getMessage.contains("driver budget"))
+    assert(ex.getMessage.contains("over budget") &&
+      ex.getMessage.contains("Curation.contamination"))
     // within budget: sorted distinct grams come back
     val ok = Curation.benchGramSet(docs, "text", col("doc_id") === 2L, n = 2, maxGrams = 10)
     assert(ok == ok.sorted && ok.nonEmpty)

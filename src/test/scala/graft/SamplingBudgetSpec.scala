@@ -11,6 +11,17 @@ import graft.llm.Sampling
 class SamplingBudgetSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Bounded.collect: under budget returns all rows, over budget fails") {
+    val df = (1L to 10L).toDF("x")
+    val got = graft.io.Bounded.collect(df, maxRows = 10, why = "test frame")
+    assert(got.map(_.getLong(0)).sorted.toSeq == (1L to 10L))
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Bounded.collect(df, maxRows = 9, why = "nine-row license")
+    }
+    assert(e.getMessage.contains("nine-row license"))
+    assert(e.getMessage.contains("more than 9"))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
