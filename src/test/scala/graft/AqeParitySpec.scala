@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** AQE on/off PARITY certification (round-11 ask): the oracle suite pins
+  * one plan world (AQE as the session default), but a production 100 TB
+  * cluster runs Adaptive Query Execution with runtime re-planning —
+  * coalesced shuffle reads, demoted/promoted broadcasts, skew-join
+  * splitting. None of that may change ANSWERS. A representative slice —
+  * multi-join TPC-H shapes plus the salted-join/salted-agg skew family
+  * (the operators AQE's skew handling overlaps with) — runs with
+  * `spark.sql.adaptive.enabled` both ways and must return identical row
+  * multisets. Exactness is expectable because the repo's house arithmetic
+  * is reassociation-proof (DECIMAL sums, integer fixed-point), so a plan
+  * change cannot shift a value — which is exactly what this spec locks.
+  *
+  * Plan behavior under AQE, asserted rather than assumed: q327's
+  * domain-bounded grid join stays a broadcast join (AQE keeps planned
+  * broadcasts); q326's shared rank windows must still not funnel through
+  * a single-partition Exchange. The one lock that legitimately DEGRADES
+  * under AQE is static exchange reuse (`ReusedExchange`): AQE re-plans
+  * per-stage and applies its own reuse, so the round-10 lock asserting a
+  * shared `hashpartitioning(ym)` exchange is only asserted in the
+  * non-adaptive world (Round10OpsSpec) — here we assert the adaptive plan
+  * introduces no single-partition funnel in its place.
+  */
+class AqeParitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Run a registry query under an explicit AQE setting (skew-join
+    * splitting force-enabled in the adaptive world so the skew path is
+    * actually exercised at test scale), restoring session defaults. */
+  private def runWith(aqe: Boolean, name: String): (Seq[String], String) = {
+    val conf = spark.conf
+    val oldAqe = conf.getOption("spark.sql.adaptive.enabled")
+    val oldSkew = conf.getOption("spark.sql.adaptive.skewJoin.enabled")
+    val oldForce =
+      conf.getOption("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    try {
+      conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      conf.set("spark.sql.adaptive.skewJoin.enabled", aqe.toString)
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", aqe.toString)
+      val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      (rows, df.queryExecution.executedPlan.toString())
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(conf.unset(k))(conf.set(k, _))
+      restore("spark.sql.adaptive.enabled", oldAqe)
+      restore("spark.sql.adaptive.skewJoin.enabled", oldSkew)
+      restore("spark.sql.adaptive.forceOptimizeSkewedJoin", oldForce)
+    }
+  }
+
+  private val slice = Seq(
+    // TPC-H shapes: multi-join + agg, outer-join agg, dim-heavy min-cost,
+    // nation-volume join tree, share-of-total window readout
+    "q66_shipping_priority",
+    "q63_custdist",
+    "q64_min_cost_supplier",
+    "q67_local_supplier_volume",
+    "q82_market_share",
+    // the skew family: AQE's skew-join splitting overlaps the manual salt
+    "q60_salted_join",
+    "q76_salted_agg",
+    // the round-10 plan-locked statistics (broadcast grid, shared windows)
+    "q326_spearman",
+    "q327_kendall_grid")
+
+  slice.foreach { name =>
+    test(s"$name: identical rows with AQE off and on") {
+      val (off, _) = runWith(aqe = false, name)
+      val (on, planOn) = runWith(aqe = true, name)
+      assert(planOn.contains("AdaptiveSparkPlan"),
+        s"$name did not actually plan adaptively:\n$planOn")
+      assert(off == on,
+        s"$name diverges under AQE: ${off.size} vs ${on.size} rows; " +
+          s"first diff: ${off.zip(on).find { case (a, b) => a != b }}")
+    }
+  }
+
+  test("plan locks under AQE: q327 broadcast holds, no single-partition funnels") {
+    val (_, p327) = runWith(aqe = true, "q327_kendall_grid")
+    assert(p327.contains("BroadcastHashJoin") ||
+      p327.contains("BroadcastNestedLoopJoin"),
+      s"q327 grid join lost its broadcast under AQE:\n$p327")
+    val (_, p326) = runWith(aqe = true, "q326_spearman")
+    assert(!p326.contains("Exchange SinglePartition"),
+      s"q326 funnels through a single partition under AQE:\n$p326")
+    // q60's build side (the 3-row surrogate-key dim) legitimately holds a
+    // bounded SinglePartition exchange — scope the funnel check to the
+    // STREAMED side, i.e. the plan text before the first BroadcastExchange
+    // (the repo's plan-guard scoping rule).
+    val (_, p60) = runWith(aqe = true, "q60_salted_join")
+    val streamed60 = p60.substring(0,
+      math.max(p60.indexOf("BroadcastExchange"), 0) match {
+        case 0 => p60.length; case i => i })
+    assert(!streamed60.contains("Exchange SinglePartition"),
+      s"q60 salted join's streamed side funnels through one partition:\n$p60")
+  }
+}
