@@ -26,6 +26,28 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * fire the rule).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+
+  /** Evaluate a plan-shape argument that the contract requires to be a
+    * foldable int literal — a non-foldable argument (a column, a
+    * subquery) gets a clear analysis-time error naming the function and
+    * the contract instead of an opaque eval/ClassCast failure. */
+  private def foldableInt(fn: String, pos: Int, e: Expression): Int = {
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          (s"$fn: argument $pos is a plan-shape constant and must be a " +
+            s"foldable int literal, got non-foldable ${e.sql}")))
+    e.eval() match {
+      case n: Number => n.intValue
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "USER_RAISED_EXCEPTION",
+          messageParameters = Map("errorMessage" ->
+            (s"$fn: argument $pos must fold to an integer, got $other")))
+    }
+  }
+
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("fix_mojibake"),
@@ -67,7 +89,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft, ShiftRightUnsigned}
         import org.apache.spark.sql.types.LongType
-        val bits = children(2).eval().asInstanceOf[Number].intValue
+        val bits = foldableInt("zorder", 3, children(2))
         require(bits > 0 && bits <= 31, s"zorder bits must be in [1,31] (got $bits)")
         val xs = Cast(children(0), LongType)
         val ys = Cast(children(1), LongType)
@@ -86,8 +108,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       // SQL form requires foldable int literals for arguments 3 and 4
       (children: Seq[Expression]) =>
         graft.llm.NearestCodeL2(children(0), children(1),
-          children(2).eval().asInstanceOf[Number].intValue,
-          children(3).eval().asInstanceOf[Number].intValue)))
+          foldableInt("nearest_code", 3, children(2)),
+          foldableInt("nearest_code", 4, children(3)))))
     // optimizer rule: naive bounded-edit-distance predicates plan as the
     // O(len·k) banded Levenshtein (see [[graft.plans.ThresholdedLevenshtein]])
     ext.injectOptimizerRule(_ => graft.plans.ThresholdedLevenshtein)

@@ -33,9 +33,21 @@ object StagedFrame {
     val mapKey = (s.sparkContext.applicationId, key)
     // Build under a lock so concurrent first callers stage once; builds
     // are rare (one per key per session) so the serialization is free.
+    // A reused dir is TOUCHED so Scratch.reapStale's 2 h clock restarts on
+    // every reuse: a dir being actively read is never "stale", shrinking
+    // the reap-vs-lazy-scan race to actions already in flight. A touch
+    // that fails means the reaper (or an rm) won between the existence
+    // check and now — treat the entry as gone and rebuild.
+    def reusable(d: String): Boolean =
+      Files.isDirectory(Paths.get(d)) && (try {
+        Files.setLastModifiedTime(Paths.get(d),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+        true
+      } catch { case _: java.io.IOException => false })
     val dir = staged.synchronized {
       staged.get(mapKey) match {
-        case Some(d) if Files.isDirectory(Paths.get(d)) => d
+        case Some(d) if reusable(d) => d
         case _ =>
           val out = Scratch.dir(prefix) + "/t"
           build.write.mode("overwrite").parquet(out)

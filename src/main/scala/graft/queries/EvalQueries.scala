@@ -523,11 +523,10 @@ object EvalQueries {
     * the 100× headroom over sf0.1's ~7·10³) — past that, split the
     * division; both engines replay whichever form verbatim. Internal
     * invariant: Σ(2·avg-rank) = n(n+1) exactly, ties or not. */
-  val q326_spearman: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select(
-      expr("year(l_shipdate) * 100 + month(l_shipdate)").cast("long").as("ym"),
-      col("l_quantity").cast("long").as("qv"),
-      expr("cast(round(l_extendedprice * 100) as bigint)").as("pv"))
+  /** ρ readout from a (ym, qv, pv) pair frame — factored from q326 so the
+    * tie-degenerate property fuzzing (round 11) can drive it with
+    * arbitrary frames; q326 is this over the lineitem projection. */
+  def spearmanFromPairs(li: DataFrame): DataFrame = {
     val ranked = li
       .withColumn("x", rank().over(
           Window.partitionBy(col("ym")).orderBy(col("qv"))).cast("long") * 2
@@ -553,6 +552,11 @@ object EvalQueries {
             >= 2500, false)""").as("strong"))
       .orderBy(col("ym"))
   }
+  val q326_spearman: Q = (s, d) => spearmanFromPairs(
+    Tables.lineitem(s, d).select(
+      expr("year(l_shipdate) * 100 + month(l_shipdate)").cast("long").as("ym"),
+      col("l_quantity").cast("long").as("qv"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("pv")))
   val q326_sql: String =
     """WITH t AS (SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT AS ym,
       |    l_quantity::BIGINT AS qv,
@@ -620,7 +624,10 @@ object EvalQueries {
     val tb = grid.groupBy(col("rf"), col("b"))
       .agg(sum(col("c")).as("t"))
       .groupBy(col("rf")).agg(sum(expr("t * (t - 1) div 2")).as("tie_b"))
-    tot.join(cd, Seq("rf")).join(ta, Seq("rf")).join(tb, Seq("rf"))
+    // LEFT join: a degenerate group (single distinct `a` — no a<a2 cell
+    // pairs, hence no cd row) surfaces with NULL C/D and a NULL τ-b²
+    // instead of vanishing — the fail-closed convention q316/q329 use.
+    tot.join(cd, Seq("rf"), "left").join(ta, Seq("rf")).join(tb, Seq("rf"))
       .withColumn("n0", expr("n * (n - 1) div 2"))
       .select(col("rf"), col("n"), col("n_cells"), col("concordant"),
         col("discordant"), col("n0"), col("tie_a"), col("tie_b"),
@@ -660,7 +667,7 @@ object EvalQueries {
       |       GROUP BY 1),
       |j AS (SELECT tot.rf, n, n_cells, concordant, discordant,
       |        n * (n - 1) // 2 AS n0, tie_a, tie_b
-      |      FROM tot JOIN cd USING (rf) JOIN ta USING (rf) JOIN tb USING (rf))
+      |      FROM tot LEFT JOIN cd USING (rf) JOIN ta USING (rf) JOIN tb USING (rf))
       |SELECT rf, n, n_cells, concordant, discordant, n0, tie_a, tie_b,
       |  ((CASE WHEN concordant - discordant < 0 THEN -1 ELSE 1 END)
       |   * ((concordant - discordant)::HUGEINT
@@ -685,11 +692,11 @@ object EvalQueries {
     * slopes; the robust trend magnitude a mean-based fit can't give.
     * All arithmetic ≤ d³·10⁶ per type — BIGINT-safe to d ≈ 10⁴ days
     * (27 years of dailies), DECIMAL(38,0) far beyond. */
-  val q338_mann_kendall: Q = (s, d) => {
-    val daily = Tables.events(s, d)
-      .groupBy(col("event_type").as("g"),
-        expr("unix_millis(ts) div 86400000").as("day"))
-      .agg(count(lit(1)).as("x"))
+  /** Trend readout from a (g, day, x) daily frame — factored from q338
+    * for the round-11 tie-degenerate property fuzzing; q338 is this over
+    * the events daily rollup. */
+  def mannKendall(daily0: DataFrame): DataFrame = {
+    val daily = daily0
       .localCheckpoint(true) // consumers: pair join (both sides), ties, n
     val rhs = daily.select(col("g").as("g2"), col("day").as("d2"),
       col("x").as("x2"))
@@ -721,7 +728,12 @@ object EvalQueries {
     val sen = graft.operators.WeightedMedian.lower(
         slopeCounts, "g", "slope_ppm", "slope_ppm", "c_s")
       .select(col("g"), col("median").as("sen_slope_ppm"))
-    sAgg.join(nAgg, Seq("g")).join(ties, Seq("g")).join(sen, Seq("g"))
+    // Start from nAgg (every group has days) and LEFT-join the pair-derived
+    // frames: a degenerate single-day group surfaces with NULL S/z²/slope
+    // and direction 'none' instead of vanishing (fail-closed, q316/q329
+    // convention; ties has nAgg's exact group set, so it stays inner).
+    nAgg.join(sAgg, Seq("g"), "left").join(ties, Seq("g"))
+      .join(sen, Seq("g"), "left")
       .select(col("g").as("event_type"), col("n_days"), col("s_stat"),
         expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
           .as("var18"),
@@ -738,6 +750,11 @@ object EvalQueries {
           .when(col("s_stat") > 0, "increasing").otherwise("decreasing"))
       .orderBy(col("event_type"))
   }
+  val q338_mann_kendall: Q = (s, d) => mannKendall(
+    Tables.events(s, d)
+      .groupBy(col("event_type").as("g"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x")))
   val q338_sql: String =
     """WITH daily AS (SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
       |                 count(*)::BIGINT AS x
@@ -760,14 +777,15 @@ object EvalQueries {
       |                count(*) OVER (PARTITION BY g) AS cnt
       |              FROM pairs)
       |        WHERE rn = (cnt + 1) // 2),
-      |j AS (SELECT sa.g, n_days, s_stat,
+      |j AS (SELECT na.g, n_days, s_stat,
       |        n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18,
       |        (greatest(abs(s_stat) - 1, 0)::HUGEINT
       |         * greatest(abs(s_stat) - 1, 0) * 18000000
       |         // nullif(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term,
       |                   0))::BIGINT AS z2_ppm,
       |        sen_slope_ppm
-      |      FROM sa JOIN na USING (g) JOIN ts USING (g) JOIN sen USING (g))
+      |      FROM na LEFT JOIN sa USING (g) JOIN ts USING (g)
+      |           LEFT JOIN sen USING (g))
       |SELECT g AS event_type, n_days, s_stat, var18, z2_ppm, sen_slope_ppm,
       |  coalesce(z2_ppm >= 3841459, false) AS significant,
       |  CASE WHEN NOT coalesce(z2_ppm >= 3841459, false) THEN 'none'
@@ -939,7 +957,7 @@ object EvalQueries {
       |       GROUP BY 1),
       |j AS (SELECT tot.rf, n, concordant, discordant,
       |        n * (n - 1) // 2 AS n0, tie_a, tie_b
-      |      FROM tot JOIN cd USING (rf) JOIN ta USING (rf) JOIN tb USING (rf))
+      |      FROM tot LEFT JOIN cd USING (rf) JOIN ta USING (rf) JOIN tb USING (rf))
       |SELECT rf, n, concordant, discordant,
       |  ((concordant - discordant)::HUGEINT * 1000000
       |   // nullif(concordant + discordant, 0))::BIGINT AS gamma_ppm,
@@ -1292,10 +1310,12 @@ object EvalQueries {
     * outgrows a long; the corpus-scaling stages (cell counts, prefix
     * sum) stay distributed and long-safe to N ≈ 10⁹ (two_r ≤ N(N+1),
     * squared in BigInt/HUGEINT only). */
-  val q332_kruskal_wallis: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(
-      expr("cast(round(value * 100) as bigint)").as("score"),
-      col("event_type").as("g"))
+  /** H readout from a (score, g) observation frame — factored from q332
+    * for the round-11 tie-degenerate property fuzzing; q332 is this over
+    * the events projection. The frame must be non-empty (H is undefined
+    * on zero observations and the readout fails fast on the 0/0). */
+  def kruskalWallis(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     val sg = ev.groupBy(col("score"), col("g"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // consumers: per-score totals + group fold
@@ -1327,6 +1347,10 @@ object EvalQueries {
         hc, hc.exists(_ >= 9487729L)))
       .toDF("n", "n_groups", "tie_sum", "h_ppm", "hc_ppm", "significant")
   }
+  val q332_kruskal_wallis: Q = (s, d) => kruskalWallis(
+    Tables.events(s, d).select(
+      expr("cast(round(value * 100) as bigint)").as("score"),
+      col("event_type").as("g")))
   val q332_sql: String =
     """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS score,
       |             event_type AS g FROM events),

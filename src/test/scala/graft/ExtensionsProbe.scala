@@ -50,8 +50,22 @@ object ExtensionsProbe {
       val levOk = levPlan.contains("levenshtein(") &&
         levPlan.contains("Some(3)") &&
         lev.collect().map(_.getString(0)).toSeq == Seq("kitten")
+      // the foldable-literal contract: a COLUMN where a plan-shape constant
+      // is required must fail analysis with a named error, not an opaque
+      // eval ClassCastException (round-11 advice)
+      val foldGuardOk = try {
+        s.sql("SELECT zorder(id, id, id) FROM range(3)").collect()
+        false // should have thrown
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          e.getMessage.contains("zorder") && e.getMessage.contains("foldable")
+      }
       val bad = checks.filterNot { case (q, want) => one(q) == want }
-      if (bad.isEmpty && levOk) println("PROBE_OK")
+      if (bad.isEmpty && levOk && foldGuardOk) println("PROBE_OK")
+      else if (bad.isEmpty && levOk) {
+        println("PROBE_MISMATCH: zorder foldable guard did not raise the named analysis error")
+        sys.exit(1)
+      }
       else if (bad.isEmpty) {
         println(s"PROBE_MISMATCH: thresholded-levenshtein rule: $levPlan")
         sys.exit(1)
