@@ -19,7 +19,8 @@ import graft.llm.{AllPairs, Dedup, NaiveBayes, RandomProjection, SetJoin, TextAn
   * (r8 — common-neighbor shortlist, oriented wedges, dangling PageRank),
   * `text` (r8b — winnowing, weighted MinHash, NB throughput, Ilog2
   * entropy), `info` (r9 — χ² contingency grid, Holt–Winters keys),
-  * `ks-textrank` (r9b), `auc-snm` (r9c), `km-ab` (r9d).
+  * `ks-textrank` (r9b), `auc-snm` (r9c), `km-ab` (r9d), `vector-curation`
+  (r10), `eval` (r10b), `agreement` (r10c), `resampling` (r11).
   *
   * Methodology (shared by every family): replicas must be DISJOINT —
   * numeric ids shifted by a stride DERIVED FROM THE DATA (`max(id) + 1`;
@@ -1113,7 +1114,53 @@ object ScaleStress {
     em.line(s"""{"summary":"round-10c rank/agreement invariances at ${Reps}x duplication","spearman_rho2_rational_identical":$spExact,"kendall_cells_k_exact":$kenCellsExact,"kendall_taub2_identical":$kenTaubIdentical,"kappa_ppms_identical":$kappaIdentical,"mcnemar_counts_k_exact":$mcCountsExact,"mcnemar_stat_k_ratio":${f"$mcStatRatio%.4f"},"cramers_v2_ppm_delta":$crV2Delta,"cramers_chi2_k_ratio":${f"$crChi2Ratio%.4f"},"kruskal_h_k_ratio":${f"$kwRatio%.4f"},"perm_tobs_k2_exact":$tObsK2Exact,"w1_bc_identical":$distIdentical,"mk_s_var_identical":$mkSVarIdentical,"mk_sen_k_ratio_ok":$mkSenRatioOk,"band":[95.0,105.0],"linear":$ok}""")
   }
 
+  /** SCALESTRESS_r11: the q342/q343 resampling batch under exact row
+    * DUPLICATION. Bootstrap: replica counts are keyed by eid, so the k
+    * copies of a row draw the SAME Poisson count in every rep — each
+    * rep's (Σc·v, Σc) scales exactly k, the rep means are the same
+    * rationals, and mean/SE/CI must come back BIT-IDENTICAL at k×.
+    * Jackknife: (n_s, t_s, N, T) all scale k, so every loo / influence /
+    * variance readout is the same rational — also bit-identical. The
+    * timed stages carry the real corpus-scaling cost: the ×B replica
+    * hash explosion over the k×-duplicated corpus (10M rows × 32 reps
+    * of md5 at k=100 on sf0.1). */
+  private val resampling: Family = (spark, sfDir, em) => {
+    def dup(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(spark.range(Reps).toDF("__rep"))).drop("__rep")
+      .repartition(64).localCheckpoint(true)
+    val evBase = Tables.events(spark, sfDir).select(
+      col("event_type").as("g"), col("event_id").cast("long").as("eid"),
+      expr("cast(round(value * 100) as bigint)").as("v"))
+      .localCheckpoint(true)
+    def boot(ev: DataFrame): Map[String, (Long, Long, Long, Long, Long)] =
+      graft.queries.EvalQueries.bootstrapSe(ev, 32).collect().map { r =>
+        r.getAs[String]("event_type") -> ((r.getAs[Long]("mean_ppm"),
+          r.getAs[Long]("b_eff"), r.getAs[Long]("se_ppm"),
+          r.getAs[Long]("ci_lo_ppm"), r.getAs[Long]("ci_hi_ppm")))
+      }.toMap
+    var b1: Map[String, (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage("bootstrap x1") { b1 = boot(evBase); b1.size.toLong }
+    var bK: Map[String, (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage(s"bootstrap x$Reps") { bK = boot(dup(evBase)); bK.size.toLong }
+    val bootIdentical = b1.nonEmpty && b1 == bK
+    val docBase = Tables.documents(spark, sfDir).select(col("source"),
+      length(col("text")).cast("long").as("v")).localCheckpoint(true)
+    def jack(docs: DataFrame): Map[String, (Long, Long, Long, Long)] =
+      graft.queries.EvalQueries.jackknifeBlocks(docs).collect().map { r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("mean_all_ppm"),
+          r.getAs[Long]("loo_ppm"), r.getAs[Long]("influence_ppm"),
+          r.getAs[Long]("var_jack_ppm2")))
+      }.toMap
+    var j1: Map[String, (Long, Long, Long, Long)] = Map.empty
+    em.stage("jackknife x1") { j1 = jack(docBase); j1.size.toLong }
+    var jK: Map[String, (Long, Long, Long, Long)] = Map.empty
+    em.stage(s"jackknife x$Reps") { jK = jack(dup(docBase)); jK.size.toLong }
+    val jackIdentical = j1.nonEmpty && j1 == jK
+    em.line(s"""{"summary":"round-11 resampling invariances at ${Reps}x duplication","bootstrap_bit_identical":$bootIdentical,"jackknife_bit_identical":$jackIdentical,"linear":${bootIdentical && jackIdentical}}""")
+  }
+
   private val families: Map[String, (Family, String)] = Map(
+    "resampling" -> ((resampling, "/root/testdata/sf0.1")),
     "agreement" -> ((agreement, "/root/testdata/sf0.1")),
     "eval" -> ((evalStats, "/root/testdata/sf0.1")),
     "vector-curation" -> ((vectorCuration, "/root/testdata/sf0.1")),
