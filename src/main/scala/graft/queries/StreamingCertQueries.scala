@@ -1143,7 +1143,48 @@ object StreamingCertQueries {
   /** Same oracle as the continuous streaming KMV cert. */
   val q341_sql: String = q264_sql
 
+  /** q268's weighted priority SAMPLE under CHECKPOINT RECOVERY — the
+    * forty-third streaming cert, TENTH recovery shape, and the first for
+    * ORDER-STATISTICS state: the per-nation top-k (priority, id) winners
+    * (the A-ES weighted-without-replacement sample) must survive the
+    * restart. The top-k-by-total-order merge is commutative and
+    * idempotent, so a correctly recovered run is indistinguishable — but
+    * a winner list lost to the crash lets an inferior post-restart
+    * candidate displace a pre-crash winner, and the final sample breaks
+    * the hash against q125's batch sampler. Two of the four
+    * (c_custkey)-ordered files process before the kill; the readout
+    * takes each nation's max-`seen` emission (k bounded rows per nation
+    * per batch) across both incarnations. A fair sample that outlives
+    * any one executor is what makes always-on corpus sampling
+    * operationally real. */
+  val q344_recovery_priority: Q = (s, d) => {
+    import s.implicits._
+    val c = Tables.customer(s, d).where(col("c_acctbal") > 0)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("w_fp"))
+      .withColumn("priority_fp",
+        graft.llm.Sampling.priorityFp(col("c_custkey"), col("w_fp")))
+      .select(col("c_nationkey"), col("c_custkey"), col("priority_fp"))
+    val srcDir = stageOrderedBy(c, d, "customerPriOrdered4", 4,
+      Seq(col("c_custkey")))
+    recoveringTable(s, srcDir, firstN = 2, tag = "q344_rec_pri")(
+      st => Streaming.priorityTopK(st.as[Streaming.PriObs], 3).toDF(),
+      c.schema)
+      // last batch per nation via ONE window over the (bounded: k rows
+      // per nation per emission) sink frame
+      .withColumn("mx",
+        max(col("seen")).over(Window.partitionBy(col("c_nationkey"))))
+      .where(col("seen") === col("mx"))
+      .select(col("c_nationkey"), col("rk"), col("c_custkey"),
+        col("priority_fp"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+  /** Same winners, same total order → q125's batch oracle verbatim. */
+  val q344_sql: String = q268_sql
+
   val defs: Map[String, Q] = Map(
+    "q344_recovery_priority" -> q344_recovery_priority,
     "q341_recovery_kmv" -> q341_recovery_kmv,
     "q340_recovery_cms" -> q340_recovery_cms,
     "q339_recovery_hll" -> q339_recovery_hll,
@@ -1169,6 +1210,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q344_recovery_priority" -> q344_sql,
     "q341_recovery_kmv" -> q341_sql,
     "q340_recovery_cms" -> q340_sql,
     "q339_recovery_hll" -> q339_sql,

@@ -96,6 +96,58 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("q345: conformal quantile and coverage match a driver recount") {
+    val ev = graft.io.Tables.events(spark, sf).select(
+        col("event_type"), col("event_id").cast("long"),
+        expr("cast(round(value * 100) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = EvalQueries.q345_conformal_gate(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    ev.groupBy(_._1).foreach { case (g, rows) =>
+      val cal = rows.filter(_._2 % 2 == 0).map(_._3).sorted
+      val test = rows.filter(_._2 % 2 != 0).map(_._3)
+      val k = (90 * (cal.size + 1) + 99) / 100
+      val r = out(g)
+      assert(r.getAs[Long]("n_cal") == cal.size.toLong &&
+        r.getAs[Long]("n_test") == test.size.toLong &&
+        r.getAs[Long]("k") == k.toLong, s"$g counts")
+      if (k > cal.size) {
+        assert(r.isNullAt(r.fieldIndex("q_hat")) &&
+          r.isNullAt(r.fieldIndex("coverage_ppm")) &&
+          !r.getAs[Boolean]("meets_nominal"), s"$g degenerate")
+      } else {
+        val qh = cal(k - 1)
+        assert(r.getAs[Long]("q_hat") == qh, s"$g q_hat")
+        val covered = test.count(_ <= qh).toLong
+        assert(r.getAs[Long]("n_covered") == covered, s"$g covered")
+        assert(r.getAs[Long]("coverage_ppm") ==
+          covered * 1000000L / test.size, s"$g coverage")
+      }
+    }
+  }
+
+  test("q345: tiny calibration sets and empty test halves fail closed") {
+    import spark.implicits._
+    // g=a: 4 cal rows (k = ceil(0.9*5) = 5 > 4) -> NULL q_hat/coverage;
+    // g=b: 10 cal rows, k = ceil(0.9*11) = 10 -> q_hat = max cal score;
+    //      no test rows -> NULL coverage, meets_nominal false
+    val rows =
+      (0 until 4).map(i => ("a", i.toLong * 2, 10L + i)) ++
+      (0 until 3).map(i => ("a", i.toLong * 2 + 1, 100L)) ++
+      (0 until 10).map(i => ("b", i.toLong * 2, i.toLong))
+    val out = EvalQueries.conformalGate(
+        rows.toDF("g", "eid", "score"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = out("a")
+    assert(a.isNullAt(a.fieldIndex("q_hat")) &&
+      a.isNullAt(a.fieldIndex("coverage_ppm")) &&
+      !a.getAs[Boolean]("meets_nominal"))
+    val b = out("b")
+    assert(b.getAs[Long]("q_hat") == 9L && b.getAs[Long]("n_test") == 0L)
+    assert(b.isNullAt(b.fieldIndex("coverage_ppm")) &&
+      !b.getAs[Boolean]("meets_nominal"))
+  }
+
   // Plan locks: the bootstrap is pure groupBy algebra — the ×B replica
   // explosion must reach the aggregate with NO window and no
   // single-partition funnel (the q330 replica shape). The jackknife's
