@@ -23,6 +23,7 @@ object SparkEntry {
       GraphQueries.defs ++ SketchQueries.defs ++ LlmQueries.defs ++
       TextMiningQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++ CurationAuditQueries.defs ++
       MultimodalQueries.defs ++ InfoQueries.defs ++ EvalQueries.defs ++
+      PrivacyQueries.defs ++ CalibrationQueries.defs ++
       StreamingQueries.defs ++ StreamingCertQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
       CurationQueries.oracles ++ CurationAuditQueries.oracles ++
       MultimodalQueries.oracles ++
       InfoQueries.oracles ++ EvalQueries.oracles ++
+      PrivacyQueries.oracles ++ CalibrationQueries.oracles ++
       StreamingQueries.oracles ++ StreamingCertQueries.oracles
 }

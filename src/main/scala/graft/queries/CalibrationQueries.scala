@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.operators.{AsOfJoin, RunningTotal}
+
+/** Distribution calibration over the corpus tables: cross-source
+  * quantile normalization (the rank-based batch-effect removal of
+  * Bolstad et al. 2003, recast as inverse-CDF mapping onto the pooled
+  * distribution) and isotonic calibration of a score→outcome curve (the
+  * monotone regression of Ayer et al. 1955 / Barlow & Brunk 1972, via
+  * the minimax characterization rather than the sequential PAV sweep —
+  * the sequential pooler is inherently driver-shaped, the minimax is
+  * pure bounded-frame algebra).
+  *
+  * Scale notes (100 TB): both queries reduce the corpus to
+  * DISTINCT-VALUE frames in one map-side-combinable pass (per-(source,
+  * length) counts; per-(event_type, score-bucket) sums). Every window,
+  * self-join, and as-of sweep after that runs on domain-bounded rows —
+  * document lengths and the [0,99] score domain — so the post-scan cost
+  * is invariant in corpus size. All arithmetic is integral ppm
+  * (operands nonnegative by construction, so Spark's `div` and DuckDB's
+  * `//` agree) with DECIMAL(38,0)/HUGEINT guarding the 10⁶ scaling.
+  */
+object CalibrationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = "decimal(38,0)"
+
+  // ---- q349: cross-source quantile normalization --------------------------
+
+  /** Quantile-normalize document lengths across sources: each (source,
+    * length) point maps to the POOLED length at the same CDF position —
+    * v_norm(v) = min global v' with F_pool(v')·n_s ≥ F_source(v)·N (the
+    * right-continuous inverse-CDF convention; cross-multiplied so no
+    * fraction ever exists). After the mapping every source draws from
+    * the same pooled distribution, which the output makes visible:
+    * per-source raw means diverge, normalized means agree to the ppm
+    * floor. Shapes: ONE corpus pass to the (source, v) count frame;
+    * per-source CDFs via [[RunningTotal]]'s range-partitioned prefix
+    * sum; the pooled CDF reuses the SAME reduced frame (no second
+    * scan); the rank-line lookup is [[AsOfJoin]] forward mode on the
+    * cumulative-count axis — a single sweep over the value-domain-
+    * bounded union, not an all-pairs join. */
+  def quantileNorm(docs: DataFrame): DataFrame = {
+    val sv = docs
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c_s"))
+      .localCheckpoint(true) // consumers: per-source CDF, totals, pooled CDF
+    val cumS = RunningTotal.grouped(sv, "source", Seq("v"), "c_s", "cum_s",
+      groupCountHint = Some(64L))
+    val ns = sv.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val gv = sv.groupBy(col("v")).agg(sum(col("c_s")).as("c_g"))
+      .withColumn("g0", lit(0))
+    val cumG = RunningTotal.grouped(gv, "g0", Seq("v"), "c_g", "cum_g",
+      groupCountHint = Some(1L))
+    val tot = gv.agg(sum(col("c_g")).as("n_tot"))
+    val left = cumS.join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("target", expr(s"""cast(
+          (cast(cum_s as $dec) * n_tot + n_s - 1) div n_s
+        as bigint)"""))
+      .withColumn("k0", lit(0))
+    val right = cumG.select(col("v").as("v_norm"), col("cum_g"))
+      .withColumn("k0", lit(0))
+    val mapped = AsOfJoin.asOf(left, right, Seq("k0"),
+      leftTs = "target", rightTs = "cum_g", rightVals = Seq("v_norm"),
+      inner = true, forward = true)
+    mapped.groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_s"),
+        sum(expr(s"cast(c_s as $dec) * v")).as("sv_raw"),
+        sum(expr(s"cast(c_s as $dec) * v_norm")).as("sv_norm"),
+        min(col("v_norm")).as("min_norm"), max(col("v_norm")).as("max_norm"))
+      .select(col("source"), col("n_s"),
+        expr("cast(sv_raw * 1000000 div n_s as bigint)").as("mean_raw_ppm"),
+        expr("cast(sv_norm * 1000000 div n_s as bigint)").as("mean_norm_ppm"),
+        col("min_norm"), col("max_norm"))
+      .orderBy(col("source"))
+  }
+  val q349_quantile_norm: Q = (s, d) => quantileNorm(Tables.documents(s, d)
+    .select(col("source"), col("n_chars").cast("long").as("v")))
+  val q349_sql: String =
+    """WITH d AS (SELECT source, n_chars::BIGINT AS v FROM documents),
+      |sv AS (SELECT source, v, count(*)::BIGINT AS c_s FROM d GROUP BY 1, 2),
+      |cums AS (SELECT source, v, c_s,
+      |           sum(c_s) OVER (PARTITION BY source ORDER BY v)::BIGINT
+      |             AS cum_s
+      |         FROM sv),
+      |ns AS (SELECT source, sum(c_s)::BIGINT AS n_s FROM sv GROUP BY 1),
+      |gv AS (SELECT v, sum(c_s)::BIGINT AS c_g FROM sv GROUP BY 1),
+      |cumg AS (SELECT v, sum(c_g) OVER (ORDER BY v)::BIGINT AS cum_g FROM gv),
+      |tot AS (SELECT sum(c_g)::BIGINT AS n_tot FROM gv),
+      |lft AS (SELECT cums.source, cums.v, cums.c_s, cums.cum_s, ns.n_s, n_tot
+      |        FROM cums JOIN ns USING (source) CROSS JOIN tot),
+      |nrm AS (SELECT l.source, l.v, l.c_s, l.n_s, min(r.v) AS v_norm
+      |        FROM lft l JOIN cumg r
+      |          ON r.cum_g::HUGEINT * l.n_s >= l.cum_s::HUGEINT * l.n_tot
+      |        GROUP BY 1, 2, 3, 4)
+      |SELECT source, any_value(n_s)::BIGINT AS n_s,
+      |  (sum(c_s::HUGEINT * v) * 1000000 // any_value(n_s))::BIGINT
+      |    AS mean_raw_ppm,
+      |  (sum(c_s::HUGEINT * v_norm) * 1000000 // any_value(n_s))::BIGINT
+      |    AS mean_norm_ppm,
+      |  min(v_norm)::BIGINT AS min_norm, max(v_norm)::BIGINT AS max_norm
+      |FROM nrm GROUP BY 1 ORDER BY source""".stripMargin
+
+  // ---- q350: isotonic calibration curve (minimax form) --------------------
+
+  /** Isotonic regression of event value (cents) on the `props.k` score,
+    * per event type — "is a higher k actually worth more?" turned into
+    * the best monotone fit. Instead of the sequential
+    * pool-adjacent-violators sweep, the fit uses the minimax
+    * characterization f(i) = max_{j≤i} min_{k≥i} avg(j..k) on the
+    * score-bucket frame, with interval averages floored to integral
+    * ppm. Flooring commutes with both min and max, so the result is
+    * EXACTLY floor(PAV·10⁶) — not an approximation (PavSpec recomputes
+    * the sequential pooler in exact rationals and matches) — and
+    * monotonicity is STRUCTURAL (growing j-set, shrinking k-set).
+    * Every operation is a bounded-frame join or aggregate, and the
+    * floored minimax is deterministic on both engines, so the curve
+    * hash-certifies. With B ≤ 100 buckets per type the triple expansion
+    * is B(B+1)(B+2)/6 ≈ 1.8·10⁵ rows per type — constant in corpus
+    * size; the ONLY corpus-scale operation is the first groupBy. The
+    * prefix windows run on the reduced per-type frames (≤ 100 rows
+    * each — the bounded-window license). */
+  def isotonic(ptsIn: DataFrame): DataFrame = {
+    val pts = ptsIn
+      .where(col("x").isNotNull)
+      .groupBy(col("g"), col("x"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("s_b"))
+    val w = Window.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = pts
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("x"))))
+      .withColumn("cum_n", sum(col("n_b")).over(w))
+      .withColumn("cum_s", sum(col("s_b")).over(w))
+      .localCheckpoint(true) // consumers: interval ends, starts, probe, readout
+    val pk = p.select(col("g"), col("i").as("k"), col("cum_n").as("nk"),
+      col("cum_s").as("sk"))
+    val pj = p.select(col("g").as("gj"), col("i").as("jm1"),
+        col("cum_n").as("njm"), col("cum_s").as("sjm"))
+      .unionByName(p.select(col("g").as("gj")).distinct()
+        .withColumn("jm1", lit(1) - 1).withColumn("njm", lit(0L))
+        .withColumn("sjm", lit(0L)))
+    val iv = pk.join(broadcast(pj), col("g") === col("gj") && col("jm1") < col("k"))
+      .select(col("g"), (col("jm1") + 1).as("j"), col("k"),
+        expr(s"""cast(
+            (cast(sk - sjm as $dec) * 1000000) div (nk - njm)
+          as bigint)""").as("a_ppm"))
+    val tri = iv.join(broadcast(p.select(col("g").as("gg"), col("i"))),
+      iv("g") === col("gg") && col("j") <= col("i") && col("i") <= col("k"))
+    val f = tri.groupBy(col("g"), col("i"), col("j"))
+      .agg(min(col("a_ppm")).as("m_a"))
+      .groupBy(col("g"), col("i"))
+      .agg(max(col("m_a")).as("iso_cents_ppm"))
+    p.join(f, Seq("g", "i"))
+      .select(col("g").as("event_type"), col("x").as("k_val"), col("n_b"),
+        expr(s"cast(cast(s_b as $dec) * 1000000 div n_b as bigint)")
+          .as("raw_cents_ppm"),
+        col("iso_cents_ppm"))
+      .orderBy(col("event_type"), col("k_val"))
+  }
+  val q350_isotonic: Q = (s, d) => isotonic(Tables.events(s, d).select(
+    col("event_type").as("g"),
+    get_json_object(col("props"), "$.k").cast("long").as("x"),
+    expr("cast(round(value * 100) as bigint)").as("y")))
+  val q350_sql: String =
+    """WITH pts AS (SELECT event_type AS g,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS x,
+      |    CAST(round(value * 100) AS BIGINT) AS y
+      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+      |agg AS (SELECT g, x, count(*)::BIGINT AS n_b, sum(y)::BIGINT AS s_b
+      |        FROM pts GROUP BY 1, 2),
+      |p AS (SELECT g, x, n_b, s_b,
+      |        row_number() OVER (PARTITION BY g ORDER BY x) AS i,
+      |        sum(n_b) OVER (PARTITION BY g ORDER BY x)::BIGINT AS cum_n,
+      |        sum(s_b) OVER (PARTITION BY g ORDER BY x)::BIGINT AS cum_s
+      |      FROM agg),
+      |pj AS (SELECT g, i AS jm1, cum_n AS njm, cum_s AS sjm FROM p
+      |       UNION ALL SELECT DISTINCT g, 0, 0::BIGINT, 0::BIGINT FROM p),
+      |iv AS (SELECT pk.g, pj.jm1 + 1 AS j, pk.i AS k,
+      |         ((pk.cum_s - pj.sjm)::HUGEINT * 1000000
+      |          // (pk.cum_n - pj.njm))::BIGINT AS a_ppm
+      |       FROM p pk JOIN pj ON pj.g = pk.g AND pj.jm1 < pk.i),
+      |tri AS (SELECT iv.g, pi.i, iv.j, iv.a_ppm
+      |        FROM iv JOIN p pi
+      |          ON pi.g = iv.g AND iv.j <= pi.i AND pi.i <= iv.k),
+      |m AS (SELECT g, i, j, min(a_ppm) AS m_a FROM tri GROUP BY 1, 2, 3),
+      |f AS (SELECT g, i, max(m_a)::BIGINT AS iso_cents_ppm FROM m
+      |      GROUP BY 1, 2)
+      |SELECT p.g AS event_type, p.x AS k_val, p.n_b,
+      |  (p.s_b::HUGEINT * 1000000 // p.n_b)::BIGINT AS raw_cents_ppm,
+      |  f.iso_cents_ppm
+      |FROM p JOIN f ON f.g = p.g AND f.i = p.i
+      |ORDER BY event_type, k_val""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q349_quantile_norm" -> q349_quantile_norm,
+    "q350_isotonic" -> q350_isotonic)
+
+  val oracles: Map[String, String] = Map(
+    "q349_quantile_norm" -> q349_sql,
+    "q350_isotonic" -> q350_sql)
+}

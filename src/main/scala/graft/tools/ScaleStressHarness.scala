@@ -20,7 +20,8 @@ import graft.llm.{AllPairs, Dedup, NaiveBayes, RandomProjection, SetJoin, TextAn
   * `text` (r8b — winnowing, weighted MinHash, NB throughput, Ilog2
   * entropy), `info` (r9 — χ² contingency grid, Holt–Winters keys),
   * `ks-textrank` (r9b), `auc-snm` (r9c), `km-ab` (r9d), `vector-curation`
-  (r10), `eval` (r10b), `agreement` (r10c), `resampling` (r11).
+  (r10), `eval` (r10b), `agreement` (r10c), `resampling` (r11),
+  * `privacy` (r11b).
   *
   * Methodology (shared by every family): replicas must be DISJOINT —
   * numeric ids shifted by a stride DERIVED FROM THE DATA (`max(id) + 1`;
@@ -1159,7 +1160,101 @@ object ScaleStress {
     em.line(s"""{"summary":"round-11 resampling invariances at ${Reps}x duplication","bootstrap_bit_identical":$bootIdentical,"jackknife_bit_identical":$jackIdentical,"linear":${bootIdentical && jackIdentical}}""")
   }
 
+  /** SCALESTRESS_r11b: the privacy-audit + calibration family (q346–
+    * q350). Plain 100× row duplication is the RIGHT stress here — these
+    * statistics make claims about counts and distributions, and each
+    * claim has a provable transform under duplication: k-anonymity
+    * census fields scale exactly ×100 and every violation vanishes
+    * (100·c ≥ 100 > k for every threshold ≤ 10); distinct-l and every
+    * distributional ratio (t-closeness EMD, quantile-normalized means,
+    * the isotonic fit) are ratios of equally-scaled integers, so their
+    * floors are BIT-identical; entropy-l is invariant up to Ilog2
+    * truncation (log2(100n) − log2(100c) telescopes), certified to a
+    * ±4 fp-unit band (each of the three logs truncates < 1 unit). */
+  private val privacy: Family = (spark, sfDir, em) => {
+    import graft.queries.{CalibrationQueries, PrivacyQueries}
+    def dup(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(spark.range(Reps).toDF("__rep"))).drop("__rep")
+      .repartition(64).localCheckpoint(true)
+    val relBase = PrivacyQueries.release(spark, sfDir).localCheckpoint(true)
+
+    def kanon(rel: DataFrame): Map[(String, Long), (Long, Long, Long, Long, Long, Long)] =
+      PrivacyQueries.kAnonymity(rel).collect().map { r =>
+        (r.getAs[String]("event_type"), r.getAs[Long]("k_req")) ->
+          ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+            r.getAs[Long]("min_class"), r.getAs[Long]("viol_classes"),
+            r.getAs[Long]("viol_rows"), r.getAs[Long]("suppress_ppm")))
+      }.toMap
+    var ka1: Map[(String, Long), (Long, Long, Long, Long, Long, Long)] = Map.empty
+    em.stage("k-anonymity x1") { ka1 = kanon(relBase); ka1.size.toLong }
+    var kaK: Map[(String, Long), (Long, Long, Long, Long, Long, Long)] = Map.empty
+    em.stage(s"k-anonymity x$Reps") { kaK = kanon(dup(relBase)); kaK.size.toLong }
+    val kanonExact = ka1.nonEmpty && ka1.forall { case (key, (nc, nr, mc, _, _, _)) =>
+      kaK(key) == ((nc, nr * Reps, mc * Reps, 0L, 0L, 0L)) }
+
+    def ldiv(rel: DataFrame): Map[String, (Long, Long, Long, Long)] =
+      PrivacyQueries.lDiversity(rel).collect().map { r =>
+        r.getAs[String]("event_type") -> ((r.getAs[Long]("n_classes"),
+          r.getAs[Long]("min_l"), r.getAs[Long]("classes_fail_l3"),
+          r.getAs[Long]("min_h_fp")))
+      }.toMap
+    var ld1: Map[String, (Long, Long, Long, Long)] = Map.empty
+    em.stage("l-diversity x1") { ld1 = ldiv(relBase); ld1.size.toLong }
+    var ldK: Map[String, (Long, Long, Long, Long)] = Map.empty
+    em.stage(s"l-diversity x$Reps") { ldK = ldiv(dup(relBase)); ldK.size.toLong }
+    val ldivStructural = ld1.nonEmpty && ld1.forall { case (g, (nc, ml, f3, _)) =>
+      val (ncK, mlK, f3K, _) = ldK(g); (ncK, mlK, f3K) == ((nc, ml, f3)) }
+    val entropyMaxDelta = if (ld1.isEmpty) Long.MaxValue
+      else ld1.map { case (g, (_, _, _, h)) => math.abs(ldK(g)._4 - h) }.max
+
+    def tclose(rel: DataFrame): Map[String, (Long, Long, Long)] =
+      PrivacyQueries.tCloseness(rel).collect().map { r =>
+        r.getAs[String]("event_type") -> ((r.getAs[Long]("n_classes"),
+          r.getAs[Long]("max_emd_ppm"), r.getAs[Long]("classes_over_t20")))
+      }.toMap
+    var tc1: Map[String, (Long, Long, Long)] = Map.empty
+    em.stage("t-closeness x1") { tc1 = tclose(relBase); tc1.size.toLong }
+    var tcK: Map[String, (Long, Long, Long)] = Map.empty
+    em.stage(s"t-closeness x$Reps") { tcK = tclose(dup(relBase)); tcK.size.toLong }
+    val tcloseIdentical = tc1.nonEmpty && tc1 == tcK
+
+    val docBase = Tables.documents(spark, sfDir).select(col("source"),
+      col("n_chars").cast("long").as("v")).localCheckpoint(true)
+    def qnorm(docs: DataFrame): Map[String, (Long, Long, Long, Long, Long)] =
+      CalibrationQueries.quantileNorm(docs).collect().map { r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("n_s"),
+          r.getAs[Long]("mean_raw_ppm"), r.getAs[Long]("mean_norm_ppm"),
+          r.getAs[Long]("min_norm"), r.getAs[Long]("max_norm")))
+      }.toMap
+    var qn1: Map[String, (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage("quantile-norm x1") { qn1 = qnorm(docBase); qn1.size.toLong }
+    var qnK: Map[String, (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage(s"quantile-norm x$Reps") { qnK = qnorm(dup(docBase)); qnK.size.toLong }
+    val qnormExact = qn1.nonEmpty && qn1.forall { case (src, (n, mr, mn, lo, hi)) =>
+      qnK(src) == ((n * Reps, mr, mn, lo, hi)) }
+
+    val ptsBase = Tables.events(spark, sfDir).select(
+      col("event_type").as("g"),
+      get_json_object(col("props"), "$.k").cast("long").as("x"),
+      expr("cast(round(value * 100) as bigint)").as("y")).localCheckpoint(true)
+    def iso(pts: DataFrame): Map[(String, Long), (Long, Long, Long)] =
+      CalibrationQueries.isotonic(pts).collect().map { r =>
+        (r.getAs[String]("event_type"), r.getAs[Long]("k_val")) ->
+          ((r.getAs[Long]("n_b"), r.getAs[Long]("raw_cents_ppm"),
+            r.getAs[Long]("iso_cents_ppm")))
+      }.toMap
+    var is1: Map[(String, Long), (Long, Long, Long)] = Map.empty
+    em.stage("isotonic x1") { is1 = iso(ptsBase); is1.size.toLong }
+    var isK: Map[(String, Long), (Long, Long, Long)] = Map.empty
+    em.stage(s"isotonic x$Reps") { isK = iso(dup(ptsBase)); isK.size.toLong }
+    val isoExact = is1.nonEmpty && is1.forall { case (key, (n, raw, fit)) =>
+      isK(key) == ((n * Reps, raw, fit)) }
+
+    em.line(s"""{"summary":"round-11b privacy/calibration invariances at ${Reps}x duplication","kanon_census_exact_violations_zero":$kanonExact,"ldiv_structure_identical":$ldivStructural,"entropy_fp_max_delta":$entropyMaxDelta,"entropy_band_ok":${entropyMaxDelta <= 4},"tclose_bit_identical":$tcloseIdentical,"qnorm_means_bit_identical":$qnormExact,"isotonic_bit_identical":$isoExact,"linear":${kanonExact && ldivStructural && entropyMaxDelta <= 4 && tcloseIdentical && qnormExact && isoExact}}""")
+  }
+
   private val families: Map[String, (Family, String)] = Map(
+    "privacy" -> ((privacy, "/root/testdata/sf0.1")),
     "resampling" -> ((resampling, "/root/testdata/sf0.1")),
     "agreement" -> ((agreement, "/root/testdata/sf0.1")),
     "eval" -> ((evalStats, "/root/testdata/sf0.1")),
