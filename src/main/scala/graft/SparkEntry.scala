@@ -24,6 +24,7 @@ object SparkEntry {
       TextMiningQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++ CurationAuditQueries.defs ++
       MultimodalQueries.defs ++ InfoQueries.defs ++ EvalQueries.defs ++
       PrivacyQueries.defs ++ CalibrationQueries.defs ++
+      ExperimentQueries.defs ++
       StreamingQueries.defs ++ StreamingCertQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       MultimodalQueries.oracles ++
       InfoQueries.oracles ++ EvalQueries.oracles ++
       PrivacyQueries.oracles ++ CalibrationQueries.oracles ++
+      ExperimentQueries.oracles ++
       StreamingQueries.oracles ++ StreamingCertQueries.oracles
 }

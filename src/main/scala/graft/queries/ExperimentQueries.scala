@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Ilog2, Isqrt}
+import graft.io.Tables
+
+/** Experimentation / monitoring statistics: population-stability-index
+  * drift gates (the scorecard-monitoring standard), Neyman-optimal
+  * stratified sampling allocation (Neyman 1934), and CUPED
+  * variance-reduced A/B readouts (Deng, Xu, Kohavi, Walker 2013) — the
+  * three computations an in-production data pipeline runs every day
+  * around the corpus the other families build.
+  *
+  * House arithmetic throughout: logs via the libm-free
+  * [[graft.functions.Ilog2]] fold, roots via [[graft.functions.Isqrt]],
+  * ratios cross-multiplied and floored ONCE at the readout; Spark `div`
+  * and DuckDB `//` agree on negative operands (both truncate toward
+  * zero — verified), so signed covariances and drift terms replay
+  * exactly.
+  *
+  * Scale notes (100 TB): q351/q352 reduce the corpus to calendar- or
+  * domain-bounded frames in one map-side-combinable pass each. q353's
+  * unit of analysis is the USER (per-user pre/post totals in one
+  * grouped pass — corpus-scale but hash-partitioned and combinable),
+  * after which the global moment vector is a broadcast scalar row;
+  * nothing ever funnels through a window or a driver loop. Moment
+  * products run in DECIMAL(38,0): q353 is exact past 10⁸ users at
+  * ≤ 10⁶ cents per user-total (n·Σxy·10⁶ ≤ 10³⁸); past that horizon,
+  * accumulate x/y in dollars rather than cents.
+  */
+object ExperimentQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = "decimal(38,0)"
+
+  // ---- q351: population stability index (drift gate) ----------------------
+
+  /** PSI per event type between the first and second half of the
+    * calendar month, over the sensitive-decile buckets (props.k div 10):
+    * PSI = Σ_b (p_b − q_b)·log(p_b/q_b), the symmetrized-KL drift score
+    * every model-monitoring stack gates on — here in BITS (16-bit
+    * [[Ilog2]] fixed point, so the oracle replays every log), with
+    * add-one smoothing on the explicit event_type × bucket grid (a
+    * bucket absent from one half is exactly the drift PSI must see, so
+    * zero cells are generated, never dropped, and smoothing keeps the
+    * logs finite). The fraction difference is cross-multiplied —
+    * (c_a·n_b − c_b·n_a) against the shared denominator n_a·n_b — and
+    * the single division lands at the very end. Gate: 0.25 bits
+    * (flagged per type). Shapes: one corpus pass to the (g, half, b)
+    * counts; the grid is |types| × ≤10 rows. */
+  def psi(rel: DataFrame): DataFrame = {
+    val il = Ilog2.ilog2 _
+    val cnt = rel.groupBy(col("g"), col("half"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumers: grid cells + per-half totals
+    val grid = cnt.select(col("g")).distinct()
+      .crossJoin(broadcast(cnt.select(col("b")).distinct()))
+    val cells = grid
+      .join(cnt.where(col("half") === "a").select(col("g"), col("b"),
+        col("c").as("c_a")), Seq("g", "b"), "left")
+      .join(cnt.where(col("half") === "b").select(col("g"), col("b"),
+        col("c").as("c_b")), Seq("g", "b"), "left")
+      .na.fill(0L, Seq("c_a", "c_b"))
+    val tots = cnt.groupBy(col("g")).agg(
+      sum(when(col("half") === "a", col("c")).otherwise(0L)).as("n_a"),
+      sum(when(col("half") === "b", col("c")).otherwise(0L)).as("n_b"))
+    val nb = cnt.agg(countDistinct(col("b")).as("n_buckets"))
+    cells.join(broadcast(tots), Seq("g"))
+      .crossJoin(broadcast(nb))
+      .withColumn("ca1", col("c_a") + 1).withColumn("cb1", col("c_b") + 1)
+      .withColumn("na1", col("n_a") + col("n_buckets"))
+      .withColumn("nb1", col("n_b") + col("n_buckets"))
+      .withColumn("dlog_fp",
+        il(col("ca1")) - il(col("na1")) - il(col("cb1")) + il(col("nb1")))
+      .groupBy(col("g"))
+      .agg(first(col("na1")).as("na1"), first(col("nb1")).as("nb1"),
+        sum(expr(s"cast(ca1 * nb1 - cb1 * na1 as $dec) * dlog_fp"))
+          .as("num"))
+      .select(col("g").as("event_type"), col("na1"), col("nb1"),
+        expr(s"cast(num div (cast(na1 as $dec) * nb1) as bigint)")
+          .as("psi_fp"))
+      .withColumn("drifted", col("psi_fp") >= Ilog2.One / 4)
+      .orderBy(col("event_type"))
+  }
+  val q351_psi: Q = (s, d) => psi(Tables.events(s, d).select(
+      col("event_type").as("g"),
+      when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b"))
+        .as("half"),
+      expr("cast(get_json_object(props, '$.k') as long) div 10").as("b"))
+    .where(col("b").isNotNull))
+  val q351_sql: String = {
+    val il = (x: String) => Ilog2.sqlReplay(x)
+    s"""WITH rel AS (SELECT event_type AS g,
+       |    CASE WHEN date_part('day', ts) <= 15 THEN 'a' ELSE 'b' END
+       |      AS half,
+       |    CAST(json_extract(props, '$$.k') AS BIGINT) // 10 AS b
+       |  FROM events
+       |  WHERE json_extract(props, '$$.k') IS NOT NULL),
+       |cnt AS (SELECT g, half, b, count(*)::BIGINT AS c FROM rel
+       |        GROUP BY 1, 2, 3),
+       |grid AS (SELECT g, b FROM (SELECT DISTINCT g FROM cnt)
+       |         CROSS JOIN (SELECT DISTINCT b FROM cnt)),
+       |cells AS (SELECT grid.g, grid.b,
+       |            coalesce(a.c, 0)::BIGINT AS c_a,
+       |            coalesce(bb.c, 0)::BIGINT AS c_b
+       |          FROM grid
+       |          LEFT JOIN cnt a ON a.g = grid.g AND a.b = grid.b
+       |            AND a.half = 'a'
+       |          LEFT JOIN cnt bb ON bb.g = grid.g AND bb.b = grid.b
+       |            AND bb.half = 'b'),
+       |tots AS (SELECT g,
+       |           sum(CASE WHEN half = 'a' THEN c ELSE 0 END)::BIGINT AS n_a,
+       |           sum(CASE WHEN half = 'b' THEN c ELSE 0 END)::BIGINT AS n_b
+       |         FROM cnt GROUP BY 1),
+       |nb AS (SELECT count(DISTINCT b)::BIGINT AS n_buckets FROM cnt),
+       |sm AS (SELECT cells.g, c_a + 1 AS ca1, c_b + 1 AS cb1,
+       |         n_a + n_buckets AS na1, n_b + n_buckets AS nb1
+       |       FROM cells JOIN tots ON tots.g = cells.g CROSS JOIN nb),
+       |t AS (SELECT g, ca1, cb1, na1, nb1,
+       |        (${il("ca1")} - ${il("na1")} - ${il("cb1")} + ${il("nb1")})
+       |          AS dlog_fp
+       |      FROM sm),
+       |agg AS (SELECT g, any_value(na1)::BIGINT AS na1,
+       |          any_value(nb1)::BIGINT AS nb1,
+       |          sum((ca1 * nb1 - cb1 * na1)::HUGEINT * dlog_fp)::HUGEINT
+       |            AS num
+       |        FROM t GROUP BY 1)
+       |SELECT g AS event_type, na1, nb1,
+       |  (num // (na1::HUGEINT * nb1))::BIGINT AS psi_fp,
+       |  (num // (na1::HUGEINT * nb1))::BIGINT >= 16384 AS drifted
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
+  // ---- q352: Neyman-optimal stratified allocation --------------------------
+
+  /** Allocate a 10 000-sample budget across document sources by Neyman
+    * optimality — n_h ∝ N_h·S_h, the allocation that minimizes the
+    * stratified-mean variance — next to the proportional baseline. S_h
+    * is the per-stratum population sd of document length in CENTI-chars
+    * via native [[Isqrt]]: radicand (N·Σv² − (Σv)²)·10⁴ div N², exact
+    * in DECIMAL(38,0) to 10¹² docs/stratum at lengths ≤ 10⁴. ONE
+    * map-side-combinable moment pass; the stratum frame is
+    * source-bounded, the Σ(N_h·S_h) total a broadcast scalar. A
+    * constant stratum (S_h = 0) legitimately draws a zero Neyman
+    * allocation; an empty total fails closed to NULL. */
+  def neyman(docs: DataFrame): DataFrame = {
+    val per = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_h"), sum(col("v")).cast(dec).as("sv"),
+        sum(expr(s"cast(v as $dec) * v")).as("svv"))
+      .withColumn("sd_centi", Isqrt.isqrt(expr(s"""cast(
+          (n_h * svv - sv * sv) * 10000 div (cast(n_h as $dec) * n_h)
+        as bigint)""")))
+      .withColumn("w_h", expr("n_h * sd_centi"))
+      .localCheckpoint(true) // consumers: totals probe + allocation readout
+    val tot = per.agg(sum(col("w_h")).cast(dec).as("w_tot"),
+      sum(col("n_h")).as("n_tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_h"), col("sd_centi"),
+        expr(s"""cast(cast(10000 as $dec) * w_h div nullif(w_tot, 0)
+          as bigint)""").as("alloc_neyman"),
+        expr(s"""cast(cast(10000 as $dec) * n_h div nullif(n_tot, 0)
+          as bigint)""").as("alloc_prop"))
+      .orderBy(col("source"))
+  }
+  val q352_neyman: Q = (s, d) => neyman(Tables.documents(s, d)
+    .select(col("source"), col("n_chars").cast("long").as("v")))
+  val q352_sql: String = {
+    val sq = Isqrt.sqlReplay("rad")
+    s"""WITH d AS (SELECT source, n_chars::BIGINT AS v FROM documents),
+       |per AS (SELECT source, count(*)::BIGINT AS n_h,
+       |          sum(v)::HUGEINT AS sv, sum(v::HUGEINT * v)::HUGEINT AS svv
+       |        FROM d GROUP BY 1),
+       |r AS (SELECT source, n_h,
+       |        ((n_h * svv - sv * sv) * 10000
+       |         // (n_h::HUGEINT * n_h))::BIGINT AS rad
+       |      FROM per),
+       |sdd AS (SELECT source, n_h, $sq AS sd_centi FROM r),
+       |w AS (SELECT source, n_h, sd_centi, n_h * sd_centi AS w_h FROM sdd),
+       |tot AS (SELECT sum(w_h)::HUGEINT AS w_tot, sum(n_h)::BIGINT AS n_tot
+       |        FROM w)
+       |SELECT source, n_h, sd_centi,
+       |  (10000::HUGEINT * w_h // nullif(w_tot, 0))::BIGINT AS alloc_neyman,
+       |  (10000::HUGEINT * n_h // nullif(n_tot, 0))::BIGINT AS alloc_prop
+       |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
+  // ---- q353: CUPED variance-reduced A/B readout ----------------------------
+
+  /** CUPED over a deterministic user split (arm = user_id % 2): the
+    * unit of analysis is the user, the metric y their post-period spend
+    * (cents, days 16+), the covariate x their PRE-period spend (days
+    * ≤ 15; 0 for users with no pre-period activity — a total, so zero
+    * is its true value, not an imputation). θ = cov(x,y)/var(x) is
+    * quantized ONCE to ppm from the cross-multiplied moment form (the
+    * industry practice of freezing θ before applying it, which is also
+    * what makes the statistic certifiable), then each user's adjusted
+    * value y·10⁶ − θ_ppm·(x·10⁶ − mean_x_ppm) div 10⁶ feeds per-arm
+    * means and variances. The readout shows the point of the method:
+    * per-arm adjusted means with the variance-reduction ratio
+    * var_adj/var_y in ppm. Users with no post-period activity are out
+    * of scope (the experiment metric is undefined for them, counted
+    * nowhere); zero pre-period variance fails closed to NULL θ and
+    * NULL adjusted columns. Shapes: one corpus-scale grouped pass to
+    * the per-user frame (hash-partitioned, combinable), a one-row
+    * moment broadcast, a second bounded pass for arm aggregates —
+    * no window, no driver state. */
+  def cuped(ev: DataFrame): DataFrame = {
+    val users = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("pre") === 1, col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("pre") === 0, col("cents")).otherwise(0L)).as("y"),
+        sum(lit(1) - col("pre")).as("post_cnt"))
+      .where(col("post_cnt") > 0)
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+      .localCheckpoint(true) // consumers: global moments + per-arm folds
+    val mom = users.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+      sum(expr(s"cast(x as $dec) * x")).as("sxx"),
+      sum(expr(s"cast(x as $dec) * y")).as("sxy"))
+    val withTheta = users.crossJoin(broadcast(mom))
+      .withColumn("theta_ppm", expr(s"""cast(
+          (n * sxy - sx * sy) * 1000000 div nullif(n * sxx - sx * sx, 0)
+        as bigint)"""))
+      .withColumn("mean_x_ppm", expr("cast(sx * 1000000 div n as bigint)"))
+      .withColumn("adj_ppm", expr(s"""
+          y * 1000000 - cast(theta_ppm as $dec)
+            * (x * 1000000 - mean_x_ppm) div 1000000"""))
+    withTheta.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        first(col("theta_ppm")).as("theta_ppm"),
+        sum(col("y")).cast(dec).as("sy_a"),
+        sum(expr(s"cast(y as $dec) * y")).as("syy_a"),
+        sum(col("adj_ppm")).cast(dec).as("sa_a"),
+        sum(expr(s"cast(adj_ppm as $dec) * adj_ppm")).as("saa_a"))
+      .select(col("arm"), col("n_users"), col("theta_ppm"),
+        expr("cast(sy_a * 1000000 div n_users as bigint)").as("mean_y_ppm"),
+        expr("cast(sa_a div n_users as bigint)").as("mean_adj_ppm"),
+        expr(s"""cast((n_users * syy_a - sy_a * sy_a)
+            div (cast(n_users as $dec) * n_users) as bigint)""")
+          .as("var_y_cents2"),
+        expr(s"""cast((n_users * saa_a - sa_a * sa_a)
+            div (cast(n_users as $dec) * n_users * 1000000000000)
+          as bigint)""").as("var_adj_cents2"))
+      .withColumn("var_ratio_ppm", expr(s"""cast(
+          cast(var_adj_cents2 as $dec) * 1000000 div nullif(var_y_cents2, 0)
+        as bigint)"""))
+      .orderBy(col("arm"))
+  }
+  val q353_cuped: Q = (s, d) => cuped(Tables.events(s, d).select(
+    col("user_id"),
+    when(dayofmonth(col("ts")) <= 15, lit(1)).otherwise(lit(0)).as("pre"),
+    expr("cast(round(value * 100) as bigint)").as("cents")))
+  val q353_sql: String =
+    """WITH ev AS (SELECT user_id,
+      |    CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS pre,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |u AS (SELECT user_id,
+      |        sum(CASE WHEN pre = 1 THEN cents ELSE 0 END)::BIGINT AS x,
+      |        sum(CASE WHEN pre = 0 THEN cents ELSE 0 END)::BIGINT AS y,
+      |        sum(1 - pre)::BIGINT AS post_cnt
+      |      FROM ev GROUP BY 1),
+      |users AS (SELECT user_id, x, y, user_id % 2 AS arm FROM u
+      |          WHERE post_cnt > 0),
+      |mom AS (SELECT count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+      |          sum(y)::HUGEINT AS sy, sum(x::HUGEINT * x)::HUGEINT AS sxx,
+      |          sum(x::HUGEINT * y)::HUGEINT AS sxy
+      |        FROM users),
+      |wt AS (SELECT users.*, n, sx,
+      |         ((n * sxy - sx * sy) * 1000000
+      |          // nullif(n * sxx - sx * sx, 0))::BIGINT AS theta_ppm,
+      |         (sx * 1000000 // n)::BIGINT AS mean_x_ppm
+      |       FROM users CROSS JOIN mom),
+      |adj AS (SELECT arm, y, theta_ppm,
+      |          y * 1000000 - theta_ppm::HUGEINT
+      |            * (x * 1000000 - mean_x_ppm) // 1000000 AS adj_ppm
+      |        FROM wt),
+      |agg AS (SELECT arm, count(*)::BIGINT AS n_users,
+      |          any_value(theta_ppm)::BIGINT AS theta_ppm,
+      |          sum(y)::HUGEINT AS sy_a, sum(y::HUGEINT * y)::HUGEINT AS syy_a,
+      |          sum(adj_ppm)::HUGEINT AS sa_a,
+      |          sum(adj_ppm::HUGEINT * adj_ppm)::HUGEINT AS saa_a
+      |        FROM adj GROUP BY 1),
+      |o AS (SELECT arm, n_users, theta_ppm,
+      |        (sy_a * 1000000 // n_users)::BIGINT AS mean_y_ppm,
+      |        (sa_a // n_users)::BIGINT AS mean_adj_ppm,
+      |        ((n_users * syy_a - sy_a * sy_a)
+      |         // (n_users::HUGEINT * n_users))::BIGINT AS var_y_cents2,
+      |        ((n_users * saa_a - sa_a * sa_a)
+      |         // (n_users::HUGEINT * n_users * 1000000000000))::BIGINT
+      |          AS var_adj_cents2
+      |      FROM agg)
+      |SELECT arm, n_users, theta_ppm, mean_y_ppm, mean_adj_ppm,
+      |  var_y_cents2, var_adj_cents2,
+      |  (var_adj_cents2::HUGEINT * 1000000 // nullif(var_y_cents2, 0))::BIGINT
+      |    AS var_ratio_ppm
+      |FROM o ORDER BY arm""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q351_psi" -> q351_psi,
+    "q352_neyman" -> q352_neyman,
+    "q353_cuped" -> q353_cuped)
+
+  val oracles: Map[String, String] = Map(
+    "q351_psi" -> q351_sql,
+    "q352_neyman" -> q352_sql,
+    "q353_cuped" -> q353_sql)
+}

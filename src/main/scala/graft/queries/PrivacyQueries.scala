@@ -62,9 +62,15 @@ object PrivacyQueries {
     * frame, so the corpus is scanned once. viol_rows·10⁶ stays inside
     * BIGINT until 9·10¹² released rows per event type; the division is
     * exact integral. */
-  def kAnonymity(rel: DataFrame): DataFrame = {
-    val cls = rel.groupBy(col("g"), col("day"))
-      .agg(count(lit(1)).as("c"))
+  def kAnonymity(rel: DataFrame): DataFrame =
+    kAnonymityFromClasses(rel.groupBy(col("g"), col("day"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The verdict half of [[kAnonymity]], parameterized by the class
+    * census (g, day, c) — shared with the streaming certification,
+    * whose census comes out of the state store instead of a batch
+    * groupBy. */
+  def kAnonymityFromClasses(cls: DataFrame): DataFrame = {
     cls.select(col("g"), col("c"),
         explode(array(lit(2L), lit(5L), lit(10L))).as("k_req"))
       .groupBy(col("g"), col("k_req"))

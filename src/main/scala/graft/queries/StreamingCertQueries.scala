@@ -1183,7 +1183,49 @@ object StreamingCertQueries {
   /** Same winners, same total order → q125's batch oracle verbatim. */
   val q344_sql: String = q268_sql
 
+  /** The k-anonymity gate under CHECKPOINT RECOVERY — the forty-fourth
+    * streaming cert and the ELEVENTH recovery shape, extending the
+    * durable-state family to the privacy audits: the live class census
+    * (one (seen, count) pair per (event_type, day) equivalence class —
+    * calendar-bounded state, the [[Streaming.gridCount]] monoid with the
+    * sensitive axis pinned to 0) is killed after two of the four staged
+    * files and resumed by a new incarnation from the same checkpoint.
+    * Counts are a +-monoid, so the readout (each class's max-`seen`
+    * emission across both incarnations) must equal the batch census —
+    * and the k-anonymity verdict is EXACTLY the place where recovery
+    * bugs surface loudest: a class count reset by a lost checkpoint
+    * looks like a small, suppressible class, flipping viol_classes /
+    * suppress_ppm against q346's batch oracle. The verdict half is
+    * [[PrivacyQueries.kAnonymityFromClasses]], shared with the batch
+    * query — only the census provenance differs. */
+  val q354_recovery_kanon: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("event_type").as("rf"),
+      expr("datediff(cast(ts as date), date'1970-01-01')").cast("long")
+        .as("a"),
+      lit(0L).as("b"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"))
+    val srcDir = stageOrderedBy(ev, d, "eventsKanonOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val cls = recoveringTable(s, srcDir, firstN = 2, tag = "q354_rec_kanon")(
+      st => Streaming.gridCount(
+        st.select(col("rf"), col("a"), col("b")).as[Streaming.CellObs]).toDF(),
+      ev.schema)
+      .groupBy(col("rf"), col("a"))
+      .agg(max(struct(col("seen"), col("c"))).as("f"))
+      .select(col("rf").as("g"),
+        date_format(date_add(to_date(lit("1970-01-01")),
+          col("a").cast("int")), "yyyy-MM-dd").as("day"),
+        col("f.c").as("c"))
+    PrivacyQueries.kAnonymityFromClasses(cls)
+  }
+  /** Same verdict, same census → q346's batch oracle verbatim. */
+  val q354_sql: String = PrivacyQueries.q346_sql
+
   val defs: Map[String, Q] = Map(
+    "q354_recovery_kanon" -> q354_recovery_kanon,
     "q344_recovery_priority" -> q344_recovery_priority,
     "q341_recovery_kmv" -> q341_recovery_kmv,
     "q340_recovery_cms" -> q340_recovery_cms,
@@ -1210,6 +1252,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q354_recovery_kanon" -> q354_sql,
     "q344_recovery_priority" -> q344_sql,
     "q341_recovery_kmv" -> q341_sql,
     "q340_recovery_cms" -> q340_sql,

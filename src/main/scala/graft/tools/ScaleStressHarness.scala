@@ -1253,7 +1253,81 @@ object ScaleStress {
     em.line(s"""{"summary":"round-11b privacy/calibration invariances at ${Reps}x duplication","kanon_census_exact_violations_zero":$kanonExact,"ldiv_structure_identical":$ldivStructural,"entropy_fp_max_delta":$entropyMaxDelta,"entropy_band_ok":${entropyMaxDelta <= 4},"tclose_bit_identical":$tcloseIdentical,"qnorm_means_bit_identical":$qnormExact,"isotonic_bit_identical":$isoExact,"linear":${kanonExact && ldivStructural && entropyMaxDelta <= 4 && tcloseIdentical && qnormExact && isoExact}}""")
   }
 
+  /** SCALESTRESS_r11b (second stage): the experimentation family (q351–
+    * q353) under 100× duplication. Provable transforms: Neyman moments
+    * are ratios of equally-scaled integers → sd and both allocations
+    * BIT-identical, strata counts ×100 exact; CUPED's θ is a ratio of
+    * ×10⁴-scaled moments → bit-identical, per-arm means scale ×100 and
+    * variances ×10⁴ up to the single readout floor (banded exactly);
+    * PSI's unsmoothed value is duplication-invariant and the add-one
+    * smoothing perturbation shrinks ∝ 1/n — certified to a ±64 fp band
+    * (0.001 bits). */
+  private val experiment: Family = (spark, sfDir, em) => {
+    import graft.queries.ExperimentQueries
+    def dup(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(spark.range(Reps).toDF("__rep"))).drop("__rep")
+      .repartition(64).localCheckpoint(true)
+    val relBase = Tables.events(spark, sfDir).select(
+      col("event_type").as("g"),
+      when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b"))
+        .as("half"),
+      expr("cast(get_json_object(props, '$.k') as long) div 10").as("b"))
+      .where(col("b").isNotNull).localCheckpoint(true)
+    def runPsi(rel: DataFrame): Map[String, Long] =
+      ExperimentQueries.psi(rel).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("psi_fp"))
+        .toMap
+    var p1: Map[String, Long] = Map.empty
+    em.stage("psi x1") { p1 = runPsi(relBase); p1.size.toLong }
+    var pK: Map[String, Long] = Map.empty
+    em.stage(s"psi x$Reps") { pK = runPsi(dup(relBase)); pK.size.toLong }
+    val psiMaxDelta = if (p1.isEmpty) Long.MaxValue
+      else p1.map { case (g, v) => math.abs(pK(g) - v) }.max
+
+    val docBase = Tables.documents(spark, sfDir).select(col("source"),
+      col("n_chars").cast("long").as("v")).localCheckpoint(true)
+    def runNey(docs: DataFrame): Map[String, (Long, Long, Long, Long)] =
+      ExperimentQueries.neyman(docs).collect().map { r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("n_h"),
+          r.getAs[Long]("sd_centi"), r.getAs[Long]("alloc_neyman"),
+          r.getAs[Long]("alloc_prop")))
+      }.toMap
+    var ny1: Map[String, (Long, Long, Long, Long)] = Map.empty
+    em.stage("neyman x1") { ny1 = runNey(docBase); ny1.size.toLong }
+    var nyK: Map[String, (Long, Long, Long, Long)] = Map.empty
+    em.stage(s"neyman x$Reps") { nyK = runNey(dup(docBase)); nyK.size.toLong }
+    val neymanExact = ny1.nonEmpty && ny1.forall { case (s, (n, sd, an, ap)) =>
+      nyK(s) == ((n * Reps, sd, an, ap)) }
+
+    val evBase = Tables.events(spark, sfDir).select(
+      col("user_id"),
+      when(dayofmonth(col("ts")) <= 15, lit(1)).otherwise(lit(0)).as("pre"),
+      expr("cast(round(value * 100) as bigint)").as("cents"))
+      .localCheckpoint(true)
+    def runCuped(ev: DataFrame): Map[Long, (Long, Long, Long, Long, Long, Long)] =
+      ExperimentQueries.cuped(ev).collect().map { r =>
+        r.getAs[Long]("arm") -> ((r.getAs[Long]("n_users"),
+          r.getAs[Long]("theta_ppm"), r.getAs[Long]("mean_y_ppm"),
+          r.getAs[Long]("mean_adj_ppm"), r.getAs[Long]("var_y_cents2"),
+          r.getAs[Long]("var_ratio_ppm")))
+      }.toMap
+    var c1: Map[Long, (Long, Long, Long, Long, Long, Long)] = Map.empty
+    em.stage("cuped x1") { c1 = runCuped(evBase); c1.size.toLong }
+    var cK: Map[Long, (Long, Long, Long, Long, Long, Long)] = Map.empty
+    em.stage(s"cuped x$Reps") { cK = runCuped(dup(evBase)); cK.size.toLong }
+    val cupedOk = c1.nonEmpty && c1.forall { case (arm, (n, th, my, ma, vy, vr)) =>
+      val (nK, thK, myK, maK, vyK, vrK) = cK(arm)
+      nK == n && thK == th &&
+        math.abs(myK - Reps.toLong * my) <= Reps.toLong &&
+        math.abs(maK - Reps.toLong * ma) <= Reps.toLong &&
+        math.abs(vyK - Reps.toLong * Reps * vy) <= Reps.toLong * Reps &&
+        math.abs(vrK - vr) <= 1000L
+    }
+    em.line(s"""{"summary":"round-11b experimentation invariances at ${Reps}x duplication","psi_fp_max_delta":$psiMaxDelta,"psi_band_ok":${psiMaxDelta <= 64},"neyman_bit_identical":$neymanExact,"cuped_theta_identical_scaling_banded":$cupedOk,"linear":${psiMaxDelta <= 64 && neymanExact && cupedOk}}""")
+  }
+
   private val families: Map[String, (Family, String)] = Map(
+    "experiment" -> ((experiment, "/root/testdata/sf0.1")),
     "privacy" -> ((privacy, "/root/testdata/sf0.1")),
     "resampling" -> ((resampling, "/root/testdata/sf0.1")),
     "agreement" -> ((agreement, "/root/testdata/sf0.1")),
