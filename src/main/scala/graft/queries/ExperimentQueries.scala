@@ -299,13 +299,65 @@ object ExperimentQueries {
       |    AS var_ratio_ppm
       |FROM o ORDER BY arm""".stripMargin
 
+  // ---- q355: sample-ratio-mismatch gate ------------------------------------
+
+  /** SRM — the sanity gate every experimentation platform runs BEFORE
+    * trusting a readout like q353: does the realized arm split of the
+    * 50/50 `user_id % 2` assignment actually look 50/50, overall and
+    * inside every event-type segment (segment-level SRM catches
+    * selective event loss that the overall split hides)? For two equal
+    * cells the chi-square statistic collapses to (n₀−n₁)²/n exactly, so
+    * it certifies with one integral division to ppm; the gate is the
+    * 95% critical value χ²₍₁₎ = 3.841459. The unit is the distinct USER
+    * per segment (assignment is per user, so duplicate events must not
+    * inflate the test): one distinct pass — (segment, arm, user) keys,
+    * corpus-reduced map-side — then a segment-bounded fold. A segment
+    * with zero users cannot occur (it wouldn't be a row); n > 0 always,
+    * so no divide guard is needed, but the 'overall' row is appended
+    * explicitly so the global gate is part of the same certified
+    * output. */
+  val q355_srm: Q = (s, d) => {
+    val u = Tables.events(s, d).select(col("event_type").as("g"),
+        col("user_id"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    val seg = u.select(col("g"), col("arm"), col("user_id")).distinct()
+      .unionByName(u.select(lit("overall").as("g"), col("arm"),
+        col("user_id")).distinct())
+    seg.groupBy(col("g"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("g").as("segment"), col("n0"), col("n1"),
+        expr(s"""cast(
+            cast(n0 - n1 as $dec) * (n0 - n1) * 1000000 div (n0 + n1)
+          as bigint)""").as("chi2_ppm"))
+      .withColumn("srm", col("chi2_ppm") > 3841459L)
+      .orderBy(col("segment"))
+  }
+  val q355_sql: String =
+    """WITH u AS (SELECT event_type AS g, user_id, user_id % 2 AS arm
+      |           FROM events),
+      |seg AS (SELECT DISTINCT g, arm, user_id FROM u
+      |        UNION ALL SELECT DISTINCT 'overall', arm, user_id FROM u),
+      |agg AS (SELECT g,
+      |          sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |          sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+      |        FROM seg GROUP BY 1)
+      |SELECT g AS segment, n0, n1,
+      |  ((n0 - n1)::HUGEINT * (n0 - n1) * 1000000 // (n0 + n1))::BIGINT
+      |    AS chi2_ppm,
+      |  (n0 - n1)::HUGEINT * (n0 - n1) * 1000000 // (n0 + n1) > 3841459
+      |    AS srm
+      |FROM agg ORDER BY segment""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q351_psi" -> q351_psi,
     "q352_neyman" -> q352_neyman,
-    "q353_cuped" -> q353_cuped)
+    "q353_cuped" -> q353_cuped,
+    "q355_srm" -> q355_srm)
 
   val oracles: Map[String, String] = Map(
     "q351_psi" -> q351_sql,
     "q352_neyman" -> q352_sql,
-    "q353_cuped" -> q353_sql)
+    "q353_cuped" -> q353_sql,
+    "q355_srm" -> q355_sql)
 }

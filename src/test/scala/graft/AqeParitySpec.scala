@@ -66,7 +66,15 @@ class AqeParitySpec extends SparkSpec {
     "q76_salted_agg",
     // the round-10 plan-locked statistics (broadcast grid, shared windows)
     "q326_spearman",
-    "q327_kendall_grid")
+    "q327_kendall_grid",
+    // round-11 additions: the t-closeness class x bucket grid (broadcast
+    // cross + zero-fill left join), the quantile-norm as-of sweep, the
+    // isotonic minimax's three bounded broadcast joins, and CUPED's
+    // moment-broadcast rejoin — each a join shape AQE could re-plan
+    "q348_t_closeness",
+    "q349_quantile_norm",
+    "q350_isotonic",
+    "q353_cuped")
 
   slice.foreach { name =>
     test(s"$name: identical rows with AQE off and on") {

@@ -165,6 +165,32 @@ class ExperimentSpec extends SparkSpec {
     assert(t.length == 1 && t(0).isNullAt(0))
   }
 
+  test("q355: segment SRM chi-square matches a recount; collapse is exact") {
+    val ev = graft.io.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val out = ExperimentQueries.q355_srm(spark, sf).collect()
+      .map(r => r.getAs[String]("segment") -> r).toMap
+    val segs = ev.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.toSeq).toMap +
+      ("overall" -> ev.map(_._2).distinct.toSeq)
+    assert(out.size == segs.size)
+    for ((seg, us) <- segs) {
+      val n0 = us.count(_ % 2 == 0).toLong; val n1 = us.size - n0
+      val chi2 = BigInt(n0 - n1) * (n0 - n1) * 1000000 / (n0 + n1)
+      val r = out(seg)
+      assert(r.getAs[Long]("n0") == n0 && r.getAs[Long]("n1") == n1,
+        s"$seg counts")
+      assert(r.getAs[Long]("chi2_ppm") == chi2.toLong, s"$seg chi2")
+      assert(r.getAs[Boolean]("srm") == (chi2 > 3841459L), s"$seg gate")
+      // the two-equal-cell collapse: (n0-n1)^2/n == sum (O-E)^2/E
+      val e = (n0 + n1) / 2.0
+      val full = (math.pow(n0 - e, 2) + math.pow(n1 - e, 2)) / e
+      assert(math.abs(full * 1e6 - chi2.toDouble) <= 1e6,
+        s"$seg collapse drifted: $full vs $chi2")
+    }
+  }
+
   // Plan locks: q351/q352 are single-pass aggregates over corpus rows with
   // bounded-frame joins after — no window anywhere, broadcast-only joins;
   // q353 is two grouped passes with a one-row broadcast — no window, and
@@ -173,7 +199,8 @@ class ExperimentSpec extends SparkSpec {
     for ((q, name) <- Seq(
         (ExperimentQueries.q351_psi, "q351"),
         (ExperimentQueries.q352_neyman, "q352"),
-        (ExperimentQueries.q353_cuped, "q353"))) {
+        (ExperimentQueries.q353_cuped, "q353"),
+        (ExperimentQueries.q355_srm, "q355"))) {
       val p = q(spark, sf).queryExecution.executedPlan.toString()
       assert(!p.contains("Window"), s"$name grew a window:\n$p")
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
