@@ -24,7 +24,7 @@ object SparkEntry {
       TextMiningQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++ CurationAuditQueries.defs ++
       MultimodalQueries.defs ++ InfoQueries.defs ++ EvalQueries.defs ++
       PrivacyQueries.defs ++ CalibrationQueries.defs ++
-      ExperimentQueries.defs ++
+      ExperimentQueries.defs ++ HypothesisQueries.defs ++
       StreamingQueries.defs ++ StreamingCertQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,6 +39,6 @@ object SparkEntry {
       MultimodalQueries.oracles ++
       InfoQueries.oracles ++ EvalQueries.oracles ++
       PrivacyQueries.oracles ++ CalibrationQueries.oracles ++
-      ExperimentQueries.oracles ++
+      ExperimentQueries.oracles ++ HypothesisQueries.oracles ++
       StreamingQueries.oracles ++ StreamingCertQueries.oracles
 }

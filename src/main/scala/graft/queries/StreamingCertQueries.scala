@@ -1224,7 +1224,48 @@ object StreamingCertQueries {
   /** Same verdict, same census → q346's batch oracle verbatim. */
   val q354_sql: String = PrivacyQueries.q346_sql
 
+  /** q356's HDR quantile registers under CHECKPOINT RECOVERY — the
+    * forty-fifth streaming cert and the TWELFTH recovery shape: the
+    * (count, min, max) register per (event_type, log-bucket) resumes
+    * from the state store and keeps absorbing observations. All three
+    * components are monoids, so the recovered registers — and every
+    * percentile bracket the readout derives from them — must
+    * hash-match q356's batch sketch exactly. This is the failure mode
+    * that matters for a live percentile gauge: a register count reset
+    * by a lost checkpoint shifts some bucket's cumulative rank and
+    * silently moves a p99 into the wrong bucket, which the bracket
+    * columns (lo/hi are registers too) make hash-visible. Two of the
+    * four (g, b, v, event_id)-ordered files process before the kill;
+    * the readout is each cell's max-`seen` emission across both
+    * incarnations, fed to the SAME
+    * [[HypothesisQueries.hdrQuantiles]] readout the batch query uses —
+    * only the register provenance differs. */
+  val q357_recovery_hdr: Q = (s, d) => {
+    import s.implicits._
+    // the fold is a pure monoid — insensitive to intra-file order — so
+    // the staged split only has to be REPRODUCIBLE, which range-staging
+    // on (g, b, v) makes it (duplicates land together; which file a
+    // duplicate run straddles is fixed by the memoized staging).
+    val staged = HypothesisQueries.hdrInput(s, d)
+      .withColumn("lfp", graft.functions.Ilog2.ilog2(col("v")))
+      .withColumn("b", expr("lfp div 8192"))
+      .select(col("g"), col("b"), col("v"))
+    val srcDir = stageOrderedBy(staged, d, "eventsHdrOrdered4", 4,
+      Seq(col("g"), col("b"), col("v")))
+    val reg = recoveringTable(s, srcDir, firstN = 2, tag = "q357_rec_hdr")(
+      st => Streaming.hdrSketch(st.as[Streaming.HdrObs]).toDF(),
+      staged.schema)
+      .groupBy(col("g"), col("b"))
+      .agg(max(struct(col("seen"), col("c"), col("lo"), col("hi"))).as("f"))
+      .select(col("g"), col("b"), col("f.c").as("c"), col("f.lo").as("lo"),
+        col("f.hi").as("hi"))
+    HypothesisQueries.hdrQuantiles(s, reg)
+  }
+  /** Same registers, same readout → q356's batch oracle verbatim. */
+  val q357_sql: String = HypothesisQueries.q356_sql
+
   val defs: Map[String, Q] = Map(
+    "q357_recovery_hdr" -> q357_recovery_hdr,
     "q354_recovery_kanon" -> q354_recovery_kanon,
     "q344_recovery_priority" -> q344_recovery_priority,
     "q341_recovery_kmv" -> q341_recovery_kmv,
@@ -1252,6 +1293,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q357_recovery_hdr" -> q357_sql,
     "q354_recovery_kanon" -> q354_sql,
     "q344_recovery_priority" -> q344_sql,
     "q341_recovery_kmv" -> q341_sql,

@@ -845,6 +845,41 @@ object Streaming {
       }
   }
 
+  case class HdrObs(g: String, b: Long, v: Long)
+  case class HdrBatchOut(g: String, b: Long, seen: Long, c: Long, lo: Long,
+                         hi: Long)
+
+  /** Stateful streaming HDR-HISTOGRAM register per (key, log-bucket):
+    * FOUR longs of state (batch counter, count, min, max) — the live
+    * form of [[graft.queries.HypothesisQueries.hdrRegisters]], and the
+    * percentile sketch a 100 TB ingest keeps warm. Every component is a
+    * monoid (sum / min / max), so micro-batch boundaries, shard order,
+    * and restarts cannot change the final registers; the readout takes
+    * each cell's max-`seen` emission and feeds the SAME
+    * `hdrQuantiles` readout the batch query uses. Buckets arrive
+    * pre-computed (ilog2 div 8192 on the batch side of the staging),
+    * keeping the state update pure compare-and-count. */
+  def hdrSketch(arrivals: Dataset[HdrObs]): Dataset[HdrBatchOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(o => (o.g, o.b))
+      .flatMapGroupsWithState[(Long, Long, Long, Long), HdrBatchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, Long), it: Iterator[HdrObs],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (seen, c, lo, hi) = state.getOption
+            .getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+          it.foreach { o => // min/max/count are order-insensitive: no sort
+            c += 1L
+            if (o.v < lo) lo = o.v
+            if (o.v > hi) hi = o.v
+          }
+          seen += 1L
+          state.update((seen, c, lo, hi))
+          Iterator.single(HdrBatchOut(key._1, key._2, seen, c, lo, hi))
+      }
+  }
+
   case class ConcBatchOut(key: Long, seen: Long, cur: Long, peak: Long,
                           t_at_peak: Long)
 

@@ -1326,7 +1326,192 @@ object ScaleStress {
     em.line(s"""{"summary":"round-11b experimentation invariances at ${Reps}x duplication","psi_fp_max_delta":$psiMaxDelta,"psi_band_ok":${psiMaxDelta <= 64},"neyman_bit_identical":$neymanExact,"cuped_theta_identical_scaling_banded":$cupedOk,"linear":${psiMaxDelta <= 64 && neymanExact && cupedOk}}""")
   }
 
+  /** SCALESTRESS_r11c: the hypothesis family (q356–q362) under 100×
+    * duplication. Provable transforms, asserted tight: HDR quantiles —
+    * the ceiling rank obeys ceil(ceil(K·pn/100)/K) = ceil(pn/100), so
+    * the selected bucket and its (lo, hi) bracket are INVARIANT while n
+    * scales ×100 exactly; Friedman — cell totals ×100 leave every
+    * within-block rank unchanged → all outputs bit-identical; Ljung–Box
+    * — y, num, den all scale so r_ppm and q_micro are bit-identical;
+    * energy distance — numerator and denominator both scale ×100⁴ →
+    * e_ppm bit-identical, t_milli ×100 within the single floor (±100);
+    * CvM — t_ppm ×100 within ±100; Brown–Forsythe — medians and
+    * z-means bit-identical, n_g ×100 exact, and F carries the
+    * (N−k)/(k−1) small-sample factor so it drifts by ≤ k/(n−k)
+    * relative (banded at 0.5% + quantization slack). */
+  private val hypothesis: Family = (spark, sfDir, em) => {
+    import graft.queries.HypothesisQueries
+    def dup(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(spark.range(Reps).toDF("__rep"))).drop("__rep")
+      .repartition(64).localCheckpoint(true)
+
+    val hdrBase = Tables.events(spark, sfDir).select(
+        col("event_type").as("g"),
+        expr("cast(round(value * 100) as bigint)").as("v"))
+      .where(col("v") >= 1).localCheckpoint(true)
+    def runHdr(ev: DataFrame): Map[(String, Long), (Long, Long, Long, Long, Long)] =
+      HypothesisQueries.hdrQuantiles(spark, HypothesisQueries.hdrRegisters(ev))
+        .collect().map { r =>
+          (r.getAs[String]("event_type"), r.getAs[Long]("p")) ->
+            ((r.getAs[Long]("n"), r.getAs[Long]("bucket"),
+              r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+              r.getAs[Long]("width_ppm")))
+        }.toMap
+    var h1: Map[(String, Long), (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage("hdr x1") { h1 = runHdr(hdrBase); h1.size.toLong }
+    var hK: Map[(String, Long), (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage(s"hdr x$Reps") { hK = runHdr(dup(hdrBase)); hK.size.toLong }
+    val hdrOk = h1.nonEmpty && h1.forall { case (key, (n, b, lo, hi, w)) =>
+      hK(key) == ((n * Reps, b, lo, hi, w)) }
+
+    val friBase = Tables.events(spark, sfDir).select(
+        expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type").as("g"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .localCheckpoint(true)
+    def runFri(ev: DataFrame): Map[String, (Long, Long, Long, Long)] =
+      HypothesisQueries.friedman(ev).collect().map { r =>
+        r.getAs[String]("event_type") -> ((r.getAs[Long]("r2_sum"),
+          r.getAs[Long]("n_blocks"), r.getAs[Long]("k"),
+          r.getAs[Long]("q_ppm")))
+      }.toMap
+    var f1: Map[String, (Long, Long, Long, Long)] = Map.empty
+    em.stage("friedman x1") { f1 = runFri(friBase); f1.size.toLong }
+    var fK: Map[String, (Long, Long, Long, Long)] = Map.empty
+    em.stage(s"friedman x$Reps") { fK = runFri(dup(friBase)); fK.size.toLong }
+    val friedmanExact = f1.nonEmpty && f1.forall { case (g, t) => fK(g) == t }
+
+    val bfBase = Tables.documents(spark, sfDir).select(col("source"),
+      col("n_chars").cast("long").as("v")).localCheckpoint(true)
+    def runBf(docs: DataFrame): Map[String, (Long, Long, Long, Long)] =
+      HypothesisQueries.brownForsythe(docs).collect().map { r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("n_g"),
+          r.getAs[Long]("med"), r.getAs[Long]("z_mean_ppm"),
+          r.getAs[Long]("f_ppm")))
+      }.toMap
+    var b1: Map[String, (Long, Long, Long, Long)] = Map.empty
+    em.stage("brown-forsythe x1") { b1 = runBf(bfBase); b1.size.toLong }
+    var bK: Map[String, (Long, Long, Long, Long)] = Map.empty
+    em.stage(s"brown-forsythe x$Reps") { bK = runBf(dup(bfBase)); bK.size.toLong }
+    val bfOk = b1.nonEmpty && b1.forall { case (s0, (ng, med, zm, fp)) =>
+      val (ngK, medK, zmK, fpK) = bK(s0)
+      ngK == ng * Reps && medK == med && zmK == zm &&
+        math.abs(fpK - fp) <= fp / 200 + 2000
+    }
+
+    val relBase = Tables.events(spark, sfDir).select(
+        col("event_type").as("g"),
+        when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b"))
+          .as("half"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("v"))
+      .where(col("v").isNotNull).localCheckpoint(true)
+    def runCvm(rel: DataFrame): Map[String, Long] =
+      HypothesisQueries.cramerVonMises(rel).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("t_ppm"))
+        .toMap
+    var c1: Map[String, Long] = Map.empty
+    em.stage("cvm x1") { c1 = runCvm(relBase); c1.size.toLong }
+    var cK: Map[String, Long] = Map.empty
+    em.stage(s"cvm x$Reps") { cK = runCvm(dup(relBase)); cK.size.toLong }
+    val cvmOk = c1.nonEmpty && c1.forall { case (g, t) =>
+      math.abs(cK(g) - Reps.toLong * t) <= Reps.toLong }
+
+    def runEn(rel: DataFrame): Map[String, (Long, Long)] =
+      HypothesisQueries.energyDistance(rel).collect().map { r =>
+        r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("e_ppm"), r.getAs[Long]("t_milli")))
+      }.toMap
+    var e1: Map[String, (Long, Long)] = Map.empty
+    em.stage("energy x1") { e1 = runEn(relBase); e1.size.toLong }
+    var eK: Map[String, (Long, Long)] = Map.empty
+    em.stage(s"energy x$Reps") { eK = runEn(dup(relBase)); eK.size.toLong }
+    val energyOk = e1.nonEmpty && e1.forall { case (g, (ep, tm)) =>
+      val (epK, tmK) = eK(g)
+      epK == ep && math.abs(tmK - Reps.toLong * tm) <= Reps.toLong }
+
+    val lbBase = Tables.events(spark, sfDir).select(
+        col("event_type").as("g"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .localCheckpoint(true)
+    def runLb(ev: DataFrame): Map[(String, Long), (Long, Long)] =
+      HypothesisQueries.ljungBox(ev).collect().map { r =>
+        (r.getAs[String]("event_type"), r.getAs[Long]("lag")) ->
+          ((r.getAs[Long]("r_ppm"), r.getAs[Long]("q_micro")))
+      }.toMap
+    var l1: Map[(String, Long), (Long, Long)] = Map.empty
+    em.stage("ljung-box x1") { l1 = runLb(lbBase); l1.size.toLong }
+    var lK: Map[(String, Long), (Long, Long)] = Map.empty
+    em.stage(s"ljung-box x$Reps") { lK = runLb(dup(lbBase)); lK.size.toLong }
+    val lbExact = l1.nonEmpty && l1.forall { case (key, t) => lK(key) == t }
+
+    // runs test / Wilcoxon: daily totals scale ×K, signs, ranks, runs and
+    // both z² are bit-identical
+    def runRuns(ev: DataFrame): Seq[Seq[Any]] =
+      HypothesisQueries.runsTest(ev).collect().toSeq.map(_.toSeq)
+    var r1: Seq[Seq[Any]] = Seq.empty
+    em.stage("runs x1") { r1 = runRuns(lbBase); r1.size.toLong }
+    var rK: Seq[Seq[Any]] = Seq.empty
+    em.stage(s"runs x$Reps") { rK = runRuns(dup(lbBase)); rK.size.toLong }
+    val runsExact = r1.nonEmpty && r1 == rK
+    def runWsr(ev: DataFrame): Seq[Seq[Any]] =
+      HypothesisQueries.wilcoxonSigned(ev).collect().toSeq.map(_.toSeq)
+    var w1: Seq[Seq[Any]] = Seq.empty
+    em.stage("wilcoxon x1") { w1 = runWsr(lbBase); w1.size.toLong }
+    var wK: Seq[Seq[Any]] = Seq.empty
+    em.stage(s"wilcoxon x$Reps") { wK = runWsr(dup(lbBase)); wK.size.toLong }
+    val wsrExact = w1.nonEmpty && w1 == wK
+
+    // HL / Cliff's δ: pair weights scale ×K² — the weighted-median rank
+    // identity keeps the shift invariant, δ's floor divides equally-scaled
+    // integers; n_pairs scales ×K² exactly
+    def runHl(rel: DataFrame): Map[String, (Long, Long)] =
+      HypothesisQueries.hodgesLehmann(rel).collect().map { r =>
+        r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_pairs"), r.getAs[Long]("hl_shift")))
+      }.toMap
+    var hl1: Map[String, (Long, Long)] = Map.empty
+    em.stage("hl x1") { hl1 = runHl(relBase); hl1.size.toLong }
+    var hlK: Map[String, (Long, Long)] = Map.empty
+    em.stage(s"hl x$Reps") { hlK = runHl(dup(relBase)); hlK.size.toLong }
+    val hlOk = hl1.nonEmpty && hl1.forall { case (g, (np, hs)) =>
+      hlK(g) == ((np * Reps * Reps, hs)) }
+    def runCd(rel: DataFrame): Map[String, (Long, Long)] =
+      HypothesisQueries.cliffsDelta(rel).collect().map { r =>
+        r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("delta_ppm"),
+            r.getAs[Long]("n_gt") + r.getAs[Long]("n_lt") +
+              r.getAs[Long]("n_eq")))
+      }.toMap
+    var cd1: Map[String, (Long, Long)] = Map.empty
+    em.stage("cliffs x1") { cd1 = runCd(relBase); cd1.size.toLong }
+    var cdK: Map[String, (Long, Long)] = Map.empty
+    em.stage(s"cliffs x$Reps") { cdK = runCd(dup(relBase)); cdK.size.toLong }
+    val cdOk = cd1.nonEmpty && cd1.forall { case (g, (dp, t)) =>
+      cdK(g) == ((dp, t * Reps * Reps)) }
+
+    // Mood's median: pooled median and per-source shares invariant; the
+    // per-group micro quantization makes χ² scale ×K within ±2K
+    def runMood(docs: DataFrame): (Map[String, (Long, Long, Long)], Long) = {
+      val rows = HypothesisQueries.moodMedian(docs).collect()
+      (rows.map { r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("pooled_median"),
+          r.getAs[Long]("n_g"), r.getAs[Long]("n_above")))
+      }.toMap, rows.head.getAs[Long]("chi2_ppm"))
+    }
+    var m1: (Map[String, (Long, Long, Long)], Long) = (Map.empty, 0L)
+    em.stage("mood x1") { m1 = runMood(bfBase); m1._1.size.toLong }
+    var mK: (Map[String, (Long, Long, Long)], Long) = (Map.empty, 0L)
+    em.stage(s"mood x$Reps") { mK = runMood(dup(bfBase)); mK._1.size.toLong }
+    val moodOk = m1._1.nonEmpty && m1._1.forall { case (s0, (med, ng, ag)) =>
+      mK._1(s0) == ((med, ng * Reps, ag * Reps)) } &&
+      math.abs(mK._2 - Reps.toLong * m1._2) <= 2L * Reps
+
+    em.line(s"""{"summary":"round-11c hypothesis-statistics invariances at ${Reps}x duplication","hdr_bracket_invariant_n_scales":$hdrOk,"friedman_bit_identical":$friedmanExact,"brown_forsythe_banded":$bfOk,"cvm_scales_within_floor":$cvmOk,"energy_e_bit_identical_t_scales":$energyOk,"ljung_box_bit_identical":$lbExact,"runs_bit_identical":$runsExact,"wilcoxon_bit_identical":$wsrExact,"hl_shift_invariant_pairs_scale":$hlOk,"cliffs_delta_bit_identical":$cdOk,"mood_median_invariant_chi2_banded":$moodOk,"linear":${hdrOk && friedmanExact && bfOk && cvmOk && energyOk && lbExact && runsExact && wsrExact && hlOk && cdOk && moodOk}}""")
+  }
+
   private val families: Map[String, (Family, String)] = Map(
+    "hypothesis" -> ((hypothesis, "/root/testdata/sf0.1")),
     "experiment" -> ((experiment, "/root/testdata/sf0.1")),
     "privacy" -> ((privacy, "/root/testdata/sf0.1")),
     "resampling" -> ((resampling, "/root/testdata/sf0.1")),

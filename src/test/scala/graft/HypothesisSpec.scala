@@ -1,0 +1,346 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.HypothesisQueries
+
+/** Round-11 distribution-statistics tests: every statistic in the
+  * hypothesis family is recomputed on sf0.001 by an INDEPENDENT
+  * driver-side implementation (BigInt arithmetic, the textbook formula
+  * rather than the engine's cross-multiplied form) — the DuckDB oracle
+  * certifies cross-engine exactness; these certify the MATH and lock
+  * the plan shapes (broadcast-only joins, no sort-merge, no cartesian,
+  * windows only inside bounded frames). */
+class HypothesisSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def events: Array[(String, Long, Long, Long)] =
+    graft.io.Tables.events(spark, sf).select(
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)"),
+        expr("unix_millis(ts) div 86400000"),
+        expr("cast(get_json_object(props, '$.k') as long)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q356: HDR bracket contains the true quantile; registers match") {
+    val ev = events.filter(_._2 >= 1)
+    val out = HypothesisQueries.q356_hdr_quantiles(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byType = ev.groupBy(_._1)
+    out.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      val p = r.getAs[Long]("p")
+      val vs = byType(g).map(_._2)
+      // naive register recount
+      val reg = vs.groupBy(v => graft.functions.Ilog2.impl(v) / 8192)
+      val n = vs.length.toLong
+      assert(r.getAs[Long]("n") == n, s"$g/$p n")
+      val rank = (p * n + 99) / 100
+      var cum = 0L
+      val (b, bvs) = reg.toSeq.sortBy(_._1).find { case (_, g2) =>
+        cum += g2.length; cum >= rank }.get
+      assert(r.getAs[Long]("bucket") == b, s"$g/$p bucket")
+      assert(r.getAs[Long]("lo") == bvs.min && r.getAs[Long]("hi") == bvs.max,
+        s"$g/$p register bounds")
+      // the certified bracket: the true ceiling-rank quantile is inside
+      val truth = vs.sorted.apply((rank - 1).toInt)
+      assert(truth >= bvs.min && truth <= bvs.max, s"$g/$p bracket")
+      // design bound: bucket spans at most a 2^(1/8) ratio
+      assert(r.getAs[Long]("width_ppm") <= 90508L, s"$g/$p width")
+    }
+  }
+
+  test("q358: Friedman matches a textbook BigInt recount") {
+    val cells = events.groupBy(e => (e._3, e._1)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val k = cells.keys.map(_._2).toSet.size
+    val complete = cells.groupBy(_._1._1).filter(_._2.size == k)
+    val n = complete.size
+    // within-block ×2 average ranks
+    val r2 = complete.toSeq.flatMap { case (_, m) =>
+      val vs = m.toSeq.map { case ((_, g), v) => (g, v) }
+      vs.map { case (g, v) =>
+        (g, vs.count(_._2 < v).toLong + vs.count(_._2 <= v).toLong + 1L) }
+    }
+    val r2sum = r2.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val a4 = r2.map(x => BigInt(x._2) * x._2).sum
+    val c4 = BigInt(n) * k * (k + 1) * (k + 1)
+    val s4 = r2sum.values.map(rj => BigInt(rj - n.toLong * (k + 1)).pow(2)).sum
+    val qPpm = ((k - 1) * s4 * 1000000 / (a4 - c4)).toLong
+    val out = HypothesisQueries.q358_friedman(spark, sf).collect()
+    assert(out.length == k)
+    out.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("r2_sum") == r2sum(g), s"$g r2_sum")
+      assert(r.getAs[Long]("n_blocks") == n.toLong && r.getAs[Long]("k") == k.toLong)
+      assert(r.getAs[Long]("q_ppm") == qPpm, s"$g q_ppm")
+    }
+    // sanity: ×2 ranks across the n complete blocks must sum to n·k(k+1)
+    assert(r2.map(_._2).sum == n.toLong * k * (k + 1))
+  }
+
+  test("q359: Brown–Forsythe matches a BigInt recount with lower medians") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val per = docs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val med = per.map { case (s0, vs) => s0 -> vs((vs.length - 1) / 2) }
+    val zm = per.map { case (s0, vs) =>
+      val zs = vs.map(v => (v - med(s0)).abs)
+      (s0, (vs.length.toLong, zs.map(BigInt(_)).sum,
+        zs.map(z => BigInt(z) * z).sum))
+    }
+    val nTot = zm.values.map(_._1).sum
+    val zTot = zm.values.map(_._2).sum
+    val k = zm.size
+    val ssb = zm.values.map { case (ng, zg, _) =>
+      (zg * nTot - zTot * ng).pow(2) * 1000000 / (BigInt(ng) * nTot * nTot) }.sum
+    val ssw = zm.values.map { case (ng, zg, zzg) =>
+      (ng * zzg - zg * zg) * 1000000 / ng }.sum
+    val fPpm = ((nTot - k) * ssb * 1000000 / ((k - 1) * ssw)).toLong
+    val out = HypothesisQueries.q359_brown_forsythe(spark, sf).collect()
+    assert(out.length == k)
+    out.foreach { r =>
+      val s0 = r.getAs[String]("source")
+      val (ng, zg, _) = zm(s0)
+      assert(r.getAs[Long]("n_g") == ng && r.getAs[Long]("med") == med(s0))
+      assert(r.getAs[Long]("z_mean_ppm") == (zg * 1000000 / ng).toLong)
+      assert(r.getAs[Long]("f_ppm") == fPpm, s"$s0 f_ppm")
+    }
+  }
+
+  test("q360/q361: CvM and energy distance match BigInt recounts") {
+    val rel = events.filter(_._4 >= 0)
+    val byType = rel.groupBy(_._1)
+    val cvm = HypothesisQueries.q360_cramer_von_mises(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val en = HypothesisQueries.q361_energy_distance(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    byType.foreach { case (g, rows) =>
+      val a = rows.filter(e => dayOf(e._3) <= 15).map(_._4)
+      val b = rows.filter(e => dayOf(e._3) > 15).map(_._4)
+      val (n, m) = (BigInt(a.length), BigInt(b.length))
+      // CvM over the pooled points (Anderson's representation)
+      val support = (a ++ b).distinct.sorted
+      val num = support.map { v =>
+        val w = BigInt(a.count(_ == v) + b.count(_ == v))
+        val d = BigInt(a.count(_ <= v)) * m - BigInt(b.count(_ <= v)) * n
+        w * d * d
+      }.sum
+      val tPpm = (num * 1000000 / (n * m * (n + m) * (n + m))).toLong
+      val rc = cvm(g)
+      assert(rc.getAs[Long]("n_a") == n.toLong && rc.getAs[Long]("n_b") == m.toLong)
+      assert(rc.getAs[Long]("t_ppm") == tPpm, s"$g cvm")
+      // energy distance, V-statistic form
+      def cross(x: Array[Long], y: Array[Long]): BigInt =
+        x.map(v1 => y.map(v2 => BigInt((v1 - v2).abs)).sum).sum
+      val (axy, bxx, cyy) = (cross(a, b), cross(a, a), cross(b, b))
+      val numE = 2 * axy * n * m - bxx * m * m - cyy * n * n
+      val re = en(g)
+      assert(re.getAs[Long]("e_ppm") == (numE * 1000000 / (n * n * m * m)).toLong)
+      assert(re.getAs[Long]("t_milli") == (numE * 1000 / (n * m * (n + m))).toLong)
+      assert(numE >= 0, s"$g energy nonneg") // zero iff equal distributions
+    }
+  }
+
+  private def dayOf(dayIdx: Long): Int = {
+    // events span Jan 2024; dayofmonth == day-index − index(Jan 1) + 1
+    val jan1 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    (dayIdx - jan1 + 1).toInt
+  }
+
+  test("q362: Ljung–Box matches a BigInt recount (signed truncation)") {
+    val daily = events.groupBy(e => (e._1, e._3)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val out = HypothesisQueries.q362_ljung_box(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byType = daily.groupBy(_._1._1)
+    byType.foreach { case (g, m) =>
+      val series = m.toSeq.map { case ((_, d0), x) => (d0, x) }.sortBy(_._1)
+      val n = BigInt(series.length)
+      val sx = series.map(e => BigInt(e._2)).sum
+      val y = series.map { case (d0, x) => (d0, n * x - sx) }.toMap
+      val den = y.values.map(v => v * v).sum
+      // BigInt / truncates toward zero — the verified div semantics
+      def tdiv(a: BigInt, b: BigInt): BigInt = a / b
+      val rPpm = (1 to 7).map { kk =>
+        val num = y.toSeq.map { case (d0, yv) =>
+          y.get(d0 + kk).map(_ * yv).getOrElse(BigInt(0)) }.sum
+        kk.toLong -> tdiv(num * 1000000, den).toLong
+      }.toMap
+      val qsum = rPpm.map { case (kk, r0) =>
+        BigInt(r0) * r0 / (n - kk) }.sum
+      val qMicro = (n * (n + 2) * qsum / 1000000).toLong
+      out.filter(_.getAs[String]("event_type") == g).foreach { r =>
+        val kk = r.getAs[Long]("lag")
+        assert(r.getAs[Long]("n_days") == n.toLong)
+        assert(r.getAs[Long]("r_ppm") == rPpm(kk), s"$g lag $kk")
+        assert(r.getAs[Long]("q_micro") == qMicro, s"$g q_micro")
+        assert(r.getAs[Boolean]("white_noise") == (qMicro <= 14067140L))
+      }
+    }
+  }
+
+  test("hypothesis family plan locks: broadcast-only joins, bounded windows") {
+    HypothesisQueries.defs.foreach { case (name, q) =>
+      val plan = planOf(q(spark, sf))
+      assert(!plan.contains("SortMergeJoin"), s"$name sort-merge join")
+      assert(!plan.contains("CartesianProduct"), s"$name cartesian")
+    }
+    // the register builder reduces the corpus before any join: exactly one
+    // corpus-scale exchange (the groupBy) feeds the q356 readout
+    val plan356 = planOf(HypothesisQueries.q356_hdr_quantiles(spark, sf))
+    assert(plan356.contains("BroadcastNestedLoopJoin") ||
+      plan356.contains("BroadcastHashJoin"), "q356 percentile join broadcast")
+  }
+
+  test("q363: runs test matches a driver recount of the sign sequence") {
+    val daily = events.groupBy(e => (e._1, e._3)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val out = HypothesisQueries.q363_runs_test(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    daily.groupBy(_._1._1).foreach { case (g, m) =>
+      val series = m.toSeq.map { case ((_, d0), x) => (d0, x) }.sortBy(_._1)
+      val med = series.map(_._2).sorted.apply((series.length - 1) / 2)
+      val kept = series.filter(_._2 != med).map(e => e._2 > med)
+      val (a, b) = (kept.count(identity).toLong, kept.count(!_).toLong)
+      val runs = 1L + kept.zip(kept.tail).count { case (x, y) => x != y }
+      val n = a + b
+      val num = BigInt((runs - 1) * n - 2 * a * b)
+      val z2 = (num * num * (n - 1) * 1000000 /
+        (BigInt(2) * a * b * (2 * a * b - n))).toLong
+      val r = out(g)
+      assert(r.getAs[Long]("n_days") == n && r.getAs[Long]("n_above") == a &&
+        r.getAs[Long]("n_below") == b && r.getAs[Long]("runs") == runs, s"$g")
+      assert(r.getAs[Long]("z2_ppm") == z2, s"$g z2")
+      assert(r.getAs[Boolean]("random_order") == (z2 <= 3841459L))
+    }
+  }
+
+  test("q364/q365: HL shift and Cliff's delta match pairwise recounts") {
+    val rel = events.filter(_._4 >= 0)
+    val hl = HypothesisQueries.q364_hodges_lehmann(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val cd = HypothesisQueries.q365_cliffs_delta(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    rel.groupBy(_._1).foreach { case (g, rows) =>
+      val a = rows.filter(e => dayOf(e._3) <= 15).map(_._4)
+      val b = rows.filter(e => dayOf(e._3) > 15).map(_._4)
+      val diffs = (for (x <- a; y <- b) yield y - x).sorted
+      val t = diffs.length.toLong
+      val hlTrue = diffs(((t + 1) / 2 - 1).toInt) // lower median, rank (t+1) div 2
+      val rh = hl(g)
+      assert(rh.getAs[Long]("n_pairs") == t && rh.getAs[Long]("hl_shift") == hlTrue,
+        s"$g hl")
+      val (gt, lt, eq) = (diffs.count(_ > 0).toLong, diffs.count(_ < 0).toLong,
+        diffs.count(_ == 0).toLong)
+      val delta = (BigInt(gt - lt) * 1000000 / t).toLong
+      val rc = cd(g)
+      assert(rc.getAs[Long]("n_gt") == gt && rc.getAs[Long]("n_lt") == lt &&
+        rc.getAs[Long]("n_eq") == eq && rc.getAs[Long]("delta_ppm") == delta,
+        s"$g cliff")
+      val mag = if (delta.abs < 147000) "negligible"
+        else if (delta.abs < 330000) "small"
+        else if (delta.abs < 474000) "medium" else "large"
+      assert(rc.getAs[String]("magnitude") == mag, s"$g magnitude")
+    }
+  }
+
+  test("q366: Mood's median matches a BigInt recount on the pooled split") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = docs.map(_._2).sorted
+    val m = all((all.length - 1) / 2)
+    val per = docs.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.count(_._2 > m).toLong) }.toMap
+    val nTot = per.values.map(_._1).sum
+    val aTot = per.values.map(_._2).sum
+    val tsum = per.values.map { case (ng, ag) =>
+      BigInt(ag * nTot - ng * aTot).pow(2) * 1000000 / ng }.sum
+    val chi2 = (tsum / (BigInt(aTot) * (nTot - aTot))).toLong
+    val out = HypothesisQueries.q366_mood_median(spark, sf).collect()
+    assert(out.length == per.size)
+    out.foreach { r =>
+      val s0 = r.getAs[String]("source")
+      assert(r.getAs[Long]("pooled_median") == m)
+      assert(r.getAs[Long]("n_g") == per(s0)._1 &&
+        r.getAs[Long]("n_above") == per(s0)._2, s"$s0 counts")
+      assert(r.getAs[Long]("chi2_ppm") == chi2, s"$s0 chi2")
+      if (per.size == 20)
+        assert(r.getAs[Boolean]("homogeneous") == (chi2 <= 30143527L))
+      else assert(r.isNullAt(r.fieldIndex("homogeneous")), s"$s0 df guard")
+    }
+  }
+
+  test("q367: Wilcoxon signed-rank matches a recount over the day pairing") {
+    val daily = events.groupBy(e => (e._1, e._3)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val d0 = daily.keys.map(_._2).min
+    val out = HypothesisQueries.q367_wilcoxon_signed(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    daily.groupBy(_._1._1).foreach { case (g, m) =>
+      val s2 = m.map { case ((_, d), x) => d -> x }
+      val diffs = (d0 until d0 + 15).flatMap { d =>
+        for (x <- s2.get(d); y <- s2.get(d + 15)) yield y - x
+      }.filter(_ != 0L)
+      val n = diffs.length.toLong
+      val ads = diffs.map(_.abs)
+      val w2 = diffs.filter(_ > 0).map { dv =>
+        ads.count(_ < dv.abs).toLong + ads.count(_ <= dv.abs).toLong + 1L }.sum
+      val e2 = n * (n + 1) / 2
+      val tie3 = ads.groupBy(identity).values
+        .map(t => BigInt(t.size).pow(3) - t.size).sum
+      val z2 = (BigInt(w2 - e2).pow(2) * 12 * 1000000 /
+        (BigInt(2) * n * (n + 1) * (2 * n + 1) - tie3)).toLong
+      val r = out(g)
+      assert(r.getAs[Long]("n_pairs") == n && r.getAs[Long]("w2") == w2 &&
+        r.getAs[Long]("e2") == e2, s"$g moments")
+      assert(r.getAs[Long]("z2_ppm") == z2, s"$g z2")
+      assert(r.getAs[Boolean]("shifted") == (z2 > 3841459L))
+    }
+  }
+
+  // NOTE: register mergeability at corpus scale is certified by
+  // q357_recovery_hdr vs q356's batch oracle; this unit test pins the
+  // (count, min, max) fold and the cross-boundary state carry.
+  test("hdrSketch: registers carry across micro-batch boundaries") {
+    import graft.streaming.Streaming
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.HdrObs]
+    mem.addData(Streaming.HdrObs("a", 3L, 9L), Streaming.HdrObs("a", 3L, 12L),
+      Streaming.HdrObs("b", 0L, 1L))
+    mem.addData(Streaming.HdrObs("a", 3L, 8L)) // new min for the cell
+    val name = "hdr_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Streaming.hdrSketch(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val fin = spark.table(name).groupBy("g", "b")
+      .agg(max(struct(col("seen"), col("c"), col("lo"), col("hi"))).as("f"))
+      .select(col("g"), col("b"), col("f.c"), col("f.lo"), col("f.hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(fin == Seq(("a", 3L, 3L, 8L, 12L), ("b", 0L, 1L, 1L, 1L)))
+  }
+
+  test("hdrQuantiles: degenerate single-value corpus collapses to one bucket") {
+    import spark.implicits._
+    val one = Seq(("t", 7L), ("t", 7L), ("t", 7L)).toDF("g", "v")
+    val out = HypothesisQueries.hdrQuantiles(spark,
+      HypothesisQueries.hdrRegisters(one)).collect()
+    assert(out.length == 3) // one row per percentile
+    out.foreach { r =>
+      assert(r.getAs[Long]("lo") == 7L && r.getAs[Long]("hi") == 7L &&
+        r.getAs[Long]("width_ppm") == 0L)
+    }
+  }
+}
