@@ -250,7 +250,8 @@ object HypothesisQueries {
           (n_g * zz_g - z_g * z_g) * 1000000 div cast(n_g as $dec)"""))
       .localCheckpoint(true) // consumers: F fold + per-source readout
     val f = terms.agg(max(col("n_tot")).as("n_tot"), max(col("k")).as("k"),
-        sum(col("ssb_micro")).as("ssb"), sum(col("ssw_micro")).as("ssw"))
+        sum(col("ssb_micro").cast(dec)).as("ssb"), // long terms, wide sums:
+        sum(col("ssw_micro").cast(dec)).as("ssw")) // the oracle sums HUGEINT
       .select(col("n_tot"), col("k"),
         expr(s"""cast(cast(n_tot - k as $dec) * ssb * 1000000
           div nullif(cast(k - 1 as $dec) * ssw, 0) as bigint)""").as("f_ppm"))
@@ -719,7 +720,12 @@ object HypothesisQueries {
     * asks if LOCATIONS do, with no moment assumptions at all. The
     * verdict gates at χ²₁₉;0.95 = 30.143527 and is NULL for any other
     * df (the constant is the 20-source corpus's; emitting a wrong-df
-    * verdict would be a silent lie). */
+    * verdict would be a silent lie). Overflow design: the micro term
+    * grows as n_g·N²·10⁶ and Spark's decimal-dividend `div` WRAPS a
+    * long result silently (caught at the 100× stress), so the term is
+    * built by quotient–remainder decomposition and stays DECIMAL; the
+    * long-riding quotient (≤ n_g·N²) is safe to ~5·10⁶ docs at full
+    * skew — past that, quantize terms to ppm. */
   def moodMedian(docs: DataFrame): DataFrame = {
     val cnt = docs.groupBy(col("source"), col("v"))
       .agg(count(lit(1)).as("c"))
@@ -736,10 +742,21 @@ object HypothesisQueries {
       .localCheckpoint(true) // consumers: totals + per-source terms
     val tot = per.agg(sum(col("n_g")).as("n_tot"), sum(col("a_g")).as("a_tot"),
       count(lit(1)).as("k"))
+    // t_micro grows as n_g·N²·10⁶ — past 2⁶³ by ~10⁵ docs/group at full
+    // skew, and Spark's decimal-dividend `div` WRAPS the long result
+    // silently (caught by the 100× stress: five wrapped terms turned
+    // χ²×100 into χ²×13.5). Quotient–remainder decomposition keeps the
+    // term in DECIMAL with the IDENTICAL floor value: d²·10⁶ div n =
+    // (d² div n)·10⁶ + ((d² mod n)·10⁶ div n), and only the quotient
+    // (≤ n_g·N², long-safe to ~5·10⁶ docs at full skew — past that,
+    // quantize to ppm) rides a long.
     val terms = per.crossJoin(broadcast(tot))
-      .withColumn("t_micro", expr(s"""
-          cast(a_g * n_tot - n_g * a_tot as $dec)
-            * (a_g * n_tot - n_g * a_tot) * 1000000 div n_g"""))
+      .withColumn("d2", expr(s"""cast(a_g * n_tot - n_g * a_tot as $dec)
+          * (a_g * n_tot - n_g * a_tot)"""))
+      .withColumn("qq", expr("d2 div n_g"))
+      .withColumn("rr", expr(s"cast(d2 - cast(qq as $dec) * n_g as bigint)"))
+      .withColumn("t_micro",
+        expr(s"cast(qq as $dec) * 1000000 + rr * 1000000 div n_g"))
     val chi = terms.agg(max(col("n_tot")).as("n_tot"),
         max(col("a_tot")).as("a_tot"), max(col("k")).as("k"),
         sum(col("t_micro")).as("tsum"))

@@ -1383,20 +1383,25 @@ object ScaleStress {
 
     val bfBase = Tables.documents(spark, sfDir).select(col("source"),
       col("n_chars").cast("long").as("v")).localCheckpoint(true)
-    def runBf(docs: DataFrame): Map[String, (Long, Long, Long, Long)] =
+    def runBf(docs: DataFrame): Map[String, (Long, Long, Long, Long, Long, Long)] =
       HypothesisQueries.brownForsythe(docs).collect().map { r =>
         r.getAs[String]("source") -> ((r.getAs[Long]("n_g"),
           r.getAs[Long]("med"), r.getAs[Long]("z_mean_ppm"),
-          r.getAs[Long]("f_ppm")))
+          r.getAs[Long]("f_ppm"), r.getAs[Long]("n_tot"),
+          r.getAs[Long]("k")))
       }.toMap
-    var b1: Map[String, (Long, Long, Long, Long)] = Map.empty
+    var b1: Map[String, (Long, Long, Long, Long, Long, Long)] = Map.empty
     em.stage("brown-forsythe x1") { b1 = runBf(bfBase); b1.size.toLong }
-    var bK: Map[String, (Long, Long, Long, Long)] = Map.empty
+    var bK: Map[String, (Long, Long, Long, Long, Long, Long)] = Map.empty
     em.stage(s"brown-forsythe x$Reps") { bK = runBf(dup(bfBase)); bK.size.toLong }
-    val bfOk = b1.nonEmpty && b1.forall { case (s0, (ng, med, zm, fp)) =>
-      val (ngK, medK, zmK, fpK) = bK(s0)
+    // F is a test statistic: ssb/ssw scale ×K but the (N−k)/(k−1)
+    // small-sample factor makes the exact transform
+    // F_K = F_1·(K·N−k)/(N−k) up to the term-quantization floors
+    val bfOk = b1.nonEmpty && b1.forall { case (s0, (ng, med, zm, fp, nt, k)) =>
+      val (ngK, medK, zmK, fpK, _, _) = bK(s0)
+      val expected = (BigInt(fp) * (Reps.toLong * nt - k) / (nt - k)).toLong
       ngK == ng * Reps && medK == med && zmK == zm &&
-        math.abs(fpK - fp) <= fp / 200 + 2000
+        math.abs(fpK - expected) <= expected / 500 + 2000
     }
 
     val relBase = Tables.events(spark, sfDir).select(
@@ -1490,8 +1495,11 @@ object ScaleStress {
     val cdOk = cd1.nonEmpty && cd1.forall { case (g, (dp, t)) =>
       cdK(g) == ((dp, t * Reps * Reps)) }
 
-    // Mood's median: pooled median and per-source shares invariant; the
-    // per-group micro quantization makes χ² scale ×K within ±2K
+    // Mood's median: pooled median and per-source shares invariant; χ² is
+    // a test statistic scaling ×K exactly up to the per-group micro
+    // floors (±2K band). This stage is ALSO the wrap sentinel: before the
+    // quotient–remainder fix, five per-group terms passed 2⁶³ here and
+    // the silent long wrap turned ×100 into ×13.5.
     def runMood(docs: DataFrame): (Map[String, (Long, Long, Long)], Long) = {
       val rows = HypothesisQueries.moodMedian(docs).collect()
       (rows.map { r =>

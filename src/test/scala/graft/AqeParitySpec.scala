@@ -74,7 +74,15 @@ class AqeParitySpec extends SparkSpec {
     "q348_t_closeness",
     "q349_quantile_norm",
     "q350_isotonic",
-    "q353_cuped")
+    "q353_cuped",
+    // round-11 hypothesis family: the HDR percentile expansion (bounded
+    // windows + a broadcast nested-loop over 3 rows + a grid join back),
+    // the pairwise difference-weight grid with its weighted-median scan,
+    // and the Wilcoxon pairing join + tie-correction rejoin — the three
+    // join shapes the family adds that AQE could re-plan
+    "q356_hdr_quantiles",
+    "q364_hodges_lehmann",
+    "q367_wilcoxon_signed")
 
   slice.foreach { name =>
     test(s"$name: identical rows with AQE off and on") {
