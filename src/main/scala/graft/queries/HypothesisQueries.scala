@@ -890,7 +890,73 @@ object HypothesisQueries {
       |    AS shifted
       |FROM o ORDER BY event_type""".stripMargin
 
+  // ---- q368: per-type distribution-health gate (composition) ----------------
+
+  /** The round-11 capstone composition — one verdict row per event type
+    * wiring the family's gates into the release check a pipeline would
+    * run before trusting a type's metrics: (1) q360's CvM drift between
+    * the calendar halves, gated at the asymptotic 5% point T* = 0.461
+    * (Anderson 1962); (2) q365's Cliff's δ effect size, which must stay
+    * negligible/small — the drift gate says IS it drifting, the effect
+    * size says does it MATTER; (3) q362's Ljung–Box whiteness and (4)
+    * q363's runs randomness on the daily series — residual structure
+    * means the type needs a model, not a constant; (5) the q356 HDR p99
+    * bracket rides along as the certified tail-latency readout. Every
+    * member is the SAME code path as its standalone query (the oracle
+    * literally joins the member oracles as subqueries); the composition
+    * adds only |types|-bounded broadcast joins and a null-safe verdict
+    * (any NULL gate fails closed to unhealthy). */
+  val q368_distribution_gate: Q = (s, d) => {
+    val rel = halfRel(s, d).localCheckpoint(true) // consumers: cvm + delta
+    val daily = Tables.events(s, d).select(
+      col("event_type").as("g"),
+      expr("unix_millis(ts) div 86400000").as("day"),
+      expr("cast(round(value * 100) as bigint)").as("c"))
+      .localCheckpoint(true) // consumers: ljung-box + runs
+    val cvm = cramerVonMises(rel).select(col("event_type"), col("t_ppm"))
+    val cd = cliffsDelta(rel).select(col("event_type"), col("delta_ppm"),
+      col("magnitude"))
+    val lb = ljungBox(daily).groupBy(col("event_type"))
+      .agg(max(col("q_micro")).as("q_micro"),
+        min(col("white_noise")).as("white_noise"))
+    val rt = runsTest(daily).select(col("event_type"), col("z2_ppm"),
+      col("random_order"))
+    val hdr = hdrQuantiles(s, hdrRegisters(hdrInput(s, d)))
+      .where(col("p") === 99L)
+      .select(col("event_type"), col("lo").as("p99_lo"),
+        col("hi").as("p99_hi"))
+    cvm.join(broadcast(cd), Seq("event_type"))
+      .join(broadcast(lb), Seq("event_type"))
+      .join(broadcast(rt), Seq("event_type"))
+      .join(broadcast(hdr), Seq("event_type"))
+      .withColumn("healthy",
+        coalesce(col("t_ppm") <= 461000L, lit(false)) &&
+          col("magnitude").isin("negligible", "small") &&
+          coalesce(col("white_noise"), lit(false)) &&
+          coalesce(col("random_order"), lit(false)))
+      .orderBy(col("event_type"))
+  }
+  val q368_sql: String =
+    s"""WITH cvm AS (SELECT event_type, t_ppm FROM ($q360_sql)),
+       |cd AS (SELECT event_type, delta_ppm, magnitude FROM ($q365_sql)),
+       |lb AS (SELECT event_type, max(q_micro)::BIGINT AS q_micro,
+       |         bool_and(white_noise) AS white_noise
+       |       FROM ($q362_sql) GROUP BY 1),
+       |rt AS (SELECT event_type, z2_ppm, random_order FROM ($q363_sql)),
+       |hdr AS (SELECT event_type, lo AS p99_lo, hi AS p99_hi
+       |        FROM ($q356_sql) WHERE p = 99)
+       |SELECT cvm.event_type, t_ppm, delta_ppm, magnitude, q_micro,
+       |  white_noise, z2_ppm, random_order, p99_lo, p99_hi,
+       |  (coalesce(t_ppm <= 461000, false)
+       |   AND magnitude IN ('negligible', 'small')
+       |   AND coalesce(white_noise, false)
+       |   AND coalesce(random_order, false)) AS healthy
+       |FROM cvm JOIN cd USING (event_type) JOIN lb USING (event_type)
+       |  JOIN rt USING (event_type) JOIN hdr USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q368_distribution_gate" -> q368_distribution_gate,
     "q356_hdr_quantiles" -> q356_hdr_quantiles,
     "q358_friedman" -> q358_friedman,
     "q359_brown_forsythe" -> q359_brown_forsythe,
@@ -904,6 +970,7 @@ object HypothesisQueries {
     "q367_wilcoxon_signed" -> q367_wilcoxon_signed)
 
   val oracles: Map[String, String] = Map(
+    "q368_distribution_gate" -> q368_sql,
     "q356_hdr_quantiles" -> q356_sql,
     "q358_friedman" -> q358_sql,
     "q359_brown_forsythe" -> q359_sql,

@@ -1264,7 +1264,46 @@ object StreamingCertQueries {
   /** Same registers, same readout → q356's batch oracle verbatim. */
   val q357_sql: String = HypothesisQueries.q356_sql
 
+  /** The daily revenue register under CHECKPOINT RECOVERY, read out
+    * through the Ljung–Box gate — the forty-sixth streaming cert and
+    * THIRTEENTH recovery shape: [[Streaming.cellSum]] keeps one
+    * (seen, Σcents) pair per (event_type, day) cell (calendar-bounded
+    * state, the value-carrying sibling of the q354 census), killed
+    * after two of the four staged files and resumed by a new
+    * incarnation. Sums are a +-monoid, so the recovered daily frame —
+    * and every autocorrelation and the Q statistic q362 derives from
+    * it — must hash-match the batch oracle. This is the sharpest probe
+    * of the register family: a single day's total shifted by a lost or
+    * replayed batch perturbs EVERY lag's r_k through the shared mean
+    * and denominator, so the whiteness verdict amplifies recovery bugs
+    * the way the k-anonymity verdict amplifies census bugs. The readout
+    * half is [[HypothesisQueries.ljungBox]], shared with the batch
+    * query — only the daily-frame provenance differs. */
+  val q369_recovery_dailysum: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("event_type").as("rf"),
+      expr("unix_millis(ts) div 86400000").as("a"),
+      expr("cast(round(value * 100) as bigint)").as("v"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"))
+    val srcDir = stageOrderedBy(ev, d, "eventsDailySumOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val daily = recoveringTable(s, srcDir, firstN = 2,
+      tag = "q369_rec_dailysum")(
+      st => Streaming.cellSum(st.select(col("rf"), col("a"), col("v"))
+        .as[Streaming.CellSumObs]).toDF(),
+      ev.schema)
+      .groupBy(col("rf"), col("a"))
+      .agg(max(struct(col("seen"), col("s"))).as("f"))
+      .select(col("rf").as("g"), col("a").as("day"), col("f.s").as("c"))
+    HypothesisQueries.ljungBox(daily)
+  }
+  /** Same series, same readout → q362's batch oracle verbatim. */
+  val q369_sql: String = HypothesisQueries.q362_sql
+
   val defs: Map[String, Q] = Map(
+    "q369_recovery_dailysum" -> q369_recovery_dailysum,
     "q357_recovery_hdr" -> q357_recovery_hdr,
     "q354_recovery_kanon" -> q354_recovery_kanon,
     "q344_recovery_priority" -> q344_recovery_priority,
@@ -1293,6 +1332,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q369_recovery_dailysum" -> q369_sql,
     "q357_recovery_hdr" -> q357_sql,
     "q354_recovery_kanon" -> q354_sql,
     "q344_recovery_priority" -> q344_sql,

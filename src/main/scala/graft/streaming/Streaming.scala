@@ -845,6 +845,32 @@ object Streaming {
       }
   }
 
+  case class CellSumObs(rf: String, a: Long, v: Long)
+  case class CellSumOut(rf: String, a: Long, seen: Long, s: Long)
+
+  /** Stateful per-cell SUM register — the value-carrying sibling of
+    * [[gridCount]]: TWO longs of state per (rf, a) cell (batch counter,
+    * running sum), the live form of any calendar-bounded grouped total
+    * (daily revenue, hourly counts·weights). Sums are a +-monoid, so
+    * micro-batch boundaries and restarts cannot change them; the readout
+    * takes each cell's max-`seen` emission. Adds are `Math.addExact`
+    * so a value scale that would wrap the register fails fast. */
+  def cellSum(arrivals: Dataset[CellSumObs]): Dataset[CellSumOut] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(o => (o.rf, o.a))
+      .flatMapGroupsWithState[(Long, Long), CellSumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, Long), it: Iterator[CellSumObs],
+         state: GroupState[(Long, Long)]) =>
+          var (seen, s) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { o => s = Math.addExact(s, o.v) }
+          seen += 1L
+          state.update((seen, s))
+          Iterator.single(CellSumOut(key._1, key._2, seen, s))
+      }
+  }
+
   case class HdrObs(g: String, b: Long, v: Long)
   case class HdrBatchOut(g: String, b: Long, seen: Long, c: Long, lo: Long,
                          hi: Long)

@@ -307,6 +307,51 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("q368: the gate verdict equals the recomputed member predicate") {
+    val cvm = HypothesisQueries.q360_cramer_von_mises(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("t_ppm")).toMap
+    val mag = HypothesisQueries.q365_cliffs_delta(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[String]("magnitude"))
+      .toMap
+    val lb = HypothesisQueries.q362_ljung_box(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Boolean]("white_noise"))
+      .toMap
+    val rt = HypothesisQueries.q363_runs_test(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Boolean]("random_order"))
+      .toMap
+    val out = HypothesisQueries.q368_distribution_gate(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      val expect = cvm(g) <= 461000L &&
+        Set("negligible", "small")(mag(g)) && lb(g) && rt(g)
+      assert(r.getAs[Boolean]("healthy") == expect, s"$g verdict")
+      assert(r.getAs[String]("magnitude") == mag(g), s"$g magnitude passthrough")
+    }
+  }
+
+  test("cellSum: per-cell sums carry across micro-batch boundaries") {
+    import graft.streaming.Streaming
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.CellSumObs]
+    mem.addData(Streaming.CellSumObs("a", 1L, 10L),
+      Streaming.CellSumObs("a", 1L, 5L), Streaming.CellSumObs("b", 2L, -3L))
+    mem.addData(Streaming.CellSumObs("a", 1L, 7L)) // same cell, next batch
+    val name = "cellsum_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Streaming.cellSum(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val fin = spark.table(name).groupBy("rf", "a")
+      .agg(max(struct(col("seen"), col("s"))).as("f"))
+      .select(col("rf"), col("a"), col("f.s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(fin == Seq(("a", 1L, 22L), ("b", 2L, -3L)))
+  }
+
   // NOTE: register mergeability at corpus scale is certified by
   // q357_recovery_hdr vs q356's batch oracle; this unit test pins the
   // (count, min, max) fold and the cross-boundary state carry.
