@@ -445,9 +445,13 @@ object HypothesisQueries {
     * days simply contribute no pair. DECIMAL(38,0)-exact at 100 TB
     * natively: Σy² at 10¹² cents/day is ~10²⁸, ×10⁶ still in range.
     * A constant series (Σy² = 0) fails closed to NULL. */
-  /** Core over the raw (g, day, c) observation frame — the scale-stress
-    * harness feeds duplicated replicas through this entry point. */
-  def ljungBox(ev: DataFrame): DataFrame = {
+  /** Shared autocorrelation frame over the raw (g, day, c) observation
+    * rows: the mean-centered (y = n·x − Σx, integral) daily series'
+    * r_k in ppm for lags 1..7 — the sufficient statistic both the
+    * Ljung–Box gate (q362) and the Durbin–Levinson PACF ladder (q370)
+    * consume. One corpus pass to the ≤31·|types| daily frame; lag
+    * pairs from a broadcast self-join inside it. */
+  private[queries] def acfFrame(ev: DataFrame): DataFrame = {
     val daily = ev
       .groupBy(col("g"), col("day"))
       .agg(sum(col("c")).as("x"))
@@ -467,9 +471,15 @@ object HypothesisQueries {
         col("y").as("y2"))), Seq("g", "day2"))
       .groupBy(col("g"), col("k"))
       .agg(max(col("n")).as("n"), sum(expr("y * y2")).as("num"))
-    val r = num.join(broadcast(den), Seq("g"))
+    num.join(broadcast(den), Seq("g"))
       .withColumn("r_ppm",
         expr("cast(num * 1000000 div nullif(den, 0) as bigint)"))
+  }
+
+  /** Core over the raw (g, day, c) observation frame — the scale-stress
+    * harness feeds duplicated replicas through this entry point. */
+  def ljungBox(ev: DataFrame): DataFrame = {
+    val r = acfFrame(ev)
     val q = r.groupBy(col("g"))
       .agg(max(col("n")).as("n"),
         sum(expr(s"cast(r_ppm as $dec) * r_ppm div (n - k)")).as("qsum"))
@@ -486,8 +496,10 @@ object HypothesisQueries {
     col("event_type").as("g"),
     expr("unix_millis(ts) div 86400000").as("day"),
     expr("cast(round(value * 100) as bigint)").as("c")))
-  val q362_sql: String =
-    """WITH daily AS (SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+  /** The shared ACF CTE chain (daily → centered → lagged → r_ppm),
+    * spliced into both the q362 and q370 oracles. */
+  private val acfSql: String =
+    """daily AS (SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
       |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS x
       |  FROM events GROUP BY 1, 2),
       |mom AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
@@ -504,7 +516,10 @@ object HypothesisQueries {
       |        GROUP BY 1, 2),
       |r AS (SELECT num.g, k, n,
       |        (num * 1000000 // nullif(den, 0))::BIGINT AS r_ppm
-      |      FROM num JOIN den ON den.g = num.g),
+      |      FROM num JOIN den ON den.g = num.g)""".stripMargin
+
+  val q362_sql: String =
+    s"""WITH $acfSql,
       |q AS (SELECT g,
       |        (max(n) * (max(n) + 2)
       |         * sum(r_ppm::HUGEINT * r_ppm // (n - k)) // 1000000)::BIGINT
@@ -513,6 +528,177 @@ object HypothesisQueries {
       |SELECT r.g AS event_type, k AS lag, n AS n_days, r_ppm, q_micro,
       |  q_micro <= 14067140 AS white_noise
       |FROM r JOIN q ON q.g = r.g ORDER BY event_type, lag""".stripMargin
+
+  // ---- q370: PACF via the Durbin–Levinson ladder -----------------------------
+
+  /** Partial autocorrelations at lags 1..7 — the other half of the
+    * Box–Jenkins identification pair (q362's ACF says WHICH lags carry
+    * signal; the PACF says which carry signal NOT explained by shorter
+    * lags, i.e. the AR order). The Durbin–Levinson ladder runs in ppm
+    * fixed point with every division floored once per step (freeze-θ
+    * per rung): φ₁₁ = r₁; φ_kk = (r_k·10⁶ − Σφ_j·r_{k−j})·10⁶ div
+    * (10¹² − Σφ_j·r_j); φ_j ← φ_j − φ_kk·φ_{k−j} div 10⁶. The ladder is
+    * inherently sequential in k but its whole input is the |types|×7
+    * ACF frame, so it runs driver-side under the Bounded.collect
+    * license (1 024-row budget) — the 100 TB work is all in
+    * [[acfFrame]]'s one corpus pass. The ORACLE replays the identical
+    * ladder as a DuckDB recursive CTE folding the φ vector as a list —
+    * cross-engine bit-equality of a sequential fixed-point recursion.
+    * A zero denominator (degenerate series) fails closed: the ladder
+    * stops and later lags are absent, matching the oracle's recursion
+    * guard. */
+  /** Core over the raw (g, day, c) observation frame — the scale-stress
+    * harness feeds duplicated replicas through this entry point. */
+  def pacf(s: SparkSession, ev: DataFrame): DataFrame = {
+    val acf = acfFrame(ev)
+    val rows = graft.io.Bounded.collect(
+      acf.select(col("g"), col("k"), col("r_ppm")).orderBy(col("g"), col("k")),
+      1024, "ACF frame is |event types| x 7 lags")
+    val byG = rows.groupBy(_.getAs[String]("g"))
+    def tdiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt / truncates to zero
+    val out = byG.toSeq.flatMap { case (g, rs0) =>
+      val rs = rs0.sortBy(_.getAs[Long]("k")).map(_.getAs[Long]("r_ppm"))
+      var phi = Vector(BigInt(rs(0)))
+      val lads = scala.collection.mutable.ArrayBuffer((g, 1L, rs(0), rs(0)))
+      var k = 2
+      var alive = true
+      while (alive && k <= rs.length) {
+        val num = BigInt(rs(k - 1)) * 1000000 -
+          (1 until k).map(j => phi(j - 1) * rs(k - 1 - j)).sum
+        val den = BigInt("1000000000000") -
+          (1 until k).map(j => phi(j - 1) * rs(j - 1)).sum
+        if (den == 0) alive = false
+        else {
+          val pkk = tdiv(num * 1000000, den)
+          phi = (1 until k).map(j =>
+            phi(j - 1) - tdiv(pkk * phi(k - 1 - j), 1000000)).toVector :+ pkk
+          lads += ((g, k.toLong, rs(k - 1), pkk.toLong))
+          k += 1
+        }
+      }
+      lads
+    }
+    import s.implicits._
+    out.toDF("event_type", "lag", "r_ppm", "pacf_ppm")
+      .orderBy(col("event_type"), col("lag"))
+  }
+  val q370_pacf: Q = (s, d) => pacf(s, Tables.events(s, d).select(
+    col("event_type").as("g"),
+    expr("unix_millis(ts) div 86400000").as("day"),
+    expr("cast(round(value * 100) as bigint)").as("c")))
+  val q370_sql: String =
+    s"""WITH RECURSIVE $acfSql,
+       |rl AS (SELECT g, list(r_ppm ORDER BY k) AS rs FROM r GROUP BY 1),
+       |dl AS (
+       |  SELECT g, 1::BIGINT AS k, [rs[1]] AS phi FROM rl
+       |  UNION ALL
+       |  SELECT g, k + 1,
+       |    list_append(
+       |      list_transform(range(1, k + 1),
+       |        j -> phi[j] - (pkk * phi[k + 1 - j]) // 1000000),
+       |      pkk)
+       |  FROM (
+       |    SELECT dl.g, dl.k, dl.phi,
+       |      (((rs[(dl.k + 1)::INT] * 1000000
+       |         - coalesce(list_sum(list_transform(range(1, dl.k + 1),
+       |             j -> phi[j::INT] * rs[(dl.k + 1 - j)::INT])), 0))::HUGEINT
+       |        * 1000000)
+       |       // nullif(1000000000000 - coalesce(list_sum(
+       |            list_transform(range(1, dl.k + 1),
+       |              j -> phi[j::INT] * rs[j::INT])), 0), 0))::BIGINT AS pkk
+       |    FROM dl JOIN rl USING (g) WHERE dl.k < 7 AND len(rs) > dl.k
+       |  ) WHERE pkk IS NOT NULL
+       |)
+       |SELECT dl.g AS event_type, dl.k AS lag, rs[dl.k::INT] AS r_ppm,
+       |  phi[dl.k::INT] AS pacf_ppm
+       |FROM dl JOIN rl USING (g) ORDER BY event_type, lag""".stripMargin
+
+  // ---- q371: day-of-week seasonality strength --------------------------------
+
+  /** Weekly-seasonality strength of each type's daily revenue series:
+    * η² = SSB/SST over the day-of-week groups (dow = epoch-day mod 7, a
+    * stable weekly phase) — the variance share a seasonal model would
+    * explain, the diagnostic run before reaching for q279's
+    * Holt–Winters. Overflow design (the q366 wrap lesson, applied at
+    * authoring time): the cross-multiplied n²-scale SSB would push a
+    * corpus-growing value through IntegralDivide, so the MEANS are
+    * quantized once to micro-cents instead (m_d = S_d·10⁶ div n_d, the
+    * freeze-θ precedent; long-safe to ~$9·10¹⁰/day/type, documented)
+    * and every square then lives in DECIMAL: SSB = Σ n_d·(m_d − m)²,
+    * SST = Σ (x·10⁶ − m)². η² floors once to ppm; the one-way
+    * F = [(n−D)·SSB]/[(D−1)·(SST−SSB)] rides along in ppm (calendar-
+    * bounded — no growth). Constant series fail closed to NULL. One
+    * corpus pass to the daily frame; everything else lives in the
+    * ≤7·|types| dow frame. */
+  /** Core over the raw (g, day, c) observation frame — the scale-stress
+    * harness feeds duplicated replicas through this entry point. */
+  def seasonalityStrength(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("g"), col("day"))
+      .agg(sum(col("c")).as("x"))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+      .localCheckpoint(true) // consumers: dow groups, totals, SST pass
+    val dow = daily.groupBy(col("g"), col("dow"))
+      .agg(count(lit(1)).as("n_d"), sum(col("x")).cast(dec).as("s_d"))
+      .withColumn("m_d", expr("cast(s_d * 1000000 div n_d as bigint)"))
+    val tot = daily.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast(dec).as("s"),
+        countDistinct(col("dow")).as("n_dow"))
+      .withColumn("m", expr("cast(s * 1000000 div n as bigint)"))
+    val ssb = dow.join(broadcast(tot), Seq("g"))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("n_dow")).as("n_dow"),
+        sum(expr(s"n_d * cast(m_d - m as $dec) * (m_d - m)")).as("ssb"))
+    val sst = daily.join(broadcast(tot.select(col("g"), col("m"))), Seq("g"))
+      .groupBy(col("g"))
+      .agg(sum(expr(s"""cast(x * 1000000 - m as $dec)
+        * (x * 1000000 - m)""")).as("sst"))
+    val stats = ssb.join(broadcast(sst), Seq("g"))
+      .select(col("g"), col("n").as("n_days"), col("n_dow"),
+        expr("cast(ssb * 1000000 div nullif(sst, 0) as bigint)")
+          .as("eta2_ppm"),
+        expr(s"""cast(cast(n - n_dow as $dec) * ssb * 1000000
+            div nullif((n_dow - 1) * (sst - ssb), 0) as bigint)""")
+          .as("f_ppm"))
+    dow.select(col("g"), col("dow"), col("n_d"), col("m_d").as("mean_ppm"))
+      .join(broadcast(stats), Seq("g"))
+      .select(col("g").as("event_type"), col("dow"), col("n_d"),
+        col("mean_ppm"), col("n_days"), col("eta2_ppm"), col("f_ppm"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+  val q371_seasonality_strength: Q = (s, d) => seasonalityStrength(
+    Tables.events(s, d).select(
+      col("event_type").as("g"),
+      expr("unix_millis(ts) div 86400000").as("day"),
+      expr("cast(round(value * 100) as bigint)").as("c")))
+  val q371_sql: String =
+    """WITH daily AS (SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+      |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS x
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT g, day, x, day % 7 AS dow FROM daily),
+      |dw AS (SELECT g, dow, count(*)::BIGINT AS n_d, sum(x)::HUGEINT AS s_d
+      |       FROM dd GROUP BY 1, 2),
+      |dm AS (SELECT g, dow, n_d, (s_d * 1000000 // n_d)::BIGINT AS m_d
+      |       FROM dw),
+      |tot AS (SELECT g, count(*)::BIGINT AS n, sum(x)::HUGEINT AS s,
+      |          count(DISTINCT dow)::BIGINT AS n_dow
+      |        FROM dd GROUP BY 1),
+      |tm AS (SELECT g, n, n_dow, (s * 1000000 // n)::BIGINT AS m FROM tot),
+      |ssb AS (SELECT dm.g, max(n)::BIGINT AS n, max(n_dow)::BIGINT AS n_dow,
+      |          sum(n_d::HUGEINT * (m_d - m) * (m_d - m))::HUGEINT AS ssb
+      |        FROM dm JOIN tm ON tm.g = dm.g GROUP BY 1),
+      |sst AS (SELECT dd.g,
+      |          sum((x::HUGEINT * 1000000 - m)
+      |            * (x::HUGEINT * 1000000 - m))::HUGEINT AS sst
+      |        FROM dd JOIN tm ON tm.g = dd.g GROUP BY 1),
+      |o AS (SELECT ssb.g, n AS n_days, n_dow,
+      |        (ssb * 1000000 // nullif(sst, 0))::BIGINT AS eta2_ppm,
+      |        ((n - n_dow)::HUGEINT * ssb * 1000000
+      |         // nullif((n_dow - 1) * (sst - ssb), 0))::BIGINT AS f_ppm
+      |      FROM ssb JOIN sst ON sst.g = ssb.g)
+      |SELECT dm.g AS event_type, dow, n_d, m_d AS mean_ppm,
+      |  n_days, eta2_ppm, f_ppm
+      |FROM dm JOIN o ON o.g = dm.g ORDER BY event_type, dow""".stripMargin
 
   // ---- q363: Wald–Wolfowitz runs test ---------------------------------------
 
@@ -967,7 +1153,9 @@ object HypothesisQueries {
     "q364_hodges_lehmann" -> q364_hodges_lehmann,
     "q365_cliffs_delta" -> q365_cliffs_delta,
     "q366_mood_median" -> q366_mood_median,
-    "q367_wilcoxon_signed" -> q367_wilcoxon_signed)
+    "q367_wilcoxon_signed" -> q367_wilcoxon_signed,
+    "q370_pacf" -> q370_pacf,
+    "q371_seasonality_strength" -> q371_seasonality_strength)
 
   val oracles: Map[String, String] = Map(
     "q368_distribution_gate" -> q368_sql,
@@ -981,5 +1169,7 @@ object HypothesisQueries {
     "q364_hodges_lehmann" -> q364_sql,
     "q365_cliffs_delta" -> q365_sql,
     "q366_mood_median" -> q366_sql,
-    "q367_wilcoxon_signed" -> q367_sql)
+    "q367_wilcoxon_signed" -> q367_sql,
+    "q370_pacf" -> q370_sql,
+    "q371_seasonality_strength" -> q371_sql)
 }

@@ -1495,6 +1495,36 @@ object ScaleStress {
     val cdOk = cd1.nonEmpty && cd1.forall { case (g, (dp, t)) =>
       cdK(g) == ((dp, t * Reps * Reps)) }
 
+    // PACF: the ACF inputs scale exactly (y, num, den all carry the same
+    // K²), so every ladder rung is bit-identical. Seasonality: quantized
+    // means scale ×K within one floor each — on ppm-scale deviations the
+    // perturbation is ~1e-10 relative, so η²/F sit in a ±16 band.
+    def runPacf(ev: DataFrame): Seq[(String, Long, Long, Long)] =
+      HypothesisQueries.pacf(spark, ev).collect().map { r =>
+        (r.getAs[String]("event_type"), r.getAs[Long]("lag"),
+          r.getAs[Long]("r_ppm"), r.getAs[Long]("pacf_ppm"))
+      }.toSeq.sorted
+    var p1s: Seq[(String, Long, Long, Long)] = Seq.empty
+    em.stage("pacf x1") { p1s = runPacf(lbBase); p1s.size.toLong }
+    var pKs: Seq[(String, Long, Long, Long)] = Seq.empty
+    em.stage(s"pacf x$Reps") { pKs = runPacf(dup(lbBase)); pKs.size.toLong }
+    val pacfExact = p1s.nonEmpty && p1s == pKs
+    def runSea(ev: DataFrame): Map[(String, Long), (Long, Long, Long, Long)] =
+      HypothesisQueries.seasonalityStrength(ev).collect().map { r =>
+        (r.getAs[String]("event_type"), r.getAs[Long]("dow")) ->
+          ((r.getAs[Long]("n_d"), r.getAs[Long]("mean_ppm"),
+            r.getAs[Long]("eta2_ppm"), r.getAs[Long]("f_ppm")))
+      }.toMap
+    var s1: Map[(String, Long), (Long, Long, Long, Long)] = Map.empty
+    em.stage("seasonality x1") { s1 = runSea(lbBase); s1.size.toLong }
+    var sK: Map[(String, Long), (Long, Long, Long, Long)] = Map.empty
+    em.stage(s"seasonality x$Reps") { sK = runSea(dup(lbBase)); sK.size.toLong }
+    val seaOk = s1.nonEmpty && s1.forall { case (key, (nd, mp, e2, fp)) =>
+      val (ndK, mpK, e2K, fpK) = sK(key)
+      ndK == nd && math.abs(mpK - Reps.toLong * mp) <= Reps.toLong &&
+        math.abs(e2K - e2) <= 16L && math.abs(fpK - fp) <= 16L
+    }
+
     // Mood's median: pooled median and per-source shares invariant; χ² is
     // a test statistic scaling ×K exactly up to the per-group micro
     // floors (±2K band). This stage is ALSO the wrap sentinel: before the
@@ -1515,7 +1545,7 @@ object ScaleStress {
       mK._1(s0) == ((med, ng * Reps, ag * Reps)) } &&
       math.abs(mK._2 - Reps.toLong * m1._2) <= 2L * Reps
 
-    em.line(s"""{"summary":"round-11c hypothesis-statistics invariances at ${Reps}x duplication","hdr_bracket_invariant_n_scales":$hdrOk,"friedman_bit_identical":$friedmanExact,"brown_forsythe_banded":$bfOk,"cvm_scales_within_floor":$cvmOk,"energy_e_bit_identical_t_scales":$energyOk,"ljung_box_bit_identical":$lbExact,"runs_bit_identical":$runsExact,"wilcoxon_bit_identical":$wsrExact,"hl_shift_invariant_pairs_scale":$hlOk,"cliffs_delta_bit_identical":$cdOk,"mood_median_invariant_chi2_banded":$moodOk,"linear":${hdrOk && friedmanExact && bfOk && cvmOk && energyOk && lbExact && runsExact && wsrExact && hlOk && cdOk && moodOk}}""")
+    em.line(s"""{"summary":"round-11c hypothesis-statistics invariances at ${Reps}x duplication","hdr_bracket_invariant_n_scales":$hdrOk,"friedman_bit_identical":$friedmanExact,"brown_forsythe_banded":$bfOk,"cvm_scales_within_floor":$cvmOk,"energy_e_bit_identical_t_scales":$energyOk,"ljung_box_bit_identical":$lbExact,"pacf_bit_identical":$pacfExact,"seasonality_banded":$seaOk,"runs_bit_identical":$runsExact,"wilcoxon_bit_identical":$wsrExact,"hl_shift_invariant_pairs_scale":$hlOk,"cliffs_delta_bit_identical":$cdOk,"mood_median_invariant_chi2_banded":$moodOk,"linear":${hdrOk && friedmanExact && bfOk && cvmOk && energyOk && lbExact && pacfExact && seaOk && runsExact && wsrExact && hlOk && cdOk && moodOk}}""")
   }
 
   private val families: Map[String, (Family, String)] = Map(

@@ -307,6 +307,64 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("q370: the Durbin–Levinson ladder matches an independent recount") {
+    // independent re-implementation: plain Long arrays, textbook indexing
+    val acf = HypothesisQueries.q362_ljung_box(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag"),
+        r.getAs[Long]("r_ppm")))
+    val out = HypothesisQueries.q370_pacf(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag")) ->
+        (r.getAs[Long]("r_ppm"), r.getAs[Long]("pacf_ppm"))).toMap
+    def tdiv(a: BigInt, b: BigInt): Long = (a / b).toLong
+    acf.groupBy(_._1).foreach { case (g, rows) =>
+      val rs = rows.sortBy(_._2).map(_._3).toArray
+      val phi = Array.ofDim[Long](8)
+      phi(1) = rs(0)
+      assert(out((g, 1L)) == ((rs(0), rs(0))), s"$g lag1 = r1")
+      for (k <- 2 to 7) {
+        var num = BigInt(rs(k - 1)) * 1000000
+        var den = BigInt("1000000000000")
+        for (j <- 1 until k) {
+          num -= BigInt(phi(j)) * rs(k - 1 - j)
+          den -= BigInt(phi(j)) * rs(j - 1)
+        }
+        val pkk = tdiv(num * 1000000, den)
+        val next = Array.ofDim[Long](8)
+        for (j <- 1 until k) next(j) = phi(j) - tdiv(BigInt(pkk) * phi(k - j), 1000000)
+        next(k) = pkk
+        for (j <- 1 to k) phi(j) = next(j)
+        assert(out((g, k.toLong)) == ((rs(k - 1), pkk)), s"$g lag $k")
+      }
+    }
+  }
+
+  test("q371: seasonality strength matches a BigInt recount") {
+    val daily = events.groupBy(e => (e._1, e._3)).view
+      .mapValues(_.map(_._2).sum).toMap
+    val out = HypothesisQueries.q371_seasonality_strength(spark, sf).collect()
+    assert(out.nonEmpty)
+    daily.groupBy(_._1._1).foreach { case (g, m) =>
+      val byDow = m.toSeq.map { case ((_, d0), x) => (d0 % 7, x) }.groupBy(_._1)
+      val n = BigInt(m.size)
+      val s0 = m.values.map(BigInt(_)).sum
+      val gm = s0 * 1000000 / n
+      val md = byDow.view.mapValues { xs =>
+        (xs.size.toLong, xs.map(e => BigInt(e._2)).sum * 1000000 / xs.size) }.toMap
+      val ssb = md.values.map { case (nd, mdv) => nd * (mdv - gm).pow(2) }.sum
+      val sst = m.values.map(x => (BigInt(x) * 1000000 - gm).pow(2)).sum
+      val eta2 = (ssb * 1000000 / sst).toLong
+      val dcount = BigInt(md.size)
+      val f = ((n - dcount) * ssb * 1000000 / ((dcount - 1) * (sst - ssb))).toLong
+      out.filter(_.getAs[String]("event_type") == g).foreach { r =>
+        val dow = r.getAs[Long]("dow")
+        assert(r.getAs[Long]("n_d") == md(dow)._1 &&
+          r.getAs[Long]("mean_ppm") == md(dow)._2.toLong, s"$g dow $dow")
+        assert(r.getAs[Long]("eta2_ppm") == eta2 && r.getAs[Long]("f_ppm") == f,
+          s"$g eta2/f")
+      }
+    }
+  }
+
   test("q368: the gate verdict equals the recomputed member predicate") {
     val cvm = HypothesisQueries.q360_cramer_von_mises(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("t_ppm")).toMap
