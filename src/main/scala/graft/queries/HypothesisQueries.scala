@@ -700,6 +700,71 @@ object HypothesisQueries {
       |  n_days, eta2_ppm, f_ppm
       |FROM dm JOIN o ON o.g = dm.g ORDER BY event_type, dow""".stripMargin
 
+  // ---- q372: Cochran's Q -----------------------------------------------------
+
+  /** Cochran's Q with USERS as blocks — the one blocked test in the
+    * family whose block count is corpus-scale, not calendar-scale: did
+    * user u trigger event type t during the FIRST CALENDAR WEEK
+    * (binary; the full month saturates the grid — every user reaches
+    * every type — which collapses Q's denominator to its fail-closed
+    * NULL, so the gate would never exercise), and do the k types
+    * differ in reach once per-user activity is blocked away? The
+    * generalization of q329's McNemar to k treatments.
+    * Q = (k−1)·[k·ΣC_t² − (ΣC_t)²] / (k·ΣR_u − ΣR_u²) — C_t the
+    * per-type reach (bounded frame), R_u ≤ k the per-user type count,
+    * so BOTH denominator sums reduce in one map-side-combinable user
+    * pass; nothing ranks, nothing windows, blocks never materialize as
+    * state. Exact single division to ppm, gated at χ²₍ₖ₋₁₎;0.95 for
+    * k = 5 (9.487729) and NULL for any other k (the q366 wrong-df
+    * convention). Users with R_u = 0 cannot occur (they would not be
+    * rows); all-types-covered users (R_u = k) legitimately contribute
+    * zero information to both numerator spread and denominator — the
+    * formula handles them, no filter needed. */
+  def cochransQ(rel: DataFrame): DataFrame = {
+    val cell = rel.distinct() // (user_id, g) presence grid
+      .localCheckpoint(true) // consumers: per-type reach + per-user folds
+    val kf = cell.agg(countDistinct(col("g")).as("k"))
+    val c = cell.groupBy(col("g")).agg(count(lit(1)).as("c_t"))
+    val u = cell.groupBy(col("user_id")).agg(count(lit(1)).as("r_u"))
+      .agg(sum(col("r_u")).cast(dec).as("sr"),
+        sum(expr(s"cast(r_u as $dec) * r_u")).as("srr"),
+        count(lit(1)).as("n_users"))
+    val cs = c.agg(sum(col("c_t")).cast(dec).as("sc"),
+      sum(expr(s"cast(c_t as $dec) * c_t")).as("scc"))
+    val q = cs.crossJoin(broadcast(u)).crossJoin(broadcast(kf))
+      .select(col("k"), col("n_users"),
+        expr(s"""cast((k - 1) * (k * scc - sc * sc) * 1000000
+            div nullif(k * sr - srr, 0) as bigint)""").as("q_ppm"))
+    c.select(col("g").as("event_type"), col("c_t").as("reach"))
+      .crossJoin(broadcast(q))
+      .withColumn("differs",
+        when(col("k") === 5L, col("q_ppm") > 9487729L)
+          .otherwise(lit(null).cast("boolean")))
+      .orderBy(col("event_type"))
+  }
+  val q372_cochrans_q: Q = (s, d) => cochransQ(Tables.events(s, d)
+    .where(dayofmonth(col("ts")) <= 7)
+    .select(col("user_id"), col("event_type").as("g")))
+  val q372_sql: String =
+    """WITH cell AS (SELECT DISTINCT user_id, event_type AS g FROM events
+      |  WHERE date_part('day', ts) <= 7),
+      |kf AS (SELECT count(DISTINCT g)::BIGINT AS k FROM cell),
+      |c AS (SELECT g, count(*)::BIGINT AS c_t FROM cell GROUP BY 1),
+      |u AS (SELECT sum(r_u)::HUGEINT AS sr,
+      |        sum(r_u::HUGEINT * r_u)::HUGEINT AS srr,
+      |        count(*)::BIGINT AS n_users
+      |      FROM (SELECT user_id, count(*)::BIGINT AS r_u FROM cell
+      |            GROUP BY 1)),
+      |cs AS (SELECT sum(c_t)::HUGEINT AS sc,
+      |         sum(c_t::HUGEINT * c_t)::HUGEINT AS scc FROM c),
+      |q AS (SELECT k, n_users,
+      |        ((k - 1) * (k * scc - sc * sc) * 1000000
+      |         // nullif(k * sr - srr, 0))::BIGINT AS q_ppm
+      |      FROM cs CROSS JOIN u CROSS JOIN kf)
+      |SELECT g AS event_type, c_t AS reach, k, n_users, q_ppm,
+      |  CASE WHEN k = 5 THEN q_ppm > 9487729 ELSE NULL END AS differs
+      |FROM c CROSS JOIN q ORDER BY event_type""".stripMargin
+
   // ---- q363: Wald–Wolfowitz runs test ---------------------------------------
 
   /** Runs test for randomness of each type's daily revenue series: signs
@@ -1155,7 +1220,8 @@ object HypothesisQueries {
     "q366_mood_median" -> q366_mood_median,
     "q367_wilcoxon_signed" -> q367_wilcoxon_signed,
     "q370_pacf" -> q370_pacf,
-    "q371_seasonality_strength" -> q371_seasonality_strength)
+    "q371_seasonality_strength" -> q371_seasonality_strength,
+    "q372_cochrans_q" -> q372_cochrans_q)
 
   val oracles: Map[String, String] = Map(
     "q368_distribution_gate" -> q368_sql,
@@ -1171,5 +1237,6 @@ object HypothesisQueries {
     "q366_mood_median" -> q366_sql,
     "q367_wilcoxon_signed" -> q367_sql,
     "q370_pacf" -> q370_sql,
-    "q371_seasonality_strength" -> q371_sql)
+    "q371_seasonality_strength" -> q371_sql,
+    "q372_cochrans_q" -> q372_sql)
 }

@@ -1525,6 +1525,20 @@ object ScaleStress {
         math.abs(e2K - e2) <= 16L && math.abs(fpK - fp) <= 16L
     }
 
+    // Cochran's Q: duplication adds only identical (user, type) rows, so
+    // the presence grid — and every output — must be BIT-identical (the
+    // distinct() dedup robustness the blocked test depends on)
+    val cqBase = Tables.events(spark, sfDir)
+      .where(dayofmonth(col("ts")) <= 7)
+      .select(col("user_id"), col("event_type").as("g")).localCheckpoint(true)
+    def runCq(rel: DataFrame): Seq[Seq[Any]] =
+      HypothesisQueries.cochransQ(rel).collect().toSeq.map(_.toSeq)
+    var cq1: Seq[Seq[Any]] = Seq.empty
+    em.stage("cochran x1") { cq1 = runCq(cqBase); cq1.size.toLong }
+    var cqK: Seq[Seq[Any]] = Seq.empty
+    em.stage(s"cochran x$Reps") { cqK = runCq(dup(cqBase)); cqK.size.toLong }
+    val cqExact = cq1.nonEmpty && cq1 == cqK
+
     // Mood's median: pooled median and per-source shares invariant; χ² is
     // a test statistic scaling ×K exactly up to the per-group micro
     // floors (±2K band). This stage is ALSO the wrap sentinel: before the
@@ -1545,7 +1559,7 @@ object ScaleStress {
       mK._1(s0) == ((med, ng * Reps, ag * Reps)) } &&
       math.abs(mK._2 - Reps.toLong * m1._2) <= 2L * Reps
 
-    em.line(s"""{"summary":"round-11c hypothesis-statistics invariances at ${Reps}x duplication","hdr_bracket_invariant_n_scales":$hdrOk,"friedman_bit_identical":$friedmanExact,"brown_forsythe_banded":$bfOk,"cvm_scales_within_floor":$cvmOk,"energy_e_bit_identical_t_scales":$energyOk,"ljung_box_bit_identical":$lbExact,"pacf_bit_identical":$pacfExact,"seasonality_banded":$seaOk,"runs_bit_identical":$runsExact,"wilcoxon_bit_identical":$wsrExact,"hl_shift_invariant_pairs_scale":$hlOk,"cliffs_delta_bit_identical":$cdOk,"mood_median_invariant_chi2_banded":$moodOk,"linear":${hdrOk && friedmanExact && bfOk && cvmOk && energyOk && lbExact && pacfExact && seaOk && runsExact && wsrExact && hlOk && cdOk && moodOk}}""")
+    em.line(s"""{"summary":"round-11c hypothesis-statistics invariances at ${Reps}x duplication","hdr_bracket_invariant_n_scales":$hdrOk,"friedman_bit_identical":$friedmanExact,"brown_forsythe_banded":$bfOk,"cvm_scales_within_floor":$cvmOk,"energy_e_bit_identical_t_scales":$energyOk,"ljung_box_bit_identical":$lbExact,"pacf_bit_identical":$pacfExact,"seasonality_banded":$seaOk,"cochran_q_bit_identical":$cqExact,"runs_bit_identical":$runsExact,"wilcoxon_bit_identical":$wsrExact,"hl_shift_invariant_pairs_scale":$hlOk,"cliffs_delta_bit_identical":$cdOk,"mood_median_invariant_chi2_banded":$moodOk,"linear":${hdrOk && friedmanExact && bfOk && cvmOk && energyOk && lbExact && pacfExact && seaOk && cqExact && runsExact && wsrExact && hlOk && cdOk && moodOk}}""")
   }
 
   private val families: Map[String, (Family, String)] = Map(

@@ -365,6 +365,61 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("q372: Cochran's Q matches a BigInt recount over the user grid") {
+    val grid = graft.io.Tables.events(spark, sf)
+      .where(dayofmonth(col("ts")) <= 7)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val k = grid.map(_._2).size
+    val cT = grid.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rU = grid.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val sc = cT.values.map(BigInt(_)).sum
+    val scc = cT.values.map(c0 => BigInt(c0) * c0).sum
+    val sr = rU.values.map(BigInt(_)).sum
+    val srr = rU.values.map(r0 => BigInt(r0) * r0).sum
+    // sf0.001 is legitimately degenerate here: every active user covers
+    // all k types, so Σr_u(k − r_u) = 0 and Q must fail closed to NULL
+    val den = k * sr - srr
+    val qPpm: Option[Long] =
+      if (den == 0) None
+      else Some(((k - 1) * (k * scc - sc * sc) * 1000000 / den).toLong)
+    val out = HypothesisQueries.q372_cochrans_q(spark, sf).collect()
+    assert(out.length == k)
+    out.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("reach") == cT(g), s"$g reach")
+      assert(r.getAs[Long]("k") == k.toLong &&
+        r.getAs[Long]("n_users") == rU.size.toLong)
+      qPpm match {
+        case Some(q0) =>
+          assert(r.getAs[Long]("q_ppm") == q0, s"$g q")
+          if (k == 5) assert(r.getAs[Boolean]("differs") == (q0 > 9487729L))
+          else assert(r.isNullAt(r.fieldIndex("differs")), s"$g df guard")
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("q_ppm")), s"$g fail-closed q")
+          assert(r.isNullAt(r.fieldIndex("differs")), s"$g fail-closed gate")
+      }
+    }
+    // the non-degenerate path must also be exercised: recompute at sf0.01
+    val grid01 = graft.io.Tables.events(spark, "/root/testdata/sf0.01")
+      .where(dayofmonth(col("ts")) <= 7)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val k01 = grid01.map(_._2).size
+    val r01 = grid01.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val den01 = k01 * r01.values.map(BigInt(_)).sum -
+      r01.values.map(r0 => BigInt(r0) * r0).sum
+    if (den01 != 0) {
+      val c01 = grid01.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val sc01 = c01.values.map(BigInt(_)).sum
+      val scc01 = c01.values.map(c0 => BigInt(c0) * c0).sum
+      val q01 = ((k01 - 1) * (k01 * scc01 - sc01 * sc01) * 1000000 / den01).toLong
+      val out01 = HypothesisQueries
+        .q372_cochrans_q(spark, "/root/testdata/sf0.01").collect()
+      out01.foreach(r => assert(r.getAs[Long]("q_ppm") == q01, "sf0.01 q"))
+    }
+  }
+
   test("q368: the gate verdict equals the recomputed member predicate") {
     val cvm = HypothesisQueries.q360_cramer_von_mises(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("t_ppm")).toMap
