@@ -114,6 +114,95 @@ object HypothesisQueries {
        |FROM sel ORDER BY event_type, p""".stripMargin
   }
 
+  // ---- q373: HDR register rollup (day→week merge ≡ direct) -----------------
+
+  /** The batch mergeability certificate for the HDR registers (the q227
+    * HLL-rollup precedent): weekly percentile brackets computed TWO
+    * physically different ways — by merging the seven daily register
+    * frames (sum/min/max, the monoid) and by building weekly registers
+    * directly from raw values — must agree cell-for-cell. This is the
+    * property that lets a 100 TB pipeline keep per-partition/per-day
+    * registers and answer any coarser-grained percentile question by
+    * register algebra alone, never re-scanning raw data; q357 certifies
+    * the same monoid across a mid-stream restart, this certifies it
+    * across rollup grain. Output: the merged-path readout per
+    * (type|week, percentile) with `merged_matches_direct` hash-checked
+    * per row. */
+  val q373_hdr_rollup: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+        concat(col("event_type"), lit("|w"),
+          expr("unix_millis(ts) div 86400000 div 7")).as("g"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("v"))
+      .where(col("v") >= 1)
+      .localCheckpoint(true) // consumers: daily-register path + direct path
+    val dailyRegs = ev.withColumn("lfp", Ilog2.ilog2(col("v")))
+      .withColumn("b", expr("lfp div 8192"))
+      .groupBy(col("g"), col("day"), col("b"))
+      .agg(count(lit(1)).as("c"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+    val merged = dailyRegs.groupBy(col("g"), col("b"))
+      .agg(sum(col("c")).as("c"), min(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
+    val mq = hdrQuantiles(s, merged)
+    val direct = hdrQuantiles(s, hdrRegisters(ev.select(col("g"), col("v"))))
+      .select(col("event_type"), col("p"), col("n").as("n_d"),
+        col("bucket").as("bucket_d"), col("lo").as("lo_d"),
+        col("hi").as("hi_d"))
+    mq.join(broadcast(direct), Seq("event_type", "p"))
+      .withColumn("merged_matches_direct",
+        col("n") === col("n_d") && col("bucket") === col("bucket_d") &&
+          col("lo") === col("lo_d") && col("hi") === col("hi_d"))
+      .select(col("event_type"), col("p"), col("n"), col("bucket"),
+        col("lo"), col("hi"), col("width_ppm"),
+        col("merged_matches_direct"))
+      .orderBy(col("event_type"), col("p"))
+  }
+  val q373_sql: String = {
+    val il = Ilog2.sqlReplay("v")
+    s"""WITH ev AS (SELECT event_type || '|w' ||
+       |      (epoch_ms(ts) // 86400000 // 7) AS g,
+       |    epoch_ms(ts) // 86400000 AS day,
+       |    CAST(round(value * 100) AS BIGINT) AS v FROM events
+       |  WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+       |lg AS (SELECT g, day, v, $il AS lfp FROM ev),
+       |dr AS (SELECT g, day, lfp // 8192 AS b, count(*)::BIGINT AS c,
+       |         min(v)::BIGINT AS lo, max(v)::BIGINT AS hi
+       |       FROM lg GROUP BY 1, 2, 3),
+       |reg AS (SELECT g, b, sum(c)::BIGINT AS c, min(lo)::BIGINT AS lo,
+       |          max(hi)::BIGINT AS hi
+       |        FROM dr GROUP BY 1, 2),
+       |cum AS (SELECT g, b, c, lo, hi,
+       |          sum(c) OVER (PARTITION BY g ORDER BY b)::BIGINT AS cum,
+       |          sum(c) OVER (PARTITION BY g)::BIGINT AS n
+       |        FROM reg),
+       |pct AS (SELECT p::BIGINT AS p FROM (VALUES (50), (90), (99)) t(p)),
+       |sel AS (SELECT g, p, max(n)::BIGINT AS n, min(b)::BIGINT AS bucket,
+       |          arg_min(lo, b)::BIGINT AS lo, arg_min(hi, b)::BIGINT AS hi
+       |        FROM cum CROSS JOIN pct
+       |        WHERE cum >= (p * n + 99) // 100
+       |        GROUP BY 1, 2),
+       |drc AS (SELECT g, lfp // 8192 AS b, count(*)::BIGINT AS c,
+       |          min(v)::BIGINT AS lo, max(v)::BIGINT AS hi
+       |        FROM lg GROUP BY 1, 2),
+       |cumd AS (SELECT g, b, c, lo, hi,
+       |           sum(c) OVER (PARTITION BY g ORDER BY b)::BIGINT AS cum,
+       |           sum(c) OVER (PARTITION BY g)::BIGINT AS n
+       |         FROM drc),
+       |seld AS (SELECT g, p, max(n)::BIGINT AS n_d, min(b)::BIGINT
+       |           AS bucket_d, arg_min(lo, b)::BIGINT AS lo_d,
+       |           arg_min(hi, b)::BIGINT AS hi_d
+       |         FROM cumd CROSS JOIN pct
+       |         WHERE cum >= (p * n + 99) // 100
+       |         GROUP BY 1, 2)
+       |SELECT sel.g AS event_type, sel.p, n, bucket, lo, hi,
+       |  (hi - lo) * 1000000 // lo AS width_ppm,
+       |  (n = n_d AND bucket = bucket_d AND lo = lo_d AND hi = hi_d)
+       |    AS merged_matches_direct
+       |FROM sel JOIN seld ON seld.g = sel.g AND seld.p = sel.p
+       |ORDER BY event_type, sel.p""".stripMargin
+  }
+
   // ---- q358: Friedman blocked rank test ------------------------------------
 
   /** Friedman's test (blocks = calendar days, treatments = event types,
@@ -1221,7 +1310,8 @@ object HypothesisQueries {
     "q367_wilcoxon_signed" -> q367_wilcoxon_signed,
     "q370_pacf" -> q370_pacf,
     "q371_seasonality_strength" -> q371_seasonality_strength,
-    "q372_cochrans_q" -> q372_cochrans_q)
+    "q372_cochrans_q" -> q372_cochrans_q,
+    "q373_hdr_rollup" -> q373_hdr_rollup)
 
   val oracles: Map[String, String] = Map(
     "q368_distribution_gate" -> q368_sql,
@@ -1238,5 +1328,6 @@ object HypothesisQueries {
     "q367_wilcoxon_signed" -> q367_sql,
     "q370_pacf" -> q370_sql,
     "q371_seasonality_strength" -> q371_sql,
-    "q372_cochrans_q" -> q372_sql)
+    "q372_cochrans_q" -> q372_sql,
+    "q373_hdr_rollup" -> q373_sql)
 }

@@ -365,6 +365,22 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("q373: day->week register merge reproduces the direct build") {
+    val out = HypothesisQueries.q373_hdr_rollup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("merged_matches_direct"),
+        s"${r.getAs[String]("event_type")}/${r.getAs[Long]("p")}")
+      assert(r.getAs[Long]("width_ppm") <= 90508L)
+    }
+    // the merged path must really be the two-stage rollup, not a rewrite
+    // of the direct build: the plan carries both the daily and the weekly
+    // register aggregations
+    val plan = HypothesisQueries.q373_hdr_rollup(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("day"), "daily register stage present")
+  }
+
   test("q372: Cochran's Q matches a BigInt recount over the user grid") {
     val grid = graft.io.Tables.events(spark, sf)
       .where(dayofmonth(col("ts")) <= 7)
