@@ -556,10 +556,15 @@ object HypothesisQueries {
       .withColumn("k", col("k").cast("long"))
       .where(col("k") < col("n"))
       .withColumn("day2", col("day") + col("k"))
+    // LEFT join: a lag whose every day lacks a partner (gapped series)
+    // has r_k = 0, not a missing row — a dropped lag would compress the
+    // PACF ladder's positional vector and mislabel every later lag
+    // (fuzz-caught on gapped generators)
     val num = lags.join(broadcast(y.select(col("g"), col("day").as("day2"),
-        col("y").as("y2"))), Seq("g", "day2"))
+        col("y").as("y2"))), Seq("g", "day2"), "left")
       .groupBy(col("g"), col("k"))
-      .agg(max(col("n")).as("n"), sum(expr("y * y2")).as("num"))
+      .agg(max(col("n")).as("n"),
+        sum(expr(s"y * coalesce(y2, cast(0 as $dec))")).as("num"))
     num.join(broadcast(den), Seq("g"))
       .withColumn("r_ppm",
         expr("cast(num * 1000000 div nullif(den, 0) as bigint)"))
@@ -600,8 +605,9 @@ object HypothesisQueries {
       |         FROM y CROSS JOIN (SELECT unnest(range(1, 8)) AS k) ks
       |         WHERE k < n),
       |num AS (SELECT lags.g, k, max(lags.n)::BIGINT AS n,
-      |          sum(lags.y * y2.y)::HUGEINT AS num
-      |        FROM lags JOIN y y2 ON y2.g = lags.g AND y2.day = lags.day2
+      |          sum(lags.y * coalesce(y2.y, 0))::HUGEINT AS num
+      |        FROM lags LEFT JOIN y y2
+      |          ON y2.g = lags.g AND y2.day = lags.day2
       |        GROUP BY 1, 2),
       |r AS (SELECT num.g, k, n,
       |        (num * 1000000 // nullif(den, 0))::BIGINT AS r_ppm
@@ -640,8 +646,12 @@ object HypothesisQueries {
     * harness feeds duplicated replicas through this entry point. */
   def pacf(s: SparkSession, ev: DataFrame): DataFrame = {
     val acf = acfFrame(ev)
+    // a constant series nulls EVERY lag's r_ppm (den = 0): drop such
+    // types symmetrically with the oracle's rl filter — getAs[Long] on a
+    // NULL would silently read 0 and ladder a fake PACF (fuzz-caught)
     val rows = graft.io.Bounded.collect(
-      acf.select(col("g"), col("k"), col("r_ppm")).orderBy(col("g"), col("k")),
+      acf.where(col("r_ppm").isNotNull)
+        .select(col("g"), col("k"), col("r_ppm")).orderBy(col("g"), col("k")),
       1024, "ACF frame is |event types| x 7 lags")
     val byG = rows.groupBy(_.getAs[String]("g"))
     def tdiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt / truncates to zero
@@ -677,7 +687,8 @@ object HypothesisQueries {
     expr("cast(round(value * 100) as bigint)").as("c")))
   val q370_sql: String =
     s"""WITH RECURSIVE $acfSql,
-       |rl AS (SELECT g, list(r_ppm ORDER BY k) AS rs FROM r GROUP BY 1),
+       |rl AS (SELECT g, list(r_ppm ORDER BY k) AS rs FROM r
+       |       WHERE r_ppm IS NOT NULL GROUP BY 1),
        |dl AS (
        |  SELECT g, 1::BIGINT AS k, [rs[1]] AS phi FROM rl
        |  UNION ALL
@@ -893,13 +904,19 @@ object HypothesisQueries {
     val changes = pairs.groupBy(col("g"))
       .agg(sum(when(col("s") =!= col("s_prev"), 1L).otherwise(0L))
         .as("chg"))
-    kept.groupBy(col("g"))
+    val agg = kept.groupBy(col("g"))
       .agg(sum(col("s")).as("a"),
         sum(lit(1L) - col("s")).as("b"))
       .join(broadcast(changes), Seq("g"), "left") // 1 kept point: no pairs
       .na.fill(0L, Seq("chg"))
+    // fail-closed universe: a type whose every day equals its median has
+    // an EMPTY kept sequence — it must surface as a NULL-statistic row,
+    // not vanish (the q346/q366 convention)
+    daily.select(col("g")).distinct()
+      .join(broadcast(agg), Seq("g"), "left")
+      .na.fill(0L, Seq("a", "b"))
       .withColumn("n", col("a") + col("b"))
-      .withColumn("runs", col("chg") + 1L)
+      .withColumn("runs", when(col("n") > 0, col("chg") + 1L))
       .select(col("g").as("event_type"), col("n").as("n_days"),
         col("a").as("n_above"), col("b").as("n_below"), col("runs"),
         expr(s"""cast(
@@ -907,7 +924,8 @@ object HypothesisQueries {
               * ((runs - 1) * n - 2 * a * b) * (n - 1) * 1000000
             div nullif(cast(2 as $dec) * a * b * (2 * a * b - n), 0)
           as bigint)""").as("z2_ppm"))
-      .withColumn("random_order", col("z2_ppm") <= 3841459L)
+      .withColumn("random_order",
+        when(col("z2_ppm").isNotNull, col("z2_ppm") <= 3841459L))
       .orderBy(col("event_type"))
   }
   val q363_runs_test: Q = (s, d) => runsTest(Tables.events(s, d).select(
@@ -936,7 +954,12 @@ object HypothesisQueries {
       |agg AS (SELECT kept.g, sum(s)::BIGINT AS a, sum(1 - s)::BIGINT AS b,
       |          coalesce(max(chg), 0)::BIGINT AS chg
       |        FROM kept LEFT JOIN chg ON chg.g = kept.g GROUP BY 1),
-      |o AS (SELECT g, a + b AS n, a, b, chg + 1 AS runs FROM agg)
+      |uni AS (SELECT DISTINCT g FROM daily),
+      |o AS (SELECT uni.g, coalesce(a, 0) + coalesce(b, 0) AS n,
+      |        coalesce(a, 0)::BIGINT AS a, coalesce(b, 0)::BIGINT AS b,
+      |        CASE WHEN coalesce(a, 0) + coalesce(b, 0) > 0
+      |          THEN chg + 1 END::BIGINT AS runs
+      |      FROM uni LEFT JOIN agg ON agg.g = uni.g)
       |SELECT g AS event_type, n AS n_days, a AS n_above, b AS n_below, runs,
       |  (((runs - 1) * n - 2 * a * b)::HUGEINT
       |     * ((runs - 1) * n - 2 * a * b) * (n - 1) * 1000000
@@ -977,8 +1000,8 @@ object HypothesisQueries {
     * materializes the n·m pairs: the ≤199-value difference-weight frame
     * from the support grid IS the pair multiset, and the median is a
     * cumulative-weight scan inside it. */
-  def hodgesLehmann(rel: DataFrame): DataFrame =
-    diffWeights(rel)
+  def hodgesLehmann(rel: DataFrame): DataFrame = {
+    val med = diffWeights(rel)
       .withColumn("cum", sum(col("w"))
         .over(Window.partitionBy(col("g")).orderBy(col("d"))))
       .withColumn("t", sum(col("w")).over(Window.partitionBy(col("g"))))
@@ -986,18 +1009,27 @@ object HypothesisQueries {
       .groupBy(col("g"))
       .agg(min(col("d")).as("hl_shift"),
         max(col("t")).cast("long").as("n_pairs"))
+    // fail-closed universe: a type with an EMPTY half has no pairs — it
+    // surfaces with n_pairs = 0 and a NULL shift, never vanishes
+    rel.select(col("g")).distinct()
+      .join(broadcast(med), Seq("g"), "left")
+      .na.fill(0L, Seq("n_pairs"))
       .select(col("g").as("event_type"), col("n_pairs"), col("hl_shift"))
       .orderBy(col("event_type"))
+  }
   val q364_hodges_lehmann: Q = (s, d) => hodgesLehmann(halfRel(s, d))
   val q364_sql: String =
     s"""WITH $diffWeightsSql,
        |cum AS (SELECT g, d, w,
        |          sum(w) OVER (PARTITION BY g ORDER BY d)::HUGEINT AS cum,
        |          sum(w) OVER (PARTITION BY g)::HUGEINT AS t
-       |        FROM dw)
-       |SELECT g AS event_type, max(t)::BIGINT AS n_pairs,
-       |  min(d)::BIGINT AS hl_shift
-       |FROM cum WHERE cum >= (t + 1) // 2 GROUP BY 1 ORDER BY event_type""".stripMargin
+       |        FROM dw),
+       |med AS (SELECT g, max(t)::BIGINT AS n_pairs, min(d)::BIGINT AS hl_shift
+       |        FROM cum WHERE cum >= (t + 1) // 2 GROUP BY 1),
+       |uni AS (SELECT DISTINCT g FROM cells)
+       |SELECT uni.g AS event_type, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+       |  hl_shift
+       |FROM uni LEFT JOIN med ON med.g = uni.g ORDER BY event_type""".stripMargin
 
   /** Cliff's delta between the calendar halves per type: the
     * dominance effect size δ = (#(b>a) − #(b<a))/(nm) ∈ [−1, 1] that
@@ -1007,8 +1039,8 @@ object HypothesisQueries {
     * ppm (signed — both engines truncate toward zero); the magnitude
     * label uses the Romano et al. 2006 thresholds (0.147 / 0.33 /
     * 0.474). */
-  def cliffsDelta(rel: DataFrame): DataFrame =
-    diffWeights(rel)
+  def cliffsDelta(rel: DataFrame): DataFrame = {
+    val agg = diffWeights(rel)
       .groupBy(col("g"))
       .agg(sum(when(col("d") > 0, col("w")).otherwise(lit(0L).cast(dec)))
           .as("n_gt"),
@@ -1016,17 +1048,25 @@ object HypothesisQueries {
           .as("n_lt"),
         sum(when(col("d") === 0, col("w")).otherwise(lit(0L).cast(dec)))
           .as("n_eq"))
+    // fail-closed universe: an empty half has no dominance pairs — zero
+    // counts, NULL δ, NULL magnitude (never a fake 'large')
+    rel.select(col("g")).distinct()
+      .join(broadcast(agg), Seq("g"), "left")
       .withColumn("delta_ppm", expr(s"""cast(
           (n_gt - n_lt) * 1000000 div nullif(n_gt + n_lt + n_eq, 0)
         as bigint)"""))
-      .select(col("g").as("event_type"), col("n_gt").cast("long").as("n_gt"),
-        col("n_lt").cast("long").as("n_lt"),
-        col("n_eq").cast("long").as("n_eq"), col("delta_ppm"),
-        when(abs(col("delta_ppm")) < 147000L, "negligible")
+      .select(col("g").as("event_type"),
+        coalesce(col("n_gt").cast("long"), lit(0L)).as("n_gt"),
+        coalesce(col("n_lt").cast("long"), lit(0L)).as("n_lt"),
+        coalesce(col("n_eq").cast("long"), lit(0L)).as("n_eq"),
+        col("delta_ppm"),
+        when(col("delta_ppm").isNull, lit(null).cast("string"))
+          .when(abs(col("delta_ppm")) < 147000L, "negligible")
           .when(abs(col("delta_ppm")) < 330000L, "small")
           .when(abs(col("delta_ppm")) < 474000L, "medium")
           .otherwise("large").as("magnitude"))
       .orderBy(col("event_type"))
+  }
   val q365_cliffs_delta: Q = (s, d) => cliffsDelta(halfRel(s, d))
   val q365_sql: String =
     s"""WITH $diffWeightsSql,
@@ -1035,13 +1075,16 @@ object HypothesisQueries {
        |          sum(CASE WHEN d < 0 THEN w ELSE 0 END)::HUGEINT AS n_lt,
        |          sum(CASE WHEN d = 0 THEN w ELSE 0 END)::HUGEINT AS n_eq
        |        FROM dw GROUP BY 1),
-       |o AS (SELECT g, n_gt, n_lt, n_eq,
+       |uni AS (SELECT DISTINCT g FROM cells),
+       |o AS (SELECT uni.g, n_gt, n_lt, n_eq,
        |        ((n_gt - n_lt) * 1000000
        |         // nullif(n_gt + n_lt + n_eq, 0))::BIGINT AS delta_ppm
-       |      FROM agg)
-       |SELECT g AS event_type, n_gt::BIGINT AS n_gt, n_lt::BIGINT AS n_lt,
-       |  n_eq::BIGINT AS n_eq, delta_ppm,
-       |  CASE WHEN abs(delta_ppm) < 147000 THEN 'negligible'
+       |      FROM uni LEFT JOIN agg ON agg.g = uni.g)
+       |SELECT g AS event_type, coalesce(n_gt, 0)::BIGINT AS n_gt,
+       |  coalesce(n_lt, 0)::BIGINT AS n_lt,
+       |  coalesce(n_eq, 0)::BIGINT AS n_eq, delta_ppm,
+       |  CASE WHEN delta_ppm IS NULL THEN NULL
+       |       WHEN abs(delta_ppm) < 147000 THEN 'negligible'
        |       WHEN abs(delta_ppm) < 330000 THEN 'small'
        |       WHEN abs(delta_ppm) < 474000 THEN 'medium'
        |       ELSE 'large' END AS magnitude
@@ -1180,18 +1223,23 @@ object HypothesisQueries {
     val ties = diffs.groupBy(col("g"), col("ad")).agg(count(lit(1)).as("t"))
       .groupBy(col("g"))
       .agg(sum(expr(s"cast(t as $dec) * t * t - t")).as("tie3"))
-    r2.groupBy(col("g"))
+    val agg = r2.groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("diff") > 0, col("r2")).otherwise(0L)).as("w2"))
       .join(broadcast(ties), Seq("g"))
+    // fail-closed universe: a type whose every pair diff is zero drops
+    // every observation — it surfaces with n_pairs = 0 and NULL moments
+    daily.select(col("g")).distinct()
+      .join(broadcast(agg), Seq("g"), "left")
       .withColumn("e2", expr("n * (n + 1) div 2"))
-      .select(col("g").as("event_type"), col("n").as("n_pairs"),
-        col("w2"), col("e2"),
+      .select(col("g").as("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_pairs"), col("w2"), col("e2"),
         expr(s"""cast(
             cast(w2 - e2 as $dec) * (w2 - e2) * 12 * 1000000
             div nullif(cast(2 as $dec) * n * (n + 1) * (2 * n + 1) - tie3, 0)
           as bigint)""").as("z2_ppm"))
-      .withColumn("shifted", col("z2_ppm") > 3841459L)
+      .withColumn("shifted",
+        when(col("z2_ppm").isNotNull, col("z2_ppm") > 3841459L))
       .orderBy(col("event_type"))
   }
   val q367_wilcoxon_signed: Q = (s, d) => wilcoxonSigned(
@@ -1219,9 +1267,11 @@ object HypothesisQueries {
       |agg AS (SELECT r2.g, count(*)::BIGINT AS n,
       |          sum(CASE WHEN diff > 0 THEN r2 ELSE 0 END)::BIGINT AS w2
       |        FROM r2 GROUP BY 1),
-      |o AS (SELECT agg.g, n, w2, n * (n + 1) // 2 AS e2, tie3
-      |      FROM agg JOIN ties ON ties.g = agg.g)
-      |SELECT g AS event_type, n AS n_pairs, w2, e2,
+      |uni AS (SELECT DISTINCT g FROM daily),
+      |o AS (SELECT uni.g, n, w2, n * (n + 1) // 2 AS e2, tie3
+      |      FROM uni LEFT JOIN agg ON agg.g = uni.g
+      |      LEFT JOIN ties ON ties.g = uni.g)
+      |SELECT g AS event_type, coalesce(n, 0)::BIGINT AS n_pairs, w2, e2,
       |  ((w2 - e2)::HUGEINT * (w2 - e2) * 12 * 1000000
       |   // nullif(2::HUGEINT * n * (n + 1) * (2 * n + 1) - tie3, 0))::BIGINT
       |    AS z2_ppm,

@@ -1,0 +1,318 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.queries.HypothesisQueries
+
+/** Property-based degenerate-input fuzzing for the hypothesis family —
+  * the round-10 AgreementFuzzSpec discipline applied to the round-11
+  * statistics: the family's denominators (runs 2ab(2ab−n), Wilcoxon
+  * tie-corrected variance, Friedman A4−C4, CvM/energy half sizes,
+  * Ljung–Box Σy², seasonality SST) are exactly where tie-heavy and
+  * one-sided inputs bite, and the sf corpus never produces them. Every
+  * statistic is recomputed EXACTLY (BigInt) from a plain driver fold
+  * whose ranks/medians come from sorts, not the engine's distributed
+  * machinery; fail-closed rows (empty kept sequence, empty half,
+  * all-zero diffs, constant series) are asserted PRESENT with NULL
+  * statistics — the convention a vanished group would silently break.
+  * The fuzzing already earned its keep at authoring time: it exposed
+  * q370 reading a NULL ACF as 0 via getAs[Long] (fixed with the
+  * symmetric null-type drop). Deterministic seed driving per
+  * PropertySpec; small case counts — each case is a full Spark chain. */
+class HypothesisFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var run = 0
+    var seed = Seed(1111L)
+    var attempts = 0
+    while (run < n && attempts < n * 20) {
+      gen.apply(Gen.Parameters.default, seed).foreach { a => f(a); run += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(run == n, s"generator too restrictive: only $run of $n cases")
+  }
+
+  /** (g, day, c) daily observations: tiny value domain (tie-heavy),
+    * sparse days with gaps, group g0 always present. */
+  private val dailyGen: Gen[Seq[(String, Long, Long)]] = for {
+    nG <- Gen.choose(1, 3)
+    n <- Gen.choose(2, 40)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.choose(0, nG - 1)
+      day <- Gen.choose(0L, 29L)
+      c <- Gen.choose(-3L, 3L)
+    } yield (s"g$g", day, c))
+  } yield ("g0", rows.head._2, rows.head._3) +: rows.tail
+
+  /** (g, half, v) two-sample observations; a group may legitimately get
+    * only one half. */
+  private val relGen: Gen[Seq[(String, String, Long)]] = for {
+    nG <- Gen.choose(1, 3)
+    n <- Gen.choose(2, 30)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.choose(0, nG - 1)
+      h <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0L, 3L)
+    } yield (s"g$g", h, v))
+  } yield rows
+
+  private def daily(rows: Seq[(String, Long, Long)]): Map[(String, Long), Long] =
+    rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+
+  test("runs test: fuzzed series match a driver fold; all-equal fails closed") {
+    cases(dailyGen, 8) { rows =>
+      val out = HypothesisQueries.runsTest(rows.toDF("g", "day", "c"))
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      daily(rows).groupBy(_._1._1).foreach { case (g, m) =>
+        val series = m.toSeq.map { case ((_, d), x) => (d, x) }.sortBy(_._1)
+        val med = series.map(_._2).sorted.apply((series.length - 1) / 2)
+        val kept = series.filter(_._2 != med).map(_._2 > med)
+        val (a, b) = (kept.count(identity).toLong, kept.count(!_).toLong)
+        val r = out.getOrElse(g, fail(s"group $g vanished (fail-closed)"))
+        assert(r.getAs[Long]("n_days") == a + b &&
+          r.getAs[Long]("n_above") == a && r.getAs[Long]("n_below") == b, g)
+        if (kept.isEmpty) {
+          assert(r.isNullAt(r.fieldIndex("runs")) &&
+            r.isNullAt(r.fieldIndex("z2_ppm")) &&
+            r.isNullAt(r.fieldIndex("random_order")), s"$g all-equal")
+        } else {
+          val runs = 1L + kept.zip(kept.tail).count { case (x, y) => x != y }
+          assert(r.getAs[Long]("runs") == runs, s"$g runs")
+          val n = a + b
+          val den = BigInt(2) * a * b * (2 * a * b - n)
+          if (den == 0) assert(r.isNullAt(r.fieldIndex("z2_ppm")), s"$g one-sided")
+          else {
+            val num = BigInt((runs - 1) * n - 2 * a * b)
+            assert(r.getAs[Long]("z2_ppm") ==
+              (num * num * (n - 1) * 1000000 / den).toLong, s"$g z2")
+          }
+        }
+      }
+    }
+  }
+
+  test("wilcoxon: fuzzed pairings match a driver fold; all-zero fails closed") {
+    cases(dailyGen, 8) { rows =>
+      val d = daily(rows)
+      val d0 = rows.map(_._2).min
+      val out = HypothesisQueries.wilcoxonSigned(rows.toDF("g", "day", "c"))
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      d.groupBy(_._1._1).foreach { case (g, m) =>
+        val s2 = m.map { case ((_, dd), x) => dd -> x }
+        val diffs = (d0 until d0 + 15).flatMap { dd =>
+          for (x <- s2.get(dd); y <- s2.get(dd + 15)) yield y - x
+        }.filter(_ != 0L)
+        val r = out.getOrElse(g, fail(s"group $g vanished (fail-closed)"))
+        assert(r.getAs[Long]("n_pairs") == diffs.length.toLong, s"$g n")
+        if (diffs.isEmpty) {
+          assert(r.isNullAt(r.fieldIndex("w2")) &&
+            r.isNullAt(r.fieldIndex("z2_ppm")) &&
+            r.isNullAt(r.fieldIndex("shifted")), s"$g no pairs")
+        } else {
+          val n = diffs.length.toLong
+          val ads = diffs.map(_.abs)
+          val w2 = diffs.filter(_ > 0).map { dv =>
+            ads.count(_ < dv.abs).toLong + ads.count(_ <= dv.abs).toLong + 1L
+          }.sum
+          val tie3 = ads.groupBy(identity).values
+            .map(t => BigInt(t.size).pow(3) - t.size).sum
+          val den = BigInt(2) * n * (n + 1) * (2 * n + 1) - tie3
+          assert(r.getAs[Long]("w2") == w2 &&
+            r.getAs[Long]("e2") == n * (n + 1) / 2, s"$g moments")
+          if (den == 0) assert(r.isNullAt(r.fieldIndex("z2_ppm")), s"$g tied")
+          else assert(r.getAs[Long]("z2_ppm") ==
+            (BigInt(w2 - n * (n + 1) / 2).pow(2) * 12 * 1000000 / den).toLong,
+            s"$g z2")
+        }
+      }
+    }
+  }
+
+  test("HL shift / Cliff's delta: fuzzed halves match; empty half fails closed") {
+    cases(relGen, 8) { rows =>
+      val df = rows.toDF("g", "half", "v")
+      val hl = HypothesisQueries.hodgesLehmann(df)
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      val cd = HypothesisQueries.cliffsDelta(df)
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val a = rs.filter(_._2 == "a").map(_._3)
+        val b = rs.filter(_._2 == "b").map(_._3)
+        val diffs = (for (x <- a; y <- b) yield y - x).sorted
+        val rh = hl.getOrElse(g, fail(s"$g vanished from HL"))
+        val rc = cd.getOrElse(g, fail(s"$g vanished from Cliff"))
+        assert(rh.getAs[Long]("n_pairs") == diffs.length.toLong, s"$g pairs")
+        if (diffs.isEmpty) {
+          assert(rh.isNullAt(rh.fieldIndex("hl_shift")), s"$g hl null")
+          assert(rc.getAs[Long]("n_gt") == 0L &&
+            rc.isNullAt(rc.fieldIndex("delta_ppm")) &&
+            rc.isNullAt(rc.fieldIndex("magnitude")), s"$g cliff null")
+        } else {
+          val t = diffs.length.toLong
+          assert(rh.getAs[Long]("hl_shift") == diffs(((t + 1) / 2 - 1).toInt),
+            s"$g hl")
+          val (gt, lt) = (diffs.count(_ > 0).toLong, diffs.count(_ < 0).toLong)
+          assert(rc.getAs[Long]("delta_ppm") ==
+            (BigInt(gt - lt) * 1000000 / t).toLong, s"$g delta")
+        }
+      }
+    }
+  }
+
+  test("friedman: fuzzed blocks match a driver fold; all-tied fails closed") {
+    cases(dailyGen, 8) { rows =>
+      val cells = daily(rows)
+      val k = cells.keys.map(_._1).toSet.size
+      val complete = cells.groupBy(_._1._2).filter(_._2.size == k)
+      val out = HypothesisQueries.friedman(
+          rows.map(r => (r._2, r._1, r._3)).toDF("day", "g", "c"))
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      if (complete.isEmpty) assert(out.isEmpty, "no complete blocks")
+      else {
+        val n = complete.size
+        val r2 = complete.toSeq.flatMap { case (_, m) =>
+          val vs = m.toSeq.map { case ((g, _), v) => (g, v) }
+          vs.map { case (g, v) =>
+            (g, vs.count(_._2 < v).toLong + vs.count(_._2 <= v).toLong + 1L) }
+        }
+        val r2sum = r2.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val a4 = r2.map(x => BigInt(x._2) * x._2).sum
+        val c4 = BigInt(n) * k * (k + 1) * (k + 1)
+        val s4 = r2sum.values
+          .map(rj => BigInt(rj - n.toLong * (k + 1)).pow(2)).sum
+        r2sum.foreach { case (g, rj) =>
+          val r = out.getOrElse(g, fail(s"$g vanished"))
+          assert(r.getAs[Long]("r2_sum") == rj, s"$g r2_sum")
+          if (a4 == c4) assert(r.isNullAt(r.fieldIndex("q_ppm")), s"$g tied")
+          else assert(r.getAs[Long]("q_ppm") ==
+            ((k - 1) * s4 * 1000000 / (a4 - c4)).toLong, s"$g q")
+        }
+      }
+    }
+  }
+
+  test("CvM / energy: fuzzed halves match; one-sided groups fail closed") {
+    cases(relGen, 8) { rows =>
+      val df = rows.toDF("g", "half", "v")
+      val cv = HypothesisQueries.cramerVonMises(df)
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      val en = HypothesisQueries.energyDistance(df)
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val a = rs.filter(_._2 == "a").map(_._3)
+        val b = rs.filter(_._2 == "b").map(_._3)
+        val (n, m) = (BigInt(a.length), BigInt(b.length))
+        val rc = cv.getOrElse(g, fail(s"$g vanished from CvM"))
+        val re = en.getOrElse(g, fail(s"$g vanished from energy"))
+        if (n == 0 || m == 0) {
+          assert(rc.isNullAt(rc.fieldIndex("t_ppm")), s"$g cvm one-sided")
+          assert(re.isNullAt(re.fieldIndex("e_ppm")), s"$g energy one-sided")
+        } else {
+          val support = (a ++ b).distinct.sorted
+          val num = support.map { v =>
+            val w = BigInt(a.count(_ == v) + b.count(_ == v))
+            val d0 = BigInt(a.count(_ <= v)) * m - BigInt(b.count(_ <= v)) * n
+            w * d0 * d0
+          }.sum
+          assert(rc.getAs[Long]("t_ppm") ==
+            (num * 1000000 / (n * m * (n + m) * (n + m))).toLong, s"$g cvm")
+          def cross(x: Seq[Long], y: Seq[Long]): BigInt =
+            x.map(v1 => y.map(v2 => BigInt((v1 - v2).abs)).sum).sum
+          val numE = 2 * cross(a, b) * n * m - cross(a, a) * m * m -
+            cross(b, b) * n * n
+          assert(re.getAs[Long]("e_ppm") ==
+            (numE * 1000000 / (n * n * m * m)).toLong, s"$g energy")
+        }
+      }
+    }
+  }
+
+  test("ljung-box / pacf: constant series drop symmetrically; gaps exact") {
+    // constant series: every y = 0, den = 0 -> NULL r_ppm rows in q362's
+    // frame, and the pacf drops the type entirely (matching the oracle's
+    // rl filter)
+    val const = (0L until 10L).map(d => ("g0", d, 5L))
+    val lb = HypothesisQueries.ljungBox(const.toDF("g", "day", "c")).collect()
+    assert(lb.nonEmpty && lb.forall(_.isNullAt(lb.head.fieldIndex("r_ppm"))))
+    val pc = HypothesisQueries.pacf(spark, const.toDF("g", "day", "c"))
+    assert(pc.collect().isEmpty, "constant series must drop from pacf")
+    // gapped series: lag pairs only where day+k exists — BigInt recount
+    cases(dailyGen, 6) { rows =>
+      val d = daily(rows)
+      val out = HypothesisQueries.pacf(spark,
+          rows.toDF("g", "day", "c")).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag")) ->
+          r.getAs[Long]("pacf_ppm")).toMap
+      d.groupBy(_._1._1).foreach { case (g, m) =>
+        val series = m.toSeq.map { case ((_, dd), x) => (dd, x) }.sortBy(_._1)
+        val n = BigInt(series.length)
+        val sx = series.map(e => BigInt(e._2)).sum
+        val y = series.map { case (dd, x) => (dd, n * x - sx) }.toMap
+        val den = y.values.map(v => v * v).sum
+        if (den == 0 || series.length < 2) {
+          assert(!out.keys.exists(_._1 == g), s"$g must drop")
+        } else {
+          val rs = (1 to 7).filter(_ < series.length).map { kk =>
+            val num = y.toSeq.map { case (dd, yv) =>
+              y.get(dd + kk).map(_ * yv).getOrElse(BigInt(0)) }.sum
+            (num * 1000000 / den).toLong
+          }
+          var phi = Vector(BigInt(rs(0)))
+          assert(out((g, 1L)) == rs(0), s"$g lag1")
+          var k = 2
+          var alive = true
+          while (alive && k <= rs.length) {
+            val num = BigInt(rs(k - 1)) * 1000000 -
+              (1 until k).map(j => phi(j - 1) * rs(k - 1 - j)).sum
+            val dk = BigInt("1000000000000") -
+              (1 until k).map(j => phi(j - 1) * rs(j - 1)).sum
+            if (dk == 0) { alive = false }
+            else {
+              val pkk = num * 1000000 / dk
+              phi = (1 until k).map(j =>
+                phi(j - 1) - pkk * phi(k - 1 - j) / 1000000).toVector :+ pkk
+              assert(out((g, k.toLong)) == pkk.toLong, s"$g lag $k")
+              k += 1
+            }
+          }
+        }
+      }
+    }
+  }
+
+  test("seasonality: constant series and single-phase groups fail closed") {
+    val const = (0L until 10L).map(d => ("g0", d, 5L))
+    val r = HypothesisQueries.seasonalityStrength(
+      const.toDF("g", "day", "c")).collect()
+    assert(r.nonEmpty && r.forall(_.isNullAt(r.head.fieldIndex("eta2_ppm"))))
+    // all observations on one weekly phase: eta2 = 0 exactly, F NULL
+    val onePhase = Seq(("g0", 0L, 3L), ("g0", 7L, 9L), ("g0", 14L, 4L))
+    val r2 = HypothesisQueries.seasonalityStrength(
+      onePhase.toDF("g", "day", "c")).collect()
+    assert(r2.length == 1 && r2.head.getAs[Long]("eta2_ppm") == 0L &&
+      r2.head.isNullAt(r2.head.fieldIndex("f_ppm")))
+  }
+
+  test("mood median: one-sided splits fail closed; tiny frames exact") {
+    // all-equal corpus: nothing is above the pooled median -> A = 0 ->
+    // NULL chi-square on both engines
+    val eq = Seq(("s0", 5L), ("s1", 5L), ("s1", 5L))
+    val r = HypothesisQueries.moodMedian(eq.toDF("source", "v")).collect()
+    assert(r.length == 2 && r.forall(_.isNullAt(r.head.fieldIndex("chi2_ppm"))))
+    // two sources, clean split: BigInt recount
+    val two = Seq(("s0", 1L), ("s0", 1L), ("s1", 9L), ("s1", 9L), ("s1", 1L))
+    val out = HypothesisQueries.moodMedian(two.toDF("source", "v")).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // pooled lower median of (1,1,1,9,9) = 1; above: s0 0/2, s1 2/3
+    val (n, aT) = (BigInt(5), BigInt(2))
+    val t0 = (BigInt(0) * n - BigInt(2) * aT).pow(2) * 1000000 / 2
+    val t1 = (BigInt(2) * n - BigInt(3) * aT).pow(2) * 1000000 / 3
+    val chi = ((t0 + t1) / (aT * (n - aT))).toLong
+    assert(out("s0").getAs[Long]("chi2_ppm") == chi &&
+      out("s1").getAs[Long]("n_above") == 2L)
+  }
+}
