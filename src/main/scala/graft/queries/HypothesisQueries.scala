@@ -800,6 +800,147 @@ object HypothesisQueries {
       |  n_days, eta2_ppm, f_ppm
       |FROM dm JOIN o ON o.g = dm.g ORDER BY event_type, dow""".stripMargin
 
+  // ---- q374: one-sample KS uniformity gate -----------------------------------
+
+  /** One-sample Kolmogorov–Smirnov against the UNIFORM null on the
+    * sensitive deciles' parent domain [0, B) — the "is the privacy
+    * bucket actually uniform" gate that complements the two-sample
+    * drift triad (q298/q336/q360 compare halves; this compares against
+    * the DESIGN distribution). D = maxᵥ |F_n(v) − (v+1)/B| over the
+    * DENSE domain grid (absent values are exactly where a gap shows:
+    * zero-filled, cum carried by the bounded window), cross-multiplied:
+    * d_num = max|cum·B − n·(v+1)|, D·10⁶ = d_num·10⁶ div (n·B). The 5%
+    * verdict avoids any square root: D > 1.358/√n ⟺
+    * d_num²·10⁶ > 1 844 164·n·B² (1.358² = 1.844164), exact in
+    * DECIMAL(38,0) to ~10¹² rows. One corpus pass to ≤ B·|types|
+    * cells. */
+  def ksUniform(s: SparkSession, rel: DataFrame, bDomain: Int): DataFrame = {
+    val cnt = rel.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // consumers: group universe + dense grid
+    val grid = cnt.select(col("g")).distinct()
+      .crossJoin(broadcast(s.range(bDomain).select(col("id").as("v"))))
+    val cum = grid.join(cnt, Seq("g", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("g")).orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        max(abs(col("cum") * bDomain - col("n") * (col("v") + 1)))
+          .as("d_num"))
+      .select(col("g").as("event_type"), col("n"), col("d_num"),
+        expr(s"cast(cast(d_num as $dec) * 1000000 div (n * $bDomain)" +
+          " as bigint)").as("d_ppm"),
+        expr(s"""cast(d_num as $dec) * d_num * 1000000
+          <= cast(1844164 as $dec) * n * $bDomain * $bDomain""")
+          .as("uniform"))
+      .orderBy(col("event_type"))
+  }
+  val q374_ks_uniform: Q = (s, d) => ksUniform(s,
+    Tables.events(s, d).select(col("event_type").as("g"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("v"))
+      .where(col("v").isNotNull), 100)
+  val q374_sql: String =
+    """WITH rel AS (SELECT event_type AS g,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS v FROM events
+      |  WHERE json_extract(props, '$.k') IS NOT NULL),
+      |cnt AS (SELECT g, v, count(*)::BIGINT AS c FROM rel GROUP BY 1, 2),
+      |grid AS (SELECT g, r.v FROM (SELECT DISTINCT g FROM cnt)
+      |         CROSS JOIN (SELECT unnest(range(0, 100))::BIGINT AS v) r),
+      |cum AS (SELECT grid.g, grid.v, coalesce(c, 0)::BIGINT AS c,
+      |          sum(coalesce(c, 0)) OVER (PARTITION BY grid.g
+      |            ORDER BY grid.v)::BIGINT AS cum,
+      |          sum(coalesce(c, 0)) OVER (PARTITION BY grid.g)::BIGINT AS n
+      |        FROM grid LEFT JOIN cnt ON cnt.g = grid.g AND cnt.v = grid.v),
+      |agg AS (SELECT g, max(n)::BIGINT AS n,
+      |          max(abs(cum * 100 - n * (v + 1)))::BIGINT AS d_num
+      |        FROM cum GROUP BY 1)
+      |SELECT g AS event_type, n, d_num,
+      |  (d_num::HUGEINT * 1000000 // (n * 100))::BIGINT AS d_ppm,
+      |  d_num::HUGEINT * d_num * 1000000
+      |    <= 1844164::HUGEINT * n * 100 * 100 AS uniform
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  // ---- q375: day-granular Wald SPRT ------------------------------------------
+
+  /** Wald's sequential probability ratio test, evaluated at day
+    * granularity — the always-on monitor that watches a share and stops
+    * ITSELF the day the evidence suffices, instead of waiting for a
+    * fixed horizon like q312/q353. Hypotheses: the P(k < 50) share is
+    * p₀ = 0.40 (H0) vs p₁ = 0.50 (H1); each observation adds
+    * log2(p₁/p₀) or log2(q₁/q₀) to the log-likelihood ratio, in the
+    * libm-free [[Ilog2]] 16-bit fixed point, so the daily increment is
+    * the pure integer n₁·(il(50)−il(40)) + n₀·(il(50)−il(60)) — a
+    * +-monoid over the (type, day, x) census (which is what q376
+    * recovers through a checkpoint). Boundaries ±log2(19) (α = β =
+    * 0.05, Wald's A = (1−β)/α), ALSO via Ilog2, so both engines derive
+    * every constant from the same integer fold. The cumulative walk and
+    * first-crossing scan live in the ≤31-row calendar frame per type;
+    * a type that never crosses reports decision = 'continue'. Long-safe
+    * natively at 100 TB (10⁹ obs/day · 2·10⁴ fp ≈ 2·10¹³/day). */
+  def sprtFromDailyCounts(cells: DataFrame, inc1: Long, inc0: Long,
+                          thr: Long): DataFrame = {
+    val cum = cells
+      .withColumn("llr", col("n1") * inc1 + col("n0") * inc0)
+      .withColumn("cum_llr", sum(col("llr"))
+        .over(Window.partitionBy(col("g")).orderBy(col("day"))))
+      .localCheckpoint(true) // consumers: crossing scan + final state
+    val cross = cum.where(abs(col("cum_llr")) >= thr)
+      .groupBy(col("g"))
+      .agg(min(struct(col("day"), col("cum_llr"))).as("f"))
+      .select(col("g"), col("f.day").as("crossed_day"),
+        when(col("f.cum_llr") >= thr, "accept_h1")
+          .otherwise("accept_h0").as("dec"))
+    cum.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_days"),
+        max(struct(col("day"), col("cum_llr"))).as("f"))
+      .join(broadcast(cross), Seq("g"), "left")
+      .select(col("g").as("event_type"), col("n_days"),
+        col("f.cum_llr").as("final_llr_fp"), lit(thr).as("threshold_fp"),
+        col("crossed_day"), coalesce(col("dec"), lit("continue"))
+          .as("decision"))
+      .orderBy(col("event_type"))
+  }
+  /** SPRT constants, derived once from the integer log fold (shared
+    * with the q376 recovery certification). */
+  private[queries] val SprtInc1: Long = Ilog2.impl(50) - Ilog2.impl(40)
+  private[queries] val SprtInc0: Long = Ilog2.impl(50) - Ilog2.impl(60)
+  private[queries] val SprtThr: Long = Ilog2.impl(19)
+  private[queries] def sprtCells(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_type").as("g"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("k"))
+      .where(col("k").isNotNull)
+      .groupBy(col("g"), col("day"))
+      .agg(sum(when(col("k") < 50, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("k") < 50, 0L).otherwise(1L)).as("n0"))
+  val q375_sprt: Q = (s, d) =>
+    sprtFromDailyCounts(sprtCells(s, d), SprtInc1, SprtInc0, SprtThr)
+  val q375_sql: String =
+    s"""WITH rel AS (SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+       |    CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events
+       |  WHERE json_extract(props, '$$.k') IS NOT NULL),
+       |cells AS (SELECT g, day,
+       |    sum(CASE WHEN k < 50 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |    sum(CASE WHEN k < 50 THEN 0 ELSE 1 END)::BIGINT AS n0
+       |  FROM rel GROUP BY 1, 2),
+       |cum AS (SELECT g, day,
+       |          sum(n1 * $SprtInc1 + n0 * $SprtInc0)
+       |            OVER (PARTITION BY g ORDER BY day)::BIGINT AS cum_llr
+       |        FROM cells),
+       |cross_ AS (SELECT g, min(day)::BIGINT AS crossed_day,
+       |             CASE WHEN arg_min(cum_llr, day) >= $SprtThr
+       |               THEN 'accept_h1' ELSE 'accept_h0' END AS dec
+       |           FROM cum WHERE abs(cum_llr) >= $SprtThr GROUP BY 1),
+       |fin AS (SELECT g, count(*)::BIGINT AS n_days,
+       |          arg_max(cum_llr, day)::BIGINT AS final_llr_fp
+       |        FROM cum GROUP BY 1)
+       |SELECT fin.g AS event_type, n_days, final_llr_fp,
+       |  $SprtThr::BIGINT AS threshold_fp, crossed_day,
+       |  coalesce(dec, 'continue') AS decision
+       |FROM fin LEFT JOIN cross_ ON cross_.g = fin.g
+       |ORDER BY event_type""".stripMargin
+
   // ---- q372: Cochran's Q -----------------------------------------------------
 
   /** Cochran's Q with USERS as blocks — the one blocked test in the
@@ -1361,7 +1502,9 @@ object HypothesisQueries {
     "q370_pacf" -> q370_pacf,
     "q371_seasonality_strength" -> q371_seasonality_strength,
     "q372_cochrans_q" -> q372_cochrans_q,
-    "q373_hdr_rollup" -> q373_hdr_rollup)
+    "q373_hdr_rollup" -> q373_hdr_rollup,
+    "q374_ks_uniform" -> q374_ks_uniform,
+    "q375_sprt" -> q375_sprt)
 
   val oracles: Map[String, String] = Map(
     "q368_distribution_gate" -> q368_sql,
@@ -1379,5 +1522,7 @@ object HypothesisQueries {
     "q370_pacf" -> q370_sql,
     "q371_seasonality_strength" -> q371_sql,
     "q372_cochrans_q" -> q372_sql,
-    "q373_hdr_rollup" -> q373_sql)
+    "q373_hdr_rollup" -> q373_sql,
+    "q374_ks_uniform" -> q374_sql,
+    "q375_sprt" -> q375_sql)
 }

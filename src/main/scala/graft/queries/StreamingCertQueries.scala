@@ -1302,7 +1302,49 @@ object StreamingCertQueries {
   /** Same series, same readout → q362's batch oracle verbatim. */
   val q369_sql: String = HypothesisQueries.q362_sql
 
+  /** q375's SPRT census under CHECKPOINT RECOVERY — the forty-seventh
+    * streaming cert and FOURTEENTH recovery shape: the sequential
+    * test's sufficient statistic is the (type, day, x) census — one
+    * count per cell, [[Streaming.gridCount]] with the binary
+    * k < 50 indicator as the grid's b axis — and it must survive the
+    * restart exactly, because the SPRT's WHOLE point is the first
+    * crossing day: a single day's count shifted by a lost or replayed
+    * batch moves the cumulative log-likelihood walk and can move (or
+    * erase) the crossing — the decision the monitor acted on. Two of
+    * the four (tsm, event_id)-ordered files process before the kill;
+    * the readout is each cell's max-`seen` census fed to the SAME
+    * [[HypothesisQueries.sprtFromDailyCounts]] walk with the same
+    * Ilog2-derived constants; oracle verbatim q375's. */
+  val q376_recovery_sprt: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+        col("event_type").as("rf"),
+        expr("unix_millis(ts) div 86400000").as("a"),
+        expr("""case when cast(get_json_object(props, '$.k') as long) < 50
+          then 1L else 0L end""").as("b"),
+        unix_millis(col("ts")).as("tsm"),
+        col("event_id").cast("long").as("event_id"))
+      .where(expr("get_json_object(props, '$.k')").isNotNull)
+    val srcDir = stageOrderedBy(ev, d, "eventsSprtOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    val cells = recoveringTable(s, srcDir, firstN = 2, tag = "q376_rec_sprt")(
+      st => Streaming.gridCount(
+        st.select(col("rf"), col("a"), col("b")).as[Streaming.CellObs]).toDF(),
+      ev.schema)
+      .groupBy(col("rf"), col("a"), col("b"))
+      .agg(max(struct(col("seen"), col("c"))).as("f"))
+      .groupBy(col("rf").as("g"), col("a").as("day"))
+      .agg(sum(when(col("b") === 1L, col("f.c")).otherwise(0L)).as("n1"),
+        sum(when(col("b") === 0L, col("f.c")).otherwise(0L)).as("n0"))
+    HypothesisQueries.sprtFromDailyCounts(cells,
+      HypothesisQueries.SprtInc1, HypothesisQueries.SprtInc0,
+      HypothesisQueries.SprtThr)
+  }
+  /** Same census, same walk, same constants → q375's oracle verbatim. */
+  val q376_sql: String = HypothesisQueries.q375_sql
+
   val defs: Map[String, Q] = Map(
+    "q376_recovery_sprt" -> q376_recovery_sprt,
     "q369_recovery_dailysum" -> q369_recovery_dailysum,
     "q357_recovery_hdr" -> q357_recovery_hdr,
     "q354_recovery_kanon" -> q354_recovery_kanon,
@@ -1332,6 +1374,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q376_recovery_sprt" -> q376_sql,
     "q369_recovery_dailysum" -> q369_sql,
     "q357_recovery_hdr" -> q357_sql,
     "q354_recovery_kanon" -> q354_sql,

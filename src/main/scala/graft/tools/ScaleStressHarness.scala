@@ -1525,6 +1525,75 @@ object ScaleStress {
         math.abs(e2K - e2) <= 16L && math.abs(fpK - fp) <= 16L
     }
 
+    // KS-uniform: d_num scales ×K exactly; the 5% verdict is RECOMPUTED
+    // at K, never assumed invariant — a real deviation becomes
+    // significant as n grows, which is the statistic working, not drift
+    val ksBase = relBase.select(col("g"), col("v")).localCheckpoint(true)
+    def runKs(rel: DataFrame): Map[String, (Long, Long, Long, Boolean)] =
+      HypothesisQueries.ksUniform(spark, rel, 100).collect().map { r =>
+        r.getAs[String]("event_type") -> ((r.getAs[Long]("n"),
+          r.getAs[Long]("d_num"), r.getAs[Long]("d_ppm"),
+          r.getAs[Boolean]("uniform")))
+      }.toMap
+    var k1: Map[String, (Long, Long, Long, Boolean)] = Map.empty
+    em.stage("ks-uniform x1") { k1 = runKs(ksBase); k1.size.toLong }
+    var kK: Map[String, (Long, Long, Long, Boolean)] = Map.empty
+    em.stage(s"ks-uniform x$Reps") { kK = runKs(dup(ksBase)); kK.size.toLong }
+    val ksOk = k1.nonEmpty && k1.forall { case (g, (n, dn, dp, _)) =>
+      val (nK, dnK, dpK, uK) = kK(g)
+      val expectU = BigInt(dnK) * dnK * 1000000 <=
+        BigInt(1844164) * nK * 100 * 100
+      nK == n * Reps && dnK == dn * Reps && math.abs(dpK - dp) <= 1 &&
+        uK == expectU
+    }
+
+    // SPRT: the cumulative walk scales ×K exactly, so the expected first
+    // crossing at K is computable from the 1× walk — crossings can only
+    // move EARLIER (and may flip decision if an early dip crosses first);
+    // both are asserted against the exact recomputation, not a band
+    val sprtRaw = Tables.events(spark, sfDir).select(
+        col("event_type").as("g"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("k"))
+      .where(col("k").isNotNull).localCheckpoint(true)
+    val (inc1, inc0, thr) = (21098L, -17238L, 278392L)
+    def runSprt(raw: DataFrame): Map[String, (Long, Long, Option[Long], String)] = {
+      val cells = raw.groupBy(col("g"), col("day"))
+        .agg(sum(when(col("k") < 50, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("k") < 50, 0L).otherwise(1L)).as("n0"))
+      HypothesisQueries.sprtFromDailyCounts(cells, inc1, inc0, thr)
+        .collect().map { r =>
+          r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+            r.getAs[Long]("final_llr_fp"),
+            if (r.isNullAt(r.fieldIndex("crossed_day"))) None
+            else Some(r.getAs[Long]("crossed_day")),
+            r.getAs[String]("decision")))
+        }.toMap
+    }
+    var sp1: Map[String, (Long, Long, Option[Long], String)] = Map.empty
+    em.stage("sprt x1") { sp1 = runSprt(sprtRaw); sp1.size.toLong }
+    var spK: Map[String, (Long, Long, Option[Long], String)] = Map.empty
+    em.stage(s"sprt x$Reps") { spK = runSprt(dup(sprtRaw)); spK.size.toLong }
+    // exact expectation from the 1× walk (bounded collect: |types|·31)
+    val walks = sprtRaw.groupBy(col("g"), col("day"))
+      .agg((sum(when(col("k") < 50, 1L).otherwise(0L)) * inc1 +
+        sum(when(col("k") < 50, 0L).otherwise(1L)) * inc0).as("llr"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { rows =>
+        rows.sortBy(_._2).scanLeft((0L, 0L)) { case ((_, acc), (_, d0, l)) =>
+          (d0, acc + l) }.tail.toSeq
+      }.toMap
+    val sprtOk = sp1.nonEmpty && sp1.forall { case (g, (nd, fin, cd1, _)) =>
+      val (ndK, finK, cdK, decK) = spK(g)
+      val walkK = walks(g).map { case (d0, c) => (d0, c * Reps) }
+      val expect = walkK.find(w => math.abs(w._2) >= thr)
+      val expectDec = expect.map { case (_, c) =>
+        if (c >= thr) "accept_h1" else "accept_h0" }.getOrElse("continue")
+      ndK == nd && finK == fin * Reps &&
+        cdK == expect.map(_._1) && decK == expectDec &&
+        (cd1.isEmpty || cdK.exists(_ <= cd1.get))
+    }
+
     // Cochran's Q: duplication adds only identical (user, type) rows, so
     // the presence grid — and every output — must be BIT-identical (the
     // distinct() dedup robustness the blocked test depends on)
@@ -1559,7 +1628,7 @@ object ScaleStress {
       mK._1(s0) == ((med, ng * Reps, ag * Reps)) } &&
       math.abs(mK._2 - Reps.toLong * m1._2) <= 2L * Reps
 
-    em.line(s"""{"summary":"round-11c hypothesis-statistics invariances at ${Reps}x duplication","hdr_bracket_invariant_n_scales":$hdrOk,"friedman_bit_identical":$friedmanExact,"brown_forsythe_banded":$bfOk,"cvm_scales_within_floor":$cvmOk,"energy_e_bit_identical_t_scales":$energyOk,"ljung_box_bit_identical":$lbExact,"pacf_bit_identical":$pacfExact,"seasonality_banded":$seaOk,"cochran_q_bit_identical":$cqExact,"runs_bit_identical":$runsExact,"wilcoxon_bit_identical":$wsrExact,"hl_shift_invariant_pairs_scale":$hlOk,"cliffs_delta_bit_identical":$cdOk,"mood_median_invariant_chi2_banded":$moodOk,"linear":${hdrOk && friedmanExact && bfOk && cvmOk && energyOk && lbExact && pacfExact && seaOk && cqExact && runsExact && wsrExact && hlOk && cdOk && moodOk}}""")
+    em.line(s"""{"summary":"round-11c hypothesis-statistics invariances at ${Reps}x duplication","hdr_bracket_invariant_n_scales":$hdrOk,"friedman_bit_identical":$friedmanExact,"brown_forsythe_banded":$bfOk,"cvm_scales_within_floor":$cvmOk,"energy_e_bit_identical_t_scales":$energyOk,"ljung_box_bit_identical":$lbExact,"pacf_bit_identical":$pacfExact,"seasonality_banded":$seaOk,"cochran_q_bit_identical":$cqExact,"ks_uniform_scales_verdict_recomputed":$ksOk,"sprt_walk_scales_crossing_recomputed":$sprtOk,"runs_bit_identical":$runsExact,"wilcoxon_bit_identical":$wsrExact,"hl_shift_invariant_pairs_scale":$hlOk,"cliffs_delta_bit_identical":$cdOk,"mood_median_invariant_chi2_banded":$moodOk,"linear":${hdrOk && friedmanExact && bfOk && cvmOk && energyOk && lbExact && pacfExact && seaOk && cqExact && ksOk && sprtOk && runsExact && wsrExact && hlOk && cdOk && moodOk}}""")
   }
 
   private val families: Map[String, (Family, String)] = Map(

@@ -365,6 +365,62 @@ class HypothesisSpec extends SparkSpec {
     }
   }
 
+  test("q374: KS-uniform matches a dense-grid BigInt recount") {
+    val rel = events.filter(_._4 >= 0)
+    val out = HypothesisQueries.q374_ks_uniform(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    rel.groupBy(_._1).foreach { case (g, rows) =>
+      val vs = rows.map(_._4)
+      val n = BigInt(vs.length)
+      val dNum = (0L until 100L).map { v =>
+        (BigInt(vs.count(_ <= v)) * 100 - n * (v + 1)).abs }.max
+      val r = out(g)
+      assert(r.getAs[Long]("n") == n.toLong && r.getAs[Long]("d_num") == dNum)
+      assert(r.getAs[Long]("d_ppm") == (dNum * 1000000 / (n * 100)).toLong)
+      assert(r.getAs[Boolean]("uniform") ==
+        (dNum * dNum * 1000000 <= BigInt(1844164) * n * 100 * 100), s"$g gate")
+    }
+  }
+
+  test("q375: the SPRT walk, crossing, and decision match a driver fold") {
+    val rel = events.filter(_._4 >= 0)
+    val out = HypothesisQueries.q375_sprt(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val (inc1, inc0, thr) = (21098L, -17238L, 278392L) // pinned Ilog2 values
+    rel.groupBy(_._1).foreach { case (g, rows) =>
+      val cells = rows.groupBy(_._3).view.mapValues { day =>
+        (day.count(_._4 < 50).toLong, day.count(_._4 >= 50).toLong) }
+      val walk = cells.toSeq.sortBy(_._1).scanLeft((0L, 0L)) {
+        case ((_, acc), (day, (n1, n0))) => (day, acc + n1 * inc1 + n0 * inc0)
+      }.tail
+      val r = out(g)
+      assert(r.getAs[Long]("n_days") == cells.size.toLong, s"$g days")
+      assert(r.getAs[Long]("final_llr_fp") == walk.last._2, s"$g final")
+      walk.find(w => math.abs(w._2) >= thr) match {
+        case Some((day, cum)) =>
+          assert(r.getAs[Long]("crossed_day") == day, s"$g crossing")
+          assert(r.getAs[String]("decision") ==
+            (if (cum >= thr) "accept_h1" else "accept_h0"), s"$g decision")
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("crossed_day")) &&
+            r.getAs[String]("decision") == "continue", s"$g continue")
+      }
+    }
+  }
+
+  test("sprtFromDailyCounts: a walk inside the boundaries reports continue") {
+    import spark.implicits._
+    // tiny balanced counts: |cum| stays far below log2(19) fp
+    val cells = Seq(("t", 1L, 1L, 1L), ("t", 2L, 1L, 1L), ("t", 3L, 0L, 1L))
+      .toDF("g", "day", "n1", "n0")
+    val r = HypothesisQueries.sprtFromDailyCounts(cells,
+      21098L, -17238L, 278392L).head()
+    assert(r.getAs[String]("decision") == "continue" &&
+      r.isNullAt(r.fieldIndex("crossed_day")))
+    assert(r.getAs[Long]("final_llr_fp") ==
+      2L * 21098L + 3L * -17238L)
+  }
+
   test("q373: day->week register merge reproduces the direct build") {
     val out = HypothesisQueries.q373_hdr_rollup(spark, sf).collect()
     assert(out.nonEmpty)
