@@ -82,7 +82,12 @@ class AqeParitySpec extends SparkSpec {
     // join shapes the family adds that AQE could re-plan
     "q356_hdr_quantiles",
     "q364_hodges_lehmann",
-    "q367_wilcoxon_signed")
+    "q367_wilcoxon_signed",
+    // the ninth-batch shapes: the dense KS grid (broadcast range cross +
+    // zero-fill left join) and the SPRT crossing scan (calendar window +
+    // broadcast crossing rejoin)
+    "q374_ks_uniform",
+    "q375_sprt")
 
   slice.foreach { name =>
     test(s"$name: identical rows with AQE off and on") {
