@@ -135,7 +135,10 @@ object HypothesisQueries {
         expr("unix_millis(ts) div 86400000").as("day"),
         expr("cast(round(value * 100) as bigint)").as("v"))
       .where(col("v") >= 1)
-      .localCheckpoint(true) // consumers: daily-register path + direct path
+    // NOT checkpointed: ev is a corpus-scale projection, and at the
+    // 100 TB design point materializing it to local disk is the cliff —
+    // the two register paths each rescan the cheap column projection
+    // instead. (Only the post-reduction register frames are small.)
     val dailyRegs = ev.withColumn("lfp", Ilog2.ilog2(col("v")))
       .withColumn("b", expr("lfp div 8192"))
       .groupBy(col("g"), col("day"), col("b"))
@@ -306,8 +309,15 @@ object HypothesisQueries {
     * pass. F = [(N−k)·SSB] / [(k−1)·SSW]; each group's SSB/SSW term has
     * its own denominator (n_g·N² resp. n_g), so terms quantize ONCE to
     * micro-units before summing (the CUPED freeze-θ precedent), then the
-    * F ratio floors to ppm. Exact to ~10⁸ docs at lengths ≤ 10⁴ in
-    * DECIMAL(38,0); past that horizon, bucket z in deca-chars. A single
+    * F ratio floors to ppm. Both micro terms use the q366
+    * quotient–remainder decomposition (x·10⁶ div n = (x div n)·10⁶ +
+    * ((x mod n)·10⁶ div n)) because Spark's decimal-dividend `div`
+    * WRAPS its long result silently past 2⁶³ — the raw form's ssb
+    * quotient grows as ~n_g·Var(z)·10⁶ and wraps around 10⁵ docs/group
+    * at full length spread (the q366 stress-catch failure mode).
+    * Decomposed, the long-riding quotients are ≤ n_g·vmax², so the
+    * binding horizon is DECIMAL(38,0) width on d² itself: exact to
+    * ~10⁸ docs at lengths ≤ 10⁴; past that, bucket z in deca-chars. A single
     * source (k=1) or zero within-group spread fails closed to NULL F. */
   /** Core over the raw (source, v) observation frame — the scale-stress
     * harness feeds duplicated replicas through this entry point. */
@@ -331,12 +341,24 @@ object HypothesisQueries {
         sum(expr(s"cast(c as $dec) * z * z")).as("zz_g"))
     val grand = zmom.agg(sum(col("n_g")).as("n_tot"),
       sum(col("z_g")).as("z_tot"), count(lit(1)).as("k"))
+    // Quotient–remainder on BOTH micro terms (q366 precedent): the raw
+    // `x * 1000000 div den` form rides Spark's decimal-dividend `div`,
+    // whose long result wraps silently past 2^63 (~10^5 docs/group for
+    // ssb at full length spread). Decomposed, only x div den (bounded by
+    // n_g * vmax^2) rides a long; the recomposed value is IDENTICAL:
+    // x*10^6 div den = (x div den)*10^6 + ((x mod den)*10^6 div den),
+    // with x, den >= 0 throughout so floor == truncate on both engines.
     val terms = zmom.crossJoin(broadcast(grand))
-      .withColumn("ssb_micro", expr(s"""
-          (z_g * n_tot - z_tot * n_g) * (z_g * n_tot - z_tot * n_g) * 1000000
-            div (cast(n_g as $dec) * n_tot * n_tot)"""))
-      .withColumn("ssw_micro", expr(s"""
-          (n_g * zz_g - z_g * z_g) * 1000000 div cast(n_g as $dec)"""))
+      .withColumn("d2b", expr(s"""cast(z_g * n_tot - z_tot * n_g as $dec)
+          * (z_g * n_tot - z_tot * n_g)"""))
+      .withColumn("denb", expr(s"cast(n_g as $dec) * n_tot * n_tot"))
+      .withColumn("qb", expr("d2b div denb"))
+      .withColumn("ssb_micro", expr(s"""cast(qb as $dec) * 1000000
+          + (d2b - cast(qb as $dec) * denb) * 1000000 div denb"""))
+      .withColumn("d2w", expr(s"cast(n_g * zz_g - z_g * z_g as $dec)"))
+      .withColumn("qw", expr("d2w div n_g"))
+      .withColumn("ssw_micro", expr(s"""cast(qw as $dec) * 1000000
+          + (d2w - cast(qw as $dec) * n_g) * 1000000 div n_g"""))
       .localCheckpoint(true) // consumers: F fold + per-source readout
     val f = terms.agg(max(col("n_tot")).as("n_tot"), max(col("k")).as("k"),
         sum(col("ssb_micro").cast(dec)).as("ssb"), // long terms, wide sums:
@@ -423,8 +445,13 @@ object HypothesisQueries {
     * fails closed to NULL. */
   /** Core over the raw (g, half, v) relation — the scale-stress harness
     * feeds duplicated replicas through this entry point. */
-  def cramerVonMises(rel: DataFrame): DataFrame = {
-    val cum = halfCounts(rel)
+  def cramerVonMises(rel: DataFrame): DataFrame =
+    cramerVonMisesCells(halfCounts(rel))
+
+  /** Cells-level entry (g, v, c_a, c_b): lets q368 reduce the corpus
+    * ONCE and share the checkpointed bounded frame across members. */
+  private def cramerVonMisesCells(cells: DataFrame): DataFrame = {
+    val cum = cells
       .withColumn("cum_a", sum(col("c_a"))
         .over(Window.partitionBy(col("g")).orderBy(col("v"))))
       .withColumn("cum_b", sum(col("c_b"))
@@ -540,11 +567,15 @@ object HypothesisQueries {
     * Ljung–Box gate (q362) and the Durbin–Levinson PACF ladder (q370)
     * consume. One corpus pass to the ≤31·|types| daily frame; lag
     * pairs from a broadcast self-join inside it. */
-  private[queries] def acfFrame(ev: DataFrame): DataFrame = {
-    val daily = ev
+  private[queries] def acfFrame(ev: DataFrame): DataFrame =
+    acfFromDaily(ev
       .groupBy(col("g"), col("day"))
       .agg(sum(col("c")).as("x"))
-      .localCheckpoint(true) // consumers: moment probe + both join sides
+      .localCheckpoint(true)) // consumers: moment probe + both join sides
+
+  /** Daily-sums entry (g, day, x): caller owns the checkpoint of the
+    * ≤31·|types| frame (q368 shares one across ljung-box + runs). */
+  private def acfFromDaily(daily: DataFrame): DataFrame = {
     val mom = daily.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     val y = daily.join(broadcast(mom), Seq("g"))
@@ -572,8 +603,9 @@ object HypothesisQueries {
 
   /** Core over the raw (g, day, c) observation frame — the scale-stress
     * harness feeds duplicated replicas through this entry point. */
-  def ljungBox(ev: DataFrame): DataFrame = {
-    val r = acfFrame(ev)
+  def ljungBox(ev: DataFrame): DataFrame = ljungBoxFromAcf(acfFrame(ev))
+
+  private def ljungBoxFromAcf(r: DataFrame): DataFrame = {
     val q = r.groupBy(col("g"))
       .agg(max(col("n")).as("n"),
         sum(expr(s"cast(r_ppm as $dec) * r_ppm div (n - k)")).as("qsum"))
@@ -903,9 +935,9 @@ object HypothesisQueries {
   }
   /** SPRT constants, derived once from the integer log fold (shared
     * with the q376 recovery certification). */
-  private[queries] val SprtInc1: Long = Ilog2.impl(50) - Ilog2.impl(40)
-  private[queries] val SprtInc0: Long = Ilog2.impl(50) - Ilog2.impl(60)
-  private[queries] val SprtThr: Long = Ilog2.impl(19)
+  private[graft] val SprtInc1: Long = Ilog2.impl(50) - Ilog2.impl(40)
+  private[graft] val SprtInc0: Long = Ilog2.impl(50) - Ilog2.impl(60)
+  private[graft] val SprtThr: Long = Ilog2.impl(19)
   private[queries] def sprtCells(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(col("event_type").as("g"),
         expr("unix_millis(ts) div 86400000").as("day"),
@@ -1022,11 +1054,14 @@ object HypothesisQueries {
     * clustering of highs and lows. Shapes: one corpus pass to the
     * ≤31·|types| daily frame; ranks and the consecutive-pair join live
     * inside it. */
-  def runsTest(ev: DataFrame): DataFrame = {
-    val daily = ev
+  def runsTest(ev: DataFrame): DataFrame =
+    runsFromDaily(ev
       .groupBy(col("g"), col("day"))
       .agg(sum(col("c")).as("x"))
-      .localCheckpoint(true) // consumers: median scan + kept sequence
+      .localCheckpoint(true)) // consumers: median scan + kept sequence
+
+  /** Daily-sums entry (g, day, x): caller owns the checkpoint. */
+  private def runsFromDaily(daily: DataFrame): DataFrame = {
     val med = daily
       .withColumn("cum", count(lit(1))
         .over(Window.partitionBy(col("g")).orderBy(col("x"), col("day"))))
@@ -1117,8 +1152,12 @@ object HypothesisQueries {
     * for each type, the (d = v_b − v_a, w = c_a·c_b) frame over the
     * ≤100×100 support grid — the sufficient statistic for both the
     * Hodges–Lehmann shift and Cliff's delta. */
-  private def diffWeights(rel: DataFrame): DataFrame = {
-    val cells = halfCounts(rel).localCheckpoint(true) // consumers: 2 sides
+  private def diffWeights(rel: DataFrame): DataFrame =
+    diffWeightsCells(halfCounts(rel).localCheckpoint(true)) // 2 consumers
+
+  /** Cells-level entry: caller owns the checkpoint of the bounded
+    * frame (q368 shares one across members). */
+  private def diffWeightsCells(cells: DataFrame): DataFrame = {
     cells.where(col("c_a") > 0)
       .select(col("g"), col("v"), col("c_a"))
       .join(broadcast(cells.where(col("c_b") > 0)
@@ -1180,8 +1219,14 @@ object HypothesisQueries {
     * ppm (signed — both engines truncate toward zero); the magnitude
     * label uses the Romano et al. 2006 thresholds (0.147 / 0.33 /
     * 0.474). */
-  def cliffsDelta(rel: DataFrame): DataFrame = {
-    val agg = diffWeights(rel)
+  def cliffsDelta(rel: DataFrame): DataFrame =
+    cliffsDeltaCells(halfCounts(rel).localCheckpoint(true)) // 3 consumers
+
+  /** Cells-level entry (caller owns the checkpoint); the fail-closed
+    * universe comes off the cells frame — the same g set as the raw
+    * relation's, since halfCounts only groups. */
+  private def cliffsDeltaCells(cells: DataFrame): DataFrame = {
+    val agg = diffWeightsCells(cells)
       .groupBy(col("g"))
       .agg(sum(when(col("d") > 0, col("w")).otherwise(lit(0L).cast(dec)))
           .as("n_gt"),
@@ -1191,7 +1236,7 @@ object HypothesisQueries {
           .as("n_eq"))
     // fail-closed universe: an empty half has no dominance pairs — zero
     // counts, NULL δ, NULL magnitude (never a fake 'large')
-    rel.select(col("g")).distinct()
+    cells.select(col("g")).distinct()
       .join(broadcast(agg), Seq("g"), "left")
       .withColumn("delta_ppm", expr(s"""cast(
           (n_gt - n_lt) * 1000000 div nullif(n_gt + n_lt + n_eq, 0)
@@ -1438,19 +1483,28 @@ object HypothesisQueries {
     * adds only |types|-bounded broadcast joins and a null-safe verdict
     * (any NULL gate fails closed to unhealthy). */
   val q368_distribution_gate: Q = (s, d) => {
-    val rel = halfRel(s, d).localCheckpoint(true) // consumers: cvm + delta
-    val daily = Tables.events(s, d).select(
-      col("event_type").as("g"),
-      expr("unix_millis(ts) div 86400000").as("day"),
-      expr("cast(round(value * 100) as bigint)").as("c"))
-      .localCheckpoint(true) // consumers: ljung-box + runs
-    val cvm = cramerVonMises(rel).select(col("event_type"), col("t_ppm"))
-    val cd = cliffsDelta(rel).select(col("event_type"), col("delta_ppm"),
-      col("magnitude"))
-    val lb = ljungBox(daily).groupBy(col("event_type"))
+    // Each corpus-scale projection is reduced ONCE (map-side-combinable
+    // groupBy) to its bounded sufficient frame, and only THAT is
+    // checkpointed and shared across members — never the raw event
+    // projection (checkpointing the unreduced frame was the 100 TB
+    // cliff the round-11 advice flagged).
+    val cells = halfCounts(halfRel(s, d))
+      .localCheckpoint(true) // ≤ |types|·support cells; consumers: cvm + δ
+    val dailySum = Tables.events(s, d).select(
+        col("event_type").as("g"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .groupBy(col("g"), col("day"))
+      .agg(sum(col("c")).as("x"))
+      .localCheckpoint(true) // ≤ 31·|types| rows; consumers: lb + runs
+    val cvm = cramerVonMisesCells(cells)
+      .select(col("event_type"), col("t_ppm"))
+    val cd = cliffsDeltaCells(cells).select(col("event_type"),
+      col("delta_ppm"), col("magnitude"))
+    val lb = ljungBoxFromAcf(acfFromDaily(dailySum)).groupBy(col("event_type"))
       .agg(max(col("q_micro")).as("q_micro"),
         min(col("white_noise")).as("white_noise"))
-    val rt = runsTest(daily).select(col("event_type"), col("z2_ppm"),
+    val rt = runsFromDaily(dailySum).select(col("event_type"), col("z2_ppm"),
       col("random_order"))
     val hdr = hdrQuantiles(s, hdrRegisters(hdrInput(s, d)))
       .where(col("p") === 99L)

@@ -1324,7 +1324,10 @@ object StreamingCertQueries {
           then 1L else 0L end""").as("b"),
         unix_millis(col("ts")).as("tsm"),
         col("event_id").cast("long").as("event_id"))
-      .where(expr("get_json_object(props, '$.k')").isNotNull)
+      // Filter on the CASTED long, matching q375's sprtCells exactly: a
+      // props.k present but non-castable must be DROPPED here too, or
+      // this cert would count it as n0 while q375 never sees it.
+      .where(expr("cast(get_json_object(props, '$.k') as long)").isNotNull)
     val srcDir = stageOrderedBy(ev, d, "eventsSprtOrdered4", 4,
       Seq(col("tsm"), col("event_id")))
     val cells = recoveringTable(s, srcDir, firstN = 2, tag = "q376_rec_sprt")(

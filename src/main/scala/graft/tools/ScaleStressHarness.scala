@@ -1556,7 +1556,10 @@ object ScaleStress {
         expr("unix_millis(ts) div 86400000").as("day"),
         expr("cast(get_json_object(props, '$.k') as long)").as("k"))
       .where(col("k").isNotNull).localCheckpoint(true)
-    val (inc1, inc0, thr) = (21098L, -17238L, 278392L)
+    // The query's own constants, not a copy — if the Ilog2 fold or the
+    // hypotheses change, this stress certifies what q375 actually runs.
+    val (inc1, inc0, thr) = (HypothesisQueries.SprtInc1,
+      HypothesisQueries.SprtInc0, HypothesisQueries.SprtThr)
     def runSprt(raw: DataFrame): Map[String, (Long, Long, Option[Long], String)] = {
       val cells = raw.groupBy(col("g"), col("day"))
         .agg(sum(when(col("k") < 50, 1L).otherwise(0L)).as("n1"),
