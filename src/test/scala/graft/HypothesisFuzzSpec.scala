@@ -297,6 +297,146 @@ class HypothesisFuzzSpec extends SparkSpec {
       r2.head.isNullAt(r2.head.fieldIndex("f_ppm")))
   }
 
+  test("cochran's q: fuzzed presence grids match; saturated/single-type fail closed") {
+    // (user_id, g) presence pairs; small universes force saturation and
+    // single-type degenerates the sf corpus never produces
+    val gridGen: Gen[Seq[(Long, String)]] = for {
+      nG <- Gen.choose(1, 6)
+      nU <- Gen.choose(1, 5)
+      n <- Gen.choose(1, 25)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, nU - 1L)
+        g <- Gen.choose(0, nG - 1)
+      } yield (u, s"g$g"))
+    } yield rows
+    cases(gridGen, 8) { rows =>
+      val cell = rows.distinct
+      val k = cell.map(_._2).distinct.size.toLong
+      val cT = cell.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val rU = cell.groupBy(_._1).view.mapValues(_.size.toLong)
+      val sc = BigInt(cT.values.sum)
+      val scc = cT.values.map(c => BigInt(c) * c).sum
+      val den = BigInt(k) * rU.values.sum - rU.values.map(r => BigInt(r) * r).sum
+      val out = HypothesisQueries.cochransQ(rows.toDF("user_id", "g"))
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      cT.foreach { case (g, reach) =>
+        val r = out.getOrElse(g, fail(s"type $g vanished (fail-closed)"))
+        assert(r.getAs[Long]("reach") == reach, s"$g reach")
+        assert(r.getAs[Long]("k") == k && r.getAs[Long]("n_users") ==
+          rU.size.toLong, s"$g k/users")
+        if (den == 0) {
+          // single type, or every user saturated the grid: Q undefined
+          assert(r.isNullAt(r.fieldIndex("q_ppm")), s"$g degenerate q")
+          assert(r.isNullAt(r.fieldIndex("differs")), s"$g degenerate verdict")
+        } else {
+          val q = BigInt(k - 1) * (k * scc - sc * sc) * 1000000 / den
+          assert(r.getAs[Long]("q_ppm") == q.toLong, s"$g q")
+          if (k == 5)
+            assert(r.getAs[Boolean]("differs") == (q > 9487729), s"$g verdict")
+          else assert(r.isNullAt(r.fieldIndex("differs")), s"$g wrong-df NULL")
+        }
+      }
+    }
+  }
+
+  test("ks-uniform: fuzzed grids match; all-mass-in-one-bucket exact") {
+    val B = 5
+    val ksGen: Gen[Seq[(String, Long)]] = for {
+      nG <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 30)
+      oneBucket <- Gen.oneOf(true, false)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, nG - 1)
+        v <- if (oneBucket) Gen.const(0L) else Gen.choose(0L, B - 1L)
+      } yield (s"g$g", v))
+    } yield rows
+    cases(ksGen, 8) { rows =>
+      val out = HypothesisQueries.ksUniform(spark,
+          rows.toDF("g", "v"), B)
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val n = BigInt(rs.size)
+        val cnt = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val dNum = (0L until B).map { v =>
+          val cum = BigInt((0L to v).map(w => cnt.getOrElse(w, 0L)).sum)
+          (cum * B - n * (v + 1)).abs
+        }.max
+        val r = out.getOrElse(g, fail(s"$g vanished"))
+        assert(r.getAs[Long]("n") == n.toLong &&
+          r.getAs[Long]("d_num") == dNum.toLong, s"$g census")
+        assert(r.getAs[Long]("d_ppm") ==
+          (dNum * 1000000 / (n * B)).toLong, s"$g d")
+        assert(r.getAs[Boolean]("uniform") ==
+          (dNum * dNum * 1000000 <= BigInt(1844164) * n * B * B), s"$g verdict")
+      }
+    }
+    // exact decision-threshold tie: D = 1.358/sqrt(n) exactly would need
+    // d_num^2*10^6 == 1844164*n*B^2; with n=1, B=5 the one-point mass at
+    // v=0 gives d_num = 4 (16e6 > 46.1e6 false -> uniform). Verify the
+    // <= boundary direction with the minimal frame rather than a hunt.
+    val one = HypothesisQueries.ksUniform(spark,
+      Seq(("g0", 0L)).toDF("g", "v"), B).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("d_num") == 4L &&
+      one.head.getAs[Boolean]("uniform"))
+  }
+
+  test("sprt: fuzzed day walks match; threshold ties and gapped days exact") {
+    // constructed ties at the decision boundary, both signs, with small
+    // integer constants: +thr exactly -> accept_h1, -thr -> accept_h0
+    val tiePlus = Seq(("g0", 0L, 2L, 0L), ("g0", 1L, 0L, 5L))
+    val rp = HypothesisQueries.sprtFromDailyCounts(
+      tiePlus.toDF("g", "day", "n1", "n0"), 3L, -2L, 6L).collect()
+    assert(rp.length == 1 && rp.head.getAs[Long]("crossed_day") == 0L &&
+      rp.head.getAs[String]("decision") == "accept_h1" &&
+      rp.head.getAs[Long]("final_llr_fp") == -4L, "tie at +thr")
+    val tieMinus = Seq(("g0", 3L, 0L, 3L))
+    val rm = HypothesisQueries.sprtFromDailyCounts(
+      tieMinus.toDF("g", "day", "n1", "n0"), 3L, -2L, 6L).collect()
+    assert(rm.length == 1 && rm.head.getAs[Long]("crossed_day") == 3L &&
+      rm.head.getAs[String]("decision") == "accept_h0", "tie at -thr")
+    // fuzzed walks against a BigInt driver ladder with the REAL Ilog2
+    // constants: gapped days, all-one-outcome, never-crossing
+    val (i1, i0, th) = (HypothesisQueries.SprtInc1,
+      HypothesisQueries.SprtInc0, HypothesisQueries.SprtThr)
+    val walkGen: Gen[Seq[(String, Long, Long)]] = for {
+      nG <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 40)
+      oneSided <- Gen.oneOf(true, false)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, nG - 1)
+        day <- Gen.choose(0L, 20L) // sparse: most days empty
+        k <- if (oneSided) Gen.const(10L) else Gen.choose(0L, 99L)
+      } yield (s"g$g", day, k))
+    } yield rows
+    cases(walkGen, 8) { rows =>
+      val cells = rows.groupBy(r => (r._1, r._2)).view.mapValues { rs =>
+        (rs.count(_._3 < 50).toLong, rs.count(_._3 >= 50).toLong)
+      }.toMap
+      val df = cells.toSeq.map { case ((g, d), (n1, n0)) => (g, d, n1, n0) }
+        .toDF("g", "day", "n1", "n0")
+      val out = HypothesisQueries.sprtFromDailyCounts(df, i1, i0, th)
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      cells.groupBy(_._1._1).foreach { case (g, m) =>
+        val walk = m.toSeq.map { case ((_, d), (n1, n0)) =>
+          (d, n1 * i1 + n0 * i0) }.sortBy(_._1)
+        val cums = walk.scanLeft((0L, 0L)) { case ((_, acc), (d, inc)) =>
+          (d, acc + inc) }.tail
+        val r = out.getOrElse(g, fail(s"$g vanished"))
+        assert(r.getAs[Long]("n_days") == walk.length.toLong, s"$g days")
+        assert(r.getAs[Long]("final_llr_fp") == cums.last._2, s"$g final")
+        cums.find { case (_, c) => c.abs >= th } match {
+          case None =>
+            assert(r.isNullAt(r.fieldIndex("crossed_day")) &&
+              r.getAs[String]("decision") == "continue", s"$g no crossing")
+          case Some((d, c)) =>
+            assert(r.getAs[Long]("crossed_day") == d, s"$g crossing day")
+            assert(r.getAs[String]("decision") ==
+              (if (c >= th) "accept_h1" else "accept_h0"), s"$g decision")
+        }
+      }
+    }
+  }
+
   test("mood median: one-sided splits fail closed; tiny frames exact") {
     // all-equal corpus: nothing is above the pooled median -> A = 0 ->
     // NULL chi-square on both engines
