@@ -1346,7 +1346,113 @@ object StreamingCertQueries {
   /** Same census, same walk, same constants → q375's oracle verbatim. */
   val q376_sql: String = HypothesisQueries.q375_sql
 
+  /** q212's CUSUM sentinel under CHECKPOINT RECOVERY — the forty-eighth
+    * streaming cert and FIFTEENTH recovery shape, the first of the
+    * round-11 verdict's change-DETECTION trio: the alerting state a
+    * production ingest most needs durable is precisely the monitor that
+    * fires pages. One long of state per user (the running max(0, ·)
+    * statistic); a restart that reset it to zero would silently swallow
+    * an in-progress drift accumulation — the alarm would fire late or
+    * never, and nothing downstream could tell. Two of the four
+    * (tsm, event_id)-ordered files process before the kill; the resumed
+    * incarnation must continue every user's statistic exactly, so the
+    * union of emissions hash-matches q207's batch `list_reduce` oracle
+    * row-for-row (Append mode: exactly-once per observation). */
+  val q377_recovery_cusum: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      round(abs(col("value")) * 10000).cast("long").as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsTsOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    recoveringTable(s, srcDir, firstN = 2, tag = "q377_rec_cusum")(
+      st => Streaming.cusumDrift(st.as[Streaming.KeyedObs],
+        k = 5000L, h = 30000L).toDF(), ev.schema)
+      .select(col("user_id"), col("event_id"), col("x"), col("cusum"),
+        col("alarm"))
+      .orderBy(col("event_id"))
+  }
+  /** Identical recurrence + replay order → q212's oracle verbatim. */
+  val q377_sql: String = StreamingQueries.q212_sql
+
+  /** q218's pattern DFA under CHECKPOINT RECOVERY — the forty-ninth
+    * streaming cert and SIXTEENTH recovery shape: the one recovery probe
+    * whose state is an AUTOMATON position, not a numeric register. The
+    * packed long (completions·10 + stage) must resume exactly — a state
+    * machine restarted at zero forgets a half-completed
+    * view→click→purchase funnel, so every post-crash completion count
+    * for that user shifts; unlike a numeric drift the error never decays.
+    * Two of the four staged files process before the kill; union of
+    * emissions must hash-match q210's batch fold oracle. */
+  val q378_recovery_dfa: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_millis(col("ts")).as("tsm"),
+      col("event_id").cast("long").as("event_id"),
+      when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "purchase", 3L)
+        .otherwise(0L).as("x"))
+    val srcDir = stageOrderedBy(ev, d, "eventsTsCodeOrdered4", 4,
+      Seq(col("tsm"), col("event_id")))
+    recoveringTable(s, srcDir, firstN = 2, tag = "q378_rec_dfa")(
+      st => Streaming.patternDfa(st.as[Streaming.KeyedObs]).toDF(), ev.schema)
+      .select(col("user_id"), col("event_id"), col("x"), col("dfa"))
+      .withColumn("completions", expr("dfa div 10"))
+      .withColumn("stage", col("dfa") % 10)
+      .orderBy(col("event_id"))
+  }
+  /** Same automaton, same replay order → q218's (= q210's) oracle. */
+  val q378_sql: String = StreamingQueries.q218_sql
+
+  /** q188's composition-drift scoreboard under CHECKPOINT RECOVERY — the
+    * fiftieth streaming cert and SEVENTEENTH recovery shape. q188's
+    * continuous cert maintains the (tick, source) histogram as a
+    * Complete-mode built-in aggregate, which the fault-tolerant file
+    * sink refuses — so, per the q339-q341 register precedent, the
+    * recovery form restructures the SAME histogram as an Append-mode
+    * [[Streaming.gridCount]] register fold ((source, tick) cells, count
+    * monoid) whose per-cell max-`seen` emission survives the restart.
+    * Two of the four doc_id-ranged files process before the kill; the
+    * recovered histogram feeds the SAME
+    * [[graft.llm.Drift.perTickDrift]] readout against the batch-fit
+    * reference, and must hash-match q188's all-batch oracle — a lost or
+    * replayed batch shifts a tick's composition and its TVD. */
+  val q379_recovery_drift: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"))
+    val (srcDir, _, _) = Stage.memo(d, "docsrc4") { dir =>
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(dir)
+      (0L, 0L)
+    }
+    val hist = recoveringTable(s, srcDir, firstN = 2, tag = "q379_rec_drift")(
+      st => Streaming.gridCount(st.select(
+          col("source").as("rf"),
+          expr("doc_id div 125").as("a"),
+          lit(0L).as("b")).as[Streaming.CellObs]).toDF(),
+      docs.schema)
+      .groupBy(col("rf"), col("a"))
+      .agg(max(struct(col("seen"), col("c"))).as("f"))
+      .select(col("a").as("tick"), col("rf").as("value"),
+        col("f.c").as("n"))
+    val ref = Tables.documents(s, d)
+      .groupBy(col("source").as("value"))
+      .agg(count(lit(1)).as("n_ref"))
+    graft.llm.Drift.perTickDrift(hist, ref)
+      .orderBy(col("tick"))
+  }
+  /** Same histogram, same readout → q188's oracle verbatim. */
+  val q379_sql: String = StreamingQueries.q188_sql
+
   val defs: Map[String, Q] = Map(
+    "q379_recovery_drift" -> q379_recovery_drift,
+    "q378_recovery_dfa" -> q378_recovery_dfa,
+    "q377_recovery_cusum" -> q377_recovery_cusum,
     "q376_recovery_sprt" -> q376_recovery_sprt,
     "q369_recovery_dailysum" -> q369_recovery_dailysum,
     "q357_recovery_hdr" -> q357_recovery_hdr,
@@ -1377,6 +1483,9 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q379_recovery_drift" -> q379_sql,
+    "q378_recovery_dfa" -> q378_sql,
+    "q377_recovery_cusum" -> q377_sql,
     "q376_recovery_sprt" -> q376_sql,
     "q369_recovery_dailysum" -> q369_sql,
     "q357_recovery_hdr" -> q357_sql,
