@@ -198,11 +198,94 @@ object CalibrationQueries {
       |FROM p JOIN f ON f.g = p.g AND f.i = p.i
       |ORDER BY event_type, k_val""".stripMargin
 
+  // ---- q345: split-conformal calibration gate -----------------------------
+
+  /** Split-conformal prediction gate per event type (Vovk et al.;
+    * Papadopoulos et al. 2002): the calibration half (even event_ids)
+    * fixes q̂ = the k-th smallest calibration score with k =
+    * ⌈0.9·(n_cal+1)⌉ — the finite-sample-correct conformal quantile, NOT
+    * the naive 90th percentile — and the held-out half reports its
+    * empirical coverage of `score ≤ q̂` to ppm. This is the
+    * distribution-free "is my anomaly threshold actually calibrated?"
+    * audit an eval pipeline wants, and at corpus scale the k-th order
+    * statistic is the same machinery as q338's Sen median: the
+    * calibration corpus reduces to per-(type, score) counts in one
+    * map-side-combinable pass, the range-partitioned prefix sum ranks
+    * them (no per-group window), and q̂ is one filter + min. Fail-closed:
+    * n_cal < 9 makes k exceed n_cal — q̂ is conventionally +∞, surfaced
+    * as NULL (with NULL coverage), never a fabricated threshold; a type
+    * with q̂ but no test rows gets NULL coverage via the 0-divide guard.
+    * All arithmetic integral: k by ceiling division, coverage one exact
+    * division to ppm. */
+  def conformalGate(ev: DataFrame, covPct: Int = 90): DataFrame = {
+    require(covPct >= 1 && covPct <= 99, s"covPct in [1,99] (got $covPct)")
+    val tagged = ev.withColumn("is_cal", col("eid") % 2 === 0)
+      .localCheckpoint(true) // consumers: stats, calibration ranks, test
+    val stats = tagged.groupBy(col("g")).agg(
+        sum(when(col("is_cal"), 1L).otherwise(0L)).as("n_cal"),
+        sum(when(!col("is_cal"), 1L).otherwise(0L)).as("n_test"))
+      .withColumn("k", expr(s"($covPct * (n_cal + 1) + 99) div 100"))
+    val ps = tagged.where(col("is_cal"))
+      .groupBy(col("g"), col("score")).agg(count(lit(1)).as("c_s"))
+    val cum = RunningTotal.grouped(ps, "g", Seq("score"), "c_s", "cum_n",
+      groupCountHint = Some(64L))
+    val qhat = cum.join(broadcast(stats.select(col("g"), col("k"))), Seq("g"))
+      .where(col("cum_n") >= col("k"))
+      .groupBy(col("g")).agg(min(col("score")).as("q_hat"))
+    val cov = tagged.where(!col("is_cal"))
+      .join(broadcast(qhat), Seq("g"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("score") <= col("q_hat"), 1L).otherwise(0L))
+        .as("n_covered"))
+    stats.join(qhat, Seq("g"), "left").join(cov, Seq("g"), "left")
+      .select(col("g").as("event_type"), col("n_cal"), col("n_test"),
+        col("k"), col("q_hat"), col("n_covered"),
+        expr("cast(n_covered * 1000000 div nullif(n_test, 0) as bigint)")
+          .as("coverage_ppm"))
+      .withColumn("meets_nominal",
+        coalesce(col("coverage_ppm") >= lit(covPct * 10000L), lit(false)))
+      .orderBy(col("event_type"))
+  }
+  val q345_conformal_gate: Q = (s, d) => conformalGate(
+    Tables.events(s, d).select(col("event_type").as("g"),
+      col("event_id").cast("long").as("eid"),
+      expr("cast(round(value * 100) as bigint)").as("score")))
+  val q345_sql: String =
+    """WITH ev AS (SELECT event_type AS g, event_id::BIGINT AS eid,
+      |    CAST(round(value * 100) AS BIGINT) AS score FROM events),
+      |t AS (SELECT g, score, (eid % 2 = 0) AS is_cal FROM ev),
+      |stats AS (SELECT g,
+      |    sum(CASE WHEN is_cal THEN 1 ELSE 0 END)::BIGINT AS n_cal,
+      |    sum(CASE WHEN is_cal THEN 0 ELSE 1 END)::BIGINT AS n_test
+      |  FROM t GROUP BY 1),
+      |s2 AS (SELECT g, n_cal, n_test,
+      |         (90 * (n_cal + 1) + 99) // 100 AS k FROM stats),
+      |ps AS (SELECT g, score, count(*)::BIGINT AS c_s FROM t
+      |       WHERE is_cal GROUP BY 1, 2),
+      |cum AS (SELECT g, score,
+      |          sum(c_s) OVER (PARTITION BY g ORDER BY score)::BIGINT
+      |            AS cum_n
+      |        FROM ps),
+      |qh AS (SELECT cum.g, min(score)::BIGINT AS q_hat
+      |       FROM cum JOIN s2 USING (g) WHERE cum_n >= k GROUP BY 1),
+      |cov AS (SELECT t.g,
+      |          sum(CASE WHEN score <= q_hat THEN 1 ELSE 0 END)::BIGINT
+      |            AS n_covered
+      |        FROM t JOIN qh ON t.g = qh.g WHERE NOT is_cal GROUP BY 1)
+      |SELECT s2.g AS event_type, n_cal, n_test, k, q_hat, n_covered,
+      |  (n_covered * 1000000 // nullif(n_test, 0))::BIGINT AS coverage_ppm,
+      |  coalesce(n_covered * 1000000 // nullif(n_test, 0) >= 900000, false)
+      |    AS meets_nominal
+      |FROM s2 LEFT JOIN qh ON s2.g = qh.g LEFT JOIN cov ON s2.g = cov.g
+      |ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q345_conformal_gate" -> q345_conformal_gate,
     "q349_quantile_norm" -> q349_quantile_norm,
     "q350_isotonic" -> q350_isotonic)
 
   val oracles: Map[String, String] = Map(
+    "q345_conformal_gate" -> q345_sql,
     "q349_quantile_norm" -> q349_sql,
     "q350_isotonic" -> q350_sql)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.EvalQueries
+import graft.queries.{CalibrationQueries, EvalQueries, ResamplingQueries}
 
 /** Round-11 resampling-statistics tests: the deterministic Poisson
   * bootstrap and the delete-one-block jackknife are recomputed on
@@ -32,7 +32,7 @@ class Round11OpsSpec extends SparkSpec {
         col("event_type"), col("event_id").cast("long"),
         expr("cast(round(value * 100) as bigint)"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val out = EvalQueries.q342_bootstrap_se(spark, sf).collect()
+    val out = ResamplingQueries.q342_bootstrap_se(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
     ev.groupBy(_._1).foreach { case (g, rows) =>
       // per-rep Poisson draws, exactly the engine's hash recipe
@@ -72,7 +72,7 @@ class Round11OpsSpec extends SparkSpec {
     val docs = graft.io.Tables.documents(spark, sf)
       .select(col("source"), length(col("text")).cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val out = EvalQueries.q343_jackknife_sources(spark, sf).collect()
+    val out = ResamplingQueries.q343_jackknife_sources(spark, sf).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
     val n = BigInt(docs.size)
     val t = BigInt(docs.map(_._2).sum)
@@ -101,7 +101,7 @@ class Round11OpsSpec extends SparkSpec {
         col("event_type"), col("event_id").cast("long"),
         expr("cast(round(value * 100) as bigint)"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val out = EvalQueries.q345_conformal_gate(spark, sf).collect()
+    val out = CalibrationQueries.q345_conformal_gate(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
     ev.groupBy(_._1).foreach { case (g, rows) =>
       val cal = rows.filter(_._2 % 2 == 0).map(_._3).sorted
@@ -135,7 +135,7 @@ class Round11OpsSpec extends SparkSpec {
       (0 until 4).map(i => ("a", i.toLong * 2, 10L + i)) ++
       (0 until 3).map(i => ("a", i.toLong * 2 + 1, 100L)) ++
       (0 until 10).map(i => ("b", i.toLong * 2, i.toLong))
-    val out = EvalQueries.conformalGate(
+    val out = CalibrationQueries.conformalGate(
         rows.toDF("g", "eid", "score"))
       .collect().map(r => r.getAs[String]("event_type") -> r).toMap
     val a = out("a")
@@ -154,7 +154,7 @@ class Round11OpsSpec extends SparkSpec {
   // only single-partition stage is the one-row totals broadcast (a
   // bounded build side), so its lock is window-absence only.
   test("q342/q343 plan shapes: no windows, bootstrap never funnels") {
-    val p342 = EvalQueries.q342_bootstrap_se(spark, sf)
+    val p342 = ResamplingQueries.q342_bootstrap_se(spark, sf)
       .queryExecution.executedPlan.toString()
     assert(!p342.contains("Window"), s"q342 grew a window:\n$p342")
     val streamed = p342.substring(0,
@@ -162,7 +162,7 @@ class Round11OpsSpec extends SparkSpec {
         case 0 => p342.length; case i => i })
     assert(!streamed.contains("Exchange SinglePartition"),
       s"q342 funnels through a single partition:\n$p342")
-    val p343 = EvalQueries.q343_jackknife_sources(spark, sf)
+    val p343 = ResamplingQueries.q343_jackknife_sources(spark, sf)
       .queryExecution.executedPlan.toString()
     assert(!p343.contains("Window"), s"q343 grew a window:\n$p343")
   }
