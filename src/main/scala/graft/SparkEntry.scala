@@ -22,7 +22,7 @@ object SparkEntry {
       ForecastQueries.defs ++
       GraphQueries.defs ++ SketchQueries.defs ++ LlmQueries.defs ++
       TextMiningQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++ CurationAuditQueries.defs ++
-      MultimodalQueries.defs ++ InfoQueries.defs ++ EvalQueries.defs ++ ResamplingQueries.defs ++
+      MultimodalQueries.defs ++ InfoQueries.defs ++ EvalQueries.defs ++ ResamplingQueries.defs ++ LexicalQueries.defs ++
       PrivacyQueries.defs ++ CalibrationQueries.defs ++
       ExperimentQueries.defs ++ HypothesisQueries.defs ++
       StreamingQueries.defs ++ StreamingCertQueries.defs
@@ -37,7 +37,7 @@ object SparkEntry {
       TextMiningQueries.oracles ++ AnnQueries.oracles ++
       CurationQueries.oracles ++ CurationAuditQueries.oracles ++
       MultimodalQueries.oracles ++
-      InfoQueries.oracles ++ EvalQueries.oracles ++ ResamplingQueries.oracles ++
+      InfoQueries.oracles ++ EvalQueries.oracles ++ ResamplingQueries.oracles ++ LexicalQueries.oracles ++
       PrivacyQueries.oracles ++ CalibrationQueries.oracles ++
       ExperimentQueries.oracles ++ HypothesisQueries.oracles ++
       StreamingQueries.oracles ++ StreamingCertQueries.oracles

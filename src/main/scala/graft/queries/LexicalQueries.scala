@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Ilog2
+import graft.io.Tables
+import graft.llm.TextAnalysis
+
+/** Corpus-composition statistics — the lexical and concentration audits
+  * an LLM-data pipeline runs before training on a mixture: how much
+  * vocabulary remains unseen (Chao1 richness, Good–Turing mass), does
+  * token frequency follow the expected power law (Zipf slope), do the
+  * numeric fields look organically generated (Benford digit gate), and
+  * how concentrated is each source's length distribution (Gini). All
+  * five reduce the corpus in ONE map-side-combinable grouped pass — to
+  * the (source, token) vocabulary frame (vocab-bounded, shared by
+  * q380–q382), the ≤ 9·|types| digit grid (q383, the q374 dense-domain
+  * precedent), or the (source, length) support frame (q384); every join
+  * after the reduction is broadcast and every window runs inside a
+  * bounded frame. House arithmetic: logs via the libm-free
+  * [[graft.functions.Ilog2]] fold, ratios cross-multiplied and floored
+  * ONCE at the readout (per-digit quantization in q383 called out in
+  * place), NULL fail-closed rows for degenerate groups.
+  */
+object LexicalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = "decimal(38,0)"
+
+  /** Shared one-pass reduction: (source, token, c) occurrence counts —
+    * the abundance frame all three vocabulary statistics consume.
+    * Vocab-bounded (distinct tokens per source), not corpus-bounded. */
+  private def vocabFrame(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    .groupBy(col("source"), col("token"))
+    .agg(count(lit(1)).as("c"))
+
+  private val vocabSql: String =
+    """vocab AS (SELECT source, token, count(*)::BIGINT AS c
+      |  FROM (SELECT source, unnest(list_filter(
+      |          string_split_regex(lower(text), '\W+'), x -> x <> ''))
+      |          AS token FROM documents)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Per-source census of the abundance frame: the sufficient statistic
+    * (V, f1, f2, N) for both richness estimators. */
+  private def census(vocab: DataFrame): DataFrame = vocab
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("v_obs"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"),
+      sum(col("c")).as("n_tokens"))
+
+  private val censusSql: String =
+    """cen AS (SELECT source, count(*)::BIGINT AS v_obs,
+      |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+      |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+      |    sum(c)::BIGINT AS n_tokens
+      |  FROM vocab GROUP BY 1)""".stripMargin
+
+  // ---- q380: Chao1 vocabulary-richness estimator ---------------------------
+
+  /** Chao1 nonparametric species-richness estimate per source (Chao
+    * 1984): how many distinct tokens does the source's population hold,
+    * including the ones this sample never saw? The bias-corrected form
+    * V + f1·(f1−1) / (2·(f2+1)) uses only the singleton/doubleton
+    * census — no second corpus pass, no rarefaction resamples — and the
+    * +1 guard makes f2 = 0 (every rare token a singleton) legal rather
+    * than a divide-by-zero: exactly the regime where the estimator
+    * matters most. Integral floor division; a source with NO tokens
+    * (all-empty texts) fails closed to NULL census fields via the
+    * left-join universe rather than vanishing. */
+  /** Core over the raw (source, text) frame — fuzz and the scale-stress
+    * harness feed generated corpora through this entry point. */
+  def chao1(docs: DataFrame): DataFrame =
+    census(vocabFrame(docs))
+      .withColumn("chao1", col("v_obs") +
+        expr(s"cast(f1 as $dec) * (f1 - 1) div (2 * (f2 + 1))").cast("long"))
+      .join(docs.select(col("source")).distinct(), Seq("source"), "right")
+      .orderBy(col("source"))
+      .select(col("source"), col("v_obs"), col("f1"), col("f2"),
+        col("n_tokens"), col("chao1"))
+  val q380_chao1_vocab: Q = (s, d) => chao1(Tables.documents(s, d))
+  val q380_sql: String =
+    s"""WITH $vocabSql,
+       |$censusSql,
+       |uni AS (SELECT DISTINCT source FROM documents)
+       |SELECT uni.source, v_obs, f1, f2, n_tokens,
+       |  (v_obs + (f1::HUGEINT * (f1 - 1)) // (2 * (f2 + 1)))::BIGINT
+       |    AS chao1
+       |FROM uni LEFT JOIN cen ON cen.source = uni.source
+       |ORDER BY uni.source""".stripMargin
+
+  // ---- q381: Good–Turing unseen mass ---------------------------------------
+
+  /** Good–Turing frequency estimation per source (Good 1953): the
+    * probability mass the NEXT token is one never seen in this sample —
+    * P₀ = f1/N, the number every coverage claim about a corpus slice
+    * should carry — plus the smoothed count for once-seen tokens,
+    * r*₁ = 2·f2/f1 (micro units): how much a singleton's raw count
+    * overstates its true frequency. One readout off the same census
+    * frame as q380. Fail-closed: f1 = 0 (no singletons) makes r*₁
+    * NULL, never a fabricated smoothing; an all-empty source carries
+    * NULL census fields through the universe join. */
+  /** Core over the raw (source, text) frame. */
+  def goodTuring(docs: DataFrame): DataFrame =
+    census(vocabFrame(docs))
+      .withColumn("p0_ppm",
+        expr(s"cast(cast(f1 as $dec) * 1000000 div n_tokens as bigint)"))
+      .withColumn("r1_star_micro", expr(
+        s"cast(cast(f2 as $dec) * 2000000 div nullif(f1, 0) as bigint)"))
+      .join(docs.select(col("source")).distinct(), Seq("source"), "right")
+      .orderBy(col("source"))
+      .select(col("source"), col("n_tokens"), col("f1"), col("f2"),
+        col("p0_ppm"), col("r1_star_micro"))
+  val q381_good_turing: Q = (s, d) => goodTuring(Tables.documents(s, d))
+  val q381_sql: String =
+    s"""WITH $vocabSql,
+       |$censusSql,
+       |uni AS (SELECT DISTINCT source FROM documents)
+       |SELECT uni.source, n_tokens, f1, f2,
+       |  (f1::HUGEINT * 1000000 // n_tokens)::BIGINT AS p0_ppm,
+       |  (f2::HUGEINT * 2000000 // nullif(f1, 0))::BIGINT AS r1_star_micro
+       |FROM uni LEFT JOIN cen ON cen.source = uni.source
+       |ORDER BY uni.source""".stripMargin
+
+  // ---- q382: Zipf rank-frequency slope -------------------------------------
+
+  /** Zipf's-law fit per source: OLS slope of ilog2(frequency) against
+    * ilog2(rank) over the top-100 tokens — the power-law exponent
+    * (≈ −1·65536/65536 for natural language; a synthetic or templated
+    * corpus shows up as a flat or cliff-shaped slope). Ranking runs
+    * INSIDE the vocab-bounded frame (row_number by count desc with the
+    * token string as the deterministic tie-break, then rank ≤ 100), so
+    * no corpus-scale window exists; the regression moments reduce the
+    * ≤100-row frame to one line. slope_ppm = (n·Σxy − Σx·Σy)·10⁶ div
+    * (n·Σx² − (Σx)²) — fp-16 log units cancel, both engines truncate
+    * the signed ratio toward zero (q351-family verified). n < 2 fails
+    * closed to NULL (the denominator is positive for n ≥ 2: ranks are
+    * distinct so x has spread). */
+  /** Core over the raw (source, text) frame. */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val ranked = vocabFrame(docs)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("token"))))
+      .where(col("rank") <= 100)
+      .select(col("source"), Ilog2.ilog2(col("rank")).as("x"),
+        Ilog2.ilog2(col("c")).as("y"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_top"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr(s"cast(x as $dec) * y")).as("sxy"),
+        sum(expr(s"cast(x as $dec) * x")).as("sxx"))
+      .select(col("source"), col("n_top"),
+        expr(s"""cast((n_top * sxy - cast(sx as $dec) * sy) * 1000000
+            div nullif(n_top * sxx - cast(sx as $dec) * sx, 0)
+          as bigint)""").as("slope_ppm"))
+      .orderBy(col("source"))
+  }
+  val q382_zipf_slope: Q = (s, d) => zipfSlope(Tables.documents(s, d))
+  val q382_sql: String = {
+    val ilr = Ilog2.sqlReplay("rank")
+    val ilc = Ilog2.sqlReplay("c")
+    s"""WITH $vocabSql,
+       |rk AS (SELECT source, c, token,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY c DESC, token)::BIGINT AS rank
+       |       FROM vocab),
+       |pts AS (SELECT source, $ilr AS x, $ilc AS y
+       |        FROM rk WHERE rank <= 100),
+       |mo AS (SELECT source, count(*)::BIGINT AS n_top,
+       |         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+       |         sum(x::HUGEINT * y)::HUGEINT AS sxy,
+       |         sum(x::HUGEINT * x)::HUGEINT AS sxx
+       |       FROM pts GROUP BY 1)
+       |SELECT source, n_top,
+       |  ((n_top * sxy - sx * sy) * 1000000
+       |   // nullif(n_top * sxx - sx * sx, 0))::BIGINT AS slope_ppm
+       |FROM mo ORDER BY source""".stripMargin
+  }
+
+  // ---- q383: Benford first-digit gate --------------------------------------
+
+  /** First-significant-digit test against Benford's law per event type —
+    * the "does this numeric field look organically generated" forensic
+    * gate (Benford 1938; Nigrini's audit use). The expected proportions
+    * log₁₀(1 + 1/d) are compile-time ppm constants that sum to exactly
+    * 10⁶; observed digits come from one corpus pass to the ≤ 9·|types|
+    * grid, zero-filled over the DENSE 1..9 domain (q374's grid
+    * precedent — a digit that never occurs is evidence, not an absent
+    * row). χ²·10⁶ = Σ_d (O_d·10⁶ − n·p_d)² div (n·p_d), quantized per
+    * digit (each term has its own denominator — the q359 convention).
+    * The per-digit quotient grows as ~n·2.2·10⁷, so the sum is exact to
+    * ~4·10¹¹ events/type (past that, quantize counts to kilo-units
+    * first — Spark's decimal-dividend `div` wraps silently, the
+    * q366 stress lesson). Verdict gates at χ²₈;0.95 = 15.507313; a type
+    * with no value ≥ 1 fails closed to NULL through the universe
+    * join. */
+  /** Core over the raw (g, v) relation; the universe (fail-closed NULL
+    * rows) is every g in the relation, INCLUDING types whose every v
+    * is below 1. */
+  def benford(rel: DataFrame): DataFrame = {
+    // log10(1+1/d) in ppm; sums to exactly 1_000_000
+    val p = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val s = rel.sparkSession
+    val digits = rel
+      .where(col("v") >= 1L)
+      .withColumn("dg", substring(col("v").cast("string"), 1, 1).cast("long"))
+      .groupBy(col("g"), col("dg")).agg(count(lit(1)).as("o"))
+    val grid = digits.select(col("g")).distinct()
+      .crossJoin(broadcast(s.range(1, 10).select(col("id").as("dg"))))
+      .join(digits, Seq("g", "dg"), "left")
+      .na.fill(0L, Seq("o"))
+      .withColumn("p_ppm",
+        element_at(array(p.map(lit): _*), col("dg").cast("int")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy(col("g"))))
+    val chi = grid
+      .withColumn("t", expr(s"""cast(o as $dec) * 1000000 - cast(n as $dec)
+          * p_ppm"""))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        sum(expr(s"t * t div (cast(n as $dec) * p_ppm)")).as("chi2_micro"))
+    rel.select(col("g")).distinct()
+      .join(broadcast(chi), Seq("g"), "left")
+      .select(col("g").as("event_type"), col("n"),
+        col("chi2_micro").cast("long").as("chi2_micro"),
+        (col("chi2_micro").cast("long") <= 15507313L).as("benford"))
+      .orderBy(col("event_type"))
+  }
+  val q383_benford: Q = (s, d) => benford(Tables.events(s, d)
+    .select(col("event_type").as("g"),
+      expr("cast(round(value * 100) as bigint)").as("v")))
+  val q383_sql: String =
+    """WITH ev AS (SELECT event_type AS g,
+      |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |dig AS (SELECT g, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+      |          AS dg, count(*)::BIGINT AS o
+      |        FROM ev WHERE v >= 1 GROUP BY 1, 2),
+      |pp AS (SELECT unnest(range(1, 10))::BIGINT AS dg,
+      |         unnest([301030, 176091, 124939, 96910, 79181, 66947,
+      |                 57992, 51153, 45757])::BIGINT AS p_ppm),
+      |grid AS (SELECT u.g, pp.dg, pp.p_ppm, coalesce(o, 0)::BIGINT AS o
+      |         FROM (SELECT DISTINCT g FROM dig) u
+      |         CROSS JOIN pp
+      |         LEFT JOIN dig ON dig.g = u.g AND dig.dg = pp.dg),
+      |gn AS (SELECT g, dg, p_ppm, o,
+      |         sum(o) OVER (PARTITION BY g)::BIGINT AS n FROM grid),
+      |chi AS (SELECT g, max(n)::BIGINT AS n,
+      |          sum((o::HUGEINT * 1000000 - n::HUGEINT * p_ppm)
+      |              * (o::HUGEINT * 1000000 - n::HUGEINT * p_ppm)
+      |              // (n::HUGEINT * p_ppm))::HUGEINT AS chi2_micro
+      |        FROM gn GROUP BY 1)
+      |SELECT u.g AS event_type, n, chi2_micro::BIGINT AS chi2_micro,
+      |  chi2_micro <= 15507313 AS benford
+      |FROM (SELECT DISTINCT g FROM ev) u
+      |LEFT JOIN chi ON chi.g = u.g
+      |ORDER BY event_type""".stripMargin
+
+  // ---- q384: Gini concentration of document lengths ------------------------
+
+  /** Gini coefficient of the length distribution per source — the
+    * concentration audit for a mixture: G near 0 means uniform
+    * contribution per document, G near 1 means a few giants dominate
+    * the source's byte budget. Computed WITHOUT the O(support²)
+    * pairwise difference grid: over the (source, length) counts frame,
+    * ordered by length, the pair sum Σ_{i<j} c_i·c_j·(v_j − v_i)
+    * telescopes to Σ_j c_j·(v_j·Nb_j − Sb_j) with Nb/Sb the
+    * cumulative count / cumulative value-sum BEFORE row j — one bounded
+    * window, one readout: G·10⁶ = 2·P·10⁶ div (n·T). The quotient is
+    * ≤ 10⁶ by construction, long-safe at any corpus size; P at 10⁸
+    * docs ≤ 10⁴ chars stays inside DECIMAL(38,0). T = 0 (every length
+    * zero) fails closed to NULL; a single document gives G = 0. */
+  /** Core over the raw (source, v) observation frame. */
+  def giniLengths(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnt
+      .withColumn("nb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("sb", coalesce(sum(expr(s"cast(c as $dec) * v")).over(w),
+        lit(0L).cast(dec)))
+      .withColumn("p", expr(s"cast(c as $dec) * (cast(v as $dec) * nb - sb)"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(expr(s"cast(c as $dec) * v")).cast("long").as("total_chars"),
+        sum(col("p")).as("psum"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr(s"""cast(psum * 2000000
+            div nullif(cast(n_docs as $dec) * total_chars, 0)
+          as bigint)""").as("gini_ppm"))
+      .orderBy(col("source"))
+  }
+  val q384_gini_lengths: Q = (s, d) => giniLengths(Tables.documents(s, d)
+    .select(col("source"), col("n_chars").cast("long").as("v")))
+  val q384_sql: String =
+    """WITH cnt AS (SELECT source, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (SELECT source, v, c,
+      |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::HUGEINT
+      |      AS nb,
+      |    coalesce(sum(c::HUGEINT * v) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::HUGEINT
+      |      AS sb
+      |  FROM cnt),
+      |agg AS (SELECT source, sum(c)::BIGINT AS n_docs,
+      |          sum(c::HUGEINT * v)::BIGINT AS total_chars,
+      |          sum(c::HUGEINT * (v::HUGEINT * nb - sb))::HUGEINT AS psum
+      |        FROM cum GROUP BY 1)
+      |SELECT source, n_docs, total_chars,
+      |  (psum * 2000000
+      |   // nullif(n_docs::HUGEINT * total_chars, 0))::BIGINT AS gini_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q384_gini_lengths" -> q384_gini_lengths,
+    "q383_benford" -> q383_benford,
+    "q382_zipf_slope" -> q382_zipf_slope,
+    "q381_good_turing" -> q381_good_turing,
+    "q380_chao1_vocab" -> q380_chao1_vocab)
+
+  val oracles: Map[String, String] = Map(
+    "q384_gini_lengths" -> q384_sql,
+    "q383_benford" -> q383_sql,
+    "q382_zipf_slope" -> q382_sql,
+    "q381_good_turing" -> q381_sql,
+    "q380_chao1_vocab" -> q380_sql)
+}

@@ -97,6 +97,7 @@ object ScaleStress {
   private[tools] type Family = (SparkSession, String, Emitter) => Unit
 
   private val families: Map[String, (Family, String)] = Map(
+    "lexical" -> ((StressLexicalFamilies.lexical, "/root/testdata/sf0.01")),
     "hypothesis" -> ((StressInferenceFamilies.hypothesis, "/root/testdata/sf0.1")),
     "experiment" -> ((StressInferenceFamilies.experiment, "/root/testdata/sf0.1")),
     "privacy" -> ((StressInferenceFamilies.privacy, "/root/testdata/sf0.1")),

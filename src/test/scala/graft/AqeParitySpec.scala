@@ -87,7 +87,15 @@ class AqeParitySpec extends SparkSpec {
     // zero-fill left join) and the SPRT crossing scan (calendar window +
     // broadcast crossing rejoin)
     "q374_ks_uniform",
-    "q375_sprt")
+    "q375_sprt",
+    // round-12 lexical family: the census right-join universe (fail-closed
+    // NULL rows must survive a re-planned join), the vocab-bounded top-100
+    // ranking window, and the dense Benford digit grid (broadcast range
+    // cross + zero-fill left + broadcast chi rejoin)
+    "q380_chao1_vocab",
+    "q382_zipf_slope",
+    "q383_benford",
+    "q384_gini_lengths")
 
   slice.foreach { name =>
     test(s"$name: identical rows with AQE off and on") {
