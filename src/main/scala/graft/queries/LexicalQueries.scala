@@ -318,7 +318,117 @@ object LexicalQueries {
       |   // nullif(n_docs::HUGEINT * total_chars, 0))::BIGINT AS gini_ppm
       |FROM agg ORDER BY source""".stripMargin
 
+  // ---- q385: square-root temperature mixture weights -----------------------
+
+  /** Square-root temperature sampling weights per source — the τ = 0.5
+    * mixture rebalancing multilingual training uses (up-weight small
+    * sources, damp giants): w_s ∝ √n_s over per-source token counts,
+    * exact via the native [[graft.functions.Isqrt]] (bit-replayed by
+    * `sqlReplay`, the q324/q342 precedent — no float pow). One corpus
+    * pass reduces to |sources| rows (token counts are a +-monoid);
+    * everything after is a broadcast of the grand total. Readout:
+    * raw share, √-tempered weight, and the resampling boost factor
+    * w_s/share_s in micro units — the number a mixture planner
+    * multiplies epochs by. A zero-token source legitimately carries
+    * weight 0 (not NULL — it exists, it just contributes nothing); its
+    * BOOST is NULL (0/0 fails closed). */
+  /** Core over the raw (source, text) frame. */
+  def sqrtMixture(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), TextAnalysis.wsTokenCount(col("text")).as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("n_tok"))
+      .withColumn("rt", graft.functions.Isqrt.isqrt(col("n_tok")))
+    val tot = per.agg(sum(col("n_tok")).as("n_all"), sum(col("rt")).as("rt_all"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tok"),
+        expr(s"cast(cast(n_tok as $dec) * 1000000 div nullif(n_all, 0)" +
+          " as bigint)").as("share_ppm"),
+        expr(s"cast(cast(rt as $dec) * 1000000 div nullif(rt_all, 0)" +
+          " as bigint)").as("weight_ppm"))
+      .withColumn("boost_micro", expr(s"""cast(
+          cast(weight_ppm as $dec) * 1000000 div nullif(share_ppm, 0)
+        as bigint)"""))
+      .orderBy(col("source"))
+  }
+  val q385_sqrt_mixture: Q = (s, d) => sqrtMixture(Tables.documents(s, d))
+  val q385_sql: String = {
+    val rt = graft.functions.Isqrt.sqlReplay("n_tok")
+    s"""WITH per AS (SELECT source,
+       |    sum(len(list_filter(string_split_regex(text, '\\s+'),
+       |          x -> x <> '')))::BIGINT AS n_tok
+       |  FROM documents GROUP BY 1),
+       |p2 AS (SELECT source, n_tok, $rt AS rt FROM per),
+       |tot AS (SELECT sum(n_tok)::BIGINT AS n_all, sum(rt)::BIGINT AS rt_all
+       |        FROM p2),
+       |o AS (SELECT source, n_tok,
+       |        (n_tok::HUGEINT * 1000000 // nullif(n_all, 0))::BIGINT
+       |          AS share_ppm,
+       |        (rt::HUGEINT * 1000000 // nullif(rt_all, 0))::BIGINT
+       |          AS weight_ppm
+       |      FROM p2 CROSS JOIN tot)
+       |SELECT source, n_tok, share_ppm, weight_ppm,
+       |  (weight_ppm::HUGEINT * 1000000 // nullif(share_ppm, 0))::BIGINT
+       |    AS boost_micro
+       |FROM o ORDER BY source""".stripMargin
+  }
+
+  // ---- q386: dedup-aware effective token budget ----------------------------
+
+  /** What a source REALLY contributes after exact dedup: raw vs
+    * effective (keeper-only) token counts per source, and the waste
+    * ratio a mixture planner should discount by. Keepers follow q61's
+    * global election (min doc_id per content hash, so a doc duplicated
+    * ACROSS sources counts once, for the source holding the smallest
+    * id). Shapes: one per-doc pass (hash + token count), one
+    * hash-grouped keeper election, one shuffle equi-join back on
+    * (hash, keeper id) — no window over the corpus, no broadcast of
+    * corpus-sized state — then two |sources|-bounded aggregates. A
+    * source whose every doc lost its election reports effective 0/0 —
+    * real rows, zero waste denominator fails closed to NULL. */
+  /** Core over the raw (doc_id, source, text) frame. */
+  def dedupTokens(raw: DataFrame): DataFrame = {
+    val docs = raw
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        TextAnalysis.wsTokenCount(col("text")).as("tk"))
+      .localCheckpoint(true) // consumers: keeper election + raw agg + join
+    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val eff = docs.join(keep, Seq("h", "doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_keepers"), sum(col("tk")).as("tok_eff"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("tok_raw"))
+      .join(broadcast(eff), Seq("source"), "left")
+      .na.fill(0L, Seq("n_keepers", "tok_eff"))
+      .withColumn("waste_ppm", expr(s"""cast(
+          cast(tok_raw - tok_eff as $dec) * 1000000 div nullif(tok_raw, 0)
+        as bigint)"""))
+      .orderBy(col("source"))
+  }
+  val q386_dedup_tokens: Q = (s, d) =>
+    dedupTokens(Tables.widen(Tables.documents(s, d)))
+  val q386_sql: String =
+    """WITH docs AS (SELECT doc_id, source, md5(text) AS h,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      |      ::BIGINT AS tk
+      |  FROM documents),
+      |keep AS (SELECT h, min(doc_id) AS doc_id FROM docs GROUP BY 1),
+      |eff AS (SELECT source, count(*)::BIGINT AS n_keepers,
+      |          sum(tk)::BIGINT AS tok_eff
+      |        FROM docs JOIN keep USING (h, doc_id) GROUP BY 1),
+      |raw AS (SELECT source, count(*)::BIGINT AS n_docs,
+      |          sum(tk)::BIGINT AS tok_raw
+      |        FROM docs GROUP BY 1)
+      |SELECT raw.source, n_docs, tok_raw,
+      |  coalesce(n_keepers, 0)::BIGINT AS n_keepers,
+      |  coalesce(tok_eff, 0)::BIGINT AS tok_eff,
+      |  ((tok_raw - coalesce(tok_eff, 0))::HUGEINT * 1000000
+      |   // nullif(tok_raw, 0))::BIGINT AS waste_ppm
+      |FROM raw LEFT JOIN eff ON eff.source = raw.source
+      |ORDER BY raw.source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q386_dedup_tokens" -> q386_dedup_tokens,
+    "q385_sqrt_mixture" -> q385_sqrt_mixture,
     "q384_gini_lengths" -> q384_gini_lengths,
     "q383_benford" -> q383_benford,
     "q382_zipf_slope" -> q382_zipf_slope,
@@ -326,6 +436,8 @@ object LexicalQueries {
     "q380_chao1_vocab" -> q380_chao1_vocab)
 
   val oracles: Map[String, String] = Map(
+    "q386_dedup_tokens" -> q386_sql,
+    "q385_sqrt_mixture" -> q385_sql,
     "q384_gini_lengths" -> q384_sql,
     "q383_benford" -> q383_sql,
     "q382_zipf_slope" -> q382_sql,

@@ -172,6 +172,63 @@ private[tools] object StressLexicalFamilies {
     val giniIdentical = gi1.nonEmpty && gi1.forall { case (s, (n, t, g)) =>
       giK.get(s).contains((n * Reps, t * Reps, g)) }
 
-    em.line(s"""{"summary":"round-12 lexical invariances at ${Reps}x","census_linear":$censusLinear,"good_turing_bit_identical":$gtIdentical,"zipf_expected":$zipfExpected,"benford_exact":$benfordExact,"gini_bit_identical":$giniIdentical,"linear":${censusLinear && gtIdentical && zipfExpected && benfordExact && giniIdentical}}""")
+    // sqrt mixture under plain duplication: shares are bit-identical
+    // (the xK cancels in one floor); weights are NOT homogeneous
+    // (isqrt(K n) != K isqrt(n)) and must match an exact recount from
+    // the x1 token counts
+    def isqrtExact(n: BigInt): BigInt = {
+      var r = BigInt(math.sqrt(n.toDouble).toLong).max(2) - 2
+      while ((r + 1) * (r + 1) <= n) r += 1
+      r
+    }
+    def mixOf(d: DataFrame): Map[String, (Long, Long, Long)] =
+      LexicalQueries.sqrtMixture(d).collect().map { r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("n_tok"),
+          r.getAs[Long]("share_ppm"), r.getAs[Long]("weight_ppm")))
+      }.toMap
+    val docTexts = docs.select(col("source"), col("text"))
+    var m1: Map[String, (Long, Long, Long)] = Map.empty
+    em.stage("sqrt mixture x1") { m1 = mixOf(docTexts); m1.size.toLong }
+    var mK: Map[String, (Long, Long, Long)] = Map.empty
+    em.stage(s"sqrt mixture x$Reps") {
+      mK = mixOf(dup(docTexts)); mK.size.toLong }
+    val rtAllK = m1.values.map(v => isqrtExact(BigInt(v._1) * Reps)).sum
+    val mixtureExact = m1.nonEmpty && m1.forall { case (s, (n, share, _)) =>
+      mK.get(s).exists { case (nK, shareK, weightK) =>
+        nK == n * Reps && shareK == share &&
+          weightK == (isqrtExact(BigInt(n) * Reps) * 1000000 / rtAllK).toLong
+      }
+    }
+
+    // dedup tokens under strided-id duplication: every replica's text
+    // duplicates the original, so keepers (global min doc_id) stay the
+    // x1 keepers EXACTLY — n_keepers/tok_eff invariant, raw x K, waste
+    // recomputed from the x1 fields
+    def dtOf(d: DataFrame): Map[String, (Long, Long, Long, Long, Long)] =
+      LexicalQueries.dedupTokens(d).collect().map { r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+          r.getAs[Long]("tok_raw"), r.getAs[Long]("n_keepers"),
+          r.getAs[Long]("tok_eff"), r.getAs[Long]("waste_ppm")))
+      }.toMap
+    val docIds = Tables.widen(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("source"), col("text")).localCheckpoint(true)
+    var d1: Map[String, (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage("dedup tokens x1") { d1 = dtOf(docIds); d1.size.toLong }
+    var dK: Map[String, (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage(s"dedup tokens x$Reps") {
+      dK = dtOf(ScaleStress.strideReplica(spark, docIds, "doc_id", Reps,
+        Seq("source", "text")))
+      dK.size.toLong
+    }
+    val dedupExpected = d1.nonEmpty && d1.forall {
+      case (s, (n, raw, keep, eff, _)) =>
+        dK.get(s).exists { case (nK, rawK, keepK, effK, wasteK) =>
+          nK == n * Reps && rawK == raw * Reps && keepK == keep &&
+            effK == eff && (raw == 0 ||
+              wasteK == (BigInt(raw) * Reps - eff) * 1000000 / (BigInt(raw) * Reps))
+        }
+    }
+
+    em.line(s"""{"summary":"round-12 lexical invariances at ${Reps}x","census_linear":$censusLinear,"good_turing_bit_identical":$gtIdentical,"zipf_expected":$zipfExpected,"benford_exact":$benfordExact,"gini_bit_identical":$giniIdentical,"mixture_exact":$mixtureExact,"dedup_expected":$dedupExpected,"linear":${censusLinear && gtIdentical && zipfExpected && benfordExact && giniIdentical && mixtureExact && dedupExpected}}""")
   }
 }

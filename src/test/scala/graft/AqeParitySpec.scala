@@ -95,7 +95,11 @@ class AqeParitySpec extends SparkSpec {
     "q380_chao1_vocab",
     "q382_zipf_slope",
     "q383_benford",
-    "q384_gini_lengths")
+    "q384_gini_lengths",
+    // the mixture pair: grand-total broadcast rejoin; keeper election's
+    // corpus-scale shuffle equi-join back on (hash, min doc_id)
+    "q385_sqrt_mixture",
+    "q386_dedup_tokens")
 
   slice.foreach { name =>
     test(s"$name: identical rows with AQE off and on") {

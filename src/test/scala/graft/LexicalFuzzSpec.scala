@@ -152,6 +152,69 @@ class LexicalFuzzSpec extends SparkSpec {
     }
   }
 
+  test("sqrt mixture: fuzzed corpora match a BigInt isqrt recount; empty corpus fails closed") {
+    def isqrtExact(n: Long): Long = {
+      var r = math.max(math.sqrt(n.toDouble).toLong - 2, 0L)
+      while ((r + 1) * (r + 1) <= n) r += 1
+      r
+    }
+    cases(docsGen, 8) { rows =>
+      val out = LexicalQueries.sqrtMixture(rows.toDF("source", "text"))
+        .collect().map(r => r.getAs[String]("source") -> r).toMap
+      val tok = rows.groupBy(_._1).view.mapValues(
+        _.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum).toMap
+      val nAll = BigInt(tok.values.sum)
+      val rtAll = BigInt(tok.values.map(isqrtExact).sum)
+      tok.foreach { case (s, n) =>
+        val r = out.getOrElse(s, fail(s"$s vanished"))
+        assert(r.getAs[Long]("n_tok") == n, s"$s n_tok")
+        if (nAll == 0) assert(r.isNullAt(r.fieldIndex("share_ppm")), s"$s all-empty")
+        else {
+          val share = BigInt(n) * 1000000 / nAll
+          val weight = BigInt(isqrtExact(n)) * 1000000 / rtAll
+          assert(r.getAs[Long]("share_ppm") == share.toLong, s"$s share")
+          assert(r.getAs[Long]("weight_ppm") == weight.toLong, s"$s weight")
+          if (share == 0)
+            assert(r.isNullAt(r.fieldIndex("boost_micro")), s"$s zero-share boost")
+          else assert(r.getAs[Long]("boost_micro") ==
+            (weight * 1000000 / share).toLong, s"$s boost")
+        }
+      }
+    }
+  }
+
+  test("dedup tokens: cross-source elections match; all-losers source fails closed") {
+    // duplicate texts ACROSS sources: the keeper is the global min doc_id,
+    // so a source can lose every election (n_keepers 0, waste 1e6)
+    val dupGen: Gen[Seq[(Long, String, String)]] = for {
+      nS <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, nS - 1)
+        t <- Gen.oneOf("aa bb", "cc", "dd ee ff", "", "aa")
+      } yield (s"s$s", t))
+    } yield rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+    cases(dupGen, 8) { rows =>
+      val out = LexicalQueries.dedupTokens(rows.toDF("doc_id", "source", "text"))
+        .collect().map(r => r.getAs[String]("source") -> r).toMap
+      val keepers = rows.groupBy(_._3).values.map(_.map(_._1).min).toSet
+      rows.groupBy(_._2).foreach { case (s, rs) =>
+        def tk(t: String) = t.split("\\s+").count(_.nonEmpty).toLong
+        val raw = rs.map(r => tk(r._3)).sum
+        val kept = rs.filter(r => keepers(r._1))
+        val eff = kept.map(r => tk(r._3)).sum
+        val r = out.getOrElse(s, fail(s"$s vanished"))
+        assert(r.getAs[Long]("n_docs") == rs.size.toLong &&
+          r.getAs[Long]("tok_raw") == raw &&
+          r.getAs[Long]("n_keepers") == kept.size.toLong &&
+          r.getAs[Long]("tok_eff") == eff, s"$s census")
+        if (raw == 0) assert(r.isNullAt(r.fieldIndex("waste_ppm")), s"$s 0/0")
+        else assert(r.getAs[Long]("waste_ppm") ==
+          (BigInt(raw - eff) * 1000000 / raw).toLong, s"$s waste")
+      }
+    }
+  }
+
   test("gini: fuzzed lengths match an O(n^2) pairwise recount; constants exact") {
     val lenGen: Gen[Seq[(String, Long)]] = for {
       nS <- Gen.choose(1, 3)
