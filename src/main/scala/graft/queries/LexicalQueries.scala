@@ -333,10 +333,15 @@ object LexicalQueries {
     * weight 0 (not NULL — it exists, it just contributes nothing); its
     * BOOST is NULL (0/0 fails closed). */
   /** Core over the raw (source, text) frame. */
-  def sqrtMixture(docs: DataFrame): DataFrame = {
-    val per = docs
+  def sqrtMixture(docs: DataFrame): DataFrame =
+    sqrtMixtureFromCounts(docs
       .select(col("source"), TextAnalysis.wsTokenCount(col("text")).as("tk"))
-      .groupBy(col("source")).agg(sum(col("tk")).as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("n_tok")))
+
+  /** Counts-level readout (source, n_tok) — the register form the q387
+    * streaming recovery cert feeds from its durable token-count cells. */
+  def sqrtMixtureFromCounts(counts: DataFrame): DataFrame = {
+    val per = counts
       .withColumn("rt", graft.functions.Isqrt.isqrt(col("n_tok")))
     val tot = per.agg(sum(col("n_tok")).as("n_all"), sum(col("rt")).as("rt_all"))
     per.crossJoin(broadcast(tot))

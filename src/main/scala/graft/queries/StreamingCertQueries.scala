@@ -1449,7 +1449,43 @@ object StreamingCertQueries {
   /** Same histogram, same readout → q188's oracle verbatim. */
   val q379_sql: String = StreamingQueries.q188_sql
 
+  /** q385's mixture weights under CHECKPOINT RECOVERY — the fifty-first
+    * streaming cert and EIGHTEENTH recovery shape: the live form of
+    * mixture planning keeps ONE durable register per source (cumulative
+    * token count, a +-monoid via [[Streaming.cellSum]]) and derives the
+    * √-temperature weights from the registers on demand. The restart
+    * must not lose or replay a batch: the weights are a RATIO of
+    * registers, so a single shifted count moves every source's weight
+    * and boost — the readout feeds the SAME
+    * [[LexicalQueries.sqrtMixtureFromCounts]] the batch query uses and
+    * must hash-match q385's oracle verbatim. Two of the four
+    * doc_id-ranged files process before the kill. */
+  val q387_recovery_mixture: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        graft.llm.TextAnalysis.wsTokenCount(col("text")).as("tk"))
+    val (srcDir, _, _) = Stage.memo(d, "doctok4") { dir =>
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(dir)
+      (0L, 0L)
+    }
+    val counts = recoveringTable(s, srcDir, firstN = 2,
+      tag = "q387_rec_mixture")(
+      st => Streaming.cellSum(st.select(
+          col("source").as("rf"), lit(0L).as("a"), col("tk").as("v"))
+        .as[Streaming.CellSumObs]).toDF(),
+      docs.schema)
+      .groupBy(col("rf"))
+      .agg(max(struct(col("seen"), col("s"))).as("f"))
+      .select(col("rf").as("source"), col("f.s").as("n_tok"))
+    LexicalQueries.sqrtMixtureFromCounts(counts)
+  }
+  /** Same registers, same readout → q385's oracle verbatim. */
+  val q387_sql: String = LexicalQueries.q385_sql
+
   val defs: Map[String, Q] = Map(
+    "q387_recovery_mixture" -> q387_recovery_mixture,
     "q379_recovery_drift" -> q379_recovery_drift,
     "q378_recovery_dfa" -> q378_recovery_dfa,
     "q377_recovery_cusum" -> q377_recovery_cusum,
@@ -1483,6 +1519,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q387_recovery_mixture" -> q387_sql,
     "q379_recovery_drift" -> q379_sql,
     "q378_recovery_dfa" -> q378_sql,
     "q377_recovery_cusum" -> q377_sql,
