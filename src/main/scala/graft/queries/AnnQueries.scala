@@ -837,7 +837,94 @@ object AnnQueries {
        |       min(q)::BIGINT AS min_cos_fp
        |FROM qq GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- matryoshka truncation audit
+
+  /** Matryoshka-style truncation audit (Kusupati et al. 2022): how much
+    * retrieval quality survives when the 64-d embeddings are truncated
+    * to their first 8/16/32 components — the dimension-vs-cost dial a
+    * production vector store tunes when it stores nested prefixes
+    * instead of separate indexes. For each probe query, the truncated
+    * brute-force top-10 (cosine over `slice(embedding, 1, d)`) is
+    * compared to the full-dimension exact top-10; overlap@10 per
+    * (query, dim) is the readout. Shapes: the corpus side never
+    * shuffles (one scan per prefix width with the 5 probe vectors
+    * broadcast — q26's shape ×3); the overlap join runs on ≤50-row
+    * frames. Rankings are deterministic (cos desc, neighbor_id
+    * tie-break) and IEEE division is correctly rounded, so even the
+    * recall fractions hash cross-engine (the q106 precedent). */
+  val q388_matryoshka: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val full = graft.io.Stats.embeddingDim(s, d)
+    val probes = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(probes, emb, 10, dim = full)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // ≤50 rows; consumers: one per prefix + universe
+    val dims = Seq(8, 16, 32)
+    val hits = dims.map { td =>
+      def cut(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, td).as("embedding"))
+      val approx = Similarity.bruteForceTopK(cut(probes), cut(emb), 10,
+        dim = td).select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        .withColumn("trunc_dim", lit(td.toLong))
+    }.reduce(_ unionByName _)
+    exact.select(col("query_id")).distinct()
+      .crossJoin(broadcast(dims.map(_.toLong).toDF("trunc_dim")))
+      .join(hits, Seq("query_id", "trunc_dim"), "left")
+      .select(col("query_id"), col("trunc_dim"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_10", col("n_hits").cast("double") / 10.0)
+      .orderBy(col("query_id"), col("trunc_dim"))
+  }
+
+  val q388_sql: String = {
+    def trunc(td: Int): String =
+      s"""t$td AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+         |        ${sqlCosine(s"p.qvec[1:$td]", s"c.embedding[1:$td]")} DESC,
+         |        c.vec_id) AS rank
+         |    FROM embeddings c,
+         |         (SELECT vec_id AS query_id, embedding AS qvec
+         |          FROM embeddings WHERE vec_id < 5) p
+         |    WHERE p.query_id <> c.vec_id)
+         |  WHERE rank <= 10),
+         |h$td AS (SELECT e.query_id, $td::BIGINT AS trunc_dim,
+         |           count(*)::BIGINT AS n_hits
+         |         FROM exact e JOIN t$td USING (query_id, neighbor_id)
+         |         GROUP BY 1)""".stripMargin
+    s"""WITH exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+       |        ${sqlCosine("p.qvec", "c.embedding")} DESC, c.vec_id) AS rank
+       |    FROM embeddings c,
+       |         (SELECT vec_id AS query_id, embedding AS qvec
+       |          FROM embeddings WHERE vec_id < 5) p
+       |    WHERE p.query_id <> c.vec_id)
+       |  WHERE rank <= 10),
+       |${trunc(8)},
+       |${trunc(16)},
+       |${trunc(32)},
+       |hits AS (SELECT * FROM h8 UNION ALL SELECT * FROM h16
+       |         UNION ALL SELECT * FROM h32),
+       |uni AS (SELECT query_id, td.trunc_dim
+       |        FROM (SELECT DISTINCT query_id FROM exact)
+       |        CROSS JOIN (SELECT unnest([8, 16, 32])::BIGINT AS trunc_dim)
+       |          td)
+       |SELECT uni.query_id, uni.trunc_dim,
+       |  coalesce(n_hits, 0)::BIGINT AS n_hits,
+       |  coalesce(n_hits, 0)::DOUBLE / 10.0 AS recall_at_10
+       |FROM uni LEFT JOIN hits ON hits.query_id = uni.query_id
+       |  AND hits.trunc_dim = uni.trunc_dim
+       |ORDER BY uni.query_id, uni.trunc_dim""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q388_matryoshka" -> q388_matryoshka,
     "q262_ivf_cell_quality" -> q262_ivf_cell_quality,
     "q187_knn_density" -> q187_knn_density,
     "q183_knn_mutual" -> q183_knn_mutual,
@@ -861,6 +948,7 @@ object AnnQueries {
     "q166_source_similarity" -> q166_source_similarity)
 
   val oracles: Map[String, String] = Map(
+    "q388_matryoshka" -> q388_sql,
     "q262_ivf_cell_quality" -> q262_sql,
     "q26_topk_bruteforce" -> q26_sql,
     "q27_topk_ivf" -> q27_sql,
