@@ -1379,7 +1379,77 @@ object EvalQueries {
       |    AS significant
       |FROM h""".stripMargin
 
+  // ---- q389: robust-z outlier days (median/MAD) --------------------------
+
+  /** Median/MAD robust outlier census per event type — the
+    * Iglewicz–Hoaglin modified-z complement to q324's mean/sd z-band:
+    * one celebrity day inflates the mean AND the sd, so the moment
+    * band can hide the very day that moved it; the median/MAD pair has
+    * a 50% breakdown point. Lower medians via the cum-count scan on
+    * value-counts frames (the q359 convention, both scans inside
+    * calendar-bounded frames), MAD = lower median of |x − med|, flag =
+    * 6745·|x − med| > 35000·MAD (modified z > 3.5 with the 0.6745
+    * consistency constant, exact integers — flags safe to ~10¹⁵
+    * events/day). MAD = 0 (a majority-constant series) fails closed to
+    * a NULL outlier count: every deviation is 0 or infinitely many
+    * MADs, and the statistic is undefined. */
+  def robustZ(daily: DataFrame): DataFrame = {
+    def lowerMedian(vals: DataFrame, out: String): DataFrame = vals
+      .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("g")).orderBy(col("x"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+      .where(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("g")).agg(min(col("x")).as(out))
+    val d0 = daily.localCheckpoint(true) // consumers: 2 median scans + flags
+    val med = lowerMedian(d0.select(col("g"), col("x")), "med")
+    val dev = d0.join(broadcast(med), Seq("g"))
+      .withColumn("ad", abs(col("x") - col("med")))
+      .localCheckpoint(true) // consumers: MAD scan + flag census
+    val mad = lowerMedian(dev.select(col("g"), col("ad").as("x")), "mad")
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_days"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("ad") * 6745 > col("mad") * 35000, 1L).otherwise(0L))
+          .as("flagged"))
+      .select(col("g").as("event_type"), col("n_days"), col("med"),
+        col("mad"),
+        when(col("mad") > 0, col("flagged")).otherwise(lit(null).cast("long"))
+          .as("n_outlier_days"))
+      .orderBy(col("event_type"))
+  }
+  val q389_robust_z: Q = (s, d) => robustZ(Tables.events(s, d)
+    .groupBy(col("event_type").as("g"),
+      expr("unix_millis(ts) div 86400000").as("day"))
+    .agg(count(lit(1)).as("x")))
+  val q389_sql: String =
+    """WITH daily AS (SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+      |                 count(*)::BIGINT AS x
+      |               FROM events GROUP BY 1, 2),
+      |mc AS (SELECT g, x, count(*)::BIGINT AS c FROM daily GROUP BY 1, 2),
+      |cum AS (SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x)::BIGINT
+      |          AS cum, sum(c) OVER (PARTITION BY g)::BIGINT AS n FROM mc),
+      |med AS (SELECT g, min(x)::BIGINT AS med FROM cum
+      |        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |dev AS (SELECT daily.g, abs(x - med)::BIGINT AS ad
+      |        FROM daily JOIN med ON med.g = daily.g),
+      |dc AS (SELECT g, ad, count(*)::BIGINT AS c FROM dev GROUP BY 1, 2),
+      |dcum AS (SELECT g, ad, sum(c) OVER (PARTITION BY g ORDER BY ad)
+      |           ::BIGINT AS cum, sum(c) OVER (PARTITION BY g)::BIGINT AS n
+      |         FROM dc),
+      |mad AS (SELECT g, min(ad)::BIGINT AS mad FROM dcum
+      |        WHERE cum >= (n + 1) // 2 GROUP BY 1)
+      |SELECT dev.g AS event_type, count(*)::BIGINT AS n_days,
+      |  max(med)::BIGINT AS med, max(mad)::BIGINT AS mad,
+      |  CASE WHEN max(mad) > 0 THEN
+      |    sum(CASE WHEN ad * 6745 > mad * 35000 THEN 1 ELSE 0 END)
+      |  END::BIGINT AS n_outlier_days
+      |FROM dev JOIN med ON med.g = dev.g JOIN mad ON mad.g = dev.g
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q389_robust_z" -> q389_robust_z,
     "q338_mann_kendall" -> q338_mann_kendall,
     "q336_wasserstein" -> q336_wasserstein,
     "q337_hellinger" -> q337_hellinger,
@@ -1401,6 +1471,7 @@ object EvalQueries {
     "q321_stump_gain" -> q321_stump_gain)
 
   val oracles: Map[String, String] = Map(
+    "q389_robust_z" -> q389_sql,
     "q338_mann_kendall" -> q338_sql,
     "q336_wasserstein" -> q336_sql,
     "q337_hellinger" -> q337_sql,

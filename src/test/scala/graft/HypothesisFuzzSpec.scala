@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.queries.HypothesisQueries
+import graft.queries.{EvalQueries, HypothesisQueries}
 
 /** Property-based degenerate-input fuzzing for the hypothesis family —
   * the round-10 AgreementFuzzSpec discipline applied to the round-11
@@ -433,6 +433,29 @@ class HypothesisFuzzSpec extends SparkSpec {
             assert(r.getAs[String]("decision") ==
               (if (c >= th) "accept_h1" else "accept_h0"), s"$g decision")
         }
+      }
+    }
+  }
+
+  test("robust z: fuzzed series match a median/MAD driver fold; MAD=0 fails closed") {
+    cases(dailyGen, 8) { rows =>
+      val out = EvalQueries.robustZ(daily(rows).toSeq
+          .map { case ((g, dd), x) => (g, dd, x) }.toDF("g", "day", "x"))
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      daily(rows).groupBy(_._1._1).foreach { case (g, m) =>
+        val xs = m.values.toSeq.sorted
+        def lowerMed(v: Seq[Long]): Long = v.sorted.apply((v.length - 1) / 2)
+        val med = lowerMed(xs)
+        val ads = xs.map(x => (x - med).abs)
+        val mad = lowerMed(ads)
+        val r = out.getOrElse(g, fail(s"$g vanished"))
+        assert(r.getAs[Long]("n_days") == xs.length.toLong &&
+          r.getAs[Long]("med") == med && r.getAs[Long]("mad") == mad,
+          s"$g medians")
+        if (mad == 0)
+          assert(r.isNullAt(r.fieldIndex("n_outlier_days")), s"$g MAD=0 NULL")
+        else assert(r.getAs[Long]("n_outlier_days") ==
+          ads.count(_ * 6745 > mad * 35000).toLong, s"$g flags")
       }
     }
   }
