@@ -203,15 +203,20 @@ object LexicalQueries {
   /** Core over the raw (g, v) relation; the universe (fail-closed NULL
     * rows) is every g in the relation, INCLUDING types whose every v
     * is below 1. */
-  def benford(rel: DataFrame): DataFrame = {
+  def benford(rel: DataFrame): DataFrame =
+    benfordFromDigits(rel.select(col("g")).distinct(), rel
+      .where(col("v") >= 1L)
+      .withColumn("dg", substring(col("v").cast("string"), 1, 1).cast("long"))
+      .groupBy(col("g"), col("dg")).agg(count(lit(1)).as("o")))
+
+  /** Census-level entry: `digits` is the (g, first-digit, count) census
+    * (any provenance — the q390 recovery cert feeds recovered gridCount
+    * registers), `universe` the fail-closed g set. */
+  def benfordFromDigits(universe: DataFrame, digits: DataFrame): DataFrame = {
     // log10(1+1/d) in ppm; sums to exactly 1_000_000
     val p = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
       57992L, 51153L, 45757L)
-    val s = rel.sparkSession
-    val digits = rel
-      .where(col("v") >= 1L)
-      .withColumn("dg", substring(col("v").cast("string"), 1, 1).cast("long"))
-      .groupBy(col("g"), col("dg")).agg(count(lit(1)).as("o"))
+    val s = digits.sparkSession
     val grid = digits.select(col("g")).distinct()
       .crossJoin(broadcast(s.range(1, 10).select(col("id").as("dg"))))
       .join(digits, Seq("g", "dg"), "left")
@@ -225,7 +230,7 @@ object LexicalQueries {
       .groupBy(col("g"))
       .agg(max(col("n")).as("n"),
         sum(expr(s"t * t div (cast(n as $dec) * p_ppm)")).as("chi2_micro"))
-    rel.select(col("g")).distinct()
+    universe
       .join(broadcast(chi), Seq("g"), "left")
       .select(col("g").as("event_type"), col("n"),
         col("chi2_micro").cast("long").as("chi2_micro"),

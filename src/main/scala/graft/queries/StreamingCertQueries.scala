@@ -1484,7 +1484,43 @@ object StreamingCertQueries {
   /** Same registers, same readout → q385's oracle verbatim. */
   val q387_sql: String = LexicalQueries.q385_sql
 
+  /** q383's Benford digit census under CHECKPOINT RECOVERY — the
+    * fifty-second streaming cert and NINETEENTH recovery shape: the
+    * forensic gate as an always-on monitor keeps one durable
+    * (type, first-digit) count register ([[Streaming.gridCount]],
+    * ≤ 9·|types| cells) and derives the χ² verdict on demand. The χ²
+    * is quadratic in the cell counts, so a batch lost or replayed
+    * across the restart moves the statistic quadratically — and a type
+    * whose every value is below 1 must STILL surface its fail-closed
+    * NULL row, which here crosses the batch/stream boundary: the
+    * universe comes from the batch relation, the census from the
+    * recovered registers. Oracle verbatim q383's. */
+  val q390_recovery_benford: Q = (s, d) => {
+    import s.implicits._
+    val rel = Tables.events(s, d).select(col("event_type").as("g"),
+      expr("cast(round(value * 100) as bigint)").as("v"),
+      col("event_id").cast("long").as("event_id"))
+    val srcDir = stageOrderedBy(rel, d, "eventsBenfordOrdered4", 4,
+      Seq(col("event_id")))
+    val digits = recoveringTable(s, srcDir, firstN = 2,
+      tag = "q390_rec_benford")(
+      st => Streaming.gridCount(st
+          .where(col("v") >= 1L)
+          .select(col("g").as("rf"),
+            substring(col("v").cast("string"), 1, 1).cast("long").as("a"),
+            lit(0L).as("b"))
+        .as[Streaming.CellObs]).toDF(),
+      rel.schema)
+      .groupBy(col("rf"), col("a"))
+      .agg(max(struct(col("seen"), col("c"))).as("f"))
+      .select(col("rf").as("g"), col("a").as("dg"), col("f.c").as("o"))
+    LexicalQueries.benfordFromDigits(rel.select(col("g")).distinct(), digits)
+  }
+  /** Same census, same readout → q383's oracle verbatim. */
+  val q390_sql: String = LexicalQueries.q383_sql
+
   val defs: Map[String, Q] = Map(
+    "q390_recovery_benford" -> q390_recovery_benford,
     "q387_recovery_mixture" -> q387_recovery_mixture,
     "q379_recovery_drift" -> q379_recovery_drift,
     "q378_recovery_dfa" -> q378_recovery_dfa,
@@ -1519,6 +1555,7 @@ object StreamingCertQueries {
     "q284_stream_hw" -> q284_stream_hw)
 
   val oracles: Map[String, String] = Map(
+    "q390_recovery_benford" -> q390_sql,
     "q387_recovery_mixture" -> q387_sql,
     "q379_recovery_drift" -> q379_sql,
     "q378_recovery_dfa" -> q378_sql,
