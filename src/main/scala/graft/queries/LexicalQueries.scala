@@ -436,7 +436,71 @@ object LexicalQueries {
       |FROM raw LEFT JOIN eff ON eff.source = raw.source
       |ORDER BY raw.source""".stripMargin
 
+  // ---- q391: per-source corpus-health gate (composition) -------------------
+
+  /** The lexical capstone composition (the q368 precedent applied to
+    * sources): one verdict row per source wiring the family's gates
+    * into the release check a curation pipeline runs before training on
+    * a mixture slice — (1) q380's Chao1 coverage V/Ĉ ≥ 0.90 (the sample
+    * saw most of the population vocabulary), (2) q381's unseen mass
+    * P₀ ≤ 0.10, (3) q382's Zipf slope inside the natural-language band
+    * [−2.2, −0.5] (flat = templated, cliff = degenerate), (4) q384's
+    * Gini ≤ 0.60 (no handful of giants owns the byte budget), and (5)
+    * q386's dedup waste ≤ 0.25. Every member is the SAME code path as
+    * its standalone query (the oracle joins the member oracles as
+    * subqueries); the composition adds only |sources|-bounded broadcast
+    * joins and a null-safe verdict — any NULL gate fails closed to
+    * unhealthy. */
+  val q391_corpus_health: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ch = chao1(docs).select(col("source"), col("v_obs"), col("chao1"))
+      .withColumn("coverage_ppm", expr(
+        s"cast(cast(v_obs as $dec) * 1000000 div nullif(chao1, 0) as bigint)"))
+    val gt = goodTuring(docs).select(col("source"), col("p0_ppm"))
+    val zs = zipfSlope(docs).select(col("source"), col("slope_ppm"))
+    val gi = giniLengths(docs.select(col("source"),
+        col("n_chars").cast("long").as("v")))
+      .select(col("source"), col("gini_ppm"))
+    val dt = dedupTokens(Tables.widen(docs)
+        .select(col("doc_id"), col("source"), col("text")))
+      .select(col("source"), col("waste_ppm"))
+    ch.join(broadcast(gt), Seq("source"))
+      .join(broadcast(zs), Seq("source"), "left") // all-empty source: no vocab
+      .join(broadcast(gi), Seq("source"))
+      .join(broadcast(dt), Seq("source"))
+      .withColumn("healthy",
+        coalesce(col("coverage_ppm") >= 900000L, lit(false)) &&
+          coalesce(col("p0_ppm") <= 100000L, lit(false)) &&
+          coalesce(col("slope_ppm").between(-2200000L, -500000L),
+            lit(false)) &&
+          coalesce(col("gini_ppm") <= 600000L, lit(false)) &&
+          coalesce(col("waste_ppm") <= 250000L, lit(false)))
+      .select(col("source"), col("coverage_ppm"), col("p0_ppm"),
+        col("slope_ppm"), col("gini_ppm"), col("waste_ppm"), col("healthy"))
+      .orderBy(col("source"))
+  }
+  val q391_sql: String =
+    s"""WITH ch AS (SELECT source, v_obs, chao1,
+       |       (v_obs::HUGEINT * 1000000 // nullif(chao1, 0))::BIGINT
+       |         AS coverage_ppm
+       |     FROM ($q380_sql)),
+       |gt AS (SELECT source, p0_ppm FROM ($q381_sql)),
+       |zs AS (SELECT source, slope_ppm FROM ($q382_sql)),
+       |gi AS (SELECT source, gini_ppm FROM ($q384_sql)),
+       |dt AS (SELECT source, waste_ppm FROM ($q386_sql))
+       |SELECT ch.source, coverage_ppm, p0_ppm, slope_ppm, gini_ppm,
+       |  waste_ppm,
+       |  (coalesce(coverage_ppm >= 900000, false)
+       |   AND coalesce(p0_ppm <= 100000, false)
+       |   AND coalesce(slope_ppm BETWEEN -2200000 AND -500000, false)
+       |   AND coalesce(gini_ppm <= 600000, false)
+       |   AND coalesce(waste_ppm <= 250000, false)) AS healthy
+       |FROM ch JOIN gt USING (source) LEFT JOIN zs USING (source)
+       |  JOIN gi USING (source) JOIN dt USING (source)
+       |ORDER BY ch.source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q391_corpus_health" -> q391_corpus_health,
     "q386_dedup_tokens" -> q386_dedup_tokens,
     "q385_sqrt_mixture" -> q385_sqrt_mixture,
     "q384_gini_lengths" -> q384_gini_lengths,
@@ -446,6 +510,7 @@ object LexicalQueries {
     "q380_chao1_vocab" -> q380_chao1_vocab)
 
   val oracles: Map[String, String] = Map(
+    "q391_corpus_health" -> q391_sql,
     "q386_dedup_tokens" -> q386_sql,
     "q385_sqrt_mixture" -> q385_sql,
     "q384_gini_lengths" -> q384_sql,
