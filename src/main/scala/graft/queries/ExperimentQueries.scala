@@ -349,13 +349,93 @@ object ExperimentQueries {
       |    AS srm
       |FROM agg ORDER BY segment""".stripMargin
 
+  // ---- q392: two-look Pocock group-sequential gate -------------------------
+
+  /** Group-sequential monitoring with a Pocock boundary (Pocock 1977) —
+    * the FIXED-SCHEDULE complement to q375's SPRT: instead of testing
+    * after every day, the monitor peeks exactly twice (mid-month and
+    * full-month) and both looks share the constant critical value
+    * z = 2.178 (two looks, α = 0.05 overall — the published Pocock
+    * constant), so the family-wise error stays 5% despite the double
+    * look. Same hypotheses as the SPRT for family coherence: H0 says
+    * the P(k < 50) share is p₀ = 0.40. Exact integers throughout:
+    * z²·10⁶ = (x·10⁶ − 400000·n)² div (240000·n) (the variance
+    * p₀(1−p₀) = 0.24 cross-multiplied), gated at z²·10⁶ ≥ 4 743 684 =
+    * 2.178². The per-look quotient grows as ~4.2·10⁶·n — long-safe to
+    * ~2·10¹² observations per look. One corpus pass to the
+    * (type, look) cells; a look with n = 0 fails closed to a NULL z²,
+    * and the verdict ('reject_h0' at the FIRST crossing look, else
+    * 'accept_h0') treats NULL looks as non-crossings. */
+  val q392_group_sequential: Q = (s, d) =>
+    pocockTwoLook(Tables.events(s, d).select(col("event_type").as("g"),
+        when(dayofmonth(col("ts")) <= 15, 1L).otherwise(2L).as("look"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("k"))
+      .where(col("k").isNotNull))
+
+  /** Core over the raw (g, look ∈ {1,2}, k) relation. */
+  def pocockTwoLook(rel: DataFrame): DataFrame = {
+    val cells = rel
+      .groupBy(col("g"))
+      .agg(sum(when(col("look") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("look") === 1L && col("k") < 50, 1L).otherwise(0L))
+          .as("x1"),
+        count(lit(1)).as("n2"),
+        sum(when(col("k") < 50, 1L).otherwise(0L)).as("x2"))
+    def z2(x: String, n: String): String =
+      s"""cast(cast($x as $dec) * 1000000 - cast(400000 as $dec) * $n as $dec)
+         * (cast($x as $dec) * 1000000 - cast(400000 as $dec) * $n)
+         div nullif(cast(240000 as $dec) * $n, 0)"""
+    cells
+      .withColumn("z2_1_micro", expr(s"cast(${z2("x1", "n1")} as bigint)"))
+      .withColumn("z2_2_micro", expr(s"cast(${z2("x2", "n2")} as bigint)"))
+      .withColumn("reject_look",
+        when(col("z2_1_micro") >= 4743684L, 1L)
+          .when(col("z2_2_micro") >= 4743684L, 2L)
+          .otherwise(lit(null).cast("long")))
+      .withColumn("decision",
+        when(col("reject_look").isNotNull, "reject_h0")
+          .otherwise("accept_h0"))
+      .select(col("g").as("event_type"), col("n1"), col("x1"),
+        col("z2_1_micro"), col("n2"), col("x2"), col("z2_2_micro"),
+        col("reject_look"), col("decision"))
+      .orderBy(col("event_type"))
+  }
+  val q392_sql: String =
+    """WITH rel AS (SELECT event_type AS g,
+      |    CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 2 END AS look,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+      |  WHERE json_extract(props, '$.k') IS NOT NULL),
+      |cells AS (SELECT g,
+      |    sum(CASE WHEN look = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN look = 1 AND k < 50 THEN 1 ELSE 0 END)::BIGINT
+      |      AS x1,
+      |    count(*)::BIGINT AS n2,
+      |    sum(CASE WHEN k < 50 THEN 1 ELSE 0 END)::BIGINT AS x2
+      |  FROM rel GROUP BY 1),
+      |z AS (SELECT g, n1, x1, n2, x2,
+      |    ((x1::HUGEINT * 1000000 - 400000::HUGEINT * n1)
+      |     * (x1::HUGEINT * 1000000 - 400000::HUGEINT * n1)
+      |     // nullif(240000::HUGEINT * n1, 0))::BIGINT AS z2_1_micro,
+      |    ((x2::HUGEINT * 1000000 - 400000::HUGEINT * n2)
+      |     * (x2::HUGEINT * 1000000 - 400000::HUGEINT * n2)
+      |     // nullif(240000::HUGEINT * n2, 0))::BIGINT AS z2_2_micro
+      |  FROM cells)
+      |SELECT g AS event_type, n1, x1, z2_1_micro, n2, x2, z2_2_micro,
+      |  (CASE WHEN z2_1_micro >= 4743684 THEN 1
+      |        WHEN z2_2_micro >= 4743684 THEN 2 END)::BIGINT AS reject_look,
+      |  CASE WHEN z2_1_micro >= 4743684 OR z2_2_micro >= 4743684
+      |       THEN 'reject_h0' ELSE 'accept_h0' END AS decision
+      |FROM z ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q392_group_sequential" -> q392_group_sequential,
     "q351_psi" -> q351_psi,
     "q352_neyman" -> q352_neyman,
     "q353_cuped" -> q353_cuped,
     "q355_srm" -> q355_srm)
 
   val oracles: Map[String, String] = Map(
+    "q392_group_sequential" -> q392_sql,
     "q351_psi" -> q351_sql,
     "q352_neyman" -> q352_sql,
     "q353_cuped" -> q353_sql,

@@ -499,7 +499,82 @@ object LexicalQueries {
        |  JOIN gi USING (source) JOIN dt USING (source)
        |ORDER BY ch.source""".stripMargin
 
+  // ---- q393: trimmed-mean location audit ------------------------------------
+
+  /** 10%-trimmed mean of document lengths per source — the robust
+    * location readout between the mean (q324's moments) and the median
+    * (q389): drop the lowest and highest t = ⌊n/10⌋ observations and
+    * average the rest, so up to 10% garbage per tail (truncated docs,
+    * concatenation blobs) cannot move the number. Computed WITHOUT
+    * sorting individual rows: over the (source, length) counts frame,
+    * each value contributes min(max(t − cumBefore, 0), c) rows to the
+    * clipped low tail (symmetrically from the top via the reversed
+    * cumulative), so the trimmed sum is total − lowClip − highClip off
+    * ONE bounded window pass. Also reports the winsorized cut points
+    * (the values at ranks t+1 and n−t). trimmed_mean_ppm floors once;
+    * n − 2t = 0 cannot occur for n ≥ 1 (t = n div 10 < n/2), so the
+    * readout is total for every non-empty source; an all-empty corpus
+    * simply has no rows. */
+  val q393_trimmed_mean: Q = (s, d) => trimmedMean(Tables.documents(s, d)
+    .select(col("source"), col("n_chars").cast("long").as("v")))
+
+  /** Core over the raw (source, v) observation frame. */
+  def trimmedMean(docs: DataFrame): DataFrame = {
+    val cnt = docs.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wr = Window.partitionBy(col("source")).orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnt
+      .withColumn("nb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("na", coalesce(sum(col("c")).over(wr), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("t", expr("n div 10"))
+      .withColumn("lo_clip",
+        expr("least(greatest(t - nb, 0), c)")) // rows clipped from below
+      .withColumn("hi_clip",
+        expr("least(greatest(t - na, 0), c)")) // rows clipped from above
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), max(col("t")).as("n_trimmed_per_tail"),
+        min(when(col("nb") + col("c") >= col("t") + 1, col("v")))
+          .as("lo_cut"),
+        max(when(col("na") + col("c") >= col("t") + 1, col("v")))
+          .as("hi_cut"),
+        sum(expr(s"cast(c - lo_clip - hi_clip as $dec) * v")).as("st"))
+      .select(col("source"), col("n_docs"), col("n_trimmed_per_tail"),
+        col("lo_cut"), col("hi_cut"),
+        expr(s"""cast(st * 1000000
+            div (n_docs - 2 * n_trimmed_per_tail) as bigint)""")
+          .as("trimmed_mean_ppm"))
+      .orderBy(col("source"))
+  }
+  val q393_sql: String =
+    """WITH cnt AS (SELECT source, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (SELECT source, v, c,
+      |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS nb,
+      |    coalesce(sum(c) OVER (PARTITION BY source ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS na,
+      |    sum(c) OVER (PARTITION BY source)::BIGINT AS n
+      |  FROM cnt),
+      |cl AS (SELECT source, v, c, nb, na, n, n // 10 AS t,
+      |         least(greatest(n // 10 - nb, 0), c) AS lo_clip,
+      |         least(greatest(n // 10 - na, 0), c) AS hi_clip
+      |       FROM cum)
+      |SELECT source, max(n)::BIGINT AS n_docs,
+      |  max(t)::BIGINT AS n_trimmed_per_tail,
+      |  min(CASE WHEN nb + c >= t + 1 THEN v END)::BIGINT AS lo_cut,
+      |  max(CASE WHEN na + c >= t + 1 THEN v END)::BIGINT AS hi_cut,
+      |  (sum((c - lo_clip - hi_clip)::HUGEINT * v) * 1000000
+      |   // (max(n) - 2 * max(t)))::BIGINT AS trimmed_mean_ppm
+      |FROM cl GROUP BY 1 ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q393_trimmed_mean" -> q393_trimmed_mean,
     "q391_corpus_health" -> q391_corpus_health,
     "q386_dedup_tokens" -> q386_dedup_tokens,
     "q385_sqrt_mixture" -> q385_sqrt_mixture,
@@ -510,6 +585,7 @@ object LexicalQueries {
     "q380_chao1_vocab" -> q380_chao1_vocab)
 
   val oracles: Map[String, String] = Map(
+    "q393_trimmed_mean" -> q393_sql,
     "q391_corpus_health" -> q391_sql,
     "q386_dedup_tokens" -> q386_sql,
     "q385_sqrt_mixture" -> q385_sql,
