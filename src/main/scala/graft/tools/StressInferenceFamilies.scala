@@ -221,7 +221,40 @@ private[tools] object StressInferenceFamilies {
         math.abs(vyK - Reps.toLong * Reps * vy) <= Reps.toLong * Reps &&
         math.abs(vrK - vr) <= 1000L
     }
-    em.line(s"""{"summary":"round-11b experimentation invariances at ${Reps}x duplication","psi_fp_max_delta":$psiMaxDelta,"psi_band_ok":${psiMaxDelta <= 64},"neyman_bit_identical":$neymanExact,"cuped_theta_identical_scaling_banded":$cupedOk,"linear":${psiMaxDelta <= 64 && neymanExact && cupedOk}}""")
+    // group-sequential (q392): z^2 at xK duplication is exactly
+    // floor(K * d^2 / den) per look, recomputed from the x1 cells in
+    // BigInt — cells scale xK exactly, decisions follow the recount
+    val gsBase = Tables.events(spark, sfDir).select(
+        col("event_type").as("g"),
+        when(dayofmonth(col("ts")) <= 15, 1L).otherwise(2L).as("look"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("k"))
+      .where(col("k").isNotNull).localCheckpoint(true)
+    def runGs(rel: DataFrame): Map[String, (Long, Long, Long, Long, Long, Long, String)] =
+      ExperimentQueries.pocockTwoLook(rel).collect().map { r =>
+        r.getAs[String]("event_type") -> ((r.getAs[Long]("n1"),
+          r.getAs[Long]("x1"), r.getAs[Long]("z2_1_micro"),
+          r.getAs[Long]("n2"), r.getAs[Long]("x2"),
+          r.getAs[Long]("z2_2_micro"), r.getAs[String]("decision")))
+      }.toMap
+    var gs1: Map[String, (Long, Long, Long, Long, Long, Long, String)] = Map.empty
+    em.stage("group-sequential x1") { gs1 = runGs(gsBase); gs1.size.toLong }
+    var gsK: Map[String, (Long, Long, Long, Long, Long, Long, String)] = Map.empty
+    em.stage(s"group-sequential x$Reps") {
+      gsK = runGs(dup(gsBase)); gsK.size.toLong }
+    def z2K(x: Long, n: Long): Long = {
+      val d = BigInt(x) * Reps * 1000000 - BigInt(400000) * n * Reps
+      (d * d / (BigInt(240000) * n * Reps)).toLong
+    }
+    val gsExact = gs1.nonEmpty && gs1.forall {
+      case (g, (n1, x1, _, n2, x2, _, _)) =>
+        gsK.get(g).exists { case (n1K, x1K, z1K, n2K, x2K, z2Kv, dK) =>
+          n1K == n1 * Reps && x1K == x1 * Reps && n2K == n2 * Reps &&
+            x2K == x2 * Reps && z1K == z2K(x1, n1) && z2Kv == z2K(x2, n2) &&
+            dK == (if (z2K(x1, n1) >= 4743684L || z2K(x2, n2) >= 4743684L)
+              "reject_h0" else "accept_h0")
+        }
+    }
+    em.line(s"""{"summary":"round-11b experimentation invariances at ${Reps}x duplication","psi_fp_max_delta":$psiMaxDelta,"psi_band_ok":${psiMaxDelta <= 64},"neyman_bit_identical":$neymanExact,"cuped_theta_identical_scaling_banded":$cupedOk,"group_sequential_exact":$gsExact,"linear":${psiMaxDelta <= 64 && neymanExact && cupedOk && gsExact}}""")
   }
 
   /** SCALESTRESS_r11c: the hypothesis family (q356–q362) under 100×

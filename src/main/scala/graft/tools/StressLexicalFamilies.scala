@@ -229,6 +229,49 @@ private[tools] object StressLexicalFamilies {
         }
     }
 
-    em.line(s"""{"summary":"round-12 lexical invariances at ${Reps}x","census_linear":$censusLinear,"good_turing_bit_identical":$gtIdentical,"zipf_expected":$zipfExpected,"benford_exact":$benfordExact,"gini_bit_identical":$giniIdentical,"mixture_exact":$mixtureExact,"dedup_expected":$dedupExpected,"linear":${censusLinear && gtIdentical && zipfExpected && benfordExact && giniIdentical && mixtureExact && dedupExpected}}""")
+    // trimmed mean under plain duplication: t(xK) = (K*n) div 10 is NOT
+    // K*t when 10 does not divide n, so the expectation is an exact
+    // driver recount over the x1 value-counts with every count * K
+    def tmOf(d: DataFrame): Map[String, (Long, Long, Long, Long, Long)] =
+      LexicalQueries.trimmedMean(d).collect().map { r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_trimmed_per_tail"), r.getAs[Long]("lo_cut"),
+          r.getAs[Long]("hi_cut"), r.getAs[Long]("trimmed_mean_ppm")))
+      }.toMap
+    var t1: Map[String, (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage("trimmed mean x1") { t1 = tmOf(lens); t1.size.toLong }
+    var tK: Map[String, (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage(s"trimmed mean x$Reps") { tK = tmOf(dup(lens)); tK.size.toLong }
+    var trimmedExpected = true
+    em.stage("trimmed mean xK expectation (driver recount)") {
+      val vc = lens.groupBy(col("source"), col("v")).count()
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("v"),
+          r.getAs[Long]("count")))
+      vc.groupBy(_._1).foreach { case (s, rows) =>
+        val pairs = rows.map(r => (r._2, r._3 * Reps)).sortBy(_._1)
+        val n = pairs.map(_._2).sum
+        val t = n / 10
+        def rankVal(rk: Long): Long = { // value at 1-based rank
+          var cum = 0L
+          pairs.find { case (_, c) => cum += c; cum >= rk }.get._1
+        }
+        var low = t; var high = t
+        var st = BigInt(0)
+        pairs.foreach { case (v, c) =>
+          val lc = math.min(low, c); low -= lc
+          st += BigInt(v) * (c - lc)
+        }
+        pairs.reverse.foreach { case (v, c) =>
+          val hc = math.min(high, c); high -= hc
+          st -= BigInt(v) * hc
+        }
+        val exp = (n, t, rankVal(t + 1), rankVal(n - t),
+          (st * 1000000 / (n - 2 * t)).toLong)
+        if (!tK.get(s).contains(exp)) trimmedExpected = false
+      }
+      vc.length.toLong
+    }
+
+    em.line(s"""{"summary":"round-12 lexical invariances at ${Reps}x","census_linear":$censusLinear,"good_turing_bit_identical":$gtIdentical,"zipf_expected":$zipfExpected,"benford_exact":$benfordExact,"gini_bit_identical":$giniIdentical,"mixture_exact":$mixtureExact,"dedup_expected":$dedupExpected,"trimmed_mean_expected":$trimmedExpected,"linear":${censusLinear && gtIdentical && zipfExpected && benfordExact && giniIdentical && mixtureExact && dedupExpected && trimmedExpected}}""")
   }
 }

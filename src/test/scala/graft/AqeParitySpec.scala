@@ -99,7 +99,11 @@ class AqeParitySpec extends SparkSpec {
     // the mixture pair: grand-total broadcast rejoin; keeper election's
     // corpus-scale shuffle equi-join back on (hash, min doc_id)
     "q385_sqrt_mixture",
-    "q386_dedup_tokens")
+    "q386_dedup_tokens",
+    // the round-12 tail: the two-look cells reduction and the clipped
+    // trimmed-mean windows over the counts frame
+    "q392_group_sequential",
+    "q393_trimmed_mean")
 
   slice.foreach { name =>
     test(s"$name: identical rows with AQE off and on") {
