@@ -69,7 +69,8 @@ object Bench {
     // staging I/O, not plan execution, so min-of-N reps would re-pay the
     // staging N times for no extra signal. They run once (rep 1 only).
     val streamingNames =
-      queries.StreamingQueries.defs.keySet ++ queries.StreamingCertQueries.defs.keySet
+      queries.StreamingQueries.defs.keySet ++ queries.StreamingCertQueries.defs.keySet ++
+        queries.RecoveryCertQueries.defs.keySet
     def timeAll(rep: Int): Map[String, Double] = names.flatMap { case (name, fn) =>
       if (rep > 1 && streamingNames(name)) None
       else {

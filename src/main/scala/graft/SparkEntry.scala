@@ -21,11 +21,11 @@ object SparkEntry {
     RelationalQueries.defs ++ TpchQueries.defs ++ AnalyticsQueries.defs ++
       ForecastQueries.defs ++
       GraphQueries.defs ++ SketchQueries.defs ++ LlmQueries.defs ++
-      TextMiningQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++ CurationAuditQueries.defs ++
+      TextMiningQueries.defs ++ LlmTextQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++ CurationAuditQueries.defs ++
       MultimodalQueries.defs ++ InfoQueries.defs ++ EvalQueries.defs ++ ResamplingQueries.defs ++ LexicalQueries.defs ++
       PrivacyQueries.defs ++ CalibrationQueries.defs ++
-      ExperimentQueries.defs ++ HypothesisQueries.defs ++
-      StreamingQueries.defs ++ StreamingCertQueries.defs
+      ExperimentQueries.defs ++ HypothesisQueries.defs ++ HypothesisCompositionQueries.defs ++
+      StreamingQueries.defs ++ StreamingCertQueries.defs ++ RecoveryCertQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,11 +34,11 @@ object SparkEntry {
       AnalyticsQueries.oracles ++ ForecastQueries.oracles ++
       GraphQueries.oracles ++
       SketchQueries.oracles ++ LlmQueries.oracles ++
-      TextMiningQueries.oracles ++ AnnQueries.oracles ++
+      TextMiningQueries.oracles ++ LlmTextQueries.oracles ++ AnnQueries.oracles ++
       CurationQueries.oracles ++ CurationAuditQueries.oracles ++
       MultimodalQueries.oracles ++
       InfoQueries.oracles ++ EvalQueries.oracles ++ ResamplingQueries.oracles ++ LexicalQueries.oracles ++
       PrivacyQueries.oracles ++ CalibrationQueries.oracles ++
-      ExperimentQueries.oracles ++ HypothesisQueries.oracles ++
-      StreamingQueries.oracles ++ StreamingCertQueries.oracles
+      ExperimentQueries.oracles ++ HypothesisQueries.oracles ++ HypothesisCompositionQueries.oracles ++
+      StreamingQueries.oracles ++ StreamingCertQueries.oracles ++ RecoveryCertQueries.oracles
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.llm.{AllPairs, Bpe, CmsAgg, Curation, Dedup, Hll, Importance, Ivf, Multimodal, Pq, Quantize, RandomProjection, RollingHash, Sampling, SemDedup, SetJoin, Similarity, Sketch, TextAnalysis}
 import graft.queries.LlmQueries._
+import graft.queries.LlmTextQueries.{ApMaxDf, ApMinCos2Fp}
 
 /** embedding / approximate-nearest-neighbor retrieval — split from the monolithic query registry
   * (round-8 maintainability); shared oracle-SQL helpers stay in the

@@ -166,13 +166,14 @@ object CalibrationQueries {
   }
   val q350_isotonic: Q = (s, d) => isotonic(Tables.events(s, d).select(
     col("event_type").as("g"),
-    get_json_object(col("props"), "$.k").cast("long").as("x"),
+    expr("try_cast(get_json_object(props, '$.k') as long)").as("x"),
     expr("cast(round(value * 100) as bigint)").as("y")))
   val q350_sql: String =
     """WITH pts AS (SELECT event_type AS g,
-      |    CAST(json_extract(props, '$.k') AS BIGINT) AS x,
+      |    TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS x,
       |    CAST(round(value * 100) AS BIGINT) AS y
-      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+      |  FROM events
+      |  WHERE TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
       |agg AS (SELECT g, x, count(*)::BIGINT AS n_b, sum(y)::BIGINT AS s_b
       |        FROM pts GROUP BY 1, 2),
       |p AS (SELECT g, x, n_b, s_b,

@@ -89,16 +89,16 @@ object ExperimentQueries {
       col("event_type").as("g"),
       when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b"))
         .as("half"),
-      expr("cast(get_json_object(props, '$.k') as long) div 10").as("b"))
+      expr("try_cast(get_json_object(props, '$.k') as long) div 10").as("b"))
     .where(col("b").isNotNull))
   val q351_sql: String = {
     val il = (x: String) => Ilog2.sqlReplay(x)
     s"""WITH rel AS (SELECT event_type AS g,
        |    CASE WHEN date_part('day', ts) <= 15 THEN 'a' ELSE 'b' END
        |      AS half,
-       |    CAST(json_extract(props, '$$.k') AS BIGINT) // 10 AS b
+       |    TRY_CAST(json_extract(props, '$$.k') AS BIGINT) // 10 AS b
        |  FROM events
-       |  WHERE json_extract(props, '$$.k') IS NOT NULL),
+       |  WHERE TRY_CAST(json_extract(props, '$$.k') AS BIGINT) IS NOT NULL),
        |cnt AS (SELECT g, half, b, count(*)::BIGINT AS c FROM rel
        |        GROUP BY 1, 2, 3),
        |grid AS (SELECT g, b FROM (SELECT DISTINCT g FROM cnt)
@@ -369,7 +369,10 @@ object ExperimentQueries {
   val q392_group_sequential: Q = (s, d) =>
     pocockTwoLook(Tables.events(s, d).select(col("event_type").as("g"),
         when(dayofmonth(col("ts")) <= 15, 1L).otherwise(2L).as("look"),
-        expr("cast(get_json_object(props, '$.k') as long)").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') as long)").as("k"))
+      // Both engines filter on the CASTED value (oracle: TRY_CAST), so a
+      // props.k that is present but non-numeric — or JSON null — is out
+      // of scope on BOTH sides, never counted in n1/n2 by one engine only.
       .where(col("k").isNotNull))
 
   /** Core over the raw (g, look ∈ {1,2}, k) relation. */
@@ -403,8 +406,8 @@ object ExperimentQueries {
   val q392_sql: String =
     """WITH rel AS (SELECT event_type AS g,
       |    CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 2 END AS look,
-      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
-      |  WHERE json_extract(props, '$.k') IS NOT NULL),
+      |    TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+      |  WHERE TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
       |cells AS (SELECT g,
       |    sum(CASE WHEN look = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
       |    sum(CASE WHEN look = 1 AND k < 50 THEN 1 ELSE 0 END)::BIGINT

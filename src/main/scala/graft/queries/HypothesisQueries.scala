@@ -114,98 +114,6 @@ object HypothesisQueries {
        |FROM sel ORDER BY event_type, p""".stripMargin
   }
 
-  // ---- q373: HDR register rollup (day→week merge ≡ direct) -----------------
-
-  /** The batch mergeability certificate for the HDR registers (the q227
-    * HLL-rollup precedent): weekly percentile brackets computed TWO
-    * physically different ways — by merging the seven daily register
-    * frames (sum/min/max, the monoid) and by building weekly registers
-    * directly from raw values — must agree cell-for-cell. This is the
-    * property that lets a 100 TB pipeline keep per-partition/per-day
-    * registers and answer any coarser-grained percentile question by
-    * register algebra alone, never re-scanning raw data; q357 certifies
-    * the same monoid across a mid-stream restart, this certifies it
-    * across rollup grain. Output: the merged-path readout per
-    * (type|week, percentile) with `merged_matches_direct` hash-checked
-    * per row. */
-  val q373_hdr_rollup: Q = (s, d) => {
-    val ev = Tables.events(s, d).select(
-        concat(col("event_type"), lit("|w"),
-          expr("unix_millis(ts) div 86400000 div 7")).as("g"),
-        expr("unix_millis(ts) div 86400000").as("day"),
-        expr("cast(round(value * 100) as bigint)").as("v"))
-      .where(col("v") >= 1)
-    // NOT checkpointed: ev is a corpus-scale projection, and at the
-    // 100 TB design point materializing it to local disk is the cliff —
-    // the two register paths each rescan the cheap column projection
-    // instead. (Only the post-reduction register frames are small.)
-    val dailyRegs = ev.withColumn("lfp", Ilog2.ilog2(col("v")))
-      .withColumn("b", expr("lfp div 8192"))
-      .groupBy(col("g"), col("day"), col("b"))
-      .agg(count(lit(1)).as("c"), min(col("v")).as("lo"),
-        max(col("v")).as("hi"))
-    val merged = dailyRegs.groupBy(col("g"), col("b"))
-      .agg(sum(col("c")).as("c"), min(col("lo")).as("lo"),
-        max(col("hi")).as("hi"))
-    val mq = hdrQuantiles(s, merged)
-    val direct = hdrQuantiles(s, hdrRegisters(ev.select(col("g"), col("v"))))
-      .select(col("event_type"), col("p"), col("n").as("n_d"),
-        col("bucket").as("bucket_d"), col("lo").as("lo_d"),
-        col("hi").as("hi_d"))
-    mq.join(broadcast(direct), Seq("event_type", "p"))
-      .withColumn("merged_matches_direct",
-        col("n") === col("n_d") && col("bucket") === col("bucket_d") &&
-          col("lo") === col("lo_d") && col("hi") === col("hi_d"))
-      .select(col("event_type"), col("p"), col("n"), col("bucket"),
-        col("lo"), col("hi"), col("width_ppm"),
-        col("merged_matches_direct"))
-      .orderBy(col("event_type"), col("p"))
-  }
-  val q373_sql: String = {
-    val il = Ilog2.sqlReplay("v")
-    s"""WITH ev AS (SELECT event_type || '|w' ||
-       |      (epoch_ms(ts) // 86400000 // 7) AS g,
-       |    epoch_ms(ts) // 86400000 AS day,
-       |    CAST(round(value * 100) AS BIGINT) AS v FROM events
-       |  WHERE CAST(round(value * 100) AS BIGINT) >= 1),
-       |lg AS (SELECT g, day, v, $il AS lfp FROM ev),
-       |dr AS (SELECT g, day, lfp // 8192 AS b, count(*)::BIGINT AS c,
-       |         min(v)::BIGINT AS lo, max(v)::BIGINT AS hi
-       |       FROM lg GROUP BY 1, 2, 3),
-       |reg AS (SELECT g, b, sum(c)::BIGINT AS c, min(lo)::BIGINT AS lo,
-       |          max(hi)::BIGINT AS hi
-       |        FROM dr GROUP BY 1, 2),
-       |cum AS (SELECT g, b, c, lo, hi,
-       |          sum(c) OVER (PARTITION BY g ORDER BY b)::BIGINT AS cum,
-       |          sum(c) OVER (PARTITION BY g)::BIGINT AS n
-       |        FROM reg),
-       |pct AS (SELECT p::BIGINT AS p FROM (VALUES (50), (90), (99)) t(p)),
-       |sel AS (SELECT g, p, max(n)::BIGINT AS n, min(b)::BIGINT AS bucket,
-       |          arg_min(lo, b)::BIGINT AS lo, arg_min(hi, b)::BIGINT AS hi
-       |        FROM cum CROSS JOIN pct
-       |        WHERE cum >= (p * n + 99) // 100
-       |        GROUP BY 1, 2),
-       |drc AS (SELECT g, lfp // 8192 AS b, count(*)::BIGINT AS c,
-       |          min(v)::BIGINT AS lo, max(v)::BIGINT AS hi
-       |        FROM lg GROUP BY 1, 2),
-       |cumd AS (SELECT g, b, c, lo, hi,
-       |           sum(c) OVER (PARTITION BY g ORDER BY b)::BIGINT AS cum,
-       |           sum(c) OVER (PARTITION BY g)::BIGINT AS n
-       |         FROM drc),
-       |seld AS (SELECT g, p, max(n)::BIGINT AS n_d, min(b)::BIGINT
-       |           AS bucket_d, arg_min(lo, b)::BIGINT AS lo_d,
-       |           arg_min(hi, b)::BIGINT AS hi_d
-       |         FROM cumd CROSS JOIN pct
-       |         WHERE cum >= (p * n + 99) // 100
-       |         GROUP BY 1, 2)
-       |SELECT sel.g AS event_type, sel.p, n, bucket, lo, hi,
-       |  (hi - lo) * 1000000 // lo AS width_ppm,
-       |  (n = n_d AND bucket = bucket_d AND lo = lo_d AND hi = hi_d)
-       |    AS merged_matches_direct
-       |FROM sel JOIN seld ON seld.g = sel.g AND seld.p = sel.p
-       |ORDER BY event_type, sel.p""".stripMargin
-  }
-
   // ---- q358: Friedman blocked rank test ------------------------------------
 
   /** Friedman's test (blocks = calendar days, treatments = event types,
@@ -408,29 +316,30 @@ object HypothesisQueries {
 
   /** Raw two-sample relation: per event type, the sensitive value and
     * the calendar half of every event. */
-  private def halfRel(s: SparkSession, d: String): DataFrame =
+  private[queries] def halfRel(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(col("event_type").as("g"),
         when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b"))
           .as("half"),
-        expr("cast(get_json_object(props, '$.k') as long)").as("v"))
+        expr("try_cast(get_json_object(props, '$.k') as long)").as("v"))
       .where(col("v").isNotNull)
 
   /** Shared reduction for the two-sample distribution tests: the raw
     * (g, half, v) relation to the bounded cells frame (g, v, c_a, c_b)
     * — support ≤ 100 values. */
-  private def halfCounts(rel: DataFrame): DataFrame =
+  private[queries] def halfCounts(rel: DataFrame): DataFrame =
     rel.groupBy(col("g"), col("v"))
       .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("c_a"),
         sum(when(col("half") === "b", 1L).otherwise(0L)).as("c_b"))
 
   private val halfCountsSql: String =
     """cells AS (SELECT event_type AS g,
-      |    CAST(json_extract(props, '$.k') AS BIGINT) AS v,
+      |    TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS v,
       |    sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)::BIGINT
       |      AS c_a,
       |    sum(CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END)::BIGINT
       |      AS c_b
-      |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |  FROM events
+      |  WHERE TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
       |  GROUP BY 1, 2)""".stripMargin
 
   /** Two-sample Cramér–von Mises between the calendar halves per event
@@ -450,7 +359,7 @@ object HypothesisQueries {
 
   /** Cells-level entry (g, v, c_a, c_b): lets q368 reduce the corpus
     * ONCE and share the checkpointed bounded frame across members. */
-  private def cramerVonMisesCells(cells: DataFrame): DataFrame = {
+  private[queries] def cramerVonMisesCells(cells: DataFrame): DataFrame = {
     val cum = cells
       .withColumn("cum_a", sum(col("c_a"))
         .over(Window.partitionBy(col("g")).orderBy(col("v"))))
@@ -575,7 +484,7 @@ object HypothesisQueries {
 
   /** Daily-sums entry (g, day, x): caller owns the checkpoint of the
     * ≤31·|types| frame (q368 shares one across ljung-box + runs). */
-  private def acfFromDaily(daily: DataFrame): DataFrame = {
+  private[queries] def acfFromDaily(daily: DataFrame): DataFrame = {
     val mom = daily.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     val y = daily.join(broadcast(mom), Seq("g"))
@@ -605,7 +514,7 @@ object HypothesisQueries {
     * harness feeds duplicated replicas through this entry point. */
   def ljungBox(ev: DataFrame): DataFrame = ljungBoxFromAcf(acfFrame(ev))
 
-  private def ljungBoxFromAcf(r: DataFrame): DataFrame = {
+  private[queries] def ljungBoxFromAcf(r: DataFrame): DataFrame = {
     val q = r.groupBy(col("g"))
       .agg(max(col("n")).as("n"),
         sum(expr(s"cast(r_ppm as $dec) * r_ppm div (n - k)")).as("qsum"))
@@ -870,12 +779,12 @@ object HypothesisQueries {
   }
   val q374_ks_uniform: Q = (s, d) => ksUniform(s,
     Tables.events(s, d).select(col("event_type").as("g"),
-        expr("cast(get_json_object(props, '$.k') as long)").as("v"))
+        expr("try_cast(get_json_object(props, '$.k') as long)").as("v"))
       .where(col("v").isNotNull), 100)
   val q374_sql: String =
     """WITH rel AS (SELECT event_type AS g,
-      |    CAST(json_extract(props, '$.k') AS BIGINT) AS v FROM events
-      |  WHERE json_extract(props, '$.k') IS NOT NULL),
+      |    TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS v FROM events
+      |  WHERE TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
       |cnt AS (SELECT g, v, count(*)::BIGINT AS c FROM rel GROUP BY 1, 2),
       |grid AS (SELECT g, r.v FROM (SELECT DISTINCT g FROM cnt)
       |         CROSS JOIN (SELECT unnest(range(0, 100))::BIGINT AS v) r),
@@ -941,7 +850,7 @@ object HypothesisQueries {
   private[queries] def sprtCells(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(col("event_type").as("g"),
         expr("unix_millis(ts) div 86400000").as("day"),
-        expr("cast(get_json_object(props, '$.k') as long)").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') as long)").as("k"))
       .where(col("k").isNotNull)
       .groupBy(col("g"), col("day"))
       .agg(sum(when(col("k") < 50, 1L).otherwise(0L)).as("n1"),
@@ -950,8 +859,8 @@ object HypothesisQueries {
     sprtFromDailyCounts(sprtCells(s, d), SprtInc1, SprtInc0, SprtThr)
   val q375_sql: String =
     s"""WITH rel AS (SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
-       |    CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events
-       |  WHERE json_extract(props, '$$.k') IS NOT NULL),
+       |    TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS k FROM events
+       |  WHERE TRY_CAST(json_extract(props, '$$.k') AS BIGINT) IS NOT NULL),
        |cells AS (SELECT g, day,
        |    sum(CASE WHEN k < 50 THEN 1 ELSE 0 END)::BIGINT AS n1,
        |    sum(CASE WHEN k < 50 THEN 0 ELSE 1 END)::BIGINT AS n0
@@ -1061,7 +970,7 @@ object HypothesisQueries {
       .localCheckpoint(true)) // consumers: median scan + kept sequence
 
   /** Daily-sums entry (g, day, x): caller owns the checkpoint. */
-  private def runsFromDaily(daily: DataFrame): DataFrame = {
+  private[queries] def runsFromDaily(daily: DataFrame): DataFrame = {
     val med = daily
       .withColumn("cum", count(lit(1))
         .over(Window.partitionBy(col("g")).orderBy(col("x"), col("day"))))
@@ -1225,7 +1134,7 @@ object HypothesisQueries {
   /** Cells-level entry (caller owns the checkpoint); the fail-closed
     * universe comes off the cells frame — the same g set as the raw
     * relation's, since halfCounts only groups. */
-  private def cliffsDeltaCells(cells: DataFrame): DataFrame = {
+  private[queries] def cliffsDeltaCells(cells: DataFrame): DataFrame = {
     val agg = diffWeightsCells(cells)
       .groupBy(col("g"))
       .agg(sum(when(col("d") > 0, col("w")).otherwise(lit(0L).cast(dec)))
@@ -1466,82 +1375,7 @@ object HypothesisQueries {
       |    AS shifted
       |FROM o ORDER BY event_type""".stripMargin
 
-  // ---- q368: per-type distribution-health gate (composition) ----------------
-
-  /** The round-11 capstone composition — one verdict row per event type
-    * wiring the family's gates into the release check a pipeline would
-    * run before trusting a type's metrics: (1) q360's CvM drift between
-    * the calendar halves, gated at the asymptotic 5% point T* = 0.461
-    * (Anderson 1962); (2) q365's Cliff's δ effect size, which must stay
-    * negligible/small — the drift gate says IS it drifting, the effect
-    * size says does it MATTER; (3) q362's Ljung–Box whiteness and (4)
-    * q363's runs randomness on the daily series — residual structure
-    * means the type needs a model, not a constant; (5) the q356 HDR p99
-    * bracket rides along as the certified tail-latency readout. Every
-    * member is the SAME code path as its standalone query (the oracle
-    * literally joins the member oracles as subqueries); the composition
-    * adds only |types|-bounded broadcast joins and a null-safe verdict
-    * (any NULL gate fails closed to unhealthy). */
-  val q368_distribution_gate: Q = (s, d) => {
-    // Each corpus-scale projection is reduced ONCE (map-side-combinable
-    // groupBy) to its bounded sufficient frame, and only THAT is
-    // checkpointed and shared across members — never the raw event
-    // projection (checkpointing the unreduced frame was the 100 TB
-    // cliff the round-11 advice flagged).
-    val cells = halfCounts(halfRel(s, d))
-      .localCheckpoint(true) // ≤ |types|·support cells; consumers: cvm + δ
-    val dailySum = Tables.events(s, d).select(
-        col("event_type").as("g"),
-        expr("unix_millis(ts) div 86400000").as("day"),
-        expr("cast(round(value * 100) as bigint)").as("c"))
-      .groupBy(col("g"), col("day"))
-      .agg(sum(col("c")).as("x"))
-      .localCheckpoint(true) // ≤ 31·|types| rows; consumers: lb + runs
-    val cvm = cramerVonMisesCells(cells)
-      .select(col("event_type"), col("t_ppm"))
-    val cd = cliffsDeltaCells(cells).select(col("event_type"),
-      col("delta_ppm"), col("magnitude"))
-    val lb = ljungBoxFromAcf(acfFromDaily(dailySum)).groupBy(col("event_type"))
-      .agg(max(col("q_micro")).as("q_micro"),
-        min(col("white_noise")).as("white_noise"))
-    val rt = runsFromDaily(dailySum).select(col("event_type"), col("z2_ppm"),
-      col("random_order"))
-    val hdr = hdrQuantiles(s, hdrRegisters(hdrInput(s, d)))
-      .where(col("p") === 99L)
-      .select(col("event_type"), col("lo").as("p99_lo"),
-        col("hi").as("p99_hi"))
-    cvm.join(broadcast(cd), Seq("event_type"))
-      .join(broadcast(lb), Seq("event_type"))
-      .join(broadcast(rt), Seq("event_type"))
-      .join(broadcast(hdr), Seq("event_type"))
-      .withColumn("healthy",
-        coalesce(col("t_ppm") <= 461000L, lit(false)) &&
-          col("magnitude").isin("negligible", "small") &&
-          coalesce(col("white_noise"), lit(false)) &&
-          coalesce(col("random_order"), lit(false)))
-      .orderBy(col("event_type"))
-  }
-  val q368_sql: String =
-    s"""WITH cvm AS (SELECT event_type, t_ppm FROM ($q360_sql)),
-       |cd AS (SELECT event_type, delta_ppm, magnitude FROM ($q365_sql)),
-       |lb AS (SELECT event_type, max(q_micro)::BIGINT AS q_micro,
-       |         bool_and(white_noise) AS white_noise
-       |       FROM ($q362_sql) GROUP BY 1),
-       |rt AS (SELECT event_type, z2_ppm, random_order FROM ($q363_sql)),
-       |hdr AS (SELECT event_type, lo AS p99_lo, hi AS p99_hi
-       |        FROM ($q356_sql) WHERE p = 99)
-       |SELECT cvm.event_type, t_ppm, delta_ppm, magnitude, q_micro,
-       |  white_noise, z2_ppm, random_order, p99_lo, p99_hi,
-       |  (coalesce(t_ppm <= 461000, false)
-       |   AND magnitude IN ('negligible', 'small')
-       |   AND coalesce(white_noise, false)
-       |   AND coalesce(random_order, false)) AS healthy
-       |FROM cvm JOIN cd USING (event_type) JOIN lb USING (event_type)
-       |  JOIN rt USING (event_type) JOIN hdr USING (event_type)
-       |ORDER BY event_type""".stripMargin
-
   val defs: Map[String, Q] = Map(
-    "q368_distribution_gate" -> q368_distribution_gate,
     "q356_hdr_quantiles" -> q356_hdr_quantiles,
     "q358_friedman" -> q358_friedman,
     "q359_brown_forsythe" -> q359_brown_forsythe,
@@ -1556,12 +1390,10 @@ object HypothesisQueries {
     "q370_pacf" -> q370_pacf,
     "q371_seasonality_strength" -> q371_seasonality_strength,
     "q372_cochrans_q" -> q372_cochrans_q,
-    "q373_hdr_rollup" -> q373_hdr_rollup,
     "q374_ks_uniform" -> q374_ks_uniform,
     "q375_sprt" -> q375_sprt)
 
   val oracles: Map[String, String] = Map(
-    "q368_distribution_gate" -> q368_sql,
     "q356_hdr_quantiles" -> q356_sql,
     "q358_friedman" -> q358_sql,
     "q359_brown_forsythe" -> q359_sql,
@@ -1576,7 +1408,6 @@ object HypothesisQueries {
     "q370_pacf" -> q370_sql,
     "q371_seasonality_strength" -> q371_sql,
     "q372_cochrans_q" -> q372_sql,
-    "q373_hdr_rollup" -> q373_sql,
     "q374_ks_uniform" -> q374_sql,
     "q375_sprt" -> q375_sql)
 }

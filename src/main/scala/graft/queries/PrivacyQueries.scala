@@ -43,12 +43,12 @@ object PrivacyQueries {
     Tables.events(s, d).select(
       col("event_type").as("g"),
       date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-      get_json_object(col("props"), "$.k").cast("long").as("sens"))
+      expr("try_cast(get_json_object(props, '$.k') as long)").as("sens"))
 
   private val relCte: String =
     """rel AS (SELECT event_type AS g,
       |          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-      |          CAST(json_extract(props, '$.k') AS BIGINT) AS sens
+      |          TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS sens
       |        FROM events)""".stripMargin
 
   // ---- q346: k-anonymity audit -------------------------------------------

@@ -435,7 +435,7 @@ object RelationalQueries {
   val q36_json_props: Q = (s, d) => {
     val e = Tables.events(s, d)
     e.select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') as long)").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("k")).as("sum_k"),
@@ -446,9 +446,9 @@ object RelationalQueries {
 
   val q36_sql: String =
     """SELECT event_type, count(*) AS n,
-      |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
-      |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |       CAST(sum(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       min(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
 

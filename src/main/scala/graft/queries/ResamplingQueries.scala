@@ -40,8 +40,10 @@ object ResamplingQueries {
     * (the q125/q330 seeded-resampling convention), so rep means, SE²
     * (exact integral division), and the ±2·SE interval (native
     * [[graft.functions.Isqrt]], bit-replayed by [[Isqrt.sqlReplay]])
-    * hash-match. Rep means are ppm longs; B·Σm² − (Σm)² runs in
-    * DECIMAL(38,0)/HUGEINT (safe past 10⁹-row groups); a rep that draws
+    * hash-match. Rep means are ppm longs; the raw Σc·v / Σv sums AND
+    * the B·Σm² − (Σm)² moments all run in DECIMAL(38,0)/HUGEINT (safe
+    * past 10⁹-row groups — no long sum with its earlier ~2·10¹²-row
+    * horizon survives in the pipeline); a rep that draws
     * zero replicas (impossible beyond toy n — P ≈ 0.37ⁿ) is excluded
     * from b_eff rather than dividing by zero. */
   def bootstrapSe(ev: DataFrame, b: Int): DataFrame = {
@@ -55,18 +57,22 @@ object ResamplingQueries {
           .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
           .otherwise(4L))
       .groupBy(col("g"), col("j"))
-      .agg(sum(col("c") * col("v")).as("sv"), sum(col("c")).as("nc"))
+      // c·v summed in DECIMAL(38,0) like the oracle's HUGEINT (round-12
+      // advice): a raw long sum would hit its ~2·10¹² rows-per-group
+      // horizon (c ≤ 4, v ≤ 10⁶ cents) long before the decimal does,
+      // and with a DIFFERENT failure mode than the oracle's.
+      .agg(sum(expr(s"cast(c as $dec) * v")).as("sv"), sum(col("c")).as("nc"))
       .where(col("nc") > 0)
       .select(col("g"),
-        expr(s"cast(cast(sv as $dec) * 1000000 div nc as bigint)").as("m"))
+        expr(s"cast(sv * 1000000 div nc as bigint)").as("m"))
     val boot = reps.groupBy(col("g")).agg(
       count(lit(1)).as("b_eff"),
       sum(col("m")).cast(dec).as("sm"),
       sum(expr(s"cast(m as $dec) * m")).as("smm"))
     val obs = ev.groupBy(col("g")).agg(count(lit(1)).as("n"),
-        sum(col("v")).as("sv_all"))
+        sum(col("v").cast(dec)).as("sv_all"))
       .select(col("g"), col("n"),
-        expr(s"cast(cast(sv_all as $dec) * 1000000 div n as bigint)")
+        expr(s"cast(sv_all * 1000000 div n as bigint)")
           .as("mean_ppm"))
     obs.join(boot, Seq("g"))
       .withColumn("se2_ppm2", expr(s"""cast(

@@ -133,7 +133,7 @@ private[tools] object StressInferenceFamilies {
 
     val ptsBase = Tables.events(spark, sfDir).select(
       col("event_type").as("g"),
-      get_json_object(col("props"), "$.k").cast("long").as("x"),
+      expr("try_cast(get_json_object(props, '$.k') as long)").as("x"),
       expr("cast(round(value * 100) as bigint)").as("y")).localCheckpoint(true)
     def iso(pts: DataFrame): Map[(String, Long), (Long, Long, Long)] =
       CalibrationQueries.isotonic(pts).collect().map { r =>
@@ -169,7 +169,7 @@ private[tools] object StressInferenceFamilies {
       col("event_type").as("g"),
       when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b"))
         .as("half"),
-      expr("cast(get_json_object(props, '$.k') as long) div 10").as("b"))
+      expr("try_cast(get_json_object(props, '$.k') as long) div 10").as("b"))
       .where(col("b").isNotNull).localCheckpoint(true)
     def runPsi(rel: DataFrame): Map[String, Long] =
       ExperimentQueries.psi(rel).collect()
@@ -227,7 +227,7 @@ private[tools] object StressInferenceFamilies {
     val gsBase = Tables.events(spark, sfDir).select(
         col("event_type").as("g"),
         when(dayofmonth(col("ts")) <= 15, 1L).otherwise(2L).as("look"),
-        expr("cast(get_json_object(props, '$.k') as long)").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') as long)").as("k"))
       .where(col("k").isNotNull).localCheckpoint(true)
     def runGs(rel: DataFrame): Map[String, (Long, Long, Long, Long, Long, Long, String)] =
       ExperimentQueries.pocockTwoLook(rel).collect().map { r =>
@@ -339,7 +339,7 @@ private[tools] object StressInferenceFamilies {
         col("event_type").as("g"),
         when(dayofmonth(col("ts")) <= 15, lit("a")).otherwise(lit("b"))
           .as("half"),
-        expr("cast(get_json_object(props, '$.k') as long)").as("v"))
+        expr("try_cast(get_json_object(props, '$.k') as long)").as("v"))
       .where(col("v").isNotNull).localCheckpoint(true)
     def runCvm(rel: DataFrame): Map[String, Long] =
       HypothesisQueries.cramerVonMises(rel).collect()
@@ -485,7 +485,7 @@ private[tools] object StressInferenceFamilies {
     val sprtRaw = Tables.events(spark, sfDir).select(
         col("event_type").as("g"),
         expr("unix_millis(ts) div 86400000").as("day"),
-        expr("cast(get_json_object(props, '$.k') as long)").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') as long)").as("k"))
       .where(col("k").isNotNull).localCheckpoint(true)
     // The query's own constants, not a copy — if the Ilog2 fold or the
     // hypotheses change, this stress certifies what q375 actually runs.

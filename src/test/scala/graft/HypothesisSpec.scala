@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.HypothesisQueries
+import graft.queries.{HypothesisCompositionQueries, HypothesisQueries}
 
 /** Round-11 distribution-statistics tests: every statistic in the
   * hypothesis family is recomputed on sf0.001 by an INDEPENDENT
@@ -422,7 +422,7 @@ class HypothesisSpec extends SparkSpec {
   }
 
   test("q373: day->week register merge reproduces the direct build") {
-    val out = HypothesisQueries.q373_hdr_rollup(spark, sf).collect()
+    val out = HypothesisCompositionQueries.q373_hdr_rollup(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.getAs[Boolean]("merged_matches_direct"),
@@ -432,7 +432,7 @@ class HypothesisSpec extends SparkSpec {
     // the merged path must really be the two-stage rollup, not a rewrite
     // of the direct build: the plan carries both the daily and the weekly
     // register aggregations
-    val plan = HypothesisQueries.q373_hdr_rollup(spark, sf)
+    val plan = HypothesisCompositionQueries.q373_hdr_rollup(spark, sf)
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("day"), "daily register stage present")
   }
@@ -504,7 +504,7 @@ class HypothesisSpec extends SparkSpec {
     val rt = HypothesisQueries.q363_runs_test(spark, sf).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Boolean]("random_order"))
       .toMap
-    val out = HypothesisQueries.q368_distribution_gate(spark, sf).collect()
+    val out = HypothesisCompositionQueries.q368_distribution_gate(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val g = r.getAs[String]("event_type")

@@ -245,50 +245,6 @@ class LexicalFuzzSpec extends SparkSpec {
     }
   }
 
-  test("pocock two-look: fuzzed samples match a BigInt recount; empty look-1 exact") {
-    import graft.queries.ExperimentQueries
-    val relGen2: Gen[Seq[(String, Long, Long)]] = for {
-      nG <- Gen.choose(1, 3)
-      n <- Gen.choose(1, 40)
-      oneSided <- Gen.oneOf(true, false)
-      secondOnly <- Gen.oneOf(true, false)
-      rows <- Gen.listOfN(n, for {
-        g <- Gen.choose(0, nG - 1)
-        look <- if (secondOnly) Gen.const(2L) else Gen.oneOf(1L, 2L)
-        k <- if (oneSided) Gen.const(10L) else Gen.choose(0L, 99L)
-      } yield (s"g$g", look, k))
-    } yield rows
-    cases(relGen2, 8) { rows =>
-      val out = ExperimentQueries.pocockTwoLook(rows.toDF("g", "look", "k"))
-        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
-      rows.groupBy(_._1).foreach { case (g, rs) =>
-        val n1 = rs.count(_._2 == 1L).toLong
-        val x1 = rs.count(r => r._2 == 1L && r._3 < 50).toLong
-        val n2 = rs.size.toLong
-        val x2 = rs.count(_._3 < 50).toLong
-        def z2(x: Long, n: Long): Option[Long] =
-          if (n == 0) None
-          else {
-            val d = BigInt(x) * 1000000 - BigInt(400000) * n
-            Some((d * d / (BigInt(240000) * n)).toLong)
-          }
-        val r = out.getOrElse(g, fail(s"$g vanished"))
-        assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("x1") == x1 &&
-          r.getAs[Long]("n2") == n2 && r.getAs[Long]("x2") == x2, s"$g cells")
-        val (e1, e2) = (z2(x1, n1), z2(x2, n2))
-        def got(f: String): Option[Long] =
-          if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getAs[Long](f))
-        assert(got("z2_1_micro") == e1 && got("z2_2_micro") == e2, s"$g z2")
-        val expLook =
-          if (e1.exists(_ >= 4743684L)) Some(1L)
-          else if (e2.exists(_ >= 4743684L)) Some(2L) else None
-        assert(got("reject_look") == expLook, s"$g look")
-        assert(r.getAs[String]("decision") ==
-          expLook.map(_ => "reject_h0").getOrElse("accept_h0"), s"$g decision")
-      }
-    }
-  }
-
   test("gini: fuzzed lengths match an O(n^2) pairwise recount; constants exact") {
     val lenGen: Gen[Seq[(String, Long)]] = for {
       nS <- Gen.choose(1, 3)
@@ -321,6 +277,51 @@ class LexicalFuzzSpec extends SparkSpec {
             (pairAbs * 1000000 / (n * t)).toLong, s"$s gini")
           if (vs.distinct.size == 1)
             assert(r.getAs[Long]("gini_ppm") == 0L, s"$s constant = 0")
+        }
+      }
+    }
+  }
+
+  /** q393's trimmed mean against a plain sort-and-drop driver fold —
+    * the round-12 verdict's ask #4: the windowed clip arithmetic
+    * (lo_clip/hi_clip off cumulative counts) must agree with the
+    * textbook definition on corpora the sf tables never produce,
+    * especially n ≤ 10 where t = ⌊n/10⌋ = 0 and NOTHING may be
+    * trimmed (lo_cut = min, hi_cut = max, trimmed mean = mean). */
+  test("trimmed mean: fuzzed lengths match a sort-and-drop recount; n<=10 trims nothing") {
+    val lenGen: Gen[Seq[(String, Long)]] = for {
+      nS <- Gen.choose(1, 3)
+      tiny <- Gen.oneOf(true, false) // force the t = 0 regime half the time
+      n <- if (tiny) Gen.choose(1, 10) else Gen.choose(1, 45)
+      constant <- Gen.oneOf(true, false)
+      cv <- Gen.choose(0L, 30L)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, nS - 1)
+        v <- if (constant) Gen.const(cv) else Gen.choose(0L, 20L) // heavy ties
+      } yield (s"s$s", v))
+    } yield rows
+    cases(lenGen, 10) { rows =>
+      val out = LexicalQueries.trimmedMean(rows.toDF("source", "v"))
+        .collect().map(r => r.getAs[String]("source") -> r).toMap
+      rows.groupBy(_._1).foreach { case (s, rs) =>
+        val vs = rs.map(_._2).sorted
+        val n = vs.size
+        val t = n / 10
+        val kept = vs.slice(t, n - t)
+        val st = kept.map(BigInt(_)).sum
+        val r = out.getOrElse(s, fail(s"$s vanished"))
+        assert(r.getAs[Long]("n_docs") == n.toLong &&
+          r.getAs[Long]("n_trimmed_per_tail") == t.toLong, s"$s census")
+        assert(r.getAs[Long]("lo_cut") == vs(t), s"$s lo_cut")
+        assert(r.getAs[Long]("hi_cut") == vs(n - t - 1), s"$s hi_cut")
+        assert(r.getAs[Long]("trimmed_mean_ppm") ==
+          (st * 1000000 / (n - 2 * t)).toLong, s"$s trimmed mean")
+        if (n <= 10) {
+          assert(t == 0, s"$s tiny census must not trim")
+          assert(r.getAs[Long]("lo_cut") == vs.min &&
+            r.getAs[Long]("hi_cut") == vs.max, s"$s untrimmed cuts")
+          assert(r.getAs[Long]("trimmed_mean_ppm") ==
+            (vs.map(BigInt(_)).sum * 1000000 / n).toLong, s"$s plain mean")
         }
       }
     }

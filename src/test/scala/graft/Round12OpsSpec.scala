@@ -31,22 +31,40 @@ class Round12OpsSpec extends SparkSpec {
   }
 
   test("q386 dedup tokens: keeper election joins by key, not nested-loop") {
-    // the election join back on (hash, keeper id) must stay an equi-join
-    // (SortMergeJoin or [Broadcast|Shuffled]HashJoin) — a nested-loop
-    // here would be O(n^2) at corpus scale
-    val plan = LexicalQueries.dedupTokens(
+    // The election join back on (hash h, keeper doc_id) must stay an
+    // equi-join — a nested-loop here would be O(n²) at corpus scale. The
+    // round-12 advice showed the old substring disjunction passed as long
+    // as ANY keyed join existed anywhere, so this walks the plan tree and
+    // asserts on the election join NODE itself: some equi-join carries
+    // BOTH h and doc_id in its join keys, and no nested-loop join's
+    // condition or output touches the hash column at all.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    val qe = LexicalQueries.dedupTokens(
         graft.io.Tables.widen(graft.io.Tables.documents(spark, sf))
           .select(col("doc_id"), col("source"), col("text")))
-      .queryExecution.executedPlan.toString()
-    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin)".r
-      .findAllIn(plan).toSeq
-    assert(joins.nonEmpty && !joins.contains("BroadcastNestedLoopJoin") ||
-      // the bounded per-source readout legitimately broadcasts; only the
-      // election itself must be keyed — check an equi-join exists
-      joins.exists(j => j != "BroadcastNestedLoopJoin"),
-      s"keeper election joins:\n$joins\n$plan")
-    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
-      s"keeper election lost its equi-join:\n$plan")
+      .queryExecution
+    val exec: SparkPlan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = exec.collect { case j: BaseJoinExec => j }
+    def keyNames(j: BaseJoinExec): Set[String] =
+      (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name)).toSet
+    val election = joins.filter { j =>
+      val k = keyNames(j); k.contains("h") && k.contains("doc_id")
+    }
+    assert(election.nonEmpty,
+      s"no equi-join keyed on (h, doc_id) — the election lost its keys:\n$exec")
+    assert(election.forall(!_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"election join regressed to a nested-loop:\n$exec")
+    val bnlj = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(!bnlj.exists(j =>
+        j.condition.exists(_.references.exists(_.name == "h")) ||
+        j.left.output.exists(_.name == "h") ||
+        j.right.output.exists(_.name == "h")),
+      s"a nested-loop join touches the election hash column:\n$exec")
   }
 
   test("q382 zipf: regression moments reduce the ranked frame, no global sort") {
