@@ -47,11 +47,14 @@ object EvalQueries {
     * past ~10⁶ rows, split the division (both engines replay whichever
     * form verbatim). All-tied input → 0 denominator → NULL z² →
     * significant fail-closed false. */
-  val q316_mann_whitney: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-      .where(col("event_type").isin("click", "view"))
-      .select(round(col("value") * 100).cast("long").as("score"),
-        when(col("event_type") === "click", 1L).otherwise(0L).as("pos"))
+  val q316_mann_whitney: Q = (s, d) => mannWhitney(Tables.events(s, d)
+    .where(col("event_type").isin("click", "view"))
+    .select(round(col("value") * 100).cast("long").as("score"),
+      when(col("event_type") === "click", 1L).otherwise(0L).as("pos")))
+
+  /** Core over the raw (score, pos ∈ {0,1}) relation — the fuzz spec
+    * feeds degenerate series through this entry point. */
+  def mannWhitney(ev: DataFrame): DataFrame = {
     val perScore = ev.groupBy(col("score"))
       .agg(count(lit(1)).as("n_s"), sum(col("pos")).as("p_s"))
       .withColumn("g", lit(0))
