@@ -23,7 +23,7 @@ object SparkEntry {
       GraphQueries.defs ++ SketchQueries.defs ++ LlmQueries.defs ++
       TextMiningQueries.defs ++ LlmTextQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++ CurationAuditQueries.defs ++
       MultimodalQueries.defs ++ InfoQueries.defs ++ EvalQueries.defs ++ ResamplingQueries.defs ++ LexicalQueries.defs ++
-      PrivacyQueries.defs ++ CalibrationQueries.defs ++
+      PrivacyQueries.defs ++ CalibrationQueries.defs ++ ClusterQualityQueries.defs ++
       ExperimentQueries.defs ++ HypothesisQueries.defs ++ HypothesisCompositionQueries.defs ++
       StreamingQueries.defs ++ StreamingCertQueries.defs ++ RecoveryCertQueries.defs
 
@@ -38,7 +38,7 @@ object SparkEntry {
       CurationQueries.oracles ++ CurationAuditQueries.oracles ++
       MultimodalQueries.oracles ++
       InfoQueries.oracles ++ EvalQueries.oracles ++ ResamplingQueries.oracles ++ LexicalQueries.oracles ++
-      PrivacyQueries.oracles ++ CalibrationQueries.oracles ++
+      PrivacyQueries.oracles ++ CalibrationQueries.oracles ++ ClusterQualityQueries.oracles ++
       ExperimentQueries.oracles ++ HypothesisQueries.oracles ++ HypothesisCompositionQueries.oracles ++
       StreamingQueries.oracles ++ StreamingCertQueries.oracles ++ RecoveryCertQueries.oracles
 }

@@ -502,7 +502,76 @@ object ForecastQueries {
       |FROM uw JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q398: Theil–Sen robust trend ---------------------------------------
+
+  /** Theil–Sen slope of the daily revenue series per event type — the
+    * ROBUST trend estimator (Theil 1950, Sen 1968): the lower median of
+    * all pairwise slopes (y_j − y_i)/(day_j − day_i), which a single
+    * corrupted day cannot move (breakdown point ~29%, vs 0% for the OLS
+    * slope the q317 family fits). Completes the robust-location trio —
+    * q364's Hodges–Lehmann shift, q393's trimmed mean, and now the
+    * robust SLOPE. Slopes quantize per pair: (y_j − y_i)·10⁶ div
+    * (day_j − day_i) in DECIMAL(38,0) (signed; Spark `div` and DuckDB
+    * `//` both truncate toward zero), then the lower median is the
+    * q364 cumulative-count scan. Shapes: ONE corpus pass to the
+    * ≤31-row-per-type daily frame; the pair self-join (≤ 465 pairs per
+    * type) and its median window run entirely inside that calendar-
+    * bounded frame — the bounded-window license. A single-day type has
+    * no pairs: it surfaces with n_pairs = 0 and a NULL slope (left join
+    * from the type universe), never vanishes. */
+  val q398_theil_sen: Q = (s, d) => theilSen(Tables.events(s, d).select(
+    col("event_type").as("g"),
+    expr("unix_millis(ts) div 86400000").as("day"),
+    expr("cast(round(value * 100) as bigint)").as("v")))
+
+  /** Core over the raw (g, day, v) relation — fuzz/stress entry point. */
+  def theilSen(rel: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = rel.groupBy(col("g"), col("day"))
+      .agg(sum(col("v")).as("y"))
+      .localCheckpoint(true) // ≤31·|types| rows; consumers: pairs ×2 + universe
+    val pairs = daily.as("a")
+      .join(daily.as("b"), col("a.g") === col("b.g") &&
+        col("a.day") < col("b.day"))
+      .select(col("a.g").as("g"),
+        expr(s"""cast(cast(b.y - a.y as $dec) * 1000000
+          div (b.day - a.day) as bigint)""").as("slope_ppm"))
+    val w = Window.partitionBy(col("g")).orderBy(col("slope_ppm"))
+    val med = pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("rn") === expr("(t + 1) div 2"))
+      .select(col("g"), col("t").as("n_pairs"),
+        col("slope_ppm").as("ts_slope_ppm"))
+    daily.groupBy(col("g")).agg(count(lit(1)).as("n_days"))
+      .join(broadcast(med), Seq("g"), "left")
+      .na.fill(0L, Seq("n_pairs"))
+      .select(col("g").as("event_type"), col("n_days"), col("n_pairs"),
+        col("ts_slope_ppm"))
+      .orderBy(col("event_type"))
+  }
+  val q398_sql: String =
+    """WITH rel AS (SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |daily AS (SELECT g, day, sum(v)::BIGINT AS y FROM rel GROUP BY 1, 2),
+      |pairs AS (SELECT a.g,
+      |    ((b.y - a.y)::HUGEINT * 1000000 // (b.day - a.day))::BIGINT
+      |      AS slope_ppm
+      |  FROM daily a JOIN daily b ON b.g = a.g AND a.day < b.day),
+      |rk AS (SELECT g, slope_ppm,
+      |         row_number() OVER (PARTITION BY g ORDER BY slope_ppm) AS rn,
+      |         count(*) OVER (PARTITION BY g) AS t
+      |       FROM pairs),
+      |med AS (SELECT g, t::BIGINT AS n_pairs, slope_ppm AS ts_slope_ppm
+      |        FROM rk WHERE rn = (t + 1) // 2),
+      |uni AS (SELECT g, count(*)::BIGINT AS n_days FROM daily GROUP BY 1)
+      |SELECT uni.g AS event_type, n_days,
+      |  coalesce(n_pairs, 0)::BIGINT AS n_pairs, ts_slope_ppm
+      |FROM uni LEFT JOIN med ON med.g = uni.g
+      |ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q398_theil_sen" -> q398_theil_sen,
     "q292_cohort_retention" -> q292_cohort_retention,
     "q288_autocorrelation" -> q288_autocorrelation,
     "q266_burstiness" -> q266_burstiness,
@@ -515,6 +584,7 @@ object ForecastQueries {
     "q258_rfm_segments" -> q258_rfm_segments)
 
   val oracles: Map[String, String] = Map(
+    "q398_theil_sen" -> q398_sql,
     "q292_cohort_retention" -> q292_sql,
     "q288_autocorrelation" -> q288_sql,
     "q266_burstiness" -> q266_sql,

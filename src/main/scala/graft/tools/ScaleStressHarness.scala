@@ -111,7 +111,8 @@ object ScaleStress {
     "info" -> ((StressCoreFamilies.info, "/root/testdata/sf0.1")),
     "ks-textrank" -> ((StressFrameFamilies.ksTextrank, "/root/testdata/sf0.1")),
     "auc-snm" -> ((StressFrameFamilies.aucSnm, "/root/testdata/sf0.1")),
-    "km-ab" -> ((StressFrameFamilies.kmAb, "/root/testdata/sf0.1")))
+    "km-ab" -> ((StressFrameFamilies.kmAb, "/root/testdata/sf0.1")),
+    "cluster-quality" -> ((StressFrameFamilies.clusterQuality, "/root/testdata/sf0.1")))
 
   def main(args: Array[String]): Unit = {
     val (flags, names) = args.partition(_.startsWith("--"))

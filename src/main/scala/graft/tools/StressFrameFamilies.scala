@@ -291,4 +291,100 @@ private[tools] object StressFrameFamilies {
     }
     em.line(s"""{"summary":"dev throughput probe (x20 corpus / x50 vectors) — no growth assertion, stage timings only"}""")
   }
+
+  /** SCALESTRESS_r13: the cluster-quality audits (q396/q397) and the
+    * Theil-Sen robust trend (q398) under duplication. The silhouette and
+    * Davies-Bouldin per-cell readouts are EXACTLY invariant at xK vector
+    * duplication with member counts scaling xK (same vectors, same fixed
+    * first-8 centroids -- replicas take strided higher ids; mean floors
+    * commute: floor(K*S / (K*n)) = floor(S/n)); the Theil-Sen median at
+    * xK event duplication is the BigInt recount of the same median pair
+    * (daily sums scale xK, slope order is monotone under the common
+    * factor). A violation means the narrow-map / bounded-frame shapes
+    * quietly became data-dependent. */
+  val clusterQuality: Family = (spark, sfDir, em) => {
+    import graft.queries.{ClusterQualityQueries, ForecastQueries}
+    val K = 20 // vector side: x20 keeps the run seconds-scale at sf0.1
+
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val embN = embBase.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+    val stagedDir = graft.io.Scratch.dir("stress_cq_") 
+    def stage(df: DataFrame, sub: String): String = {
+      val d = s"$stagedDir/$sub"
+      df.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val d1 = stage(embBase, "x1")
+    val dK = stage(embBase.crossJoin(broadcast(spark.range(1, K).toDF("rep")))
+      .select((col("rep") * embN + col("vec_id")).as("vec_id"),
+        col("embedding"))
+      .unionByName(embBase), "xK")
+
+    def runSil(d: String): Map[Long, (Long, Long, Long, Long, Long)] =
+      ClusterQualityQueries.q396_silhouette(spark, d).collect().map { r =>
+        r.getAs[Long]("cell") -> ((r.getAs[Long]("n_members"),
+          r.getAs[Long]("n_scored"), r.getAs[Long]("mean_sil_ppm"),
+          r.getAs[Long]("min_sil_ppm"), r.getAs[Long]("max_sil_ppm")))
+      }.toMap
+    var s1: Map[Long, (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage("silhouette x1") { s1 = runSil(d1); s1.size.toLong }
+    var sK: Map[Long, (Long, Long, Long, Long, Long)] = Map.empty
+    em.stage(s"silhouette x$K") { sK = runSil(dK); sK.size.toLong }
+    val silExact = s1.nonEmpty && s1.forall { case (c, (n, ns, m, lo, hi)) =>
+      sK.get(c).contains((n * K, ns * K, m, lo, hi)) }
+
+    def runDb(d: String): Map[Long, (Long, Long, Long, Long)] =
+      ClusterQualityQueries.q397_davies_bouldin(spark, d).collect().map { r =>
+        r.getAs[Long]("cell") -> ((r.getAs[Long]("n_members"),
+          r.getAs[Long]("s_ppm"), r.getAs[Long]("d_i_ppm"),
+          r.getAs[Long]("db_index_ppm")))
+      }.toMap
+    var db1: Map[Long, (Long, Long, Long, Long)] = Map.empty
+    em.stage("davies-bouldin x1") { db1 = runDb(d1); db1.size.toLong }
+    var dbK: Map[Long, (Long, Long, Long, Long)] = Map.empty
+    em.stage(s"davies-bouldin x$K") { dbK = runDb(dK); dbK.size.toLong }
+    val dbExact = db1.nonEmpty && db1.forall { case (c, (n, sp, di, dbi)) =>
+      dbK.get(c).contains((n * K, sp, di, dbi)) }
+
+    val tsBase = Tables.events(spark, sfDir).select(
+      col("event_type").as("g"),
+      expr("unix_millis(ts) div 86400000").as("day"),
+      expr("cast(round(value * 100) as bigint)").as("v"))
+      .localCheckpoint(true)
+    def runTs(rel: DataFrame): Map[String, (Long, Long, Option[Long])] =
+      ForecastQueries.theilSen(rel).collect().map { r =>
+        r.getAs[String]("event_type") -> ((r.getAs[Long]("n_days"),
+          r.getAs[Long]("n_pairs"),
+          if (r.isNullAt(r.fieldIndex("ts_slope_ppm"))) None
+          else Some(r.getAs[Long]("ts_slope_ppm"))))
+      }.toMap
+    var t1: Map[String, (Long, Long, Option[Long])] = Map.empty
+    em.stage("theil-sen x1") { t1 = runTs(tsBase); t1.size.toLong }
+    var tK: Map[String, (Long, Long, Option[Long])] = Map.empty
+    em.stage(s"theil-sen x$Reps") {
+      tK = runTs(tsBase.crossJoin(broadcast(
+        spark.range(Reps).toDF("__rep"))).drop("__rep")
+        .repartition(64).localCheckpoint(true))
+      tK.size.toLong
+    }
+    // xK daily sums scale the slope NUMERATOR by K with the same pair
+    // order, so the expected median is the BigInt recount from the x1
+    // daily frame (bounded: <= 31 days x |types|)
+    val daily1 = tsBase.groupBy(col("g"), col("day"))
+      .agg(sum(col("v")).as("y")).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("day"),
+        r.getAs[Long]("y")))
+    val tsExact = t1.nonEmpty && t1.forall { case (g, (nd, np, _)) =>
+      val pts = daily1.filter(_._1 == g).map(p => (p._2, p._3)).sortBy(_._1)
+      val slopes = (for {
+        (d1v, y1) <- pts; (d2v, y2) <- pts if d1v < d2v
+      } yield (BigInt(y2 - y1) * Reps * 1000000 / (d2v - d1v)).toLong).sorted
+      val expMed = if (slopes.isEmpty) None
+        else Some(slopes((slopes.length + 1) / 2 - 1))
+      tK.get(g).contains((nd, np, expMed))
+    }
+    em.line(s"""{"summary":"round-13 cluster-quality + robust-trend invariances","silhouette_exact_x$K":$silExact,"davies_bouldin_exact_x$K":$dbExact,"theil_sen_recount_exact_x$Reps":$tsExact,"linear":${silExact && dbExact && tsExact}}""")
+  }
+
 }

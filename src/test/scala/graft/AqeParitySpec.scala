@@ -103,7 +103,14 @@ class AqeParitySpec extends SparkSpec {
     // the round-12 tail: the two-look cells reduction and the clipped
     // trimmed-mean windows over the counts frame
     "q392_group_sequential",
-    "q393_trimmed_mean")
+    "q393_trimmed_mean",
+    // round-13: Davies-Bouldin's k/k²-bounded broadcast rejoins + the
+    // one-row index broadcast, and Theil-Sen's calendar-bounded pair
+    // self-join with its broadcast median rejoin (q396 joins NOTHING —
+    // its narrow map has no join for AQE to re-plan — so q397/q398 are
+    // the family's AQE-sensitive shapes)
+    "q397_davies_bouldin",
+    "q398_theil_sen")
 
   slice.foreach { name =>
     test(s"$name: identical rows with AQE off and on") {
