@@ -166,14 +166,14 @@ object HypothesisCompositionQueries {
       .orderBy(col("event_type"))
   }
   val q368_sql: String =
-    s"""WITH cvm AS (SELECT event_type, t_ppm FROM ($HypothesisQueries.q360_sql)),
-       |cd AS (SELECT event_type, delta_ppm, magnitude FROM ($HypothesisQueries.q365_sql)),
+    s"""WITH cvm AS (SELECT event_type, t_ppm FROM (${HypothesisQueries.q360_sql})),
+       |cd AS (SELECT event_type, delta_ppm, magnitude FROM (${HypothesisQueries.q365_sql})),
        |lb AS (SELECT event_type, max(q_micro)::BIGINT AS q_micro,
        |         bool_and(white_noise) AS white_noise
-       |       FROM ($HypothesisQueries.q362_sql) GROUP BY 1),
-       |rt AS (SELECT event_type, z2_ppm, random_order FROM ($HypothesisQueries.q363_sql)),
+       |       FROM (${HypothesisQueries.q362_sql}) GROUP BY 1),
+       |rt AS (SELECT event_type, z2_ppm, random_order FROM (${HypothesisQueries.q363_sql})),
        |hdr AS (SELECT event_type, lo AS p99_lo, hi AS p99_hi
-       |        FROM ($HypothesisQueries.q356_sql) WHERE p = 99)
+       |        FROM (${HypothesisQueries.q356_sql}) WHERE p = 99)
        |SELECT cvm.event_type, t_ppm, delta_ppm, magnitude, q_micro,
        |  white_noise, z2_ppm, random_order, p99_lo, p99_hi,
        |  (coalesce(t_ppm <= 461000, false)

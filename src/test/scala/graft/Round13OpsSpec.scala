@@ -175,5 +175,10 @@ class Round13OpsSpec extends SparkSpec {
     assert(!p397.contains("Window"), s"q397 grew a window:\n$p397")
     assert(!p397.contains("SortMergeJoin"),
       s"q397 sort-merges a bounded frame:\n$p397")
+    // column pruning reaches the scan: the readout needs only the vector
+    // column, so vec_id must be pruned away (the silhouette never ships
+    // an id — a scan reading extra columns is the q79 lesson)
+    assert(p396.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"q396 scan reads more than the embedding column:\n$p396")
   }
 }
