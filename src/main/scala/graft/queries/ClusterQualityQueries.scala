@@ -193,14 +193,19 @@ object ClusterQualityQueries {
         as bigint)"""))
       .groupBy(col("cell"))
       .agg(max(col("ratio_ppm")).as("d_i_ppm"))
-    val db = di.agg(count(lit(1)).as("k_cells"),
+    // LEFT join + member-cell-counted average: a cell whose EVERY
+    // separation is degenerate (all M = 0, or no co-populated partner)
+    // surfaces with a NULL D_i — and any NULL D_i poisons the index to
+    // NULL (never a finite score over a subset). k_cells counts MEMBER
+    // cells, guarded against the all-degenerate zero.
+    val withDi = scatter.join(broadcast(di), Seq("cell"), "left")
+      .localCheckpoint(true) // ≤ k rows; consumers: db fold + readout
+    val db = withDi.agg(count(lit(1)).as("k_cells"),
       when(count(col("d_i_ppm")) === count(lit(1)),
         sum(col("d_i_ppm"))).as("sd"))
-      .select(col("k_cells"),
-        expr("cast(cast(sd as decimal(38,0)) div k_cells as bigint)")
-          .as("db_index_ppm"))
-    scatter.join(broadcast(di), Seq("cell"))
-      .crossJoin(broadcast(db))
+      .select(expr("""cast(cast(sd as decimal(38,0))
+          div nullif(k_cells, 0) as bigint)""").as("db_index_ppm"))
+    withDi.crossJoin(broadcast(db))
       .select(col("cell"), col("n_members"), col("s_ppm"), col("d_i_ppm"),
         col("db_index_ppm"))
       .orderBy(col("cell"))
@@ -224,14 +229,15 @@ object ClusterQualityQueries {
        |        JOIN sct sj ON sj.cell = m.cell_j),
        |di AS (SELECT cell, max(ratio_ppm)::BIGINT AS d_i_ppm FROM rat
        |       GROUP BY 1),
-       |db AS (SELECT count(*)::BIGINT AS k_cells,
-       |         (CASE WHEN count(d_i_ppm) = count(*)
-       |               THEN sum(d_i_ppm)::HUGEINT // count(*) END)::BIGINT
-       |           AS db_index_ppm
-       |       FROM di)
-       |SELECT sct.cell, n_members, s_ppm, d_i_ppm, db_index_ppm
-       |FROM sct JOIN di ON di.cell = sct.cell CROSS JOIN db
-       |ORDER BY sct.cell""".stripMargin
+       |wd AS (SELECT sct.cell, n_members, s_ppm, d_i_ppm
+       |       FROM sct LEFT JOIN di ON di.cell = sct.cell),
+       |db AS (SELECT (CASE WHEN count(d_i_ppm) = count(*)
+       |               THEN sum(d_i_ppm)::HUGEINT // nullif(count(*), 0)
+       |               END)::BIGINT AS db_index_ppm
+       |       FROM wd)
+       |SELECT cell, n_members, s_ppm, d_i_ppm, db_index_ppm
+       |FROM wd CROSS JOIN db
+       |ORDER BY cell""".stripMargin
   }
 
   val defs: Map[String, Q] = Map(

@@ -118,6 +118,71 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  /** Write a toy embeddings corpus (float vectors, power-of-two
+    * coordinates so the cosine folds are EXACT) as an sf-dir layout the
+    * (s, d)-shaped queries can read. */
+  private def toyCorpus(name: String, vecs: Seq[Seq[Float]]): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q396/q397 degenerate corpora fail closed: exact-tie silhouettes NULL, all-degenerate DB NULL") {
+    // corpus A: 8 identical centroids (all points assign to cell 0 by the
+    // ties-to-lowest convention), plus two more collinear points — every
+    // score ties, so b_dist = 0 EXACTLY (power-of-two folds) and every
+    // silhouette is NULL; every centroid separation is 0, so no ratio
+    // exists, D_i is NULL, and the DB index is NULL. Before the
+    // member-cell LEFT join this corpus returned an EMPTY frame (cells
+    // silently dropped by the inner di join) — and a PARTIALLY
+    // degenerate corpus would have averaged a finite index over only
+    // the non-degenerate subset, the fail-open the scaladoc forbids.
+    val e1 = Seq.fill(8)(Seq(2f, 0f, 0f, 0f)) ++
+      Seq(Seq(4f, 0f, 0f, 0f), Seq(8f, 0f, 0f, 0f))
+    val dA = toyCorpus("cqA", e1)
+    val sil = ClusterQualityQueries.q396_silhouette(spark, dA).collect()
+    assert(sil.length == 1 && sil(0).getAs[Long]("cell") == 0L)
+    assert(sil(0).getAs[Long]("n_members") == 10L &&
+      sil(0).getAs[Long]("n_scored") == 0L)
+    assert(sil(0).isNullAt(sil(0).fieldIndex("mean_sil_ppm")), "mean NULL")
+    val db = ClusterQualityQueries.q397_davies_bouldin(spark, dA).collect()
+    assert(db.length == 1 && db(0).getAs[Long]("s_ppm") == 0L)
+    assert(db(0).isNullAt(db(0).fieldIndex("d_i_ppm")), "D_i NULL")
+    assert(db(0).isNullAt(db(0).fieldIndex("db_index_ppm")), "DB NULL")
+
+    // corpus B: coincident centroid PAIR (cells 0/1) among distinct
+    // others — the collinear extra point ties its top-2 scores at
+    // exactly 1, so ITS silhouette is NULL while well-separated points
+    // keep finite ones; the memberless twin cell (ties lose to cell 0)
+    // simply has no row, and the populated cells' D_i/DB stay finite
+    val e2 = Seq(
+      Seq(2f, 0f, 0f, 0f), Seq(2f, 0f, 0f, 0f), // coincident pair
+      Seq(0f, 2f, 0f, 0f), Seq(0f, 0f, 2f, 0f), Seq(0f, 0f, 0f, 2f),
+      Seq(2f, 2f, 0f, 0f), Seq(2f, 0f, 2f, 0f), Seq(0f, 2f, 2f, 0f),
+      Seq(4f, 0f, 0f, 0f), // collinear with BOTH coincident centroids
+      Seq(0f, 4f, 4f, 0f)) // collinear with centroid 7 only
+    val dB = toyCorpus("cqB", e2)
+    val sil2 = ClusterQualityQueries.q396_silhouette(spark, dB).collect()
+      .map(r => r.getAs[Long]("cell") -> r).toMap
+    assert(!sil2.contains(1L), "memberless twin cell must have no row")
+    // cell 0 holds the pair + the collinear point: all three tie at
+    // b_dist = 0 -> scored 0 of 3
+    assert(sil2(0L).getAs[Long]("n_members") == 3L &&
+      sil2(0L).getAs[Long]("n_scored") == 0L)
+    // cell 7 holds its centroid + the aligned point; both silhouettes
+    // finite and positive (well separated from every other centroid)
+    assert(sil2(7L).getAs[Long]("n_scored") == 2L &&
+      sil2(7L).getAs[Long]("mean_sil_ppm") > 0L)
+    val db2 = ClusterQualityQueries.q397_davies_bouldin(spark, dB).collect()
+      .map(r => r.getAs[Long]("cell") -> r).toMap
+    assert(db2.values.forall(r =>
+      !r.isNullAt(r.fieldIndex("d_i_ppm")) &&
+      !r.isNullAt(r.fieldIndex("db_index_ppm"))),
+      "populated distinct cells keep a finite DB index")
+  }
+
   test("q398: fuzzed series match a brute-force slope median; single-day and constant series exact") {
     val gen: Gen[Seq[(String, Long, Long)]] = for {
       nG <- Gen.choose(1, 3)
