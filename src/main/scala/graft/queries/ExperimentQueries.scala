@@ -430,7 +430,109 @@ object ExperimentQueries {
       |       THEN 'reject_h0' ELSE 'accept_h0' END AS decision
       |FROM z ORDER BY event_type""".stripMargin
 
+  // ---- q399: upper-tail dependence gate -------------------------------------
+
+  /** Upper-tail dependence between the event value (cents) and the
+    * sensitive payload k, per event type: the empirical tail-copula
+    * readout λ_U = P(k > t_k | cents > t_c) at the joint p90 corner,
+    * with both thresholds the exact per-type p90 order statistics
+    * (ceil convention, the q373 HDR form). Marginal drift tests
+    * (q351 PSI, q360 CvM, q298 KS) see each coordinate alone; this is
+    * the gate for EXTREME CO-MOVEMENT — value spikes arriving together
+    * with payload spikes, the signature of heavy-tail contamination or
+    * a coupled upstream bug that leaves both marginals individually
+    * unremarkable. Readout: λ_U in ppm plus the independence lift
+    * n_xy·n div (n_x·n_y) (≈10⁶ under independence), gated at 2×.
+    * Shapes: ONE corpus pass to the (g, cents, k) counts frame — both
+    * value domains are bounded, so the frame grows with DOMAIN, not
+    * corpus — then thresholds (cumulative scans inside the bounded
+    * frame), tail counts (conditional sums over the same frame), and
+    * the ppm divisions. A type whose p90 tail is empty (constant x or
+    * y) fails closed to NULL λ/lift and a false gate. */
+  val q399_tail_dependence: Q = (s, d) => tailDependence(
+    Tables.events(s, d).select(col("event_type").as("g"),
+      expr("cast(round(value * 100) as bigint)").as("x"),
+      expr("try_cast(get_json_object(props, '$.k') as long)").as("y"))
+      .where(col("y").isNotNull))
+
+  /** Core over the raw (g, x, y) relation — fuzz/stress entry point. */
+  def tailDependence(rel: DataFrame): DataFrame = {
+    val cnt = rel.groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // domain-bounded; consumers: 2 thresholds + tails
+    def p90(vCol: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col(vCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      cnt.groupBy(col("g"), col(vCol)).agg(sum(col("c")).as("cv"))
+        .withColumn("cum", sum(col("cv")).over(w))
+        .withColumn("n", sum(col("cv")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+        .where(col("cum") >= expr("(90 * n + 99) div 100"))
+        .groupBy(col("g")).agg(min(col(vCol)).as(out))
+    }
+    val tails = cnt
+      .join(broadcast(p90("x", "tx")), Seq("g"))
+      .join(broadcast(p90("y", "ty")), Seq("g"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n"),
+        first(col("tx")).as("tx"), first(col("ty")).as("ty"),
+        sum(when(col("x") > col("tx"), col("c")).otherwise(0L)).as("n_x"),
+        sum(when(col("y") > col("ty"), col("c")).otherwise(0L)).as("n_y"),
+        sum(when(col("x") > col("tx") && col("y") > col("ty"), col("c"))
+          .otherwise(0L)).as("n_xy"))
+    tails.select(col("g").as("event_type"), col("n"), col("tx"), col("ty"),
+        col("n_x"), col("n_y"), col("n_xy"),
+        expr(s"""cast(cast(n_xy as $dec) * 1000000 div nullif(n_x, 0)
+          as bigint)""").as("lambda_u_ppm"),
+        expr(s"""cast(cast(n_xy as $dec) * n * 1000000
+          div nullif(cast(n_x as $dec) * n_y, 0) as bigint)""")
+          .as("lift_ppm"))
+      .withColumn("dependent", coalesce(col("lift_ppm") >= 2000000L,
+        lit(false)))
+      .orderBy(col("event_type"))
+  }
+  val q399_sql: String =
+    """WITH rel AS (SELECT event_type AS g,
+      |    CAST(round(value * 100) AS BIGINT) AS x,
+      |    TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS y FROM events
+      |  WHERE TRY_CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
+      |cnt AS (SELECT g, x, y, count(*)::BIGINT AS c FROM rel
+      |        GROUP BY 1, 2, 3),
+      |cx AS (SELECT g, x, sum(c)::BIGINT AS cv FROM cnt GROUP BY 1, 2),
+      |tx AS (SELECT g, min(x)::BIGINT AS tx FROM (
+      |         SELECT g, x,
+      |           sum(cv) OVER (PARTITION BY g ORDER BY x)::BIGINT AS cum,
+      |           sum(cv) OVER (PARTITION BY g)::BIGINT AS n
+      |         FROM cx)
+      |       WHERE cum >= (90 * n + 99) // 100 GROUP BY 1),
+      |cy AS (SELECT g, y, sum(c)::BIGINT AS cv FROM cnt GROUP BY 1, 2),
+      |ty AS (SELECT g, min(y)::BIGINT AS ty FROM (
+      |         SELECT g, y,
+      |           sum(cv) OVER (PARTITION BY g ORDER BY y)::BIGINT AS cum,
+      |           sum(cv) OVER (PARTITION BY g)::BIGINT AS n
+      |         FROM cy)
+      |       WHERE cum >= (90 * n + 99) // 100 GROUP BY 1),
+      |t AS (SELECT cnt.g, x, y, c, tx, ty FROM cnt
+      |      JOIN tx ON tx.g = cnt.g JOIN ty ON ty.g = cnt.g),
+      |agg AS (SELECT g, sum(c)::BIGINT AS n,
+      |          any_value(tx)::BIGINT AS tx, any_value(ty)::BIGINT AS ty,
+      |          sum(CASE WHEN x > tx THEN c ELSE 0 END)::BIGINT AS n_x,
+      |          sum(CASE WHEN y > ty THEN c ELSE 0 END)::BIGINT AS n_y,
+      |          sum(CASE WHEN x > tx AND y > ty THEN c ELSE 0 END)::BIGINT
+      |            AS n_xy
+      |        FROM t GROUP BY 1)
+      |SELECT g AS event_type, n, tx, ty, n_x, n_y, n_xy,
+      |  (n_xy::HUGEINT * 1000000 // nullif(n_x, 0))::BIGINT
+      |    AS lambda_u_ppm,
+      |  (n_xy::HUGEINT * n * 1000000
+      |   // nullif(n_x::HUGEINT * n_y, 0))::BIGINT AS lift_ppm,
+      |  coalesce((n_xy::HUGEINT * n * 1000000
+      |   // nullif(n_x::HUGEINT * n_y, 0)) >= 2000000, false) AS dependent
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q399_tail_dependence" -> q399_tail_dependence,
     "q392_group_sequential" -> q392_group_sequential,
     "q351_psi" -> q351_psi,
     "q352_neyman" -> q352_neyman,
@@ -438,6 +540,7 @@ object ExperimentQueries {
     "q355_srm" -> q355_srm)
 
   val oracles: Map[String, String] = Map(
+    "q399_tail_dependence" -> q399_sql,
     "q392_group_sequential" -> q392_sql,
     "q351_psi" -> q351_sql,
     "q352_neyman" -> q352_sql,

@@ -254,7 +254,32 @@ private[tools] object StressInferenceFamilies {
               "reject_h0" else "accept_h0")
         }
     }
-    em.line(s"""{"summary":"round-11b experimentation invariances at ${Reps}x duplication","psi_fp_max_delta":$psiMaxDelta,"psi_band_ok":${psiMaxDelta <= 64},"neyman_bit_identical":$neymanExact,"cuped_theta_identical_scaling_banded":$cupedOk,"group_sequential_exact":$gsExact,"linear":${psiMaxDelta <= 64 && neymanExact && cupedOk && gsExact}}""")
+    // tail dependence (q399): thresholds are order statistics (invariant
+    // under xK duplication: ceil(0.9*Kn)-th of the duplicated multiset is
+    // the same value), tails scale xK, and both ppm ratios cancel K —
+    // the whole readout must be BIT-IDENTICAL except n/n_x/n_y/n_xy xK
+    val tdBase = Tables.events(spark, sfDir).select(
+        col("event_type").as("g"),
+        expr("cast(round(value * 100) as bigint)").as("x"),
+        expr("try_cast(get_json_object(props, '$.k') as long)").as("y"))
+      .where(col("y").isNotNull).localCheckpoint(true)
+    def runTd(rel: DataFrame): Map[String, (Long, Long, Long, Long, Long, Long, Long, Long)] =
+      ExperimentQueries.tailDependence(rel).collect().map { r =>
+        r.getAs[String]("event_type") -> ((r.getAs[Long]("n"),
+          r.getAs[Long]("tx"), r.getAs[Long]("ty"), r.getAs[Long]("n_x"),
+          r.getAs[Long]("n_y"), r.getAs[Long]("n_xy"),
+          r.getAs[Long]("lambda_u_ppm"), r.getAs[Long]("lift_ppm")))
+      }.toMap
+    var td1: Map[String, (Long, Long, Long, Long, Long, Long, Long, Long)] = Map.empty
+    em.stage("tail-dependence x1") { td1 = runTd(tdBase); td1.size.toLong }
+    var tdK: Map[String, (Long, Long, Long, Long, Long, Long, Long, Long)] = Map.empty
+    em.stage(s"tail-dependence x$Reps") { tdK = runTd(dup(tdBase)); tdK.size.toLong }
+    val tdExact = td1.nonEmpty && td1.forall {
+      case (g, (n, tx, ty, nx, ny, nxy, lam, lift)) =>
+        tdK.get(g).contains((n * Reps, tx, ty, nx * Reps, ny * Reps,
+          nxy * Reps, lam, lift))
+    }
+    em.line(s"""{"summary":"round-11b experimentation invariances at ${Reps}x duplication","psi_fp_max_delta":$psiMaxDelta,"psi_band_ok":${psiMaxDelta <= 64},"neyman_bit_identical":$neymanExact,"cuped_theta_identical_scaling_banded":$cupedOk,"group_sequential_exact":$gsExact,"tail_dependence_exact":$tdExact,"linear":${psiMaxDelta <= 64 && neymanExact && cupedOk && gsExact && tdExact}}""")
   }
 
   /** SCALESTRESS_r11c: the hypothesis family (q356–q362) under 100×

@@ -110,7 +110,10 @@ class AqeParitySpec extends SparkSpec {
     // its narrow map has no join for AQE to re-plan — so q397/q398 are
     // the family's AQE-sensitive shapes)
     "q397_davies_bouldin",
-    "q398_theil_sen")
+    "q398_theil_sen",
+    // tail-dependence: two broadcast threshold rejoins into the counts
+    // frame — the joint-tail count must survive a re-planned join
+    "q399_tail_dependence")
 
   slice.foreach { name =>
     test(s"$name: identical rows with AQE off and on") {

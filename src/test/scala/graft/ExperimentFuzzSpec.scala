@@ -104,6 +104,54 @@ class ExperimentFuzzSpec extends SparkSpec {
       Seq(("one1", 1L, 3L), ("one2", 2L, 88L)))
   }
 
+  /** q399's tail-dependence readout against a plain sort-and-count
+    * driver fold: thresholds from the ceil-rank order statistic on a
+    * sorted copy, tail counts by filtering, every division exact BigInt.
+    * Degenerates: constant x (empty tail → NULL λ/lift, false gate),
+    * perfectly coupled y = x (maximal lift), tiny n. */
+  test("q399: fuzzed frames match a sort-and-count recount; constant marginals fail closed") {
+    val gen: Gen[Seq[(String, Long, Long)]] = for {
+      nG <- Gen.choose(1, 3)
+      n <- Gen.choose(1, 40)
+      shape <- Gen.oneOf("indep", "coupled", "constx")
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, nG - 1)
+        x <- if (shape == "constx") Gen.const(7L) else Gen.choose(0L, 19L)
+        y <- if (shape == "coupled") Gen.const(-1L) else Gen.choose(0L, 9L)
+      } yield (s"g$g", x, if (y == -1L) x else y))
+    } yield rows
+    cases(gen, 10) { rows =>
+      val out = ExperimentQueries.tailDependence(rows.toDF("g", "x", "y"))
+        .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val n = rs.size.toLong
+        def thr(vs: Seq[Long]): Long = {
+          val sorted = vs.sorted
+          sorted(((90 * n + 99) / 100 - 1).toInt) // ceil-rank order stat
+        }
+        val tx = thr(rs.map(_._2)); val ty = thr(rs.map(_._3))
+        val nx = rs.count(_._2 > tx).toLong
+        val ny = rs.count(_._3 > ty).toLong
+        val nxy = rs.count(r => r._2 > tx && r._3 > ty).toLong
+        val r = out.getOrElse(g, fail(s"$g vanished"))
+        assert(r.getAs[Long]("n") == n && r.getAs[Long]("tx") == tx &&
+          r.getAs[Long]("ty") == ty, s"$g thresholds")
+        assert(r.getAs[Long]("n_x") == nx && r.getAs[Long]("n_y") == ny &&
+          r.getAs[Long]("n_xy") == nxy, s"$g tails")
+        def opt(f: String): Option[Long] =
+          if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getAs[Long](f))
+        assert(opt("lambda_u_ppm") ==
+          (if (nx == 0) None else Some((BigInt(nxy) * 1000000 / nx).toLong)),
+          s"$g lambda")
+        val lift = if (nx == 0 || ny == 0) None
+          else Some((BigInt(nxy) * n * 1000000 / (BigInt(nx) * ny)).toLong)
+        assert(opt("lift_ppm") == lift, s"$g lift")
+        assert(r.getAs[Boolean]("dependent") ==
+          lift.exists(_ >= 2000000L), s"$g gate")
+      }
+    }
+  }
+
   /** Random-census fuzz (moved here from LexicalFuzzSpec — this is the
     * statistic's family file), with the one-sided / second-look-only
     * generator knobs that exercise the fail-closed paths. */
