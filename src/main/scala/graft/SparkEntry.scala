@@ -22,7 +22,7 @@ object SparkEntry {
       ForecastQueries.defs ++
       GraphQueries.defs ++ SketchQueries.defs ++ LlmQueries.defs ++
       TextMiningQueries.defs ++ LlmTextQueries.defs ++ AnnQueries.defs ++ CurationQueries.defs ++ CurationAuditQueries.defs ++
-      MultimodalQueries.defs ++ InfoQueries.defs ++ EvalQueries.defs ++ ResamplingQueries.defs ++ LexicalQueries.defs ++
+      MultimodalQueries.defs ++ InfoQueries.defs ++ EvalQueries.defs ++ AgreementTestQueries.defs ++ ResamplingQueries.defs ++ LexicalQueries.defs ++
       PrivacyQueries.defs ++ CalibrationQueries.defs ++ ClusterQualityQueries.defs ++
       ExperimentQueries.defs ++ HypothesisQueries.defs ++ HypothesisCompositionQueries.defs ++
       StreamingQueries.defs ++ StreamingCertQueries.defs ++ RecoveryCertQueries.defs
@@ -37,7 +37,7 @@ object SparkEntry {
       TextMiningQueries.oracles ++ LlmTextQueries.oracles ++ AnnQueries.oracles ++
       CurationQueries.oracles ++ CurationAuditQueries.oracles ++
       MultimodalQueries.oracles ++
-      InfoQueries.oracles ++ EvalQueries.oracles ++ ResamplingQueries.oracles ++ LexicalQueries.oracles ++
+      InfoQueries.oracles ++ EvalQueries.oracles ++ AgreementTestQueries.oracles ++ ResamplingQueries.oracles ++ LexicalQueries.oracles ++
       PrivacyQueries.oracles ++ CalibrationQueries.oracles ++ ClusterQualityQueries.oracles ++
       ExperimentQueries.oracles ++ HypothesisQueries.oracles ++ HypothesisCompositionQueries.oracles ++
       StreamingQueries.oracles ++ StreamingCertQueries.oracles ++ RecoveryCertQueries.oracles

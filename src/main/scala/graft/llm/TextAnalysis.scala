@@ -256,7 +256,7 @@ object TextAnalysis {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("__n"))
-      .crossJoin(dl.agg(sum(col("dl")).as("__t")))
+      .crossJoin(broadcast(dl.agg(sum(col("dl")).as("__t"))))
     val perTerm = tf.join(broadcast(df), Seq("term"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))

@@ -690,7 +690,7 @@ object InfoQueries {
         .over(Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
       .withColumn("ilp", il(col("pos") + lit(1L)))
       .agg(sum(gain).as("idcg_fp"))
-    dcg.crossJoin(ideal)
+    dcg.crossJoin(broadcast(ideal))
       .select(col("n_ranked"), col("dcg_fp"), col("idcg_fp"),
         expr("(dcg_fp * 1000000) div idcg_fp").as("ndcg_ppm"))
   }
@@ -753,7 +753,7 @@ object InfoQueries {
     val hits = ranked.join(rel, Seq("doc_id"))
       .agg(count(lit(1)).as("n_rel_topk"), min(col("pos")).as("first_rel_pos"))
     val tot = rel.agg(count(lit(1)).as("n_rel_total"))
-    hits.crossJoin(tot) // 1x1
+    hits.crossJoin(broadcast(tot)) // 1x1
       .select(col("first_rel_pos"),
         expr("1000000 div first_rel_pos").as("rr_ppm"),
         col("n_rel_topk"),

@@ -1227,7 +1227,7 @@ object RelationalQueries {
            parent: DataFrame, pk: String): DataFrame = {
       val viol = child.join(parent, col(ck) === col(pk), "left_anti")
         .agg(count(lit(1)).as("violations"))
-      one(child).crossJoin(viol)
+      one(child).crossJoin(broadcast(viol))
         .select(lit(name).as("check_name"), col("total"), col("violations"))
     }
     def pk(name: String, t: DataFrame, k: String): DataFrame =

@@ -264,7 +264,7 @@ object SketchQueries {
       expr(s"CAST(sum(shiftleft(CAST(1 AS BIGINT), ${bits + 1} - m)) AS BIGINT)").as("s"),
       sum(when(col("m") === 0, 1L).otherwise(0L)).as("zero_registers"))
     val exact = od.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
-    exact.crossJoin(aggd) // 1 row x 1 row: broadcast nested loop, not a CartesianProduct
+    exact.crossJoin(broadcast(aggd)) // 1 row x 1 row: broadcast nested loop, not a CartesianProduct
       .select(col("exact_distinct"),
         (lit(Hll.numerator(m)) / col("s")).as("hll_estimate"),
         col("zero_registers"))

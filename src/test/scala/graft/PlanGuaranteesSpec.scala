@@ -12,11 +12,50 @@ class PlanGuaranteesSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  // A join side that is a SCALAR aggregate (global agg, no grouping — one
+  // row by construction) must carry an explicit broadcast() hint: the plan
+  // happens to broadcast it today via AQE, but the repo's convention is
+  // that 1-row sides are hinted so the plan shape never depends on runtime
+  // statistics. This makes the convention mechanical instead of
+  // review-enforced.
+  private def unhintedScalarAggJoinSides(
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    @annotation.tailrec
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case Project(_, c)       => strip(c)
+      case _                   => p
+    }
+    def isScalarAgg(p: LogicalPlan): Boolean = strip(p) match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case _            => false
+    }
+    // A hint anywhere between the join and the side's root (through
+    // column-pruning Projects/aliases) guarantees the broadcast.
+    def hasTopHint(p: LogicalPlan): Boolean = p match {
+      case _: ResolvedHint     => true
+      case SubqueryAlias(_, c) => hasTopHint(c)
+      case Project(_, c)       => hasTopHint(c)
+      case _                   => false
+    }
+    analyzed.collect {
+      case j: Join if !hasTopHint(j.left) && !hasTopHint(j.right) &&
+          (isScalarAgg(j.left) || isScalarAgg(j.right)) =>
+        s"${j.joinType} join with a scalar-aggregate side has no broadcast hint on either side"
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name plans without CartesianProduct") {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
+    test(s"$name plans without CartesianProduct or unhinted scalar-agg join") {
+      val qe = fn(spark, sfDir).queryExecution
+      val plan = qe.executedPlan.toString()
       assert(!plan.contains("CartesianProduct"),
         s"$name contains an all-pairs operator:\n$plan")
+      val unhinted = unhintedScalarAggJoinSides(qe.analyzed)
+      assert(unhinted.isEmpty,
+        s"$name joins a scalar aggregate without an explicit broadcast() hint " +
+          s"(${unhinted.mkString("; ")}):\n${qe.analyzed}")
     }
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.EvalQueries
+import graft.queries.{AgreementTestQueries, EvalQueries}
 
 /** Round-10 evaluation-statistics tests: each new statistic is cross-
   * checked against an INDEPENDENT computation (naive all-pairs, float
@@ -64,7 +64,7 @@ class Round10OpsSpec extends SparkSpec {
   }
 
   test("q328: kappa algebra matches a driver-side confusion recount") {
-    val out = EvalQueries.q328_cohens_kappa(spark, sf).head()
+    val out = AgreementTestQueries.q328_cohens_kappa(spark, sf).head()
     val conf = graft.io.Tables.documents(spark, sf).select(
         when(col("n_chars") < 200, 0L).when(col("n_chars") < 350, 1L)
           .otherwise(2L).as("a"),
@@ -90,7 +90,7 @@ class Round10OpsSpec extends SparkSpec {
   }
 
   test("q329: discordant counts match a driver-side recount") {
-    val out = EvalQueries.q329_mcnemar(spark, sf).head()
+    val out = AgreementTestQueries.q329_mcnemar(spark, sf).head()
     val docs = graft.io.Tables.documents(spark, sf)
       .select(col("lang"), col("text")).collect()
       .map { r =>
@@ -110,7 +110,7 @@ class Round10OpsSpec extends SparkSpec {
   }
 
   test("q330: observed statistic matches a driver-side recount; p in range") {
-    val out = EvalQueries.q330_perm_fdr(spark, sf).collect()
+    val out = AgreementTestQueries.q330_perm_fdr(spark, sf).collect()
     assert(out.nonEmpty)
     val ev = graft.io.Tables.events(spark, sf).select(
         col("event_type"),
