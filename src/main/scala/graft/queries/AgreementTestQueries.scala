@@ -9,10 +9,10 @@ import graft.llm.TextAnalysis
 
 /** Agreement / categorical-association registry, split out of
   * [[EvalQueries]] (the repo's ~1500-line file bar): inter-annotator
-  * agreement (Cohen's kappa, weighted and unweighted), McNemar's
-  * paired-classifier test, the stride-permutation test with
-  * Benjamini-Hochberg FDR control, and Cramer's V over a contingency
-  * grid. Same contract as every registry — each `defs` entry has a
+  * agreement (Cohen's kappa, weighted and unweighted; Fleiss' kappa for
+  * m = 3 raters), McNemar's paired-classifier test, the
+  * stride-permutation test with Benjamini-Hochberg FDR control, and
+  * Cramer's V over a contingency grid. Same contract as every registry — each `defs` entry has a
   * DuckDB `oracles` twin with identical column names and deterministic
   * ordering; all statistics are exact integer / DECIMAL(38,0)
   * arithmetic (HUGEINT on the DuckDB side), so the hashes are
@@ -342,13 +342,96 @@ object AgreementTestQueries {
       |  chi2_e6 >= 15507313 AS significant
       |FROM agg CROSS JOIN tots""".stripMargin
 
+  // ---- q401: Fleiss' kappa (multi-rater agreement) ------------------------
+
+  /** Fleiss' κ (Fleiss 1971) — q328's Cohen κ generalized from two raters
+    * to m = 3: the multi-annotator agreement readout a labeling pipeline
+    * runs when every document gets several model/heuristic judgments and
+    * the question is "do the raters agree beyond chance AT ALL", not "do
+    * these two particular raters agree". Raters are deterministic document
+    * views (the q328 convention): the n_chars tier, the whitespace-token
+    * tier, and a letter-frequency tier — three different proxies for the
+    * same latent "document size" class, so agreement should be high but
+    * imperfect. Per document the category counts n_ij (Σ_j n_ij = m) carry
+    * everything: with S2 = Σ_i Σ_j n_ij² and C_j = Σ_i n_ij,
+    * P̄ = (S2 − mN)/(m(m−1)N) and P_e = Σ_j C_j²/(mN)², so over the common
+    * denominator 18N² (m = 3): κ = (3N·S2 − 9N² − 2ΣC_j²) div
+    * (18N² − 2ΣC_j²) — exact integers end to end (DECIMAL(38,0) /
+    * HUGEINT), ppm-scaled, NULL when P_e = 1 (every rating in one
+    * category — fail closed, the q328 family convention). One corpus scan
+    * to a 1-row aggregate; nothing joins. */
+  val q401_fleiss_kappa: Q = (s, d) => {
+    val aCount = expr("length(text) - length(replace(text, 'a', ''))")
+    val doc = Tables.documents(s, d).select(
+      when(col("n_chars") < 200, 0L).when(col("n_chars") < 350, 1L)
+        .otherwise(2L).as("r1"),
+      when(TextAnalysis.wsTokenCount(col("text")) < 40, 0L)
+        .when(TextAnalysis.wsTokenCount(col("text")) < 70, 1L)
+        .otherwise(2L).as("r2"),
+      when(aCount < 20, 0L).when(aCount < 35, 1L).otherwise(2L).as("r3"))
+    val counted = doc.select(Seq(0L, 1L, 2L).map { j =>
+      ((col("r1") === j).cast("long") + (col("r2") === j).cast("long") +
+        (col("r3") === j).cast("long")).as(s"n$j")
+    }: _*)
+    val c2 = s"(cast(c0 as $dec) * c0 + cast(c1 as $dec) * c1 + cast(c2 as $dec) * c2)"
+    counted.agg(
+        count(lit(1)).as("n"),
+        sum(col("n0") * col("n0") + col("n1") * col("n1") +
+          col("n2") * col("n2")).as("s2"),
+        sum(col("n0")).as("c0"), sum(col("n1")).as("c1"),
+        sum(col("n2")).as("c2"))
+      .select(col("n"), col("s2"), col("c0"), col("c1"), col("c2"),
+        expr(s"cast(cast(s2 - 3 * n as $dec) * 1000000 div (6 * n) as bigint)")
+          .as("pbar_ppm"),
+        expr(s"cast($c2 * 1000000 div (cast(n as $dec) * n * 9) as bigint)")
+          .as("pe_ppm"),
+        expr(s"""cast(
+            (cast(n as $dec) * 3 * s2 - cast(n as $dec) * n * 9 - 2 * $c2)
+              * 1000000
+            div nullif(cast(n as $dec) * n * 18 - 2 * $c2, 0)
+          as bigint)""").as("kappa_ppm"))
+  }
+  val q401_sql: String = {
+    val c2 = "(c0::HUGEINT * c0 + c1::HUGEINT * c1 + c2::HUGEINT * c2)"
+    s"""WITH doc AS (SELECT
+       |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 350 THEN 1
+       |         ELSE 2 END::BIGINT AS r1,
+       |    CASE WHEN len(list_filter(string_split_regex(text, '\\s+'),
+       |                              x -> x <> '')) < 40 THEN 0
+       |         WHEN len(list_filter(string_split_regex(text, '\\s+'),
+       |                              x -> x <> '')) < 70 THEN 1
+       |         ELSE 2 END::BIGINT AS r2,
+       |    CASE WHEN length(text) - length(replace(text, 'a', '')) < 20 THEN 0
+       |         WHEN length(text) - length(replace(text, 'a', '')) < 35 THEN 1
+       |         ELSE 2 END::BIGINT AS r3
+       |  FROM documents),
+       |cnt AS (SELECT
+       |    ((r1 = 0)::BIGINT + (r2 = 0)::BIGINT + (r3 = 0)::BIGINT) AS n0,
+       |    ((r1 = 1)::BIGINT + (r2 = 1)::BIGINT + (r3 = 1)::BIGINT) AS n1,
+       |    ((r1 = 2)::BIGINT + (r2 = 2)::BIGINT + (r3 = 2)::BIGINT) AS n2
+       |  FROM doc),
+       |agg AS (SELECT count(*)::BIGINT AS n,
+       |    sum(n0 * n0 + n1 * n1 + n2 * n2)::BIGINT AS s2,
+       |    sum(n0)::BIGINT AS c0, sum(n1)::BIGINT AS c1,
+       |    sum(n2)::BIGINT AS c2
+       |  FROM cnt)
+       |SELECT n, s2, c0, c1, c2,
+       |  ((s2 - 3 * n)::HUGEINT * 1000000 // (6 * n))::BIGINT AS pbar_ppm,
+       |  ($c2 * 1000000 // (n::HUGEINT * n * 9))::BIGINT AS pe_ppm,
+       |  ((n::HUGEINT * 3 * s2 - n::HUGEINT * n * 9 - 2 * $c2) * 1000000
+       |   // nullif(n::HUGEINT * n * 18 - 2 * $c2, 0))::BIGINT AS kappa_ppm
+       |FROM agg""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q401_fleiss_kappa" -> q401_fleiss_kappa,
     "q330_perm_fdr" -> q330_perm_fdr,
     "q331_cramers_v" -> q331_cramers_v,
     "q328_cohens_kappa" -> q328_cohens_kappa,
     "q329_mcnemar" -> q329_mcnemar)
 
   val oracles: Map[String, String] = Map(
+    "q401_fleiss_kappa" -> q401_sql,
     "q330_perm_fdr" -> q330_sql,
     "q331_cramers_v" -> q331_sql,
     "q328_cohens_kappa" -> q328_sql,

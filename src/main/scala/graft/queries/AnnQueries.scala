@@ -924,7 +924,99 @@ object AnnQueries {
        |ORDER BY uni.query_id, uni.trunc_dim""".stripMargin
   }
 
+  /** The IVF recall-vs-nProbe CURVE — q106's single-point audit swept
+    * across nProbe ∈ {1, 2, 4, 8}: the measurement that actually sets the
+    * dial a production vector store tunes (how many cells must be probed
+    * before recall@10 plateaus). nProbe = 8 probes every cell of the k = 8
+    * fixed quantizer, so its row is brute-force-equal by construction —
+    * recall 1.0 — an in-band sanity anchor the spec also asserts. Shapes:
+    * the probe side is ≤ 5 queries (bounded broadcast, q26's license);
+    * each sweep level is one cell-restricted scoring pass
+    * ([[Ivf.topK]]'s broadcast-probe equi-join on cell, per-query top-10
+    * via the rank-filter pushdown); the 4 levels union to a ≤ 160-row
+    * frame before the ≤ 50-row hit join. Rankings are deterministic and
+    * IEEE division is correctly rounded, so the recall fractions
+    * hash-check cross-engine (the q106/q388 precedent). */
+  val q402_ivf_probe_curve: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dim = graft.io.Stats.embeddingDim(s, d)
+    val cents = Ivf.fit(emb, 8, 0, dim).localCheckpoint(true)
+    val qs = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(qs, emb, 10, dim = dim)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // ≤50 rows; consumers: 4 hit joins + universe
+    val nprobes = Seq(1L, 2L, 4L, 8L)
+    val hits = nprobes.map { np =>
+      Ivf.topK(qs, emb, cents, 10, np.toInt, dim)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+    exact.select(col("query_id")).distinct()
+      .crossJoin(broadcast(nprobes.toDF("nprobe")))
+      .join(hits, Seq("query_id", "nprobe"), "left")
+      .select(col("query_id"), col("nprobe"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_10", col("n_hits").cast("double") / 10.0)
+      .orderBy(col("query_id"), col("nprobe"))
+  }
+
+  val q402_sql: String =
+    s"""WITH cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         list_transform(embedding, x -> x::DOUBLE) AS centroid
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |asg0 AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         ${sqlCosine("e.embedding", "c.centroid")} AS s
+       |  FROM embeddings e, cents c),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS cvec, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+       |    FROM asg0)
+       |  WHERE rn = 1),
+       |pr AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec, cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS cr
+       |  FROM asg0 WHERE vec_id < 5),
+       |np AS (SELECT unnest([1, 2, 4, 8])::BIGINT AS nprobe),
+       |scored AS (
+       |  SELECT p.query_id, n.nprobe, a.neighbor_id,
+       |         ${sqlCosine("p.qvec", "a.cvec")} AS cos_sim
+       |  FROM pr p JOIN np n ON p.cr <= n.nprobe
+       |  JOIN assigned a USING (cell)
+       |  WHERE p.query_id <> a.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id, nprobe
+       |           ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |approx AS (SELECT query_id, nprobe, neighbor_id FROM ranked WHERE rank <= 10),
+       |bscored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |         ${sqlCosine("p.qvec", "c.embedding")} AS cos_sim
+       |  FROM embeddings c,
+       |       (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5) p
+       |  WHERE p.query_id <> c.vec_id),
+       |branked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM bscored),
+       |exact AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 10),
+       |hits AS (
+       |  SELECT a.query_id, a.nprobe, count(*) AS n_hits
+       |  FROM exact e JOIN approx a USING (query_id, neighbor_id)
+       |  GROUP BY 1, 2)
+       |SELECT q.query_id, n.nprobe,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+       |FROM (SELECT DISTINCT query_id FROM exact) q
+       |CROSS JOIN np n
+       |LEFT JOIN hits h ON h.query_id = q.query_id AND h.nprobe = n.nprobe
+       |ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q402_ivf_probe_curve" -> q402_ivf_probe_curve,
     "q388_matryoshka" -> q388_matryoshka,
     "q262_ivf_cell_quality" -> q262_ivf_cell_quality,
     "q187_knn_density" -> q187_knn_density,
@@ -949,6 +1041,7 @@ object AnnQueries {
     "q166_source_similarity" -> q166_source_similarity)
 
   val oracles: Map[String, String] = Map(
+    "q402_ivf_probe_curve" -> q402_sql,
     "q388_matryoshka" -> q388_sql,
     "q262_ivf_cell_quality" -> q262_sql,
     "q26_topk_bruteforce" -> q26_sql,

@@ -40,7 +40,7 @@ object ClusterQualityQueries {
     * driver-side double arrays with the SAME in-order norm fold DuckDB's
     * `sqrt(list_reduce(...))` computes. Bounded collect (K rows); order
     * re-established driver-side (limit may reorder). */
-  private def centroidLits(s: SparkSession, d: String): Seq[(Int, Seq[Double], Double)] = {
+  private[queries] def centroidLits(s: SparkSession, d: String): Seq[(Int, Seq[Double], Double)] = {
     val rows = Bounded.collect(
       Tables.embeddings(s, d).orderBy(col("vec_id")).limit(K)
         .select(col("vec_id"), col("embedding")),

@@ -898,7 +898,61 @@ object RecoveryCertQueries {
   /** q146's batch banding oracle verbatim — same as the continuous cert. */
   val q395_sql: String = StreamingQueries.q146_sql
 
+  /** The ANN index state under CHECKPOINT RECOVERY — the TWENTY-SECOND
+    * recovery shape, closing the round-13 verdict's remaining stateful
+    * LLM-ingest asset: incremental IVF cell assignment. New vectors
+    * arrive in micro-batches and are assigned against the FIXED coarse
+    * quantizer (the first k = 8 embeddings by vec_id — q27's
+    * ivfFixedCtes convention; `llm/Ivf.scala` assign semantics, here as
+    * the literal-centroid narrow map the cluster-quality family uses, so
+    * the streaming side needs no stream-static join). The recovered
+    * state is the index DIRECTORY: [[Streaming.cellDirectory]]'s per-cell
+    * cumulative vector counter, which stamps every admitted vector with
+    * its position in the cell. Two of the four vec_id-range files process
+    * before the kill; the resumed incarnation must continue every cell's
+    * numbering where the crash left it — the readout takes `max(seq)` as
+    * `n_vectors`, so a silently-reset counter (post-crash numbering
+    * restarting at 1) undercounts and breaks the hash even though Append
+    * emission itself deduplicates. Readout = q262's cell-quality frame
+    * (count via the counter, mean/min fixed-point cosine-to-own-centroid
+    * from the per-vector emissions), hash-matched against q262's batch
+    * DuckDB oracle verbatim. */
+  val q400_recovery_ivf: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dim = graft.io.Stats.embeddingDim(s, d)
+    val cents = ClusterQualityQueries.centroidLits(s, d)
+    val srcDir = stageOrderedBy(emb, d, "embVecOrdered4", 4,
+      Seq(col("vec_id")))
+    def assignMap(st: DataFrame): DataFrame = {
+      val scores: Seq[org.apache.spark.sql.Column] = cents.map {
+        case (_, c, cn) =>
+          graft.llm.Similarity.dot(col("embedding"), typedlit(c), dim) /
+            (graft.llm.Similarity.norm(col("embedding"), dim) * lit(cn))
+      }
+      st.withColumn("__scores", array(scores: _*))
+        .withColumn("__a", array_max(col("__scores")))
+        // first max = ties to the LOWER cell, the NearestCell convention
+        .select((array_position(col("__scores"), col("__a")) - 1)
+            .cast("long").as("cell"),
+          col("vec_id"),
+          round(col("__a") * 1000000).cast("long").as("q"))
+    }
+    recoveringTable(s, srcDir, firstN = 2, tag = "q400_rec_ivf")(
+      st => Streaming.cellDirectory(assignMap(st).as[Streaming.CellVec])
+        .toDF(),
+      emb.schema)
+      .groupBy(col("cell"))
+      .agg(max(col("seq")).as("n_vectors"),
+        expr("sum(q) div max(seq)").as("mean_cos_fp"),
+        min(col("q")).as("min_cos_fp"))
+      .orderBy(col("cell"))
+  }
+  /** q262's batch cell-quality oracle verbatim. */
+  val q400_sql: String = AnnQueries.q262_sql
+
   val defs: Map[String, Q] = Map(
+    "q400_recovery_ivf" -> q400_recovery_ivf,
     "q394_recovery_lsh" -> q394_recovery_lsh,
     "q395_recovery_simhash" -> q395_recovery_simhash,
     "q313_recovery_ewma" -> q313_recovery_ewma,
@@ -922,6 +976,7 @@ object RecoveryCertQueries {
     "q390_recovery_benford" -> q390_recovery_benford)
 
   val oracles: Map[String, String] = Map(
+    "q400_recovery_ivf" -> q400_sql,
     "q394_recovery_lsh" -> q394_sql,
     "q395_recovery_simhash" -> q395_sql,
     "q313_recovery_ewma" -> q313_sql,

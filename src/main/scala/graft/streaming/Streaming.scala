@@ -971,4 +971,37 @@ object Streaming {
           Iterator.single(FunnelOut(userId, d))
       }
   }
+
+  case class CellVec(cell: Long, vec_id: Long, q: Long)
+  case class CellVecSeq(cell: Long, vec_id: Long, q: Long, seq: Long)
+
+  /** Stateful IVF directory counter: the per-cell cumulative vector count
+    * an IVF index's directory maintains (the posting-list length), carried
+    * across micro-batch boundaries as ONE long per cell and stamped onto
+    * every admitted vector as its position within the cell. State is
+    * k-bounded (k = number of coarse cells) — the cheapest possible
+    * stateful shape, like [[admitFirstK]]'s per-source counter. Within a
+    * batch the cell's rows are numbered in vec_id order (the group
+    * iterator's order is not contractual); ACROSS batches the numbering
+    * order is the replay order. The recovery certification reads
+    * `max(seq)` per cell instead of `count(*)`: an incarnation whose
+    * restart silently reset the counter re-numbers post-crash vectors from
+    * 1, so max(seq) undercounts and the hash breaks even though the
+    * emission set itself deduplicates. */
+  def cellDirectory(arrivals: Dataset[CellVec]): Dataset[CellVecSeq] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[Long, CellVecSeq](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cell: Long, it: Iterator[CellVec], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.vec_id).map { v =>
+            n += 1
+            CellVecSeq(cell, v.vec_id, v.q, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
 }

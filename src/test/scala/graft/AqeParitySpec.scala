@@ -113,7 +113,11 @@ class AqeParitySpec extends SparkSpec {
     "q398_theil_sen",
     // tail-dependence: two broadcast threshold rejoins into the counts
     // frame — the joint-tail count must survive a re-planned join
-    "q399_tail_dependence")
+    "q399_tail_dependence",
+    // round-14: the probe-curve sweep — four cell-restricted broadcast
+    // equi-joins + per-(query,nprobe) rank windows + the hit semi-joins,
+    // all shapes AQE could re-plan (q401's single aggregate joins nothing)
+    "q402_ivf_probe_curve")
 
   slice.foreach { name =>
     test(s"$name: identical rows with AQE off and on") {
