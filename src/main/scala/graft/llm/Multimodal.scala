@@ -225,6 +225,34 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema)).toDF("id", "cls", "n")
   }
 
+  /** Byte-VALUE histogram per payload over the head `maxBytes` bytes —
+    * [[byteClassCounts]] at full 256-value resolution, the sufficient
+    * statistic for entropy/compressibility audits. Same batched
+    * `mapPartitions` shape (one 256-cell array per row, fan-out
+    * executor-side); integer-exact for the hex-pair SQL oracle.
+    * Output: (id, v, n), absent values omitted. */
+  def byteValueCounts(df: DataFrame, idCol: String, payloadCol: String,
+                      maxBytes: Int): DataFrame = {
+    require(maxBytes > 0, s"byteValueCounts: maxBytes must be positive, got $maxBytes")
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
+    projected.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val counts = new Array[Long](256)
+        val n = math.min(bytes.length, maxBytes)
+        var i = 0
+        while (i < n) { counts(bytes(i) & 0xff) += 1; i += 1 }
+        (0 until 256).iterator.filter(v => counts(v) > 0)
+          .map(v => Row(id, v.toLong, counts(v)))
+      }
+    }(RowEncoder.encoderFor(outSchema)).toDF("id", "v", "n")
+  }
+
   /** A REAL decoder behind the injection seam — proof the [[Decoder]]
     * contract works beyond [[StubDecoder]] without native codecs: a
     * pure-JVM RIFF/WAVE PCM-16 parser (chunk walk, little-endian

@@ -570,7 +570,72 @@ object ForecastQueries {
       |FROM uni LEFT JOIN med ON med.g = uni.g
       |ORDER BY event_type""".stripMargin
 
+  // ---- q403: day-of-week seasonal strength (correlation ratio η²) --------
+
+  /** How much of the daily-count variance does day-of-week explain? The
+    * correlation ratio η² = SSB/SST over the dow grouping — the seasonal-
+    * strength readout that decides whether a forecast family (q279's
+    * Holt-Winters ring, q287's anomaly bands) needs a weekly seasonal
+    * term at all. Exact arithmetic: with per-type totals S = Σx, Q = Σx²
+    * over N days and per-dow (S_g, n_g), N·SST = N·Q − S² and N·SSB =
+    * Σ_g (N·S_g²) div n_g − S² (per-group floor — the q332/q271
+    * fixed-point convention; the dropped sub-integer remainder is
+    * < 7/SST ppm). η²·10⁶ = ssb_n·10⁶ div sst_n, NULL on a constant
+    * series (SST = 0 — fail closed, never a fabricated 0 or 1). Day
+    * numbering: Unix day + 4 so weekday 0 = Sunday (the q330 weekend
+    * convention). Shapes: one corpus pass to the calendar-bounded daily
+    * frame, one ≤ 7-row grid per type, grid algebra after — nothing
+    * quadratic, nothing collected. */
+  val q403_dow_eta2: Q = (s, d) => {
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s"),
+        sum(expr(s"cast(x as $dec) * x")).as("q"))
+    val grid = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"))
+      .join(tot.select(col("event_type"), col("n_days")), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr(s"cast(n_days as $dec) * s_g * s_g div n_g")).as("t"))
+    tot.join(grid, Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        expr(s"cast(cast(n_days as $dec) * q - cast(s as $dec) * s as $dec)")
+          .as("__sst"),
+        expr(s"cast(t - cast(s as $dec) * s as $dec)").as("__ssb"))
+      .select(col("event_type"), col("n_days"),
+        col("__sst").cast("long").as("sst_n"),
+        col("__ssb").cast("long").as("ssb_n"),
+        expr("cast(__ssb * 1000000 div nullif(__sst, 0) as bigint)")
+          .as("eta2_ppm"))
+      .orderBy(col("event_type"))
+  }
+  val q403_sql: String =
+    """WITH daily AS (SELECT event_type AS g,
+      |    epoch_ms(ts) // 86400000 AS day, count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT g, count(*)::BIGINT AS n_days, sum(x)::HUGEINT AS s,
+      |    sum(x::HUGEINT * x)::HUGEINT AS q
+      |  FROM daily GROUP BY 1),
+      |grid AS (SELECT d.g, sum(t.n_days::HUGEINT * s_g * s_g // n_g) AS t
+      |  FROM (SELECT g, (day + 4) % 7 AS dow, count(*)::BIGINT AS n_g,
+      |          sum(x)::HUGEINT AS s_g
+      |        FROM daily GROUP BY 1, 2) d
+      |  JOIN tot t ON t.g = d.g
+      |  GROUP BY 1)
+      |SELECT tot.g AS event_type, n_days,
+      |  (n_days::HUGEINT * q - s * s)::BIGINT AS sst_n,
+      |  (t - s * s)::BIGINT AS ssb_n,
+      |  ((t - s * s) * 1000000 // nullif(n_days::HUGEINT * q - s * s, 0))
+      |    ::BIGINT AS eta2_ppm
+      |FROM tot JOIN grid ON grid.g = tot.g
+      |ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q403_dow_eta2" -> q403_dow_eta2,
     "q398_theil_sen" -> q398_theil_sen,
     "q292_cohort_retention" -> q292_cohort_retention,
     "q288_autocorrelation" -> q288_autocorrelation,
@@ -584,6 +649,7 @@ object ForecastQueries {
     "q258_rfm_segments" -> q258_rfm_segments)
 
   val oracles: Map[String, String] = Map(
+    "q403_dow_eta2" -> q403_sql,
     "q398_theil_sen" -> q398_sql,
     "q292_cohort_retention" -> q292_sql,
     "q288_autocorrelation" -> q288_sql,

@@ -822,7 +822,64 @@ object GraphQueries {
        |${wprRound(3)}
        |SELECT id, r_fp FROM r3 ORDER BY id""".stripMargin
 
+  // ---- q404: degree assortativity of the co-purchase graph ---------------
+
+  /** Degree assortativity (Newman 2002) of the bipartite customer-supplier
+    * co-purchase graph: the Pearson correlation of endpoint degrees across
+    * edges — do high-degree customers buy from high-degree suppliers
+    * (assortative, r > 0) or from the long tail (disassortative, r < 0)?
+    * The number that predicts how a graph-partitioned workload skews: an
+    * assortative graph concentrates its heavy rows in the same partitions.
+    * Held exact the q326 way — the SIGNED SQUARE in basis points,
+    * sign(num)·num²·10⁴ div (denx·deny) with num = mΣxy − ΣxΣy and
+    * denx/deny the usual variance clearings — so no square root ever
+    * exists; NULL when either side's degrees are constant (den = 0 —
+    * fail closed). Integer ranges: num² needs DECIMAL(38,0)/HUGEINT and
+    * tops out around m ≈ 10¹⁰ edges at degree ~10³ (q326's documented
+    * family bound). Shapes: degree tables are node-bounded aggregates,
+    * the edge-degree attach is two keyed equi-joins, the statistic is one
+    * map-side-combinable 1-row aggregate — nothing quadratic. */
+  val q404_assortativity: Q = (s, d) => {
+    val dec = "decimal(38,0)"
+    val e = CoPurchase.purchaseEdges(s, d).select(col("c"), col("p"))
+    val dc = e.groupBy(col("c")).agg(count(lit(1)).as("dx"))
+    val dp = e.groupBy(col("p")).agg(count(lit(1)).as("dy"))
+    e.join(dc, Seq("c")).join(dp, Seq("p"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(expr(s"cast(dx as $dec) * dy")).as("sxy"),
+        sum(expr(s"cast(dx as $dec) * dx")).as("sxx"),
+        sum(expr(s"cast(dy as $dec) * dy")).as("syy"))
+      .select(col("m").as("n_edges"),
+        expr(s"cast(m as $dec) * sxy - cast(sx as $dec) * sy").as("__num"),
+        expr(s"cast(m as $dec) * sxx - cast(sx as $dec) * sx").as("__denx"),
+        expr(s"cast(m as $dec) * syy - cast(sy as $dec) * sy").as("__deny"))
+      .select(col("n_edges"),
+        expr("""cast(
+            (case when __num >= 0 then 1 else -1 end) * __num * __num * 10000
+            div nullif(__denx * __deny, 0)
+          as bigint)""").as("assort_bp_signed"))
+  }
+  val q404_sql: String =
+    """WITH e AS (SELECT o_custkey AS c, l_suppkey AS p, count(*) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |dc AS (SELECT c, count(*)::HUGEINT AS dx FROM e GROUP BY 1),
+      |dp AS (SELECT p, count(*)::HUGEINT AS dy FROM e GROUP BY 1),
+      |agg AS (SELECT count(*)::HUGEINT AS m, sum(dx)::HUGEINT AS sx,
+      |    sum(dy)::HUGEINT AS sy, sum(dx * dy)::HUGEINT AS sxy,
+      |    sum(dx * dx)::HUGEINT AS sxx, sum(dy * dy)::HUGEINT AS syy
+      |  FROM e JOIN dc USING (c) JOIN dp USING (p)),
+      |r AS (SELECT m, m * sxy - sx * sy AS num, m * sxx - sx * sx AS denx,
+      |    m * syy - sy * sy AS deny
+      |  FROM agg)
+      |SELECT m::BIGINT AS n_edges,
+      |  ((CASE WHEN num >= 0 THEN 1 ELSE -1 END) * num * num * 10000
+      |   // nullif(denx * deny, 0))::BIGINT AS assort_bp_signed
+      |FROM r""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q404_assortativity" -> q404_assortativity,
     "q267_weighted_pagerank" -> q267_weighted_pagerank,
     "q255_weighted_sssp" -> q255_weighted_sssp,
     "q241_resource_allocation" -> q241_resource_allocation,
@@ -842,6 +899,7 @@ object GraphQueries {
     "q177_neardup_triangles" -> q177_neardup_triangles)
 
   val oracles: Map[String, String] = Map(
+    "q404_assortativity" -> q404_sql,
     "q267_weighted_pagerank" -> q267_sql,
     "q199_hits" -> q199_sql,
     "q228_covisitation" -> q228_sql,

@@ -573,7 +573,79 @@ object LexicalQueries {
       |   // (max(n) - 2 * max(t)))::BIGINT AS trimmed_mean_ppm
       |FROM cl GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---- q405: vocabulary growth curve (Heaps-law readout) -----------------
+
+  /** Vocabulary GROWTH curve: distinct-token count after each quarter of
+    * the corpus (by doc_id — the ingestion order), the Heaps-law readout
+    * that answers "is this corpus still yielding new vocabulary, or is
+    * the tail all repeats?" — the number a data-mixing plan reads before
+    * deciding whether more of a source buys diversity or duplication.
+    * Checkpoints are deterministic VALUE thresholds — quarter marks of
+    * the [min, max] doc_id range, t_q = lo + ((hi−lo+1)·q) div 4 − 1 —
+    * not ranks, so no global row_number exists anywhere (the shardAssign
+    * lesson): per checkpoint, docs and token occurrences are conditional
+    * sums over one pass, and the vocabulary count reduces to the
+    * vocab-bounded first-seen frame (min doc_id per token). new_vocab
+    * diffs consecutive checkpoints on the 4-row readout; type_token_ppm
+    * = vocab·10⁶ div occurrences is the curve's slope proxy, exact. */
+  val q405_vocab_growth: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val th = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .select(explode(array((1L to 4L).map(q => struct(lit(q).as("quarter"),
+        expr(s"lo + ((hi - lo + 1) * $q) div 4 - 1").as("t"))): _*)).as("s"))
+      .select(col("s.quarter").as("quarter"), col("s.t").as("t"))
+      .localCheckpoint(true) // 4 rows; consumers: docs, occurrences, vocab
+    val nd = docs.select(col("doc_id")).crossJoin(broadcast(th))
+      .where(col("doc_id") <= col("t"))
+      .groupBy(col("quarter"), col("t")).agg(count(lit(1)).as("n_docs"))
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val occ = toks.crossJoin(broadcast(th))
+      .where(col("doc_id") <= col("t"))
+      .groupBy(col("quarter")).agg(count(lit(1)).as("n_occurrences"))
+    val firstSeen = toks.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val voc = firstSeen.crossJoin(broadcast(th))
+      .where(col("first_doc") <= col("t"))
+      .groupBy(col("quarter")).agg(count(lit(1)).as("vocab"))
+    nd.join(occ, Seq("quarter")).join(voc, Seq("quarter"))
+      .select(col("quarter"), col("t").as("doc_id_max"), col("n_docs"),
+        col("n_occurrences"), col("vocab"))
+      .withColumn("new_vocab", col("vocab") -
+        coalesce(lag(col("vocab"), 1).over(
+          Window.orderBy(col("quarter"))), lit(0L)))
+      .withColumn("type_token_ppm",
+        expr(s"cast(cast(vocab as $dec) * 1000000 div nullif(n_occurrences, 0)" +
+          " as bigint)"))
+      .orderBy(col("quarter"))
+  }
+  val q405_sql: String =
+    """WITH b AS (SELECT min(doc_id)::BIGINT AS lo, max(doc_id)::BIGINT AS hi
+      |  FROM documents),
+      |th AS (SELECT q AS quarter,
+      |    lo + ((hi - lo + 1) * q) // 4 - 1 AS t
+      |  FROM b, (SELECT unnest([1, 2, 3, 4])::BIGINT AS q)),
+      |nd AS (SELECT quarter, t, count(*)::BIGINT AS n_docs
+      |  FROM documents JOIN th ON doc_id <= t GROUP BY 1, 2),
+      |toks AS (SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |occ AS (SELECT quarter, count(*)::BIGINT AS n_occurrences
+      |  FROM toks JOIN th ON doc_id <= t GROUP BY 1),
+      |fs AS (SELECT token, min(doc_id)::BIGINT AS first_doc FROM toks
+      |  GROUP BY 1),
+      |voc AS (SELECT quarter, count(*)::BIGINT AS vocab
+      |  FROM fs JOIN th ON first_doc <= t GROUP BY 1)
+      |SELECT nd.quarter, t AS doc_id_max, n_docs, n_occurrences, vocab,
+      |  (vocab - coalesce(lag(vocab) OVER (ORDER BY nd.quarter), 0))::BIGINT
+      |    AS new_vocab,
+      |  (vocab::HUGEINT * 1000000 // nullif(n_occurrences, 0))::BIGINT
+      |    AS type_token_ppm
+      |FROM nd JOIN occ USING (quarter) JOIN voc USING (quarter)
+      |ORDER BY quarter""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q405_vocab_growth" -> q405_vocab_growth,
     "q393_trimmed_mean" -> q393_trimmed_mean,
     "q391_corpus_health" -> q391_corpus_health,
     "q386_dedup_tokens" -> q386_dedup_tokens,
@@ -585,6 +657,7 @@ object LexicalQueries {
     "q380_chao1_vocab" -> q380_chao1_vocab)
 
   val oracles: Map[String, String] = Map(
+    "q405_vocab_growth" -> q405_sql,
     "q393_trimmed_mean" -> q393_sql,
     "q391_corpus_health" -> q391_sql,
     "q386_dedup_tokens" -> q386_sql,

@@ -261,7 +261,67 @@ object MultimodalQueries {
       |WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q406: payload byte-entropy census ----------------------------------
+
+  /** Byte-entropy census per byte CLASS (high nibble) over the payload
+    * heads — the compressibility/content-type audit a media ingest runs
+    * codec-free: text-range classes (0x2–0x7) show low per-byte entropy
+    * (few distinct values, skewed counts), compressed/encrypted payloads
+    * near-uniform high. Arithmetic is the house xlx convention
+    * ([[graft.functions.Ilog2]], fp-16 log units): the entropy NUMERATOR
+    * H·T = T·ilog2(T) − Σ_v c_v·ilog2(c_v) stays integral (every count
+    * ≥ 1, so no 0·log 0 guard is even needed), and bits_per_byte_fp16 =
+    * h_xlx div T floors once at the readout (≤ 8·65536 by construction).
+    * Products route through DECIMAL(38,0)/HUGEINT — c·ilog2(c) exceeds
+    * BIGINT near 10¹³ bytes per class. Shapes: the per-payload 256-cell
+    * histograms fan out executor-side ([[Multimodal.byteValueCounts]]'s
+    * mapPartitions batch), the corpus reduces to ≤ 256 (cls, v) rows in
+    * one map-side-combinable pass, and the readout is ≤ 16 rows of grid
+    * algebra. The oracle replays every byte off `hex(encode(text))` and
+    * every log via the shift-and-square fold — hash-exact. */
+  val q406_payload_entropy: Q = (s, d) => {
+    import graft.functions.Ilog2
+    val dec = "decimal(38,0)"
+    val doc = Tables.widen(Tables.documents(s, d))
+    val withPayload = Multimodal.withPayload(doc, "text", "doc_id")
+    val vals = Multimodal.byteValueCounts(withPayload, "doc_id", "payload",
+        maxBytes = 64)
+      .groupBy(expr("v div 16").as("cls"), col("v"))
+      .agg(sum(col("n")).as("c"))
+    vals.groupBy(col("cls"))
+      .agg(sum(col("c")).as("n_bytes"), count(lit(1)).as("n_values"),
+        sum(col("c").cast(dec) * Ilog2.ilog2(col("c"))).as("__sx"))
+      .select(col("cls"), col("n_bytes"), col("n_values"),
+        (col("n_bytes").cast(dec) * Ilog2.ilog2(col("n_bytes")) - col("__sx"))
+          .as("__h"))
+      .select(col("cls"), col("n_bytes"), col("n_values"),
+        col("__h").cast("long").as("h_xlx"),
+        expr("cast(__h div n_bytes as bigint)").as("bits_per_byte_fp16"))
+      .orderBy(col("cls"))
+  }
+  val q406_sql: String = {
+    val il = graft.functions.Ilog2.sqlReplay _
+    s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+       |i AS (SELECT doc_id, p,
+       |        unnest(range(1, least(octet_length(p), 64) + 1)) AS i
+       |      FROM b),
+       |x AS (SELECT ('0x' || substr(hex(p), 2 * i - 1, 2))::BIGINT AS v
+       |      FROM i),
+       |vc AS (SELECT v // 16 AS cls, v, count(*)::BIGINT AS c
+       |       FROM x GROUP BY 1, 2),
+       |cg AS (SELECT cls, sum(c)::BIGINT AS n_bytes,
+       |         count(*)::BIGINT AS n_values,
+       |         sum(c::HUGEINT * ${il("c")}) AS sx
+       |       FROM vc GROUP BY 1)
+       |SELECT cls, n_bytes, n_values,
+       |  (n_bytes::HUGEINT * ${il("n_bytes")} - sx)::BIGINT AS h_xlx,
+       |  ((n_bytes::HUGEINT * ${il("n_bytes")} - sx) // n_bytes)::BIGINT
+       |    AS bits_per_byte_fp16
+       |FROM cg ORDER BY cls""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q406_payload_entropy" -> q406_payload_entropy,
     "q297_dhash_neardup" -> q297_dhash_neardup,
     "q263_byte_classes" -> q263_byte_classes,
     "q250_image_dhash" -> q250_image_dhash,
@@ -270,6 +330,7 @@ object MultimodalQueries {
     "q78_frame_features" -> q78_frame_features)
 
   val oracles: Map[String, String] = Map(
+    "q406_payload_entropy" -> q406_sql,
     "q297_dhash_neardup" -> q297_sql,
     "q263_byte_classes" -> q263_sql,
     "q250_image_dhash" -> q250_sql,

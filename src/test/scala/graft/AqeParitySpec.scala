@@ -117,7 +117,13 @@ class AqeParitySpec extends SparkSpec {
     // round-14: the probe-curve sweep — four cell-restricted broadcast
     // equi-joins + per-(query,nprobe) rank windows + the hit semi-joins,
     // all shapes AQE could re-plan (q401's single aggregate joins nothing)
-    "q402_ivf_probe_curve")
+    "q402_ivf_probe_curve",
+    // the eta^2 grid rejoin (5-row frames), the assortativity degree
+    // attach (two corpus-keyed equi-joins — the skew-join overlap), and
+    // the vocab-growth checkpoint crosses (4-row broadcasts)
+    "q403_dow_eta2",
+    "q404_assortativity",
+    "q405_vocab_growth")
 
   slice.foreach { name =>
     test(s"$name: identical rows with AQE off and on") {

@@ -110,4 +110,124 @@ class Round14OpsSpec extends SparkSpec {
     assert(out.getAs[Long]("kappa_ppm") > 0L &&
       out.getAs[Long]("kappa_ppm") <= 1000000L)
   }
+
+  // Independent BigInt recount of the day-of-week eta^2 from collected
+  // daily counts — plain per-group loops, not the engine's cleared-
+  // denominator grid algebra.
+  test("q403 eta^2 matches a BigInt driver recount") {
+    val daily = graft.io.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = SparkEntry.queries("q403_dow_eta2")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    daily.groupBy(_._1).foreach { case (g, rows) =>
+      val n = BigInt(rows.length)
+      val s = rows.map(r => BigInt(r._3)).sum
+      val q = rows.map(r => BigInt(r._3) * r._3).sum
+      val sst = n * q - s * s
+      val byDow = rows.groupBy(r => (r._2 + 4) % 7)
+      val t = byDow.values.map { grp =>
+        val sg = grp.map(r => BigInt(r._3)).sum
+        (n * sg * sg) / grp.length // per-group floor, the engine's convention
+      }.sum
+      val ssb = t - s * s
+      val r = out(g)
+      assert(r.getAs[Long]("n_days") == n.toLong, s"$g n_days")
+      assert(r.getAs[Long]("sst_n") == sst.toLong, s"$g sst")
+      assert(r.getAs[Long]("ssb_n") == ssb.toLong, s"$g ssb")
+      val want = if (sst == 0) None else Some(((ssb * 1000000) / sst).toLong)
+      val got = if (r.isNullAt(r.fieldIndex("eta2_ppm"))) None
+        else Some(r.getAs[Long]("eta2_ppm"))
+      assert(got == want, s"$g eta2")
+      // eta^2 is a variance fraction: 0 <= ssb <= sst
+      assert(ssb >= 0 && ssb <= sst, s"$g bounds")
+    }
+  }
+
+  // Independent recount of the assortativity signed r^2 from the edge
+  // list via plain maps (degree counting + textbook Pearson clearings).
+  test("q404 assortativity matches a BigInt driver recount") {
+    val edges = graft.queries.CoPurchase.purchaseEdges(spark, sf)
+      .select(col("c"), col("p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dc = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val dp = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val xs = edges.map { case (c, p) => (BigInt(dc(c)), BigInt(dp(p))) }
+    val m = BigInt(xs.length)
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxy = xs.map { case (x, y) => x * y }.sum
+    val sxx = xs.map { case (x, _) => x * x }.sum
+    val syy = xs.map { case (_, y) => y * y }.sum
+    val num = m * sxy - sx * sy
+    val den = (m * sxx - sx * sx) * (m * syy - sy * sy)
+    val want = if (den == 0) None
+      else Some((num.signum * num * num * 10000 / den).toLong)
+    val out = SparkEntry.queries("q404_assortativity")(spark, sf).head()
+    assert(out.getAs[Long]("n_edges") == m.toLong)
+    val got = if (out.isNullAt(out.fieldIndex("assort_bp_signed"))) None
+      else Some(out.getAs[Long]("assort_bp_signed"))
+    assert(got == want)
+  }
+
+  // Vocab-growth recount: collected token first-seen map + quarter
+  // thresholds recomputed driver-side; also asserts the curve's
+  // structural invariants (monotone vocab, quarter 4 covers everything).
+  test("q405 vocab growth matches a driver recount and is monotone") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ids = docs.map(_._1)
+    val (lo, hi) = (ids.min, ids.max)
+    val toks = docs.flatMap { case (id, t) =>
+      t.toLowerCase.split("\\W+").filter(_.nonEmpty).map(id -> _) }
+    val firstSeen = toks.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val out = SparkEntry.queries("q405_vocab_growth")(spark, sf).collect()
+    assert(out.length == 4)
+    (1 to 4).foreach { qq =>
+      val t = lo + ((hi - lo + 1) * qq) / 4 - 1
+      val r = out(qq - 1)
+      assert(r.getAs[Long]("quarter") == qq.toLong)
+      assert(r.getAs[Long]("doc_id_max") == t)
+      assert(r.getAs[Long]("n_docs") == ids.count(_ <= t).toLong)
+      assert(r.getAs[Long]("n_occurrences") == toks.count(_._1 <= t).toLong)
+      assert(r.getAs[Long]("vocab") ==
+        firstSeen.values.count(_ <= t).toLong)
+    }
+    val vocabs = out.map(_.getAs[Long]("vocab"))
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => a <= b })
+    assert(out.map(_.getAs[Long]("new_vocab")).sum == vocabs.last)
+    assert(out(3).getAs[Long]("vocab") == firstSeen.size.toLong)
+  }
+
+  // Entropy census recount: byte histogram from the payload heads via
+  // the same deterministic payload (encode(text)), entropy re-derived
+  // with the Ilog2 JVM fold — and the information-theoretic bound
+  // h <= ilog2(V)·T checked per class.
+  test("q406 payload entropy matches a driver recount") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[Int, Long]
+    docs.foreach { t =>
+      val bytes = t.getBytes("UTF-8").take(64)
+      bytes.foreach { b => val v = b & 0xff
+        counts(v) = counts.getOrElse(v, 0L) + 1L }
+    }
+    val byCls = counts.toSeq.groupBy(_._1 / 16)
+    val out = SparkEntry.queries("q406_payload_entropy")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == byCls.keySet.map(_.toLong))
+    byCls.foreach { case (cls, vs) =>
+      val t = vs.map(_._2).sum
+      val sx = vs.map { case (_, c) =>
+        BigInt(c) * graft.functions.Ilog2.impl(c) }.sum
+      val h = BigInt(t) * graft.functions.Ilog2.impl(t) - sx
+      val r = out(cls.toLong)
+      assert(r.getAs[Long]("n_bytes") == t, s"cls $cls bytes")
+      assert(r.getAs[Long]("n_values") == vs.length.toLong, s"cls $cls values")
+      assert(r.getAs[Long]("h_xlx") == h.toLong, s"cls $cls h")
+      assert(r.getAs[Long]("bits_per_byte_fp16") == (h / t).toLong)
+      assert(h >= 0 && (h / t) <= 8L * 65536L, s"cls $cls bound")
+    }
+  }
 }
