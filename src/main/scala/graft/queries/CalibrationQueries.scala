@@ -280,12 +280,91 @@ object CalibrationQueries {
       |FROM s2 LEFT JOIN qh ON s2.g = qh.g LEFT JOIN cov ON s2.g = cov.g
       |ORDER BY event_type""".stripMargin
 
+  // ---- q407: Brier score + Murphy decomposition --------------------------
+
+  /** Brier score of a binned probabilistic classifier with the Murphy
+    * (1973) decomposition — reliability (calibration error), resolution
+    * (how much the bins separate outcomes), and uncertainty (the
+    * no-skill floor): the standard readout for "is this quality score a
+    * PROBABILITY or just a ranking". Forecast: the ' the '-occurrence
+    * count capped at 10 as an 11-bin English-probability proxy
+    * (p_k = k/10); outcome: lang = 'en'. All four statistics are exact
+    * integer fixed point over the ≤ 11-row (bin, n_k, c_k) grid:
+    *   brier·10⁶  = Σ_k [c_k(k−10)² + (n_k−c_k)k²] · 10⁶ div (100N)
+    *   rel·10⁶    = Σ_k (k·n_k − 10·c_k)² div n_k   · 10⁶ div (100N)
+    *   res·10⁶    = Σ_k (N·c_k − C·n_k)² div n_k    · 10⁶ div N³
+    *   unc·10⁶    = C·(N−C)·10⁶ div N²
+    * (per-bin floors — the q332 convention; in real arithmetic
+    * brier = rel − res + unc, so the ppm readouts agree to the floor
+    * noise, and the fuzz recount checks each term independently).
+    * Integer range: res's N³·10⁶ clears DECIMAL(38,0)/HUGEINT to
+    * N ≈ 10¹⁰ rows — beyond that drop the resolution column or rescale.
+    * One corpus scan to the 11-bin grid; grid algebra after; N = 0
+    * impossible (the scan requires rows), empty bins simply absent. */
+  val q407_brier_decomposition: Q = (s, d) => {
+    val bin = expr("least((length(text) - length(replace(text, ' the ', ''))) div 5, 10)")
+    val grid = Tables.documents(s, d)
+      .select(bin.as("k"), (col("lang") === "en").cast("long").as("o"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_k"), sum(col("o")).as("c_k"))
+      .localCheckpoint(true) // ≤11 rows; consumers: tot + res (twice)
+    val tot = grid.agg(
+      sum(col("n_k")).as("n"), sum(col("c_k")).as("c"),
+      sum(expr(s"cast(c_k as $dec) * (k - 10) * (k - 10)" +
+        s" + cast(n_k - c_k as $dec) * k * k")).as("bnum"),
+      sum(expr(s"cast(k * n_k - 10 * c_k as $dec)" +
+        s" * (k * n_k - 10 * c_k) div n_k")).as("relnum"))
+    val res = grid
+      .crossJoin(broadcast(grid.agg(sum(col("n_k")).as("__n"),
+        sum(col("c_k")).as("__c"))))
+      .agg(sum(expr(s"""(cast(__n as $dec) * c_k - cast(__c as $dec) * n_k)
+          * (cast(__n as $dec) * c_k - cast(__c as $dec) * n_k)
+          div n_k""")).as("resnum"))
+    tot.crossJoin(broadcast(res))
+      .select(col("n"),
+        expr(s"cast(cast(c as $dec) * 1000000 div n as bigint)").as("o_bar_ppm"),
+        expr(s"cast(cast(bnum as $dec) * 1000000 div (100 * cast(n as $dec)) as bigint)")
+          .as("brier_ppm"),
+        expr(s"cast(cast(relnum as $dec) * 1000000 div (100 * cast(n as $dec)) as bigint)")
+          .as("rel_ppm"),
+        expr(s"cast(cast(resnum as $dec) * 1000000 div (cast(n as $dec) * n * n) as bigint)")
+          .as("res_ppm"),
+        expr(s"cast(cast(c as $dec) * (n - c) * 1000000 div (cast(n as $dec) * n) as bigint)")
+          .as("unc_ppm"))
+  }
+  val q407_sql: String =
+    """WITH doc AS (SELECT
+      |    least((length(text) - length(replace(text, ' the ', ''))) // 5, 10)
+      |      ::BIGINT AS k,
+      |    (lang = 'en')::BIGINT AS o
+      |  FROM documents),
+      |grid AS (SELECT k, count(*)::BIGINT AS n_k, sum(o)::BIGINT AS c_k
+      |  FROM doc GROUP BY 1),
+      |tot AS (SELECT sum(n_k)::HUGEINT AS n, sum(c_k)::HUGEINT AS c,
+      |    sum(c_k::HUGEINT * (k - 10) * (k - 10)
+      |        + (n_k - c_k)::HUGEINT * k * k) AS bnum,
+      |    sum((k * n_k - 10 * c_k)::HUGEINT * (k * n_k - 10 * c_k) // n_k)
+      |      AS relnum
+      |  FROM grid),
+      |res AS (SELECT sum((t.n * c_k - t.c * n_k) * (t.n * c_k - t.c * n_k)
+      |          // n_k) AS resnum
+      |  FROM grid, tot t)
+      |SELECT n::BIGINT AS n,
+      |  (c * 1000000 // n)::BIGINT AS o_bar_ppm,
+      |  (bnum * 1000000 // (100 * n))::BIGINT AS brier_ppm,
+      |  (relnum * 1000000 // (100 * n))::BIGINT AS rel_ppm,
+      |  (resnum * 1000000 // (n * n * n))::BIGINT AS res_ppm,
+      |  (c * (n - c) * 1000000 // (n * n))::BIGINT AS unc_ppm
+      |FROM tot, res""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q407_brier_decomposition" -> q407_brier_decomposition,
     "q345_conformal_gate" -> q345_conformal_gate,
     "q349_quantile_norm" -> q349_quantile_norm,
     "q350_isotonic" -> q350_isotonic)
 
   val oracles: Map[String, String] = Map(
+    "q407_brier_decomposition" -> q407_sql,
     "q345_conformal_gate" -> q345_sql,
     "q349_quantile_norm" -> q349_sql,
     "q350_isotonic" -> q350_sql)

@@ -586,11 +586,16 @@ object ForecastQueries {
     * convention). Shapes: one corpus pass to the calendar-bounded daily
     * frame, one ≤ 7-row grid per type, grid algebra after — nothing
     * quadratic, nothing collected. */
-  val q403_dow_eta2: Q = (s, d) => {
+  val q403_dow_eta2: Q = (s, d) => dowEta2(
+    Tables.events(s, d).select(col("event_type"),
+      expr("unix_millis(ts) div 86400000").as("day")))
+
+  /** Core over the raw (event_type, day) event rows — fuzz/stress entry
+    * point (duplication multiplies the daily counts). */
+  def dowEta2(rel: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val daily = Tables.events(s, d)
-      .groupBy(col("event_type"),
-        expr("unix_millis(ts) div 86400000").as("day"))
+    val daily = rel
+      .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("x"))
       .withColumn("dow", expr("(day + 4) % 7"))
     val tot = daily.groupBy(col("event_type"))

@@ -839,9 +839,14 @@ object GraphQueries {
     * family bound). Shapes: degree tables are node-bounded aggregates,
     * the edge-degree attach is two keyed equi-joins, the statistic is one
     * map-side-combinable 1-row aggregate — nothing quadratic. */
-  val q404_assortativity: Q = (s, d) => {
+  val q404_assortativity: Q = (s, d) =>
+    assortativity(CoPurchase.purchaseEdges(s, d).select(col("c"), col("p")))
+
+  /** Core over a raw (c, p) edge list — fuzz/stress entry point
+    * (disjoint replicas leave the signed r² exactly invariant: every
+    * moment scales by K, the ratio's K⁴ cancels before the one floor). */
+  def assortativity(e: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val e = CoPurchase.purchaseEdges(s, d).select(col("c"), col("p"))
     val dc = e.groupBy(col("c")).agg(count(lit(1)).as("dx"))
     val dp = e.groupBy(col("p")).agg(count(lit(1)).as("dy"))
     e.join(dc, Seq("c")).join(dp, Seq("p"))

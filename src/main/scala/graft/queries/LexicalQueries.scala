@@ -588,8 +588,10 @@ object LexicalQueries {
     * vocab-bounded first-seen frame (min doc_id per token). new_vocab
     * diffs consecutive checkpoints on the 4-row readout; type_token_ppm
     * = vocab·10⁶ div occurrences is the curve's slope proxy, exact. */
-  val q405_vocab_growth: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  val q405_vocab_growth: Q = (s, d) => vocabGrowth(Tables.documents(s, d))
+
+  /** Core over the raw (doc_id, text) frame — fuzz/stress entry point. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
     val th = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .select(explode(array((1L to 4L).map(q => struct(lit(q).as("quarter"),
         expr(s"lo + ((hi - lo + 1) * $q) div 4 - 1").as("t"))): _*)).as("s"))

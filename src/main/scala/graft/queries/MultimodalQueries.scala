@@ -279,10 +279,13 @@ object MultimodalQueries {
     * one map-side-combinable pass, and the readout is ≤ 16 rows of grid
     * algebra. The oracle replays every byte off `hex(encode(text))` and
     * every log via the shift-and-square fold — hash-exact. */
-  val q406_payload_entropy: Q = (s, d) => {
+  val q406_payload_entropy: Q = (s, d) =>
+    payloadEntropy(Tables.widen(Tables.documents(s, d)))
+
+  /** Core over the raw (doc_id, text) frame — fuzz/stress entry point. */
+  def payloadEntropy(doc: DataFrame): DataFrame = {
     import graft.functions.Ilog2
     val dec = "decimal(38,0)"
-    val doc = Tables.widen(Tables.documents(s, d))
     val withPayload = Multimodal.withPayload(doc, "text", "doc_id")
     val vals = Multimodal.byteValueCounts(withPayload, "doc_id", "payload",
         maxBytes = 64)

@@ -951,7 +951,42 @@ object RecoveryCertQueries {
   /** q262's batch cell-quality oracle verbatim. */
   val q400_sql: String = AnnQueries.q262_sql
 
+  /** The VOCABULARY REGISTER under CHECKPOINT RECOVERY — the TWENTY-THIRD
+    * recovery shape: q405's first-seen frame maintained incrementally by
+    * [[Streaming.vocabRegister]] (one long of state per token; a token
+    * emits exactly once, at first arrival). Two of the four doc_id-range
+    * files process before the kill; the resumed incarnation must
+    * remember every pre-crash token — a lost register re-emits
+    * post-crash repeats and the exactly-once parquet sink surfaces them
+    * as extra rows, so the emission union must equal the batch
+    * `min(doc_id) per token` frame row-for-row. Tokens stream in
+    * doc_id-ordered replay (stageOrderedBy), so each token's first batch
+    * also holds its global minimum — the same convention the EWMA/HW
+    * certs rely on. */
+  val q408_recovery_vocab: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+    val srcDir = stageOrderedBy(docs, d, "docsVocabOrdered4", 4,
+      Seq(col("doc_id")))
+    recoveringTable(s, srcDir, firstN = 2, tag = "q408_rec_vocab")(
+      st => Streaming.vocabRegister(
+        st.select(explode(graft.llm.TextAnalysis.tokens(col("text")))
+            .as("tok"), col("doc_id"))
+          .as[Streaming.TokDoc]).toDF(),
+      docs.schema)
+      .select(col("tok").as("token"), col("first_doc"))
+      .orderBy(col("token"))
+  }
+  val q408_sql: String =
+    """SELECT token, min(doc_id)::BIGINT AS first_doc
+      |FROM (SELECT doc_id, unnest(list_filter(
+      |        string_split_regex(lower(text), '\W+'), x -> x <> ''))
+      |        AS token FROM documents)
+      |GROUP BY 1 ORDER BY token""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q408_recovery_vocab" -> q408_recovery_vocab,
     "q400_recovery_ivf" -> q400_recovery_ivf,
     "q394_recovery_lsh" -> q394_recovery_lsh,
     "q395_recovery_simhash" -> q395_recovery_simhash,
@@ -976,6 +1011,7 @@ object RecoveryCertQueries {
     "q390_recovery_benford" -> q390_recovery_benford)
 
   val oracles: Map[String, String] = Map(
+    "q408_recovery_vocab" -> q408_sql,
     "q400_recovery_ivf" -> q400_sql,
     "q394_recovery_lsh" -> q394_sql,
     "q395_recovery_simhash" -> q395_sql,

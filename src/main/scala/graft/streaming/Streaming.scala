@@ -972,6 +972,37 @@ object Streaming {
       }
   }
 
+  case class TokDoc(tok: String, doc_id: Long)
+  case class TokFirst(tok: String, first_doc: Long)
+
+  /** Streaming VOCABULARY REGISTER: emit each token exactly once, at its
+    * first arrival, stamped with the smallest doc_id seen in that first
+    * batch — the novelty detector a streaming ingest runs to know whether
+    * a source still yields new vocabulary (the q405 growth curve's
+    * first-seen frame, maintained incrementally). State is ONE long per
+    * token (vocab-bounded, like [[lshCandidateStream]]'s bucket lists are
+    * corpus-bounded); a token already registered emits NOTHING on later
+    * arrivals, so a restart that silently lost the register re-emits
+    * post-crash tokens — duplicate rows the exactly-once parquet sink
+    * would surface as a hash break. With doc_id-ordered replay the first
+    * batch containing a token also holds its global min doc_id, so the
+    * emission union equals the batch `min(doc_id) per token` frame. */
+  def vocabRegister(arrivals: Dataset[TokDoc]): Dataset[TokFirst] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.tok)
+      .flatMapGroupsWithState[Long, TokFirst](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (tok: String, it: Iterator[TokDoc], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = it.map(_.doc_id).min
+            state.update(first)
+            Iterator.single(TokFirst(tok, first))
+          }
+      }
+  }
+
   case class CellVec(cell: Long, vec_id: Long, q: Long)
   case class CellVecSeq(cell: Long, vec_id: Long, q: Long, seq: Long)
 

@@ -112,7 +112,8 @@ object ScaleStress {
     "ks-textrank" -> ((StressFrameFamilies.ksTextrank, "/root/testdata/sf0.1")),
     "auc-snm" -> ((StressFrameFamilies.aucSnm, "/root/testdata/sf0.1")),
     "km-ab" -> ((StressFrameFamilies.kmAb, "/root/testdata/sf0.1")),
-    "cluster-quality" -> ((StressFrameFamilies.clusterQuality, "/root/testdata/sf0.1")))
+    "cluster-quality" -> ((StressFrameFamilies.clusterQuality, "/root/testdata/sf0.1")),
+    "round14" -> ((StressRound14Families.round14, "/root/testdata/sf0.1")))
 
   def main(args: Array[String]): Unit = {
     val (flags, names) = args.partition(_.startsWith("--"))

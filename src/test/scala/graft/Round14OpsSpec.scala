@@ -230,4 +230,70 @@ class Round14OpsSpec extends SparkSpec {
       assert(h >= 0 && (h / t) <= 8L * 65536L, s"cls $cls bound")
     }
   }
+
+  // Brier/Murphy recount in BigInt from the raw (bin, outcome) pairs —
+  // per-term, not the engine's grid algebra — plus the decomposition
+  // identity brier ≈ rel − res + unc to the per-bin floor noise
+  // (≤ 1 ppm per non-empty bin on each floored term).
+  test("q407 Brier decomposition matches a BigInt recount and the Murphy identity") {
+    val pairs = graft.io.Tables.documents(spark, sf).select(
+        expr("least((length(text) - length(replace(text, ' the ', ''))) div 5, 10)")
+          .as("k"),
+        (col("lang") === "en").cast("long").as("o"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = BigInt(pairs.length)
+    val c = BigInt(pairs.map(_._2).sum)
+    val grid = pairs.groupBy(_._1).map { case (k, g) =>
+      (BigInt(k), BigInt(g.length), BigInt(g.map(_._2).sum)) }.toSeq
+    val bnum = grid.map { case (k, nk, ck) =>
+      ck * (k - 10) * (k - 10) + (nk - ck) * k * k }.sum
+    val relnum = grid.map { case (k, nk, ck) =>
+      val d = k * nk - 10 * ck; d * d / nk }.sum
+    val resnum = grid.map { case (_, nk, ck) =>
+      val d = n * ck - c * nk; d * d / nk }.sum
+    val out = SparkEntry.queries("q407_brier_decomposition")(spark, sf).head()
+    val brier = (bnum * 1000000 / (100 * n)).toLong
+    val rel = (relnum * 1000000 / (100 * n)).toLong
+    val res = (resnum * 1000000 / (n * n * n)).toLong
+    val unc = (c * (n - c) * 1000000 / (n * n)).toLong
+    assert(out.getAs[Long]("n") == n.toLong)
+    assert(out.getAs[Long]("o_bar_ppm") == (c * 1000000 / n).toLong)
+    assert(out.getAs[Long]("brier_ppm") == brier)
+    assert(out.getAs[Long]("rel_ppm") == rel)
+    assert(out.getAs[Long]("res_ppm") == res)
+    assert(out.getAs[Long]("unc_ppm") == unc)
+    // Murphy: brier = rel − res + unc, up to the floors. Each floored
+    // unit lost in relnum is worth 10⁶/(100N) ppm of rel (the dominant
+    // noise); resnum units are 10⁶/N³ and the final floors ≤ 1 ppm each.
+    val relUnitPpm = (BigInt(1000000) / (100 * n)).toLong + 1
+    assert(math.abs(brier - (rel - res + unc)) <=
+      grid.size * relUnitPpm + 3L,
+      s"identity violated: $brier vs ${rel - res + unc}")
+  }
+
+  // Vocabulary register: exactly-once emission at first arrival, state
+  // survives across micro-batches (a second-arrival token is silent).
+  test("vocabRegister emits each token once with its first-batch min doc_id") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.TokDoc]
+    val q = Streaming.vocabRegister(mem.toDS())
+      .writeStream.format("memory").queryName("vocab_reg")
+      .outputMode("append").start()
+    try {
+      mem.addData(Streaming.TokDoc("alpha", 7L), Streaming.TokDoc("alpha", 3L),
+        Streaming.TokDoc("beta", 5L))
+      q.processAllAvailable()
+      mem.addData(Streaming.TokDoc("alpha", 1L), Streaming.TokDoc("gamma", 9L))
+      q.processAllAvailable()
+      val rows = spark.table("vocab_reg").collect()
+        .map(r => (r.getAs[String]("tok"), r.getAs[Long]("first_doc"))).toSet
+      // alpha re-arrives in batch 2 with a SMALLER id — the register must
+      // stay silent (first-arrival semantics; the cert's staging makes
+      // the first batch hold the true min, this unit pins the semantics)
+      assert(rows == Set(("alpha", 3L), ("beta", 5L), ("gamma", 9L)))
+    } finally q.stop()
+  }
 }
