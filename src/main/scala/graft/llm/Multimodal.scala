@@ -202,12 +202,17 @@ object Multimodal {
     * array per row, fan-out executor-side, all counts integer-exact for
     * the hex-nibble SQL oracle. Output: (id, cls, n), absent classes
     * omitted. */
-  def byteClassCounts(df: DataFrame, idCol: String, payloadCol: String,
-                      maxBytes: Int): DataFrame = {
-    require(maxBytes > 0, s"byteClassCounts: maxBytes must be positive, got $maxBytes")
+  /** Shared per-payload byte histogram: one `bins`-cell array per row,
+    * fan-out executor-side (the [[frameFeatures]] mapPartitions shape),
+    * absent bins omitted; `binOf` maps a byte (0-255) to its bin. Both
+    * public facades below delegate here so fixes land once. */
+  private def byteHistogram(df: DataFrame, idCol: String, payloadCol: String,
+                            maxBytes: Int, bins: Int, binCol: String)
+                           (binOf: Int => Int): DataFrame = {
+    require(maxBytes > 0, s"byteHistogram: maxBytes must be positive, got $maxBytes")
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
-      StructField("cls", LongType, nullable = false),
+      StructField(binCol, LongType, nullable = false),
       StructField("n", LongType, nullable = false)))
     val projected = df.select(col(idCol).cast("long"), col(payloadCol))
     projected.mapPartitions { rows =>
@@ -215,43 +220,27 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val counts = new Array[Long](16)
+        val counts = new Array[Long](bins)
         val n = math.min(bytes.length, maxBytes)
         var i = 0
-        while (i < n) { counts((bytes(i) & 0xf0) >> 4) += 1; i += 1 }
-        (0 until 16).iterator.filter(c => counts(c) > 0)
+        while (i < n) { counts(binOf(bytes(i) & 0xff)) += 1; i += 1 }
+        (0 until bins).iterator.filter(c => counts(c) > 0)
           .map(c => Row(id, c.toLong, counts(c)))
       }
-    }(RowEncoder.encoderFor(outSchema)).toDF("id", "cls", "n")
+    }(RowEncoder.encoderFor(outSchema)).toDF("id", binCol, "n")
   }
+
+  def byteClassCounts(df: DataFrame, idCol: String, payloadCol: String,
+                      maxBytes: Int): DataFrame =
+    byteHistogram(df, idCol, payloadCol, maxBytes, 16, "cls")(_ >> 4)
 
   /** Byte-VALUE histogram per payload over the head `maxBytes` bytes —
     * [[byteClassCounts]] at full 256-value resolution, the sufficient
-    * statistic for entropy/compressibility audits. Same batched
-    * `mapPartitions` shape (one 256-cell array per row, fan-out
-    * executor-side); integer-exact for the hex-pair SQL oracle.
-    * Output: (id, v, n), absent values omitted. */
+    * statistic for entropy/compressibility audits. Output: (id, v, n),
+    * absent values omitted. */
   def byteValueCounts(df: DataFrame, idCol: String, payloadCol: String,
-                      maxBytes: Int): DataFrame = {
-    require(maxBytes > 0, s"byteValueCounts: maxBytes must be positive, got $maxBytes")
-    val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("v", LongType, nullable = false),
-      StructField("n", LongType, nullable = false)))
-    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
-    projected.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val id = r.getLong(0)
-        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val counts = new Array[Long](256)
-        val n = math.min(bytes.length, maxBytes)
-        var i = 0
-        while (i < n) { counts(bytes(i) & 0xff) += 1; i += 1 }
-        (0 until 256).iterator.filter(v => counts(v) > 0)
-          .map(v => Row(id, v.toLong, counts(v)))
-      }
-    }(RowEncoder.encoderFor(outSchema)).toDF("id", "v", "n")
-  }
+                      maxBytes: Int): DataFrame =
+    byteHistogram(df, idCol, payloadCol, maxBytes, 256, "v")(identity)
 
   /** A REAL decoder behind the injection seam — proof the [[Decoder]]
     * contract works beyond [[StubDecoder]] without native codecs: a

@@ -931,10 +931,12 @@ object AnnQueries {
     * fixed quantizer, so its row is brute-force-equal by construction —
     * recall 1.0 — an in-band sanity anchor the spec also asserts. Shapes:
     * the probe side is ≤ 5 queries (bounded broadcast, q26's license);
-    * each sweep level is one cell-restricted scoring pass
-    * ([[Ivf.topK]]'s broadcast-probe equi-join on cell, per-query top-10
-    * via the rank-filter pushdown); the 4 levels union to a ≤ 160-row
-    * frame before the ≤ 50-row hit join. Rankings are deterministic and
+    * the corpus is assigned and scored in ONE pass shared by all four
+    * levels — each probe cell carries its probe RANK cr, so level np's
+    * candidate set is just cr ≤ np, and the per-(query, np) top-10 runs
+    * as rank windows over the one scored frame ([[Ivf.topK]]'s cosine
+    * expression and tie rules, without its per-level re-assignment).
+    * Rankings are deterministic and
     * IEEE division is correctly rounded, so the recall fractions
     * hash-check cross-engine (the q106/q388 precedent). */
   val q402_ivf_probe_curve: Q = (s, d) => {
@@ -945,15 +947,40 @@ object AnnQueries {
     val qs = emb.where(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(qs, emb, 10, dim = dim)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint(true) // ≤50 rows; consumers: 4 hit joins + universe
+      .localCheckpoint(true) // ≤50 rows; consumers: hit semi-join + universe
     val nprobes = Seq(1L, 2L, 4L, 8L)
-    val hits = nprobes.map { np =>
-      Ivf.topK(qs, emb, cents, 10, np.toInt, dim)
-        .select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-        .withColumn("nprobe", lit(np))
-    }.reduce(_ unionByName _)
+    // probe routing ONCE with the cell's probe rank kept (cr): a candidate
+    // scored in a cell at rank cr participates in every level np >= cr, so
+    // the corpus is assigned and scored in ONE pass shared by all four
+    // sweep levels (the review fix: the first draft called Ivf.topK per
+    // level, re-running the corpus assignment 4x). Same cosine expression
+    // and tie rules as Ivf.topK — per-row staged norms, dot/(qn*cn).
+    val wp = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("score", Similarity.cosine(col("embedding"), col("centroid"), dim))
+      .withColumn("cr", row_number().over(wp).cast("long"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("cell"), col("cr"),
+        Similarity.norm(col("embedding"), dim).as("__qn"))
+    val assigned = Ivf.assign(emb, cents, dim)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+        col("cell"), Similarity.norm(col("embedding"), dim).as("__cn"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("cr"), col("neighbor_id"),
+        (Similarity.dot(col("qvec"), col("cvec"), dim) /
+          (col("__qn") * col("__cn"))).as("cos_sim"))
+    val wr = Window.partitionBy(col("query_id"), col("nprobe"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val hits = scored
+      .crossJoin(broadcast(nprobes.toDF("nprobe")))
+      .where(col("cr") <= col("nprobe"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= 10)
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"), col("nprobe"))
+      .agg(count(lit(1)).as("n_hits"))
     exact.select(col("query_id")).distinct()
       .crossJoin(broadcast(nprobes.toDF("nprobe")))
       .join(hits, Seq("query_id", "nprobe"), "left")

@@ -580,7 +580,10 @@ object ForecastQueries {
     * over N days and per-dow (S_g, n_g), N·SST = N·Q − S² and N·SSB =
     * Σ_g (N·S_g²) div n_g − S² (per-group floor — the q332/q271
     * fixed-point convention; the dropped sub-integer remainder is
-    * < 7/SST ppm). η²·10⁶ = ssb_n·10⁶ div sst_n, NULL on a constant
+    * < 7/SST ppm, and because the floors only ever REDUCE the summed
+    * term, a near-zero true SSB can surface as a small negative — the
+    * readout clamps at 0 on both engines, keeping η² ∈ [0, 1]
+    * structural). η²·10⁶ = ssb_n·10⁶ div sst_n, NULL on a constant
     * series (SST = 0 — fail closed, never a fabricated 0 or 1). Day
     * numbering: Unix day + 4 so weekday 0 = Sunday (the q330 weekend
     * convention). Shapes: one corpus pass to the calendar-bounded daily
@@ -610,7 +613,11 @@ object ForecastQueries {
       .select(col("event_type"), col("n_days"),
         expr(s"cast(cast(n_days as $dec) * q - cast(s as $dec) * s as $dec)")
           .as("__sst"),
-        expr(s"cast(t - cast(s as $dec) * s as $dec)").as("__ssb"))
+        // the per-group floors only ever REDUCE t, so the true SSB ≥ 0 can
+        // surface as a small negative — clamp at 0 (never above: floors
+        // can't raise t, and SST is exact, so ssb ≤ sst is structural)
+        expr(s"greatest(cast(t - cast(s as $dec) * s as $dec)," +
+          s" cast(0 as $dec))").as("__ssb"))
       .select(col("event_type"), col("n_days"),
         col("__sst").cast("long").as("sst_n"),
         col("__ssb").cast("long").as("ssb_n"),
@@ -633,8 +640,9 @@ object ForecastQueries {
       |  GROUP BY 1)
       |SELECT tot.g AS event_type, n_days,
       |  (n_days::HUGEINT * q - s * s)::BIGINT AS sst_n,
-      |  (t - s * s)::BIGINT AS ssb_n,
-      |  ((t - s * s) * 1000000 // nullif(n_days::HUGEINT * q - s * s, 0))
+      |  greatest(t - s * s, 0)::BIGINT AS ssb_n,
+      |  (greatest(t - s * s, 0) * 1000000
+      |   // nullif(n_days::HUGEINT * q - s * s, 0))
       |    ::BIGINT AS eta2_ppm
       |FROM tot JOIN grid ON grid.g = tot.g
       |ORDER BY event_type""".stripMargin

@@ -597,20 +597,24 @@ object LexicalQueries {
         expr(s"lo + ((hi - lo + 1) * $q) div 4 - 1").as("t"))): _*)).as("s"))
       .select(col("s.quarter").as("quarter"), col("s.t").as("t"))
       .localCheckpoint(true) // 4 rows; consumers: docs, occurrences, vocab
-    val nd = docs.select(col("doc_id")).crossJoin(broadcast(th))
+    // doc counts AND occurrence counts come from the ROW-LOCAL per-doc
+    // token count (size of the token array — no explode), so the corpus
+    // is tokenized instance-by-instance exactly once, in the first-seen
+    // pass below (the review fix: the first draft exploded twice).
+    val docTok = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    val nd = docTok.crossJoin(broadcast(th))
       .where(col("doc_id") <= col("t"))
-      .groupBy(col("quarter"), col("t")).agg(count(lit(1)).as("n_docs"))
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val occ = toks.crossJoin(broadcast(th))
-      .where(col("doc_id") <= col("t"))
-      .groupBy(col("quarter")).agg(count(lit(1)).as("n_occurrences"))
-    val firstSeen = toks.groupBy(col("token"))
+      .groupBy(col("quarter"), col("t"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_occurrences"))
+    val firstSeen = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
       .agg(min(col("doc_id")).as("first_doc"))
     val voc = firstSeen.crossJoin(broadcast(th))
       .where(col("first_doc") <= col("t"))
       .groupBy(col("quarter")).agg(count(lit(1)).as("vocab"))
-    nd.join(occ, Seq("quarter")).join(voc, Seq("quarter"))
+    nd.join(voc, Seq("quarter"))
       .select(col("quarter"), col("t").as("doc_id_max"), col("n_docs"),
         col("n_occurrences"), col("vocab"))
       .withColumn("new_vocab", col("vocab") -

@@ -67,7 +67,7 @@ object StressRound14Families {
         val sg = grp.map(r => BigInt(r._3) * Reps).sum
         (n * sg * sg) / grp.length
       }.sum
-      val ssb = t - s * s
+      val ssb = (t - s * s).max(BigInt(0)) // engine clamps the floor dip
       val eta = if (sst == 0) None else Some(((ssb * 1000000) / sst).toLong)
       eK.get(g).contains((n.toLong, sst.toLong, ssb.toLong, eta))
     }

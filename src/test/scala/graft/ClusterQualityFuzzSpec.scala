@@ -26,16 +26,33 @@ import graft.queries.ClusterQualityQueries
   *     (left-to-right dot folds from 0.0 — DotProduct.impl's documented
   *     semantics), so expected values are exact, not approximate.
   */
-class ClusterQualityFuzzSpec extends SparkSpec {
+class ClusterQualityFuzzSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   private val K = 8
 
+  private val fixtureDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
   private def writeEmb(rows: Seq[(Long, Seq[Float])]): String = {
     val dir = java.nio.file.Files.createTempDirectory("cq_fuzz").toString
+    fixtureDirs += dir
     rows.toDF("vec_id", "embedding")
       .repartition(1).write.parquet(s"$dir/embeddings.parquet")
     dir
+  }
+
+  override def afterAll(): Unit = {
+    fixtureDirs.foreach { d =>
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    super.afterAll()
   }
 
   private def optLong(r: org.apache.spark.sql.Row, f: String): Option[Long] =

@@ -131,7 +131,7 @@ class Round14OpsSpec extends SparkSpec {
         val sg = grp.map(r => BigInt(r._3)).sum
         (n * sg * sg) / grp.length // per-group floor, the engine's convention
       }.sum
-      val ssb = t - s * s
+      val ssb = (t - s * s).max(BigInt(0)) // engine clamps the floor dip
       val r = out(g)
       assert(r.getAs[Long]("n_days") == n.toLong, s"$g n_days")
       assert(r.getAs[Long]("sst_n") == sst.toLong, s"$g sst")
@@ -143,6 +143,24 @@ class Round14OpsSpec extends SparkSpec {
       // eta^2 is a variance fraction: 0 <= ssb <= sst
       assert(ssb >= 0 && ssb <= sst, s"$g bounds")
     }
+  }
+
+  // The floor-dip clamp: a fixture where the per-group floored SSB terms
+  // sum to one unit BELOW s² (true SSB ≈ 0) must read ssb_n = 0, not -1.
+  // Construction (review finding): dow groups of sizes 3 and 7 with
+  // counts (2,1,1) and (3,1,1,1,1,1,1) → s=13, q=21, sst = 10·21−169 =
+  // 41, t = (10·16 div 3) + (10·81 div 7) = 53+115 = 168 = s²−1.
+  test("q403 clamps the per-group floor dip at ssb_n = 0") {
+    import spark.implicits._
+    // days 0,7,14 land on one dow; 1,8,15,22,29,36,43 on another
+    val days = Seq(0L, 0L, 7L, 14L) ++ // counts 2,1,1
+      (Seq(1L, 1L, 1L, 8L, 15L, 22L, 29L, 36L, 43L)) // counts 3,1,1,1,1,1,1
+    val rel = days.map(d => ("g", d)).toDF("event_type", "day")
+    val r = graft.queries.ForecastQueries.dowEta2(rel).head()
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Long]("sst_n") == 41L)
+    assert(r.getAs[Long]("ssb_n") == 0L, s"clamp missing: $r")
+    assert(r.getAs[Long]("eta2_ppm") == 0L)
   }
 
   // Independent recount of the assortativity signed r^2 from the edge

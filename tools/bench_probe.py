@@ -53,9 +53,16 @@ def run_one(name, reps, sf_dir):
     # old-round worktree) for same-host A/B bisection of bench drift
     repo = os.environ.get("GRAFT_REPO_DIR", os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
-    out = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Bench {name}'],
-        capture_output=True, text=True, env=env, cwd=repo)
+    # fail SOFT on a wedged child: record the timeout and keep probing the
+    # rest of the list (the artifact is only written after the loop)
+    timeout = int(os.environ.get("PROBE_CHILD_TIMEOUT_SEC", "3600"))
+    try:
+        out = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Bench {name}'],
+            capture_output=True, text=True, env=env, cwd=repo,
+            timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"error": f"child timed out after {timeout}s"}
     # sbt prefixes stdout lines with "[info] " — take the JSON from the
     # '{"metric"' marker onward, wherever it sits in the line
     line = next((l[l.index('{"metric"'):] for l in out.stdout.splitlines()
