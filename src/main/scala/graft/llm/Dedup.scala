@@ -242,6 +242,41 @@ object Dedup {
       .distinct()
   }
 
+  /** [[crossCorpusCandidates]] over PRECOMPUTED signature frames — the
+    * staged-signature entry point. A doc's signature depends only on its
+    * own shingles, so signatures built over the whole corpus and row-
+    * filtered to the two sides are value-identical to signatures built
+    * from the filtered doc sets (the subset-vs-whole invariant already
+    * documented on [[crossCorpusCandidates]]); a bench/verify session
+    * therefore computes ONE signature table and fans it into both sides
+    * of every cross-corpus gate instead of re-running shingle → k-hash
+    * builds per side per invocation. `k` must match the signature
+    * frame's h0..h{k-1} columns. */
+  def crossCorpusCandidatesFromSig(corpusSig: DataFrame, benchSig: DataFrame,
+                                   k: Int, bands: Int,
+                                   maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rpb = k / bands
+    def bucketize(sig: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat((0 until rpb).map(r => col(s"h${b * rpb + r}")): _*).as("bkey"))
+      }
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+    val corpusBuckets = bucketize(corpusSig)
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val benchBuckets = bucketize(benchSig)
+      .select(col("band"), col("bkey"), col("doc_id").as("bench_id"))
+    corpusBuckets.join(benchBuckets, Seq("band", "bkey"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+  }
+
   /** Stateless per-ROW band-bucket projection — the streaming-compatible
     * form of [[minhashSignatures]] + banding: each doc's k-hash signature
     * is computed from its own shingles (min over the doc's shingle hashes ≡

