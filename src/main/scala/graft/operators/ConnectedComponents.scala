@@ -51,6 +51,15 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // |nodes|-gated per-round broadcast (the PageRank/Triangles count gate,
+    // one cheap job on the materialized checkpoint): the label and nbr-min
+    // frames are node-bounded 2-long-column tables, so broadcasting them
+    // leaves ONE shuffle per round (the per-src min) instead of three —
+    // the edge table never exchanges inside a round. Past the gate both
+    // joins revert to shuffle joins automatically.
+    val n = labels.count()
+    val bounded = (df: DataFrame) =>
+      if (n <= 4000000L) broadcast(df) else df
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -58,12 +67,12 @@ object ConnectedComponents {
       // the changed-count rides the checkpoint action as an observe metric,
       // so convergence detection costs zero extra jobs
       val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .join(bounded(labels.select(col("id").as("dst"), col("label"))), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
       val obs = Observation(s"cc_prop_$i")
       val next = labels
-        .join(nbrMin, Seq("id"), "left")
+        .join(bounded(nbrMin), Seq("id"), "left")
         .select(col("id"), col("label"),
           coalesce(col("nbr_label"), col("label")).as("nl"))
         .observe(obs,
@@ -112,6 +121,15 @@ object ConnectedComponents {
       .where(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint(true)
+    // |nodes|-gated per-round broadcast (the PageRank/Triangles count gate):
+    // the large-star and small-star min tables are node-bounded, so
+    // broadcasting them keeps the O(m) nbrs/afterLarge streams exchange-
+    // free through both attach joins — three shuffles per round (two min
+    // aggs + the round distinct) instead of five. Past the gate the joins
+    // revert to shuffle joins automatically.
+    val nNodes = nodes.count()
+    val bounded = (df: DataFrame) =>
+      if (nNodes <= 4000000L) broadcast(df) else df
     var prevSig: (Long, BigDecimal) = (-1L, BigDecimal(-1))
     var converged = false
     var i = 0
@@ -125,14 +143,14 @@ object ConnectedComponents {
       // aggregate below or the final round distinct, and dropping the
       // intermediate dedup saves a full shuffle per round
       val afterLarge = nbrs.where(col("v") > col("u"))
-        .join(lmins, Seq("u"))
+        .join(bounded(lmins), Seq("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
       // small-star on the oriented edges: per node u (as `hi`), point every
       // smaller neighbor AND u itself at min(Γ⁻(u)); each input row (u, v)
       // emits (u, m) when v == m, else (v, m) — exactly N ∪ {u} \ {m}
       val smins = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
       val obs = Observation(s"cc_star_$i")
-      val next = afterLarge.join(smins, Seq("hi"))
+      val next = afterLarge.join(bounded(smins), Seq("hi"))
         .select(
           when(col("lo") === col("m"), col("hi")).otherwise(col("lo")).as("hi"),
           col("m").as("lo"))
