@@ -71,12 +71,19 @@ object Bench {
     val streamingNames =
       queries.StreamingQueries.defs.keySet ++ queries.StreamingCertQueries.defs.keySet ++
         queries.RecoveryCertQueries.defs.keySet
+    // per-query staging attribution (rep 1 pays each memoized staged
+    // corpus exactly once; see graft.io.StageClock): reported IN ADDITION
+    // to the unchanged per-query totals, never subtracted from them
+    val stageSecs = scala.collection.mutable.Map.empty[String, Double]
     def timeAll(rep: Int): Map[String, Double] = names.flatMap { case (name, fn) =>
       if (rep > 1 && streamingNames(name)) None
       else {
+        val st0 = graft.io.StageClock.totalSecs
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
+        val sdt = graft.io.StageClock.totalSecs - st0
+        if (sdt > 0.001) stageSecs(name) = stageSecs.getOrElse(name, 0.0) + sdt
         // drop this query's localCheckpoint blocks before the next one:
         // ~80 queries checkpoint fan-out frames, and 250 queries × reps
         // would otherwise accumulate hundreds of materialized RDDs in the
@@ -118,7 +125,19 @@ object Bench {
         s""","warning":"hypervisor steal time ${f"$stealPct%.1f"}% over the run; numbers may be inflated by neighbor load""""
       else ""
     val loads = s""""load_before":[${loadBefore.mkString(",")}],"load_after":[${loadAfter.mkString(",")}],"steal_pct":${f"$stealPct%.2f"}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_certs":$certs,"batch_total":$batchTotal,"stream_total":$streamTotal,"sf":"$sfDir","reps":$reps,"stream_reps":1,$loads$warn}""")
+    // stage_secs: how much of each query's (included, unchanged) time was
+    // first-consumer staging I/O — the in-band staging/compute split
+    val stages = jmap(stageSecs.toSeq.sortBy(_._1))
+    val stageTotal = stageSecs.values.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_certs":$certs,"batch_total":$batchTotal,"stream_total":$streamTotal,"stage_secs":$stages,"stage_total":$stageTotal,"sf":"$sfDir","reps":$reps,"stream_reps":1,$loads$warn}"""
+    println(line)
+    // also land the line in a file: the driver reads the process tail, and
+    // a ~20 KB one-line JSON has already outgrown one round's tail capture
+    // (round-14's BENCH JSON was truncated mid-line and unparseable)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -50,7 +50,7 @@ object StagedFrame {
         case Some(d) if reusable(d) => d
         case _ =>
           val out = Scratch.dir(prefix) + "/t"
-          build.write.mode("overwrite").parquet(out)
+          StageClock.timed { build.write.mode("overwrite").parquet(out) }
           staged.put(mapKey, out)
           out
       }

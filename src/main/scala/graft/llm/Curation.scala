@@ -116,10 +116,15 @@ object Curation {
       // inline split would re-run the regex per array element)
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), array_distinct(ngramsFromTokens(col("toks"), n)).as("grams"))
+      // membership count via the native set-literal expression rather than
+      // size(array_intersect(grams, typedLit(set))): ArrayIntersect
+      // rebuilds the literal side's hash set per ROW, which at a ~15k-gram
+      // benchmark dominates the gate; LitSetOverlap builds it once per
+      // task. Value-identical because `grams` is distinct and null-free.
       .select(col("doc_id"),
         size(col("grams")).cast("long").as("n_grams"),
-        size(array_intersect(col("grams"),
-          typedLit(benchGrams))).cast("long").as("n_overlap"))
+        graft.functions.LitSetOverlap.overlapCount(col("grams"), benchGrams)
+          .as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
 
   // ------------------------------------------------- repetition quality

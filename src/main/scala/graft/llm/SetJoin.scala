@@ -66,17 +66,33 @@ object SetJoin {
       .select(col("doc_id"),
         transform(col("__dt"), x => x.getField("term")).as("terms"),
         size(col("__dt")).cast("long").as("sz"))
-    // prefix length |x| - ceil(tau*|x|) + 1, integer ceil-div
+    // prefix length |x| - ceil(tau*|x|) + 1, integer ceil-div; posexplode
+    // keeps each term's 0-based POSITION in the canonical order for the
+    // positional filter below
     val prefix = ordered.select(col("doc_id"), col("sz"),
-      explode(slice(col("terms"), lit(1), expr(
-        s"cast(sz - ((sz * $tauNum + ${tauDen - 1}) div $tauDen) + 1 as int)")))
-        .as("term"))
+      posexplode(slice(col("terms"), lit(1), expr(
+        s"cast(sz - ((sz * $tauNum + ${tauDen - 1}) div $tauDen) + 1 as int)"))))
+      .select(col("doc_id"), col("sz"), col("pos"), col("col").as("term"))
+    // PPJoin positional filter (Xiao et al. WWW'08): J ≥ τ needs overlap
+    // α = ⌈τ/(1+τ)·(|x|+|y|)⌉, and for a term shared at 0-based positions
+    // (pa, pb) the overlap is bounded by min(pa, pb) common terms strictly
+    // before it (both arrays share ONE total order, so "before" agrees)
+    // plus 1 + min(|x|−pa−1, |y|−pb−1) from it onward. A qualifying pair
+    // satisfies the bound at EVERY shared term, so adding it to the join
+    // prunes candidates without losing any true pair. Integer form:
+    // bound·(tauNum+tauDen) ≥ (|x|+|y|)·tauNum  ⇔  bound ≥ α.
+    val posBound =
+      (least(col("a.pos"), col("b.pos")) + lit(1L) +
+        least(col("a.sz") - col("a.pos") - 1L,
+          col("b.sz") - col("b.pos") - 1L)) * lit(tauNum + tauDen) >=
+        (col("a.sz") + col("b.sz")) * lit(tauNum)
     val cands = prefix.as("a")
       .join(prefix.as("b"), col("a.term") === col("b.term") &&
         col("a.doc_id") < col("b.doc_id") &&
         // length filter: tau * max <= min, cross-multiplied
         greatest(col("a.sz"), col("b.sz")) * tauNum <=
-          least(col("a.sz"), col("b.sz")) * tauDen)
+          least(col("a.sz"), col("b.sz")) * tauDen &&
+        posBound)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verify on candidates only: row-local array_intersect

@@ -51,15 +51,17 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    // |nodes|-gated per-round broadcast (the PageRank/Triangles count gate,
-    // one cheap job on the materialized checkpoint): the label and nbr-min
-    // frames are node-bounded 2-long-column tables, so broadcasting them
-    // leaves ONE shuffle per round (the per-src min) instead of three —
-    // the edge table never exchanges inside a round. Past the gate both
-    // joins revert to shuffle joins automatically.
+    // |nodes|-gated per-round broadcast (one cheap job on the materialized
+    // checkpoint): the label and nbr-min frames are node-bounded
+    // 2-long-column tables, so broadcasting them leaves ONE shuffle per
+    // round (the per-src min) instead of three — the edge table never
+    // exchanges inside a round. Past the gate both joins revert to shuffle
+    // joins automatically. Gate sized for PER-ROUND broadcast accumulation
+    // (see [[PageRank.PerRoundBroadcastMaxNodes]]), not the one-shot 4M
+    // Triangles budget.
     val n = labels.count()
     val bounded = (df: DataFrame) =>
-      if (n <= 4000000L) broadcast(df) else df
+      if (n <= PageRank.PerRoundBroadcastMaxNodes) broadcast(df) else df
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -121,15 +123,14 @@ object ConnectedComponents {
       .where(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint(true)
-    // |nodes|-gated per-round broadcast (the PageRank/Triangles count gate):
-    // the large-star and small-star min tables are node-bounded, so
-    // broadcasting them keeps the O(m) nbrs/afterLarge streams exchange-
-    // free through both attach joins — three shuffles per round (two min
-    // aggs + the round distinct) instead of five. Past the gate the joins
-    // revert to shuffle joins automatically.
-    val nNodes = nodes.count()
-    val bounded = (df: DataFrame) =>
-      if (nNodes <= 4000000L) broadcast(df) else df
+    // NO per-round broadcast gate here, unlike [[components]]: on the
+    // star/chain shapes this variant exists for, the lmins/smins tables are
+    // ≈|edges| rows (every node is its own group), so broadcasting them per
+    // round (two builds × O(log n) rounds) costs more than the shuffles it
+    // saves — measured a 20-26% regression on q128 when round 15 tried it
+    // (driver 2.30→2.89 s; steady-state 3.02→3.60 s), reverted here. The
+    // propagation variant keeps its gate: its label frame is genuinely
+    // small relative to the dense bucket-clique edge streams it serves.
     var prevSig: (Long, BigDecimal) = (-1L, BigDecimal(-1))
     var converged = false
     var i = 0
@@ -143,14 +144,14 @@ object ConnectedComponents {
       // aggregate below or the final round distinct, and dropping the
       // intermediate dedup saves a full shuffle per round
       val afterLarge = nbrs.where(col("v") > col("u"))
-        .join(bounded(lmins), Seq("u"))
+        .join(lmins, Seq("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
       // small-star on the oriented edges: per node u (as `hi`), point every
       // smaller neighbor AND u itself at min(Γ⁻(u)); each input row (u, v)
       // emits (u, m) when v == m, else (v, m) — exactly N ∪ {u} \ {m}
       val smins = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
       val obs = Observation(s"cc_star_$i")
-      val next = afterLarge.join(bounded(smins), Seq("hi"))
+      val next = afterLarge.join(smins, Seq("hi"))
         .select(
           when(col("lo") === col("m"), col("hi")).otherwise(col("lo")).as("hi"),
           col("m").as("lo"))

@@ -27,6 +27,12 @@ object Impute {
     * the first / after the last observation stay null in the respective
     * direction.
     *
+    * `order` must be plain ASCENDING columns (e.g. `col("t")`), never a
+    * pre-directed SortOrder like `col("t").desc`: the backward fill
+    * derives its ordering as `order.map(_.desc)`, which only inverts a
+    * plain Column — a SortOrder input would nest and silently flip the
+    * bfill direction.
+    *
     * Both directions run as RUNNING frames ([unboundedPreceding,
     * currentRow]): the backward fill orders DESCENDING and takes the
     * running `last` — identical to `first(...ignoreNulls) over [currentRow,

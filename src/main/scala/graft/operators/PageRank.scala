@@ -73,37 +73,63 @@ object PageRank {
         nodes.join(deg, nodes("id") === deg("src"), "left_anti").localCheckpoint(true)
       else null
     // Per-round join strategy: the rank frame and the per-dst sum frame
-    // are both |nodes|-bounded, so when the graph fits the same count gate
-    // as [[Triangles]] (node tables of 2 longs — well under the broadcast
-    // cap) broadcast them into the round's two joins. The edge table —
-    // the O(m) side — then never exchanges inside a round: each round is
-    // ONE shuffle (the map-side-combined per-dst sum) instead of three
+    // are both |nodes|-bounded, so when the graph fits the count gate
+    // broadcast them into the round's two joins. The edge table — the
+    // O(m) side — then never exchanges inside a round: each round is ONE
+    // shuffle (the map-side-combined per-dst sum) instead of three
     // (edge⋈rank, the sum, nodes⋈sum). Past the gate (billions of nodes
     // at 100 TB) both joins revert to shuffle joins automatically.
+    // The gate is LOWER than Triangles' one-shot 4M gate: a loop builds
+    // 2 broadcasts per round and lazy rounds (CkptEvery) keep up to
+    // ~2·CkptEvery relations referenced at once, so the per-round budget
+    // is sized for that accumulation (1M nodes ≈ tens of MB per built
+    // hash relation, a few hundred MB worst-case live).
     val bounded = (df: DataFrame) =>
-      if (n <= 4000000L) broadcast(df) else df
+      if (n <= PerRoundBroadcastMaxNodes) broadcast(df) else df
     var r = nodes.select(col("id"), lit(init).as("r_fp"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val s = ed.join(bounded(r), col("src") === col("id"))
         .select(col("dst"), expr("r_fp div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val joined = nodes.join(bounded(s), nodes("id") === s("dst"), "left")
-      r = (if (danglingRedistribute) {
+      r = if (danglingRedistribute) {
         // pooled dangling mass, pre-split div n: one row, broadcast into
-        // the plan so the round stays a single distributed job
+        // the plan so the round stays a single distributed job. This
+        // branch reads r TWICE per round (rank join + dangling pool), so
+        // every round is materialized — a lazy r would execute its chain
+        // once per consumer.
         val share = r.join(bounded(danglingIds), Seq("id"), "left_semi")
           .agg(coalesce(sum(col("r_fp")), lit(0L)).as("t"))
           .select(expr(s"t div ${n}L").as("__share"))
         joined.crossJoin(broadcast(share))
           .select(nodes("id"),
             (lit(base) + expr("(85 * (coalesce(s, 0L) + __share)) div 100")).as("r_fp"))
+          .localCheckpoint(true)
       } else {
-        joined.select(nodes("id"),
+        // single consumer per round → materialize only every CkptEvery-th
+        // round (and the last): lineage stays bounded while the skipped
+        // rounds drop their eager block-manager write + driver barrier
+        val next = joined.select(nodes("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r_fp"))
-      }).localCheckpoint(true)
+        if (i % CkptEvery == 0 || i == iters) next.localCheckpoint(true) else next
+      }
     }
     r
   }
+
+  /** Materialization stride for single-consumer power-iteration loops: a
+    * checkpoint every k-th round truncates lineage (bounded plan depth)
+    * while the k−1 intermediate rounds stay lazy — their broadcast builds
+    * still execute exactly once inside the next materializing action, but
+    * the per-round eager write + driver barrier is amortized k-fold. */
+  private val CkptEvery = 4
+
+  /** Node-count gate for PER-ROUND broadcasts inside iterative loops —
+    * deliberately below the 4M one-shot gate (Triangles) because a loop
+    * re-broadcasts every round and lazy rounds keep several relations
+    * referenced simultaneously (round-15 advice: count-based per-round
+    * broadcasts near the gate are a new driver-memory risk profile). */
+  private[operators] val PerRoundBroadcastMaxNodes = 1000000L
 
   /** WEIGHTED fixed-point PageRank: each out-edge carries `r·w div Σw`
     * of its source's rank instead of the uniform `r div deg` — the
@@ -139,16 +165,18 @@ object PageRank {
     // same |nodes|-gated broadcast discipline as [[ranksFp]]: one shuffle
     // per round (the per-dst sum), edges never exchange inside a round
     val bounded = (df: DataFrame) =>
-      if (n <= 4000000L) broadcast(df) else df
+      if (n <= PerRoundBroadcastMaxNodes) broadcast(df) else df
     var r = nodes.select(col("id"), lit(init).as("r_fp"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val s = ed.join(bounded(r), col("src") === col("id"))
         .select(col("dst"), expr("(r_fp * w) div sw").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(bounded(s), nodes("id") === s("dst"), "left")
+      val next = nodes.join(bounded(s), nodes("id") === s("dst"), "left")
         .select(nodes("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r_fp"))
-        .localCheckpoint(true)
+      // single consumer per round → same CkptEvery stride as [[ranksFp]]
+      r = if (i % CkptEvery == 0 || i == iters) next.localCheckpoint(true)
+          else next
     }
     r
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.io.Tables
 import graft.llm.Dedup
@@ -51,4 +52,51 @@ private[queries] object DocLsh {
   def simhashFp(s: SparkSession, d: String, bits: Int): DataFrame =
     memo(s, d, s"simhash$bits")(
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id", bits))
+
+  /** (band, bkey) of LSH buckets whose FINAL size exceeds `cap`, banded
+    * from the staged signatures — the batch post-filter side of the
+    * q123/q394 streaming certs. The concat(h…) keys are byte-identical to
+    * the streaming `bandBuckets` md5 keys (`LshStreamSpec` pins the
+    * parity at both pair and key level), so this replaces a second full
+    * shingle→8-hash corpus pass per cert invocation with a row-filter
+    * over the staged table. */
+  def oversizedLshBuckets(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val rpb = LshK / LshBands
+    val bandCols = (0 until LshBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rpb).map(r => col(s"h${b * rpb + r}")): _*).as("bkey"))
+    }
+    signatures(s, d)
+      .select(explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      .where(col("n") > cap)
+      .select(col("band"), col("bkey"))
+  }
+
+  /** The staged 64-bit fingerprints row-filtered to the HALF corpus
+    * (doc_id % 2 = 0) the q146/q395 SimHash certs run over. A document's
+    * SimHash depends only on its own tokens (the same subset-vs-whole
+    * invariance as the staged MinHash signatures in q135/q138), so the
+    * filter of the full-corpus staged frame IS the half-corpus build. */
+  def simhashFpHalf(s: SparkSession, d: String): DataFrame =
+    simhashFp(s, d, 64).where(col("doc_id") % 2 === 0)
+
+  /** (band, bkey, doc_id) band keys derived ROW-LOCALLY from a
+    * (doc_id, simhash) frame — shift/mask per band, bkey rendered as the
+    * decimal string the streaming `BandBucket` rows carry. Replaces a full
+    * per-doc tokenize+vote pass in the cert post-filters: the key value is
+    * a pure function of the fingerprint, and `SimhashStreamSpec` pins the
+    * row-local-vs-aggregate fingerprint parity. */
+  def simhashBandKeys(fp: DataFrame, bits: Int, bandBits: Int): DataFrame = {
+    require(bits % bandBits == 0, "bandBits must divide bits")
+    val bandCols = (0 until bits / bandBits).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).cast("string").as("bkey"))
+    }
+    fp.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("doc_id"))
+  }
 }

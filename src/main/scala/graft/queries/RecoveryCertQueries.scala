@@ -837,12 +837,9 @@ object RecoveryCertQueries {
           .as[graft.llm.BandBucket]).toDF(),
       docs.schema)
     // batch post-filter mirroring lshCandidatePairs' maxBucket=1000 cap,
-    // verbatim from the continuous cert (q123)
-    val oversized = graft.llm.Dedup
-      .bandBuckets(docs, "text", "doc_id", LlmQueries.LshK, LlmQueries.LshBands)
-      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
-      .where(col("n") > 1000)
-      .select(col("band"), col("bkey"))
+    // verbatim from the continuous cert (q123): staged-signature band keys
+    // instead of a second full shingle→8-hash pass per invocation
+    val oversized = DocLsh.oversizedLshBuckets(s, d, 1000)
     pairs.join(oversized, Seq("band", "bkey"), "left_anti")
       .select(col("doc_a"), col("doc_b")).distinct()
       .orderBy(col("doc_a"), col("doc_b"))
@@ -876,13 +873,13 @@ object RecoveryCertQueries {
           bits = 64, bandBits = 16)
           .as[graft.llm.BandBucket]).toDF(),
       docs.schema)
-    val buckets = graft.llm.Dedup.simhashBandBuckets(docs, "text", "doc_id",
-      bits = 64, bandBits = 16)
-    val oversized = buckets
+    // post-filter + Hamming verify from the staged half-corpus
+    // fingerprints, exactly like the continuous cert (q146)
+    val fp = DocLsh.simhashFpHalf(s, d)
+    val oversized = DocLsh.simhashBandKeys(fp, bits = 64, bandBits = 16)
       .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
       .where(col("n") > 1000)
       .select(col("band"), col("bkey"))
-    val fp = graft.llm.Dedup.simhash(docs, "text", "doc_id", 64)
     pairs.join(oversized, Seq("band", "bkey"), "left_anti")
       .select(col("doc_a"), col("doc_b")).distinct()
       .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")),

@@ -49,7 +49,7 @@ object StreamingQueries {
       scala.collection.concurrent.TrieMap.empty[(String, String), (String, Long, Long)]
 
     def memo(d: String, key: String)(build: String => (Long, Long)): (String, Long, Long) =
-      staged.getOrElseUpdate((d, key), {
+      staged.getOrElseUpdate((d, key), graft.io.StageClock.timed {
         val dir = graft.io.Scratch.dir(s"base_${key}_") + "/src"
         val (lo, hi) = build(dir)
         (dir, lo, hi)
@@ -643,17 +643,7 @@ object StreamingQueries {
     // batch way — byte-identical to a second bandBuckets md5 pass over the
     // corpus (LshStreamSpec pins stream-vs-batch key parity), without
     // re-running the per-doc shingle → 8-hash pipeline per invocation.
-    val rpb = LlmQueries.LshK / LlmQueries.LshBands
-    val bandCols = (0 until LlmQueries.LshBands).map { b =>
-      struct(lit(b).as("band"),
-        concat((0 until rpb).map(r => col(s"h${b * rpb + r}")): _*).as("bkey"))
-    }
-    val oversized = DocLsh.signatures(s, d)
-      .select(explode(array(bandCols: _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
-      .where(col("n") > 1000)
-      .select(col("band"), col("bkey"))
+    val oversized = DocLsh.oversizedLshBuckets(s, d, 1000)
     s.table(name)
       .join(oversized, Seq("band", "bkey"), "left_anti")
       .select(col("doc_a"), col("doc_b")).distinct()
@@ -755,14 +745,15 @@ object StreamingQueries {
       query.awaitTermination()
     }
     // batch post-filter mirroring simhashNearDupPairs' maxBucket cap, then
-    // exact Hamming verification against the batch fingerprints
-    val buckets = graft.llm.Dedup.simhashBandBuckets(docs, "text", "doc_id",
-      bits = 64, bandBits = 16)
-    val oversized = buckets
+    // exact Hamming verification — BOTH from the staged 64-bit fingerprint
+    // table row-filtered to the half corpus (DocLsh.simhashFpHalf; band
+    // keys are a pure shift/mask of the fingerprint), instead of two more
+    // full per-doc tokenize+vote passes per invocation
+    val fp = DocLsh.simhashFpHalf(s, d)
+    val oversized = DocLsh.simhashBandKeys(fp, bits = 64, bandBits = 16)
       .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
       .where(col("n") > 1000)
       .select(col("band"), col("bkey"))
-    val fp = graft.llm.Dedup.simhash(docs, "text", "doc_id", 64)
     s.table(name)
       .join(oversized, Seq("band", "bkey"), "left_anti")
       .select(col("doc_a"), col("doc_b")).distinct()

@@ -133,7 +133,6 @@ object StageProbe {
         graft.queries.ResamplingQueries.bootstrapSe(ev, 32)))
     }
 
-    args.drop(2).headOption.foreach { _ => () }
     spark.stop()
   }
 }

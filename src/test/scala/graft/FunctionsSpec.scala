@@ -126,4 +126,33 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getInt(1) == 1) // second packed centroid (0,1) is nearest
     assert(r.getInt(2) == 1) // (6,6) is the nearer codebook entry by L2
   }
+
+  test("LitSetOverlap counts set members exactly like size(array_intersect) on distinct arrays") {
+    // the q117 gate's replacement contract: on a DISTINCT, null-free array
+    // the overlap count equals the intersect size — checked over empty
+    // arrays, disjoint/partial/full overlap, non-ascii, and a null array
+    val set = Seq("a b", "c d", "é ü", "x y")
+    val docs = Seq(
+      (1L, Seq("a b", "zz", "c d")), // partial
+      (2L, Seq("q", "r")), // disjoint
+      (3L, Seq[String]()), // empty
+      (4L, Seq("é ü")), // non-ascii member
+      (5L, Seq("a b", "c d", "é ü", "x y")), // full
+      (6L, null) // null array
+    ).toDF("id", "arr")
+    val rows = docs.select(col("id"),
+        graft.functions.LitSetOverlap.overlapCount(col("arr"), set).as("n"),
+        size(array_intersect(col("arr"), typedLit(set))).cast("long").as("ref"))
+      .collect()
+    val got = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -999L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 4L,
+      6L -> -999L))
+    // and the reference expression agrees wherever it is defined (null
+    // array: array_intersect yields null too → size yields -1 under
+    // legacy sizeOfNull=false default in Spark 4? read it back as null-safe)
+    rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}")
+    }
+  }
 }

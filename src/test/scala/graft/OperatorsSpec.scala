@@ -236,6 +236,29 @@ class LshStreamSpec extends SparkSpec {
     assert(batch.contains((1L, 2L))) // the exact dups definitely meet
   }
 
+  test("bandBuckets keys are byte-identical to the batch signature concat banding") {
+    // the q123/q394 post-filters anti-join streamed (band, bkey) rows
+    // against keys banded from the staged SIGNATURE table, so parity must
+    // hold at KEY level, not just pair level (round-15 advice item)
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val k = 8
+    val bands = 4
+    val rpb = k / bands
+    val streamKeys = Dedup.bandBuckets(docs, "text", "doc_id", k, bands)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rpb).map(r => col(s"h${b * rpb + r}")): _*).as("bkey"))
+    }
+    val batchKeys = Dedup
+      .minhashSignatures(Dedup.docShingles(docs, "text", "doc_id"), k)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band"), col("bk.bkey"), col("doc_id"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamKeys == batchKeys)
+    assert(streamKeys.nonEmpty)
+  }
+
   test("simhashBandBuckets: row-local fingerprints byte-identical to the batch aggregate") {
     val corpus = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     def batchBuckets(bits: Int, bandBits: Int) = {

@@ -78,6 +78,10 @@ def run_one(name, reps, sf_dir):
                 "names": sorted(qs)}
     return {
         "sec": qs[name],
+        # staging/compute split (round-16): seconds of the query's time
+        # spent building memoized staged corpora — in a fresh JVM the
+        # probed query is the FIRST consumer, so it pays all of it
+        "stage_sec": rec.get("stage_secs", {}).get(name, 0.0),
         "reps": rec.get("reps"),
         "load_before": rec.get("load_before"),
         "load_after": rec.get("load_after"),
