@@ -80,14 +80,13 @@ object PageRank {
     // (edge⋈rank, the sum, nodes⋈sum). Past the gate (billions of nodes
     // at 100 TB) both joins revert to shuffle joins automatically.
     // The gate is LOWER than Triangles' one-shot 4M gate: a loop builds
-    // 2 broadcasts per round and lazy rounds (CkptEvery) keep up to
-    // ~2·CkptEvery relations referenced at once, so the per-round budget
-    // is sized for that accumulation (1M nodes ≈ tens of MB per built
-    // hash relation, a few hundred MB worst-case live).
+    // 2 broadcasts per round, every round, so the per-round budget is
+    // sized for that churn (1M nodes ≈ tens of MB per built hash
+    // relation) rather than for one relation built once.
     val bounded = (df: DataFrame) =>
       if (n <= PerRoundBroadcastMaxNodes) broadcast(df) else df
     var r = nodes.select(col("id"), lit(init).as("r_fp"))
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       val s = ed.join(bounded(r), col("src") === col("id"))
         .select(col("dst"), expr("r_fp div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
@@ -106,28 +105,23 @@ object PageRank {
             (lit(base) + expr("(85 * (coalesce(s, 0L) + __share)) div 100")).as("r_fp"))
           .localCheckpoint(true)
       } else {
-        // single consumer per round → materialize only every CkptEvery-th
-        // round (and the last): lineage stays bounded while the skipped
-        // rounds drop their eager block-manager write + driver barrier
-        val next = joined.select(nodes("id"),
+        // Per-round materialization kept DELIBERATELY: a
+        // checkpoint-every-k stride (lazy intermediate rounds, broadcast
+        // builds still once) was A/B'd at 10M edges / 500k nodes / 12
+        // rounds in round 16 and measured a WASH — alternating probes
+        // spanned 13.9–20.5 s (stride) vs 14.5–21.3 s (per-round); the
+        // round barrier is the broadcast build, not the checkpoint write.
+        joined.select(nodes("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r_fp"))
-        if (i % CkptEvery == 0 || i == iters) next.localCheckpoint(true) else next
+          .localCheckpoint(true)
       }
     }
     r
   }
 
-  /** Materialization stride for single-consumer power-iteration loops: a
-    * checkpoint every k-th round truncates lineage (bounded plan depth)
-    * while the k−1 intermediate rounds stay lazy — their broadcast builds
-    * still execute exactly once inside the next materializing action, but
-    * the per-round eager write + driver barrier is amortized k-fold. */
-  private val CkptEvery = 4
-
   /** Node-count gate for PER-ROUND broadcasts inside iterative loops —
     * deliberately below the 4M one-shot gate (Triangles) because a loop
-    * re-broadcasts every round and lazy rounds keep several relations
-    * referenced simultaneously (round-15 advice: count-based per-round
+    * re-broadcasts every round (round-15 advice: count-based per-round
     * broadcasts near the gate are a new driver-memory risk profile). */
   private[operators] val PerRoundBroadcastMaxNodes = 1000000L
 
@@ -167,16 +161,15 @@ object PageRank {
     val bounded = (df: DataFrame) =>
       if (n <= PerRoundBroadcastMaxNodes) broadcast(df) else df
     var r = nodes.select(col("id"), lit(init).as("r_fp"))
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       val s = ed.join(bounded(r), col("src") === col("id"))
         .select(col("dst"), expr("(r_fp * w) div sw").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      val next = nodes.join(bounded(s), nodes("id") === s("dst"), "left")
+      // per-round materialization kept: stride A/B'd a wash, see [[ranksFp]]
+      r = nodes.join(bounded(s), nodes("id") === s("dst"), "left")
         .select(nodes("id"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("r_fp"))
-      // single consumer per round → same CkptEvery stride as [[ranksFp]]
-      r = if (i % CkptEvery == 0 || i == iters) next.localCheckpoint(true)
-          else next
+        .localCheckpoint(true)
     }
     r
   }

@@ -206,9 +206,11 @@ object StreamingQueries {
     * `spark.sql.shuffle.partitions`, and every micro-batch writes one
     * state-store delta file per partition per stateful op — at 32
     * partitions the bounded replay spends more time on state-store I/O
-    * than on data. 8 suits the certification corpus; production sizes its
-    * own. The session conf is restored afterwards (queries run
-    * sequentially under both Verify and Bench). */
+    * than on data. 8 suits the certification corpus — re-A/B'd in round 16
+    * on an 11-cert subset: 4 partitions ran 1.55× slower (data-heavy certs
+    * lose task parallelism), 16 ran 1.11× slower (state-store commit churn)
+    * — production sizes its own. The session conf is restored afterwards
+    * (queries run sequentially under both Verify and Bench). */
   private[queries] def withCertStatePartitions[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
